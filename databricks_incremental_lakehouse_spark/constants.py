@@ -1,0 +1,51 @@
+"""Deterministic parameters shared by the Spark engine and the DuckDB oracle.
+
+The reference mints nondeterministic values at run time:
+
+- ``batch_id = concat('batch_', date_format(current_timestamp(), ...))``
+  (reference extract_orders.py:20)
+- ``_ingested_at = current_timestamp()`` (extract_orders.py:37)
+- ``days_since_last_order = DATEDIFF(current_date(), MAX(o_orderdate))``
+  (refined_customer_orders.py:57)
+
+For reproducible correctness checks those are pinned here (FIXTURES.md
+"Harness notes"); the pipeline runner may override them per run.
+"""
+
+# Pinned stand-in for the reference's run-time batch id.
+FIXED_BATCH_ID = "batch_00000000_000000"
+
+# Source-system tag stamped on every bronze row (extract_orders.py:38).
+SOURCE_SYSTEM = "tpch"
+
+# Pinned stand-in for current_date() — just past the test data's max
+# o_orderdate (2001-08-01), so recency math stays meaningful.
+AS_OF_DATE = "2001-12-31"
+
+# The test data lacks l_commitdate/l_receiptdate (FIXTURES.md), so the
+# reference's ``is_late_shipment := ship_date > commit_date``
+# (refined_order_details.py:86) is adapted to
+# ``shipping_delay_days > LATE_SHIP_DAYS``.
+LATE_SHIP_DAYS = 90
+
+# The test data has no partsupp table (FIXTURES.md); supplier-part pairs are
+# derived from lineitem with declared deterministic cost/qty functions:
+#   ps_supplycost = round(p_retailprice * SUPPLY_COST_FACTOR, 2)
+#   ps_availqty   = (ps_partkey * 7 + ps_suppkey * 13) % 9901 + 50
+SUPPLY_COST_FACTOR = 0.6
+AVAILQTY_MOD = 9901
+AVAILQTY_BASE = 50
+
+# Canonical table names present in every /root/testdata/sf*/ directory.
+SOURCE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)

@@ -1,0 +1,34 @@
+"""Audit/lineage column injection (reference operator P2).
+
+Every bronze row carries ``_ingested_at TIMESTAMP, _source_system STRING,
+_batch_id STRING`` (reference extract_orders.py:37-39, DDL
+create_extract_schemas.py:34-36); silver carries ``_refined_at, _batch_id``
+(create_refined_schemas.py:54-55).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import FIXED_BATCH_ID, SOURCE_SYSTEM
+
+
+def with_audit_columns(
+    df: DataFrame,
+    batch_id: str = FIXED_BATCH_ID,
+    source_system: str = SOURCE_SYSTEM,
+    include_timestamp: bool = False,
+    ts_col: str = "_ingested_at",
+) -> DataFrame:
+    """Stamp audit columns.
+
+    ``include_timestamp`` defaults off because ``current_timestamp()`` is
+    nondeterministic and excluded from oracle comparison (FIXTURES.md); the
+    pipeline runner turns it on for materialized tables.
+    """
+    if include_timestamp:
+        df = df.withColumn(ts_col, F.current_timestamp())
+    return df.withColumn("_source_system", F.lit(source_system)).withColumn(
+        "_batch_id", F.lit(batch_id)
+    )
