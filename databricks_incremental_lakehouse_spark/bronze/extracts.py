@@ -39,7 +39,7 @@ from ..constants import (
     FIXED_BATCH_ID,
     SUPPLY_COST_FACTOR,
 )
-from ..operators import dedup_latest, with_audit_columns
+from ..operators import dedup_latest, round_dbl, with_audit_columns
 from ..tables import load_table
 
 _AUDIT_ORACLE = "'tpch' AS _source_system, '{batch_id}' AS _batch_id"
@@ -343,7 +343,7 @@ def bronze_partsupp(
             )
             .cast("int")
             .alias("ps_availqty"),
-            F.round(F.col("p_retailprice") * SUPPLY_COST_FACTOR, 2).alias(
+            round_dbl(F.col("p_retailprice") * SUPPLY_COST_FACTOR, 2).alias(
                 "ps_supplycost"
             ),
         )
@@ -356,7 +356,7 @@ def _partsupp_cte(batch_id: str) -> str:
     return f"""
     SELECT ps_partkey, ps_suppkey,
            CAST((ps_partkey * 7 + ps_suppkey * 13) % {AVAILQTY_MOD} + {AVAILQTY_BASE} AS INT) AS ps_availqty,
-           CAST(ROUND(p_retailprice * {SUPPLY_COST_FACTOR}, 2) AS DOUBLE) AS ps_supplycost,
+           CAST(ROUND(CAST(p_retailprice * {SUPPLY_COST_FACTOR} AS DECIMAL(38,6)), 2) AS DOUBLE) AS ps_supplycost,
            {_audit_cte_cols(batch_id)}
     FROM (
         SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey

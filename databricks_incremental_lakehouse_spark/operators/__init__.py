@@ -1,4 +1,5 @@
 from .audit import with_audit_columns
 from .dedup import dedup_latest
+from .rounding import round_dbl, round_dbl_sql
 
-__all__ = ["with_audit_columns", "dedup_latest"]
+__all__ = ["with_audit_columns", "dedup_latest", "round_dbl", "round_dbl_sql"]

@@ -1,0 +1,212 @@
+"""Silver ``order_details`` — denormalized order-line fact.
+
+Re-expresses reference ``src/refined/refined_order_details.py``: 3-stage
+temp-view chain (join :25-55 -> business calcs :58-93 -> quality gate
+:96-107) collapsed into one lazy DataFrame program.
+
+Grain: one row per order line item (refined_order_details.py:8).
+
+Adaptations (FIXTURES.md — test lineitem lacks commit/receipt dates and ship
+mode/instructions):
+
+- ``commit_date``, ``receipt_date``, ``ship_mode`` and
+  ``delivery_delay_days`` (refined_order_details.py:85) are dropped.
+- ``is_late_shipment`` (:86, ``ship_date > commit_date``) becomes
+  ``shipping_delay_days > LATE_SHIP_DAYS`` (declared constant, 90).
+
+Scale notes: orders ⋈ lineitem is the fact-fact join (J1) — sort-merge with
+both sides hash-partitioned on the order key; parts is dimension-sized and
+joined LEFT (J2), broadcast below the threshold and a shuffled hash join
+above it. All arithmetic is built-in Column expressions → whole-stage
+codegen, zero Python in the hot path. The pipeline writer partitions output
+by ``order_year`` (create_refined_schemas.py:58) for downstream pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..bronze import BRONZE_ORACLE_CTES, bronze_lineitem, bronze_orders, bronze_parts
+from ..constants import FIXED_BATCH_ID, LATE_SHIP_DAYS
+from ..operators import round_dbl
+from ..oracle_util import with_clause
+
+
+def silver_order_details(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_id: str = FIXED_BATCH_ID,
+    orders: DataFrame | None = None,
+    lineitem: DataFrame | None = None,
+    parts: DataFrame | None = None,
+) -> DataFrame:
+    """Build the order_details fact from bronze inputs (built if not given)."""
+    if orders is None:
+        orders = bronze_orders(spark, sf_dir, batch_id)
+    if lineitem is None:
+        lineitem = bronze_lineitem(spark, sf_dir, batch_id)
+    if parts is None:
+        parts = bronze_parts(spark, sf_dir, batch_id)
+
+    # Stage 1 — join (refined_order_details.py:25-55)
+    joined = (
+        orders.select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_custkey").alias("customer_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderstatus").alias("order_status"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .join(
+            lineitem.select(
+                F.col("l_orderkey"),
+                F.col("l_linenumber").alias("line_number"),
+                F.col("l_partkey").alias("part_key"),
+                F.col("l_suppkey").alias("supplier_key"),
+                F.col("l_quantity").alias("quantity"),
+                F.col("l_extendedprice").alias("extended_price"),
+                F.col("l_discount").alias("discount_pct"),
+                F.col("l_tax").alias("tax_pct"),
+                F.col("l_shipdate").alias("ship_date"),
+                F.col("l_returnflag").alias("return_flag"),
+            ),
+            F.col("order_key") == F.col("l_orderkey"),
+            "inner",
+        )
+        .drop("l_orderkey")
+        .join(
+            parts.select(
+                F.col("p_partkey"),
+                F.col("p_name").alias("part_name"),
+                F.col("p_brand").alias("part_brand"),
+                F.col("p_type").alias("part_type"),
+            ),
+            F.col("part_key") == F.col("p_partkey"),
+            "left",
+        )
+        .drop("p_partkey")
+    )
+
+    # Stage 2 — business calculations (refined_order_details.py:58-93)
+    discounted = F.col("extended_price") * (F.lit(1.0) - F.col("discount_pct"))
+    calculated = joined.withColumns(
+        {
+            "unit_price": round_dbl(
+                F.col("extended_price") / F.nullif(F.col("quantity"), F.lit(0.0)), 2
+            ),
+            "net_revenue": round_dbl(discounted, 2),
+            "tax_amount": round_dbl(discounted * F.col("tax_pct"), 2),
+            "total_charge": round_dbl(discounted * (F.lit(1.0) + F.col("tax_pct")), 2),
+            "shipping_delay_days": F.datediff(F.col("ship_date"), F.col("order_date")),
+            "order_year": F.year("order_date"),
+            "order_month": F.month("order_date"),
+            "order_quarter": F.quarter("order_date"),
+        }
+    ).withColumn(
+        # adapted: reference compares ship_date > commit_date (:86)
+        "is_late_shipment",
+        F.when(F.col("shipping_delay_days") > LATE_SHIP_DAYS, F.lit(True)).otherwise(
+            F.lit(False)
+        ),
+    )
+
+    # Stage 3 — quality gate + audit (refined_order_details.py:96-107)
+    gated = calculated.filter(
+        (F.col("quantity") > 0)
+        & (F.col("extended_price") > 0)
+        & (F.col("net_revenue") >= 0)
+    ).withColumn("_batch_id", F.lit(batch_id))
+
+    return gated.select(
+        "order_key",
+        "line_number",
+        "customer_key",
+        "part_key",
+        "supplier_key",
+        "order_date",
+        "order_status",
+        "order_priority",
+        "part_name",
+        "part_brand",
+        "part_type",
+        "quantity",
+        "unit_price",
+        "extended_price",
+        "discount_pct",
+        "tax_pct",
+        "net_revenue",
+        "tax_amount",
+        "total_charge",
+        "ship_date",
+        "shipping_delay_days",
+        "is_late_shipment",
+        "return_flag",
+        "order_year",
+        "order_month",
+        "order_quarter",
+        "_batch_id",
+    )
+
+
+_SILVER_OD_CTE = """
+    SELECT
+        order_key, line_number, customer_key, part_key, supplier_key,
+        order_date, order_status, order_priority,
+        part_name, part_brand, part_type,
+        quantity, unit_price, extended_price, discount_pct, tax_pct,
+        net_revenue, tax_amount, total_charge,
+        ship_date, shipping_delay_days, is_late_shipment, return_flag,
+        order_year, order_month, order_quarter, _batch_id
+    FROM (
+        SELECT
+            o.o_orderkey AS order_key,
+            li.l_linenumber AS line_number,
+            o.o_custkey AS customer_key,
+            li.l_partkey AS part_key,
+            li.l_suppkey AS supplier_key,
+            o.o_orderdate AS order_date,
+            o.o_orderstatus AS order_status,
+            o.o_orderpriority AS order_priority,
+            p.p_name AS part_name,
+            p.p_brand AS part_brand,
+            p.p_type AS part_type,
+            li.l_quantity AS quantity,
+            CAST(ROUND(CAST(li.l_extendedprice / NULLIF(li.l_quantity, 0) AS DECIMAL(38,6)), 2) AS DOUBLE) AS unit_price,
+            li.l_extendedprice AS extended_price,
+            li.l_discount AS discount_pct,
+            li.l_tax AS tax_pct,
+            CAST(ROUND(CAST(li.l_extendedprice * (1.0 - li.l_discount) AS DECIMAL(38,6)), 2) AS DOUBLE) AS net_revenue,
+            CAST(ROUND(CAST(li.l_extendedprice * (1.0 - li.l_discount) * li.l_tax AS DECIMAL(38,6)), 2) AS DOUBLE) AS tax_amount,
+            CAST(ROUND(CAST(li.l_extendedprice * (1.0 - li.l_discount) * (1.0 + li.l_tax) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_charge,
+            li.l_shipdate AS ship_date,
+            CAST(date_diff('day', o.o_orderdate, li.l_shipdate) AS INT) AS shipping_delay_days,
+            CAST(date_diff('day', o.o_orderdate, li.l_shipdate) AS INT) > {late_days} AS is_late_shipment,
+            li.l_returnflag AS return_flag,
+            CAST(year(o.o_orderdate) AS INT) AS order_year,
+            CAST(month(o.o_orderdate) AS INT) AS order_month,
+            CAST(quarter(o.o_orderdate) AS INT) AS order_quarter,
+            '{batch_id}' AS _batch_id
+        FROM b_orders o
+        INNER JOIN b_lineitem li ON o.o_orderkey = li.l_orderkey
+        LEFT JOIN b_parts p ON li.l_partkey = p.p_partkey
+    )
+    WHERE quantity > 0 AND extended_price > 0 AND net_revenue >= 0"""
+
+
+def silver_order_details_oracle_ctes(batch_id: str = FIXED_BATCH_ID) -> dict[str, str]:
+    bronze = BRONZE_ORACLE_CTES(batch_id)
+    return {
+        "b_orders": bronze["b_orders"],
+        "b_lineitem": bronze["b_lineitem"],
+        "b_parts": bronze["b_parts"],
+        "s_order_details": _SILVER_OD_CTE.format(
+            late_days=LATE_SHIP_DAYS, batch_id=batch_id
+        ),
+    }
+
+
+def silver_order_details_oracle_sql(batch_id: str = FIXED_BATCH_ID) -> str:
+    return with_clause(
+        silver_order_details_oracle_ctes(batch_id), "SELECT * FROM s_order_details"
+    )
