@@ -1,0 +1,196 @@
+"""Query registry — the driver contract surface.
+
+Maps every implemented operator/query (SURVEY.md §2 + extensions) to
+(a) a Spark callable ``(spark, sf_dir) -> DataFrame`` and (b) a DuckDB
+oracle SQL string over the raw parquet views. ``__spark_entry__.py``
+re-exports these.
+
+Naming: ``bronze_*`` extracts, ``silver_*`` refined models, ``gold_*``
+views, ``bi_*`` the reference README's sample analyst queries
+(README.md:215-236), plus ``events_*`` / ``text_*`` / ``dedup_*`` /
+``sim_*`` extension operators (registered by their modules).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .bronze import BRONZE_BUILDERS, bronze_oracle_sql
+from .gold import (
+    vw_customer_lifetime_value,
+    vw_customer_lifetime_value_oracle_sql,
+    vw_monthly_sales_trends,
+    vw_monthly_sales_trends_oracle_sql,
+    vw_revenue_by_region,
+    vw_revenue_by_region_oracle_sql,
+    vw_supplier_performance,
+    vw_supplier_performance_oracle_sql,
+)
+from .oracle_util import with_clause
+from .silver import (
+    silver_customer_orders,
+    silver_customer_orders_oracle_sql,
+    silver_order_details,
+    silver_order_details_oracle_sql,
+    silver_supplier_parts,
+    silver_supplier_parts_oracle_sql,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLE[name] = oracle
+
+
+# --- bronze ---------------------------------------------------------------
+for _table, _builder in BRONZE_BUILDERS.items():
+    register(
+        f"bronze_{_table}",
+        (lambda b: lambda spark, sf_dir: b(spark, sf_dir))(_builder),
+        bronze_oracle_sql(_table),
+    )
+
+# --- silver ---------------------------------------------------------------
+register("silver_order_details", silver_order_details, silver_order_details_oracle_sql())
+register(
+    "silver_customer_orders",
+    silver_customer_orders,
+    silver_customer_orders_oracle_sql(),
+)
+register(
+    "silver_supplier_parts", silver_supplier_parts, silver_supplier_parts_oracle_sql()
+)
+
+# --- gold -----------------------------------------------------------------
+register("gold_revenue_by_region", vw_revenue_by_region, vw_revenue_by_region_oracle_sql())
+register(
+    "gold_customer_lifetime_value",
+    vw_customer_lifetime_value,
+    vw_customer_lifetime_value_oracle_sql(),
+)
+register(
+    "gold_supplier_performance",
+    vw_supplier_performance,
+    vw_supplier_performance_oracle_sql(),
+)
+register(
+    "gold_monthly_sales_trends",
+    vw_monthly_sales_trends,
+    vw_monthly_sales_trends_oracle_sql(),
+)
+
+
+# --- BI sample queries (reference README.md:215-236) ----------------------
+def _bi_regional_revenue_1998(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README BI query 1: regional revenue filtered to one year.
+
+    Exercises view-over-silver predicate pushdown (order_year filter prunes
+    the year-partitioned silver fact at scale).
+    """
+    return vw_revenue_by_region(spark, sf_dir).filter(F.col("order_year") == 1998)
+
+
+def _bi_top_platinum_clv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README BI query 2: top-20 Platinum customers by CLV (TakeOrderedAndProject).
+
+    ``customer_name`` appended as tiebreak so the LIMIT boundary is
+    deterministic across engines.
+    """
+    return (
+        vw_customer_lifetime_value(spark, sf_dir)
+        .filter(F.col("value_tier") == "Platinum")
+        .select("customer_name", "estimated_3yr_clv", "customer_segment")
+        .orderBy(F.col("estimated_3yr_clv").desc(), F.col("customer_name").asc())
+        .limit(20)
+    )
+
+
+def _bi_strategic_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README BI query 3: Tier-1 suppliers ranked by score."""
+    return (
+        vw_supplier_performance(spark, sf_dir)
+        .filter(F.col("supplier_tier") == "Tier 1 - Strategic")
+        .select(
+            "supplier_name",
+            "supplier_region",
+            "performance_score",
+            "on_time_delivery_rate",
+        )
+    )
+
+
+def _bi_monthly_trend_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README BI query 4: monthly trend projection."""
+    return vw_monthly_sales_trends(spark, sf_dir).select(
+        "order_year",
+        "order_month",
+        "total_revenue",
+        "revenue_3mo_moving_avg",
+        "mom_revenue_growth_pct",
+    )
+
+
+register(
+    "bi_regional_revenue_1998",
+    _bi_regional_revenue_1998,
+    with_clause(
+        {"base": vw_revenue_by_region_oracle_sql()},
+        "SELECT * FROM base WHERE order_year = 1998",
+    ),
+)
+register(
+    "bi_top_platinum_clv",
+    _bi_top_platinum_clv,
+    with_clause(
+        {"base": vw_customer_lifetime_value_oracle_sql()},
+        """SELECT customer_name, estimated_3yr_clv, customer_segment
+           FROM base WHERE value_tier = 'Platinum'
+           ORDER BY estimated_3yr_clv DESC, customer_name ASC LIMIT 20""",
+    ),
+)
+register(
+    "bi_strategic_suppliers",
+    _bi_strategic_suppliers,
+    with_clause(
+        {"base": vw_supplier_performance_oracle_sql()},
+        """SELECT supplier_name, supplier_region, performance_score, on_time_delivery_rate
+           FROM base WHERE supplier_tier = 'Tier 1 - Strategic'""",
+    ),
+)
+register(
+    "bi_monthly_trend_series",
+    _bi_monthly_trend_series,
+    with_clause(
+        {"base": vw_monthly_sales_trends_oracle_sql()},
+        """SELECT order_year, order_month, total_revenue,
+                  revenue_3mo_moving_avg, mom_revenue_growth_pct
+           FROM base""",
+    ),
+)
+
+
+def _register_extensions() -> None:
+    """Extension modules contribute their own queries via ``register_all``;
+    a missing/broken extension must not take down the core surface."""
+    import importlib
+
+    for modname in ("quality", "llmdata", "streaming"):
+        try:
+            mod = importlib.import_module(f".{modname}", __package__)
+        except ImportError:
+            continue
+        reg = getattr(mod, "register_all", None)
+        if reg is not None:
+            reg(register)
+
+
+_register_extensions()
