@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workload (BASELINE.md plan): the full sales + supplier pipelines (bronze x8,
+silver x3, gold x4 materialized through the warehouse, QC suite) — i.e. the
+reference's daily/weekly jobs — plus the 4 README BI queries executed
+against the materialized views. Query timings force full computation with a
+noop sink (no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from databricks_incremental_lakehouse_spark.pipelines import (  # noqa: E402
+    LakehouseConfig,
+    run_sales_analytics,
+    run_supplier_analytics,
+)
+from databricks_incremental_lakehouse_spark.session import build_spark  # noqa: E402
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = build_spark(app_name="dbx-lakehouse-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = LakehouseConfig.from_env_file(
+            sf_dir=sf_dir, warehouse_dir=os.path.join(tmp, "warehouse")
+        )
+
+        t0 = time.time()
+        sales = run_sales_analytics(spark, cfg)
+        timings["pipeline_sales"] = round(time.time() - t0, 3)
+        for stage, res in sales.items():
+            timings[f"sales.{stage}"] = round(res["elapsed"], 3)
+
+        t0 = time.time()
+        supplier = run_supplier_analytics(spark, cfg)
+        timings["pipeline_supplier"] = round(time.time() - t0, 3)
+        for stage, res in supplier.items():
+            timings[f"supplier.{stage}"] = round(res["elapsed"], 3)
+
+        # README BI queries over the materialized gold views
+        from pyspark.sql import functions as F
+
+        clv = spark.read.parquet(cfg.table_path("views", "vw_customer_lifetime_value"))
+        rbr = spark.read.parquet(cfg.table_path("views", "vw_revenue_by_region"))
+        spf = spark.read.parquet(cfg.table_path("views", "vw_supplier_performance"))
+        mst = spark.read.parquet(cfg.table_path("views", "vw_monthly_sales_trends"))
+        bi = {
+            "bi_regional_revenue_1998": lambda: _noop(
+                rbr.filter(F.col("order_year") == 1998)
+            ),
+            "bi_top_platinum_clv": lambda: _noop(
+                clv.filter(F.col("value_tier") == "Platinum")
+                .select("customer_name", "estimated_3yr_clv", "customer_segment")
+                .orderBy(F.col("estimated_3yr_clv").desc())
+                .limit(20)
+            ),
+            "bi_strategic_suppliers": lambda: _noop(
+                spf.filter(F.col("supplier_tier") == "Tier 1 - Strategic").select(
+                    "supplier_name",
+                    "supplier_region",
+                    "performance_score",
+                    "on_time_delivery_rate",
+                )
+            ),
+            "bi_monthly_trend_series": lambda: _noop(
+                mst.select(
+                    "order_year",
+                    "order_month",
+                    "total_revenue",
+                    "revenue_3mo_moving_avg",
+                    "mom_revenue_growth_pct",
+                )
+            ),
+        }
+        for name, fn in bi.items():
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 3)
+
+    total = timings["pipeline_sales"] + timings["pipeline_supplier"] + sum(
+        timings[n] for n in bi
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "full_pipeline_plus_bi_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

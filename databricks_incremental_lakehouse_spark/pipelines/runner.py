@@ -1,0 +1,261 @@
+"""Pipeline orchestration — the reference's two workflow DAGs, in-process.
+
+Re-expresses ``src/pipelines/run_sales_analytics.py`` and
+``run_supplier_analytics.py``: the ``dbutils.notebook.run`` child-job chain
+(run_sales_analytics.py:45-60) becomes plain function calls per stage with
+the same stage names, fail-fast gates (:74-76, :98-100, :112-114), timing,
+and result-dict shape ``{"status", "elapsed"[, "error"]}`` (:56-60), plus
+``_context.py``'s env-config loading with inline fallback defaults (:24-42).
+
+Inter-stage data flows through materialized tables exactly as in the
+reference (catalog tables there, parquet dirs here) — never through driver
+memory. Silver ``order_details`` is written partitioned by ``order_year``
+(create_refined_schemas.py:58) so gold-year predicates prune files.
+
+Scale notes: each stage is one terminal write of one lazy plan —
+all-or-nothing materialization (README.md:146-150). Writes coalesce by a
+target file-count heuristic standing in for Delta's optimizeWrite
+(create_extract_schemas.py:40); on a real cluster this becomes
+``optimizeWrite``/``autoCompact`` or explicit repartition-by-write-keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..bronze import BRONZE_BUILDERS
+from ..constants import AS_OF_DATE, FIXED_BATCH_ID
+from ..gold import (
+    vw_customer_lifetime_value,
+    vw_monthly_sales_trends,
+    vw_revenue_by_region,
+    vw_supplier_performance,
+)
+from ..quality.checks import run_all_checks
+from ..silver.customer_orders import silver_customer_orders
+from ..silver.order_details import silver_order_details
+from ..silver.supplier_parts import silver_supplier_parts
+
+_DEFAULT_CONFIG = {
+    # mirrors configs/dev.json in the reference (_context.py:28-42 fallback)
+    "environment": "dev",
+    "catalog": "dev_lakehouse",
+    "extract_schema": "bronze",
+    "refined_schema": "silver",
+    "views_schema": "gold",
+    "max_retries": 3,
+    "retry_delay_seconds": 60,
+    "pipeline_mode": "triggered",
+}
+
+
+@dataclass
+class LakehouseConfig:
+    sf_dir: str
+    warehouse_dir: str
+    batch_id: str = FIXED_BATCH_ID
+    as_of_date: str = AS_OF_DATE
+    env: str = "dev"
+    settings: dict = field(default_factory=lambda: dict(_DEFAULT_CONFIG))
+
+    @classmethod
+    def from_env_file(
+        cls, sf_dir: str, warehouse_dir: str, env: str = "dev", configs_dir: str | None = None
+    ) -> "LakehouseConfig":
+        """Load configs/{env}.json with inline fallback (reference
+        _context.py:24-42)."""
+        settings = dict(_DEFAULT_CONFIG)
+        if configs_dir is None:
+            configs_dir = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                "configs",
+            )
+        path = os.path.join(configs_dir, f"{env}.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                settings.update(json.load(fh))
+        return cls(sf_dir=sf_dir, warehouse_dir=warehouse_dir, env=env, settings=settings)
+
+    def table_path(self, schema: str, table: str) -> str:
+        return os.path.join(self.warehouse_dir, self.settings[f"{schema}_schema"], table)
+
+
+def write_table(
+    df: DataFrame, path: str, partition_by: str | None = None, target_files: int = 8
+) -> None:
+    """Atomic full-snapshot overwrite (reference INSERT OVERWRITE,
+    extract_orders.py:72-88) with small-file control."""
+    writer = df.coalesce(target_files) if partition_by is None else df
+    w = writer.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
+
+
+def _run_stage(results: dict, name: str, fn) -> dict:
+    """Timing + status capture (run_sales_analytics.py:45-60)."""
+    start = time.time()
+    try:
+        fn()
+        results[name] = {"status": "SUCCESS", "elapsed": time.time() - start}
+    except Exception as exc:  # noqa: BLE001 — stage gate decides fate
+        results[name] = {
+            "status": "FAILED",
+            "elapsed": time.time() - start,
+            "error": str(exc),
+        }
+    return results[name]
+
+
+def _gate(results: dict, stages: list[str], label: str) -> None:
+    """Fail-fast gate between stage groups (run_sales_analytics.py:74-76)."""
+    failed = [s for s in stages if results.get(s, {}).get("status") != "SUCCESS"]
+    if failed:
+        raise RuntimeError(f"{label} failed: {failed} — aborting pipeline")
+
+
+def _extract_stage(spark, cfg: LakehouseConfig, table: str):
+    df = BRONZE_BUILDERS[table](spark, cfg.sf_dir, batch_id=cfg.batch_id)
+    write_table(df, cfg.table_path("extract", table))
+
+
+def _read(spark: SparkSession, cfg: LakehouseConfig, schema: str, table: str) -> DataFrame:
+    return spark.read.parquet(cfg.table_path(schema, table))
+
+
+def run_sales_analytics(
+    spark: SparkSession, cfg: LakehouseConfig, quality_raises: bool = False
+) -> dict:
+    """Sales DAG (run_sales_analytics.py:69-134): nation/region first (needed
+    by downstream joins), dims, facts, refined, views, QC."""
+    results: dict = {}
+    if os.path.isdir(cfg.warehouse_dir):
+        shutil.rmtree(cfg.warehouse_dir)
+
+    for t in ("nation", "region"):
+        _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t))
+    _gate(results, ["ext_nation", "ext_region"], "geo extracts")
+
+    for t in ("customers", "suppliers", "parts", "partsupp"):
+        _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t))
+    for t in ("orders", "lineitem"):
+        _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t))
+    # critical facts gate (run_sales_analytics.py:98-100)
+    _gate(results, ["ext_orders", "ext_lineitem"], "critical extracts")
+
+    def _od():
+        df = silver_order_details(
+            spark,
+            cfg.sf_dir,
+            batch_id=cfg.batch_id,
+            orders=_read(spark, cfg, "extract", "orders"),
+            lineitem=_read(spark, cfg, "extract", "lineitem"),
+            parts=_read(spark, cfg, "extract", "parts"),
+        )
+        write_table(df, cfg.table_path("refined", "order_details"), partition_by="order_year")
+
+    def _co():
+        df = silver_customer_orders(
+            spark,
+            cfg.sf_dir,
+            batch_id=cfg.batch_id,
+            as_of_date=cfg.as_of_date,
+            customers=_read(spark, cfg, "extract", "customers"),
+            orders=_read(spark, cfg, "extract", "orders"),
+            nation=_read(spark, cfg, "extract", "nation"),
+            region=_read(spark, cfg, "extract", "region"),
+        )
+        write_table(df, cfg.table_path("refined", "customer_orders"))
+
+    _run_stage(results, "ref_order_details", _od)
+    _run_stage(results, "ref_customer_orders", _co)
+    _gate(results, ["ref_order_details", "ref_customer_orders"], "refined models")
+
+    od = _read(spark, cfg, "refined", "order_details")
+    co = _read(spark, cfg, "refined", "customer_orders")
+    views = {
+        "vw_revenue_by_region": lambda: write_table(
+            vw_revenue_by_region(spark, cfg.sf_dir, order_details=od, customer_orders=co),
+            cfg.table_path("views", "vw_revenue_by_region"),
+        ),
+        "vw_customer_lifetime_value": lambda: write_table(
+            vw_customer_lifetime_value(
+                spark, cfg.sf_dir, order_details=od, customer_orders=co
+            ),
+            cfg.table_path("views", "vw_customer_lifetime_value"),
+        ),
+        "vw_monthly_sales_trends": lambda: write_table(
+            vw_monthly_sales_trends(spark, cfg.sf_dir, order_details=od),
+            cfg.table_path("views", "vw_monthly_sales_trends"),
+        ),
+    }
+    for name, fn in views.items():
+        _run_stage(results, name, fn)
+
+    _run_stage(
+        results,
+        "quality_checks",
+        lambda: run_all_checks(spark, cfg.sf_dir, raise_on_fail=quality_raises),
+    )
+
+    failed = {k: v for k, v in results.items() if v["status"] != "SUCCESS"}
+    if failed:
+        raise RuntimeError(f"sales pipeline completed with failures: {failed}")
+    return results
+
+
+def run_supplier_analytics(
+    spark: SparkSession, cfg: LakehouseConfig, quality_raises: bool = False
+) -> dict:
+    """Supplier DAG (run_supplier_analytics.py:87-126); assumes shared
+    extracts exist (run after or alongside the sales DAG, as the reference
+    schedules weekly after daily sales runs)."""
+    results: dict = {}
+    needed = ["orders", "lineitem", "suppliers", "parts", "partsupp", "nation", "region"]
+    for t in needed:
+        if not os.path.isdir(cfg.table_path("extract", t)):
+            _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t))
+    _gate(
+        results,
+        [k for k in results if k.startswith("ext_")],
+        "supplier extracts",
+    )
+
+    def _sp():
+        df = silver_supplier_parts(
+            spark,
+            cfg.sf_dir,
+            batch_id=cfg.batch_id,
+            suppliers=_read(spark, cfg, "extract", "suppliers"),
+            partsupp=_read(spark, cfg, "extract", "partsupp"),
+            parts=_read(spark, cfg, "extract", "parts"),
+            nation=_read(spark, cfg, "extract", "nation"),
+            region=_read(spark, cfg, "extract", "region"),
+        )
+        write_table(df, cfg.table_path("refined", "supplier_parts"))
+
+    _run_stage(results, "ref_supplier_parts", _sp)
+    _gate(results, ["ref_supplier_parts"], "refined supplier parts")
+
+    def _vw():
+        sp = _read(spark, cfg, "refined", "supplier_parts")
+        od = _read(spark, cfg, "refined", "order_details")
+        write_table(
+            vw_supplier_performance(
+                spark, cfg.sf_dir, supplier_parts=sp, order_details=od
+            ),
+            cfg.table_path("views", "vw_supplier_performance"),
+        )
+
+    _run_stage(results, "vw_supplier_performance", _vw)
+
+    failed = {k: v for k, v in results.items() if v["status"] != "SUCCESS"}
+    if failed:
+        raise RuntimeError(f"supplier pipeline completed with failures: {failed}")
+    return results
