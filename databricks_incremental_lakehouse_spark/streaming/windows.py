@@ -1,0 +1,222 @@
+"""Event-time window operators over the ``events`` table.
+
+The reference declares ``"pipeline_mode": "continuous"`` but implements no
+streaming (SURVEY.md §2.9); these operators realize the intended incremental
+semantics. Each is written as a *batch* DataFrame program over event-time —
+the exact transformation a Structured Streaming query would run per
+micro-batch (streaming/incremental.py drives the same logic with
+``readStream`` + watermarks; tests cover both paths) — so each has a DuckDB
+oracle twin:
+
+- tumbling window  -> ``F.window``            / ``date_trunc``
+- sliding window   -> ``F.window(slide=...)`` / union of shifted tumbles
+- session window   -> ``F.session_window``    / gaps-and-islands (LAG + SUM)
+- event dedup      -> keep-first by event_id  / ROW_NUMBER
+- JSON extraction  -> ``get_json_object``     / ``json_extract_string``
+
+Scale notes: all window aggregations shuffle on (key, window) — at 100 TB
+the watermark bounds streaming state, and the batch forms here shuffle once
+with map-side partial aggregation. Session windows use Spark's native
+``session_window`` (state-store backed when streamed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import round_dbl
+from ..tables import load_table
+
+_EVENTS_ORACLE_VIEW = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
+
+
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregate per event type (W: F.window)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            round_dbl(F.sum("value"), 2).alias("total_value"),
+            round_dbl(F.avg("value"), 2).alias("avg_value"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+            "avg_value",
+            "unique_users",
+        )
+    )
+
+
+EVENTS_TUMBLING_ORACLE = f"""
+WITH e AS ({_EVENTS_ORACLE_VIEW})
+SELECT
+    date_trunc('hour', ts) AS window_start,
+    event_type,
+    COUNT(*) AS event_count,
+    CAST(ROUND(CAST(SUM(value) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_value,
+    CAST(ROUND(CAST(AVG(value) AS DECIMAL(38,6)), 2) AS DOUBLE) AS avg_value,
+    COUNT(DISTINCT user_id) AS unique_users
+FROM e
+GROUP BY 1, 2"""
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            round_dbl(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+EVENTS_SLIDING_ORACLE = f"""
+WITH e AS ({_EVENTS_ORACLE_VIEW}),
+slots AS (
+    SELECT *,
+        to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS slot
+    FROM e
+),
+assigned AS (
+    SELECT event_id, value, slot AS window_start FROM slots
+    UNION ALL
+    SELECT event_id, value, slot - INTERVAL 30 MINUTE AS window_start FROM slots
+)
+SELECT
+    CAST(window_start AS TIMESTAMP) AS window_start,
+    CAST(window_start + INTERVAL 60 MINUTE AS TIMESTAMP) AS window_end,
+    COUNT(*) AS event_count,
+    CAST(ROUND(CAST(SUM(value) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_value
+FROM assigned
+GROUP BY 1, 2"""
+
+
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (native ``F.session_window``; state-store backed when streamed)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            round_dbl(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+# Gaps-and-islands: a new session starts when the gap from the previous
+# event exceeds 30 min; session_end is last_ts + gap (Spark's definition).
+EVENTS_SESSION_ORACLE = f"""
+WITH e AS ({_EVENTS_ORACLE_VIEW}),
+marked AS (
+    SELECT user_id, ts, value,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE
+             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+    FROM e
+),
+numbered AS (
+    SELECT *,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM marked
+)
+SELECT
+    user_id,
+    CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+    CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+    COUNT(*) AS event_count,
+    CAST(ROUND(CAST(SUM(value) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_id"""
+
+
+def events_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed event dedup — the batch analog of streaming
+    ``withWatermark().dropDuplicates(["event_id"])``."""
+    from ..operators import dedup_latest
+
+    events = load_table(spark, sf_dir, "events")
+    return dedup_latest(
+        events, keys=["event_id"], tiebreak_cols=["ts", "user_id", "event_type", "value", "props"]
+    )
+
+
+EVENTS_DEDUP_ORACLE = f"""
+WITH e AS ({_EVENTS_ORACLE_VIEW})
+SELECT event_id, ts, user_id, event_type, value, props
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id
+        ORDER BY ts ASC NULLS LAST, user_id ASC NULLS LAST,
+                 event_type ASC NULLS LAST, value ASC NULLS LAST,
+                 props ASC NULLS LAST
+    ) AS _rn FROM e
+) WHERE _rn = 1"""
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation (``props`` is a JSON string)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            round_dbl(F.avg("k"), 2).alias("avg_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("null_k"),
+        )
+    )
+
+
+EVENTS_JSON_ORACLE = f"""
+WITH e AS ({_EVENTS_ORACLE_VIEW}),
+parsed AS (
+    SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM e
+)
+SELECT event_type,
+    COUNT(*) AS event_count,
+    MIN(k) AS min_k,
+    MAX(k) AS max_k,
+    CAST(ROUND(CAST(AVG(k) AS DECIMAL(38,6)), 2) AS DOUBLE) AS avg_k,
+    COUNT(CASE WHEN k IS NULL THEN 1 END) AS null_k
+FROM parsed
+GROUP BY event_type"""
+
+
+def register_all(register) -> None:
+    register("events_tumbling_hourly", events_tumbling_hourly, EVENTS_TUMBLING_ORACLE)
+    register("events_sliding_windows", events_sliding_windows, EVENTS_SLIDING_ORACLE)
+    register("events_session_windows", events_session_windows, EVENTS_SESSION_ORACLE)
+    register("events_deduped", events_deduped, EVENTS_DEDUP_ORACLE)
+    register("events_json_props", events_json_props, EVENTS_JSON_ORACLE)

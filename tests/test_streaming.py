@@ -1,0 +1,76 @@
+"""Streaming: event-time window operators (oracle parity runs in
+test_registry) + the real Structured Streaming incremental-merge path."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from databricks_incremental_lakehouse_spark.streaming import (
+    incremental_events_stream,
+    merge_upsert,
+)
+from databricks_incremental_lakehouse_spark.tables import load_table
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, v double"
+    )
+    merge_upsert(spark, base, target, keys=["id"])
+    upd = spark.createDataFrame(
+        [(2, "b2", 21.0), (3, "c", 30.0)], "id long, name string, v double"
+    )
+    merge_upsert(spark, upd, target, keys=["id"])
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0)}
+
+
+def test_incremental_stream_matches_batch_dedup(spark, sf_smoke, tmp_path):
+    # stage the events table as a multi-file streaming source
+    events = load_table(spark, sf_smoke, "events")
+    source = str(tmp_path / "source")
+    events.repartition(3).write.parquet(source)
+
+    target = str(tmp_path / "target")
+    chk = str(tmp_path / "chk")
+    # files arrive in arbitrary order here, so use a watermark wider than
+    # the data span — lateness-dropping is covered by the watermark test
+    q = incremental_events_stream(spark, source, target, chk, watermark="365 days")
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(target)
+    assert streamed.count() == events.select("event_id").distinct().count()
+    # every event made it through, keyed dedup intact
+    assert (
+        streamed.select(F.sum("event_id")).first()[0]
+        == events.select(F.sum("event_id")).first()[0]
+    )
+    assert os.path.isdir(chk)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Events older than the watermark horizon are dropped by streaming
+    dedup once the watermark has advanced past them."""
+    src = str(tmp_path / "wm_src")
+    on_time = spark.createDataFrame(
+        [(1, "2024-01-02 12:00:00", 1, "a", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    late = spark.createDataFrame(
+        [(2, "2024-01-01 00:00:00", 1, "a", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    on_time.write.mode("append").parquet(src)
+
+    target = str(tmp_path / "wm_target")
+    chk = str(tmp_path / "wm_chk")
+    q = incremental_events_stream(spark, src, target, chk, watermark="1 hour")
+    q.awaitTermination(120)
+    # second run: a file full of events far behind the advanced watermark
+    late.write.mode("append").parquet(src)
+    q = incremental_events_stream(spark, src, target, chk, watermark="1 hour")
+    q.awaitTermination(120)
+
+    ids = {r.event_id for r in spark.read.parquet(target).collect()}
+    assert ids == {1}
