@@ -1,0 +1,441 @@
+"""Document deduplication operators over ``documents`` / ``embeddings``.
+
+The five standard near-dup families of an LLM data pipeline, each a pure
+DataFrame program with a DuckDB oracle:
+
+- ``dedup_exact``           : md5-keyed exact dedup (hash-groupBy).
+- ``dedup_ngram_jaccard``   : 3-token-shingle inverted index -> candidate
+  pairs by shared shingle -> exact Jaccard filter.
+- ``dedup_minhash_lsh``     : 16 seeded min-hashes, 4 bands x 4 rows,
+  banded candidate generation -> exact Jaccard verify (the classic
+  MinHash+LSH pipeline; banding keeps the pair join linear-ish in docs
+  rather than quadratic).
+- ``dedup_simhash``         : 60-bit SimHash per doc + Hamming-band
+  candidate pairs (<= distance threshold).
+- ``dedup_embedding_cosine``: cosine near-duplicate pairs over the
+  embedding table (brute-force; the LSH/IVF scale paths live in
+  similarity.py).
+
+Scale notes: every operator here is shuffle-bounded by its key —
+(shingle) for the inverted index, (band, signature) for LSH, (band) for
+SimHash — which is what makes them run at 100 TB where naive O(n^2) pair
+joins cannot. Frequency capping of hot shingles (drop shingles shared by
+> MAX_SHINGLE_DF docs) bounds worst-case candidate blowup, the standard
+trick for head-heavy shingle distributions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import round_dbl
+from ..tables import load_table
+from .texthash import TOKENIZE_SQL, hash60_sql, seeded_hash60_sql, tokenize
+
+JACCARD_THRESHOLD = 0.8
+MINHASH_SEEDS = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 15 bits per band
+HAMMING_MAX = 3
+COSINE_DUP_THRESHOLD = 0.95
+# drop shingles appearing in more than this many docs (hot-key cap);
+# disabled at test scale so the oracle stays simple, tune for production
+MAX_SHINGLE_DF = None
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """doc_id -> exploded distinct 3-token shingles + per-doc shingle count."""
+    tokens = tokenize(F.col("text"))
+    n = F.size(tokens)
+    arr = F.array_distinct(
+        F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(0), n - 3),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, 3)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    )
+    return docs.select(
+        "doc_id", F.explode(arr).alias("shingle"), F.size(arr).alias("n_shingles")
+    )
+
+
+_SHINGLES_CTE = f"""
+    SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_shingles
+    FROM (
+        SELECT doc_id, list_distinct(
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                                     i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+                 ELSE [array_to_string(toks, ' ')]
+            END) AS shingles
+        FROM (SELECT doc_id, {TOKENIZE_SQL.format(c="text")} AS toks FROM documents)
+    )"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash: one surviving doc per group
+    (min doc_id), with the group's copy count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.trim(F.lower(F.col("text")))).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(trim(lower(text))) AS content_md5,
+       MIN(doc_id) AS kept_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1"""
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard, candidates via the shingle
+    inverted index (pairs must share >= 1 shingle — no O(n^2) join)."""
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingle"),
+        F.col("n_shingles").alias("size_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingle"),
+        F.col("n_shingles").alias("size_b"),
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    ).cast("double")
+    return pairs.select(
+        "doc_a", "doc_b", round_dbl(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _jaccard_pairs_sql(threshold: float) -> str:
+    return f"""
+    SELECT doc_a, doc_b,
+        CAST(ROUND(CAST(CAST(n_common AS DOUBLE) / CAST(size_a + size_b - n_common AS DOUBLE)
+             AS DECIMAL(38,10)), 6) AS DOUBLE) AS jaccard
+    FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_shingles AS size_a, b.n_shingles AS size_b,
+               COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    WHERE CAST(ROUND(CAST(CAST(n_common AS DOUBLE) / CAST(size_a + size_b - n_common AS DOUBLE)
+          AS DECIMAL(38,10)), 6) AS DOUBLE) >= {threshold}"""
+
+
+DEDUP_NGRAM_ORACLE = f"""
+WITH sh AS ({_SHINGLES_CTE})
+{_jaccard_pairs_sql(JACCARD_THRESHOLD)}"""
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+
+    Signature: 16 seeded portable min-hashes per doc; band key = 4
+    consecutive signature values; docs sharing any band key become
+    candidates; candidates are verified with true shingle Jaccard. With
+    s=0.8, P[band match] = 1-(1-0.8^4)^4 ≈ 0.93 — the standard S-curve.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    seeds = spark.range(MINHASH_SEEDS).select(F.col("id").cast("int").alias("seed"))
+    # (doc, seed) -> min over shingles of seeded hash; one shuffle on doc_id
+    sig = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("shingle")).alias(
+                "_salted"
+            ),
+        )
+        .withColumn("h", F.conv(F.substring(F.md5(F.col("_salted")), 1, 15), 16, 10).cast("long"))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+    bands = (
+        sig.withColumn("band", (F.col("seed") / (MINHASH_SEEDS // LSH_BANDS)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
+                    ),
+                    lambda s: s.minhash.cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact-Jaccard verification restricted to candidates
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_shingles").alias("size_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_shingles").alias("size_b")
+    )
+    verified = (
+        a.join(b, "shingle")
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    ).cast("double")
+    return verified.select(
+        "doc_a", "doc_b", round_dbl(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+_rows_per_band = MINHASH_SEEDS // LSH_BANDS
+DEDUP_MINHASH_ORACLE = f"""
+WITH sh AS ({_SHINGLES_CTE}),
+sig AS (
+    SELECT doc_id, seed, MIN({seeded_hash60_sql("shingle", "seed")}) AS minhash
+    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_SEEDS - 1})) AS seed)
+    GROUP BY doc_id, seed
+),
+bands AS (
+    SELECT doc_id, CAST(seed / {_rows_per_band} AS INT) AS band,
+           string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+    FROM sig
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+joined AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n_shingles AS size_a, b.n_shingles AS size_b,
+           COUNT(*) AS n_common
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+    CAST(ROUND(CAST(CAST(n_common AS DOUBLE) / CAST(size_a + size_b - n_common AS DOUBLE)
+         AS DECIMAL(38,10)), 6) AS DOUBLE) AS jaccard
+FROM joined
+WHERE CAST(ROUND(CAST(CAST(n_common AS DOUBLE) / CAST(size_a + size_b - n_common AS DOUBLE)
+      AS DECIMAL(38,10)), 6) AS DOUBLE) >= {JACCARD_THRESHOLD}"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document.
+
+    bit b of simhash = sign of sum over tokens of (2*bit_b(hash(token))-1);
+    near-dup candidates come from 15-bit band equality + Hamming verify
+    (see ``dedup_simhash_pairs``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(tokenize(F.col("text"))).alias("token"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+    )
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        tok.crossJoin(F.broadcast(bits))
+        # shiftright/shiftleft take literal shift amounts in the PySpark
+        # API; expr() reaches the column-shift SQL form
+        .select("doc_id", "bit", F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("vote"))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return (
+        votes.select(
+            "doc_id",
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bitval"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+DEDUP_SIMHASH_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, {hash60_sql("token")} AS h
+    FROM (
+        SELECT doc_id, unnest({TOKENIZE_SQL.format(c="text")}) AS token
+        FROM documents
+    )
+),
+votes AS (
+    SELECT doc_id, bit, SUM(((h >> bit) & 1) * 2 - 1) AS s
+    FROM tok CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit)
+    GROUP BY 1, 2
+)
+SELECT doc_id,
+    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes
+GROUP BY doc_id"""
+
+
+def dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = HAMMING_MAX
+) -> DataFrame:
+    """SimHash near-dup pairs: band on 15-bit chunks (a pair within Hamming
+    distance 3 of a 60-bit hash must agree exactly on >= 1 of 4 bands —
+    pigeonhole), verify with bit_count(xor)."""
+    sig = dedup_simhash(spark, sf_dir)
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    bands = spark.range(SIMHASH_BANDS).select(F.col("id").cast("int").alias("band"))
+    keyed = sig.crossJoin(F.broadcast(bands)).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr(
+            f"shiftright(simhash, band * {band_bits}) & {(1 << band_bits) - 1}"
+        ).alias("band_key"),
+    )
+    cand = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), ["band", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("doc_a", "doc_b", ham.alias("hamming_distance")).filter(
+        F.col("hamming_distance") <= max_hamming
+    )
+
+
+_band_bits = SIMHASH_BITS // SIMHASH_BANDS
+DEDUP_SIMHASH_PAIRS_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, {hash60_sql("token")} AS h
+    FROM (
+        SELECT doc_id, unnest({TOKENIZE_SQL.format(c="text")}) AS token
+        FROM documents
+    )
+),
+votes AS (
+    SELECT doc_id, bit, SUM(((h >> bit) & 1) * 2 - 1) AS s
+    FROM tok CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit)
+    GROUP BY 1, 2
+),
+sig AS (
+    SELECT doc_id,
+        CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+),
+keyed AS (
+    SELECT doc_id, simhash, band,
+        (simhash >> (band * {_band_bits})) & {(1 << _band_bits) - 1} AS band_key
+    FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band)
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           x.simhash AS sim_a, y.simhash AS sim_b
+    FROM keyed x JOIN keyed y
+      ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming_distance
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}"""
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold, brute-force pair join.
+
+    Quadratic by construction — correct as the verification baseline; the
+    bucketed scale path is similarity.sim_hyperplane_lsh.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_a = F.sqrt(
+        F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    norm_b = F.sqrt(
+        F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", round_dbl(dot / F.nullif(norm_a * norm_b, F.lit(0.0)), 6))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs.select("vec_a", "vec_b", "cosine")
+
+
+_COS_EXPR = """CAST(ROUND(CAST(
+    list_sum(list_transform(generate_series(1, len(va)), i -> va[i] * vb[i]))
+    / NULLIF(sqrt(list_sum(list_transform(va, x -> x * x)))
+           * sqrt(list_sum(list_transform(vb, x -> x * x))), 0)
+ AS DECIMAL(38,10)), 6) AS DOUBLE)"""
+
+DEDUP_EMB_COS_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.v AS va, b.v AS vb
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {_COS_EXPR} AS cosine
+FROM pairs
+WHERE {_COS_EXPR} >= {COSINE_DUP_THRESHOLD}"""
+
+
+def register_all(register) -> None:
+    register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
+    register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE)
+    register("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_ORACLE)
+    register("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE)
+    register("dedup_simhash_pairs", dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_ORACLE)
+    register("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_COS_ORACLE)

@@ -1,0 +1,108 @@
+"""Multimodal column plumbing — opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video in a Spark training-data pipeline: the
+payload is an opaque ``binary`` column with typed metadata columns beside
+it; decode / feature-extract / resize / frame-sample run as Arrow-batched
+Pandas functions via ``mapInPandas`` (payloads never pass through Python
+row-at-a-time).
+
+The decode stage is STUBBED here (no imaging/audio libs in this container —
+FIXTURES.md environment): :func:`decode_image` raises ``NotImplementedError``
+and the pipeline runs :func:`fake_decode` — a deterministic byte-statistics
+extractor — through the *real* Spark plumbing (schema contract, Arrow batch
+iteration, partition-preserving mapInPandas). Swapping in PIL/ffmpeg later
+changes one function, not the plan.
+
+Scale notes: ``mapInPandas`` streams Arrow record batches, so peak memory is
+one batch of payloads, not one partition; payload columns should be pruned
+before any wide shuffle (metadata-only shuffles, payload re-joined by key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+# Output schema contract of the feature extractor.
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, first_byte int, byte_mean double, width int, height int"
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decoder hook (PIL.Image.open etc.). Not available here."""
+    raise NotImplementedError(
+        "image decoding requires an imaging library not present in this "
+        "container; use fake_decode for the plumbing path"
+    )
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for decode: byte statistics + fake dimensions
+    derived from the payload so downstream schema/logic is exercised."""
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "first_byte": payload[0] if n else 0,
+        "byte_mean": (sum(payload) / n) if n else 0.0,
+        "width": 16 + (payload[0] % 16) if n else 0,
+        "height": 16 + (payload[-1] % 16) if n else 0,
+    }
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one Arrow batch of (doc_id, payload) in, one
+    batch of features out."""
+    for pdf in batches:
+        feats = [fake_decode(p) for p in pdf["payload"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary column (the test corpus has no real media, so
+    the document text bytes stand in as the payload — the plumbing neither
+    knows nor cares)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("content_type"),
+        F.length(F.col("text")).alias("payload_hint_bytes"),
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> Arrow-batched feature extraction -> typed features.
+
+    Registered rows-only: the mapInPandas stage is intentionally Python
+    (that is the operator under test); its deterministic output is asserted
+    in tests rather than oracle SQL.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs)
+    return payloads.select("doc_id", "payload").mapInPandas(
+        _extract_features, schema=FEATURE_SCHEMA
+    )
+
+
+def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over extracted features — the downstream consumer shape
+    (metadata-only, payloads pruned before the shuffle)."""
+    feats = multimodal_features(spark, sf_dir)
+    return feats.groupBy((F.col("width") % 4).alias("width_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("height").alias("min_height"),
+        F.max("height").alias("max_height"),
+    )
+
+
+def register_all(register) -> None:
+    register("multimodal_features", multimodal_features)  # rows-only
+    register("multimodal_feature_stats", multimodal_feature_stats)  # rows-only

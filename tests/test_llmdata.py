@@ -1,0 +1,71 @@
+"""LLM-data operators: semantics beyond the oracle parity in test_registry."""
+
+from pyspark.sql import functions as F
+
+from databricks_incremental_lakehouse_spark.llmdata.dedup import (
+    dedup_embedding_cosine,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+)
+from databricks_incremental_lakehouse_spark.llmdata.multimodal import (
+    multimodal_features,
+)
+from databricks_incremental_lakehouse_spark.llmdata.similarity import (
+    sim_hyperplane_lsh,
+    sim_topk_bruteforce,
+)
+from databricks_incremental_lakehouse_spark.llmdata.textstats import text_langid
+
+
+def test_minhash_recall_vs_exact(spark, sf_correct):
+    """LSH must recover (nearly) all true Jaccard>=0.8 pairs; with 4x4
+    banding, P[miss] at s=0.8 is ~7% per pair — require >=70% recall and
+    no false positives post-verification."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_correct).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_correct).collect()}
+    assert lsh <= exact  # verification step kills false positives
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.7
+
+
+def test_hyperplane_lsh_recall(spark, sf_correct):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_topk_bruteforce(spark, sf_correct).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_hyperplane_lsh(spark, sf_correct).collect()
+    }
+    # approximate search: require meaningful overlap with the exact top-k
+    assert len(approx & exact) / len(exact) >= 0.3
+
+
+def test_langid_accuracy_on_latin_langs(spark, sf_correct):
+    """The heuristic must beat chance on the labeled corpus (the synthetic
+    text is English-ish word soup, so only en + zh are genuinely separable;
+    check en recall and zh precision)."""
+    df = text_langid(spark, sf_correct)
+    en = df.filter(F.col("labeled_lang") == "en")
+    en_hit = en.filter(F.col("predicted_lang") == "en").count()
+    assert en.count() > 0
+    assert en_hit / en.count() >= 0.5
+
+
+def test_multimodal_plumbing(spark, sf_smoke):
+    feats = multimodal_features(spark, sf_smoke)
+    rows = feats.collect()
+    assert len(rows) == 500
+    r0 = next(r for r in rows if r.doc_id == 0)
+    assert r0.n_bytes > 0 and 16 <= r0.width < 32 and 16 <= r0.height < 32
+    # determinism: same payload -> same features
+    again = next(r for r in multimodal_features(spark, sf_smoke).collect() if r.doc_id == 0)
+    assert again == r0
+
+
+def test_embedding_cosine_pairs_symmetric_threshold(spark, sf_correct):
+    pairs = dedup_embedding_cosine(spark, sf_correct)
+    assert pairs.filter(F.col("vec_a") >= F.col("vec_b")).count() == 0
+    assert pairs.filter(F.col("cosine") < 0.95).count() == 0
