@@ -198,10 +198,23 @@ def run_sales_analytics(
     for name, fn in views.items():
         _run_stage(results, name, fn)
 
+    # QC reads the materialized warehouse (reference data_quality_checks
+    # reads catalog tables), not re-derived layers; supplier_parts belongs
+    # to the weekly supplier DAG and is skipped if that DAG has not
+    # materialized it yet.
+    qc_src = {f"bronze.{t}": _read(spark, cfg, "extract", t) for t in BRONZE_BUILDERS}
+    qc_src["silver.order_details"] = od
+    qc_src["silver.customer_orders"] = co
+    sp_path = cfg.table_path("refined", "supplier_parts")
+    qc_src["silver.supplier_parts"] = (
+        spark.read.parquet(sp_path) if os.path.isdir(sp_path) else None
+    )
     _run_stage(
         results,
         "quality_checks",
-        lambda: run_all_checks(spark, cfg.sf_dir, raise_on_fail=quality_raises),
+        lambda: run_all_checks(
+            spark, cfg.sf_dir, raise_on_fail=quality_raises, sources=qc_src
+        ),
     )
 
     failed = {k: v for k, v in results.items() if v["status"] != "SUCCESS"}

@@ -36,15 +36,36 @@ from ..silver.order_details import silver_order_details, silver_order_details_or
 from ..silver.supplier_parts import silver_supplier_parts, silver_supplier_parts_oracle_ctes
 
 
-def _report(spark: SparkSession, rows: list[tuple[str, str, int]]) -> DataFrame:
-    """Labeled scalar battery -> one report DataFrame (reference UNION ALL
-    shape, data_quality_checks.py:31-42), built driver-side from computed
-    scalars the same way the reference's UNION ALL of aggregates resolves."""
-    df = spark.createDataFrame(
-        [(t, n, int(v)) for t, n, v in rows],
-        "check_type string, check_name string, value bigint",
-    )
-    return df
+def qc_sources(
+    spark: SparkSession, sf_dir: str, sources: dict[str, DataFrame] | None = None
+) -> dict[str, DataFrame]:
+    """Tables under check, keyed ``bronze.*`` / ``silver.*``.
+
+    Default: recompute each layer's lazy plan from raw source (the
+    self-contained driver-contract path). The pipeline runner overrides with
+    the *materialized* warehouse tables instead — the reference QC notebook
+    reads catalog tables the pipeline wrote (data_quality_checks.py:27-44),
+    and at scale re-deriving silver from raw inside QC would re-run the
+    whole pipeline per check family."""
+    src: dict[str, DataFrame] = dict(sources) if sources else {}
+    defaults = {
+        **{
+            f"bronze.{name}": (lambda b=b: b(spark, sf_dir))
+            for name, b in BRONZE_BUILDERS.items()
+        },
+        "silver.order_details": lambda: silver_order_details(spark, sf_dir),
+        "silver.customer_orders": lambda: silver_customer_orders(spark, sf_dir),
+        "silver.supplier_parts": lambda: silver_supplier_parts(spark, sf_dir),
+    }
+    # thunked: building a silver plan costs real Catalyst analysis time, so
+    # only keys the caller didn't supply are constructed. An explicit None
+    # entry exempts the table from all checks (pipeline QC over a table
+    # another DAG has not materialized yet); the None is preserved so
+    # re-resolving an already-resolved dict stays idempotent.
+    for key, thunk in defaults.items():
+        if key not in src:
+            src[key] = thunk()
+    return src
 
 
 def _status(df: DataFrame, pass_cond) -> DataFrame:
@@ -55,33 +76,19 @@ def _status(df: DataFrame, pass_cond) -> DataFrame:
 
 # --- family 1: row counts -------------------------------------------------
 
-def qc_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc_row_counts(
+    spark: SparkSession, sf_dir: str, sources: dict[str, DataFrame] | None = None
+) -> DataFrame:
     """Row Count checks — distributed union of per-table count aggregates."""
+    src = qc_sources(spark, sf_dir, sources)
     counted = [
-        b(spark, sf_dir)
-        .agg(F.count(F.lit(1)).alias("value"))
-        .select(
-            F.lit("Row Count").alias("check_type"),
-            F.lit(f"bronze.{name}").alias("check_name"),
-            F.col("value"),
-        )
-        for name, b in BRONZE_BUILDERS.items()
-    ]
-    silver = [
-        (
-            silver_order_details(spark, sf_dir),
-            "silver.order_details",
-        ),
-        (silver_customer_orders(spark, sf_dir), "silver.customer_orders"),
-        (silver_supplier_parts(spark, sf_dir), "silver.supplier_parts"),
-    ]
-    counted += [
         df.agg(F.count(F.lit(1)).alias("value")).select(
             F.lit("Row Count").alias("check_type"),
             F.lit(name).alias("check_name"),
             F.col("value"),
         )
-        for df, name in silver
+        for name, df in src.items()
+        if df is not None
     ]
     out = reduce(DataFrame.unionAll, counted)
     return _status(out, F.col("value") > 0)
@@ -114,32 +121,29 @@ def qc_row_counts_oracle_sql() -> str:
 # --- family 2: null validation -------------------------------------------
 
 _NULL_CHECKS = [
-    ("orders.o_orderkey", "bronze_orders", "o_orderkey"),
-    ("customers.c_custkey", "bronze_customers", "c_custkey"),
-    ("lineitem.l_orderkey", "bronze_lineitem", "l_orderkey"),
-    ("order_details.net_revenue", "silver_order_details", "net_revenue"),
-    ("customer_orders.customer_key", "silver_customer_orders", "customer_key"),
+    ("orders.o_orderkey", "bronze.orders", "o_orderkey"),
+    ("customers.c_custkey", "bronze.customers", "c_custkey"),
+    ("lineitem.l_orderkey", "bronze.lineitem", "l_orderkey"),
+    ("order_details.net_revenue", "silver.order_details", "net_revenue"),
+    ("customer_orders.customer_key", "silver.customer_orders", "customer_key"),
 ]
 
 
-def qc_null_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc_null_checks(
+    spark: SparkSession, sf_dir: str, sources: dict[str, DataFrame] | None = None
+) -> DataFrame:
     """Null Check family — zero NULLs in key/critical columns."""
-    sources = {
-        "bronze_orders": BRONZE_BUILDERS["orders"](spark, sf_dir),
-        "bronze_customers": BRONZE_BUILDERS["customers"](spark, sf_dir),
-        "bronze_lineitem": BRONZE_BUILDERS["lineitem"](spark, sf_dir),
-        "silver_order_details": silver_order_details(spark, sf_dir),
-        "silver_customer_orders": silver_customer_orders(spark, sf_dir),
-    }
+    src = qc_sources(spark, sf_dir, sources)
     units = [
-        sources[src]
+        src[table]
         .agg(F.count(F.when(F.col(col).isNull(), 1)).alias("value"))
         .select(
             F.lit("Null Check").alias("check_type"),
             F.lit(label).alias("check_name"),
             F.col("value"),
         )
-        for label, src, col in _NULL_CHECKS
+        for label, table, col in _NULL_CHECKS
+        if src[table] is not None
     ]
     return _status(reduce(DataFrame.unionAll, units), F.col("value") == 0)
 
@@ -148,16 +152,16 @@ def qc_null_checks_oracle_sql() -> str:
     ctes = silver_order_details_oracle_ctes()
     ctes.update(silver_customer_orders_oracle_ctes())
     src_map = {
-        "bronze_orders": "b_orders",
-        "bronze_customers": "b_customers",
-        "bronze_lineitem": "b_lineitem",
-        "silver_order_details": "s_order_details",
-        "silver_customer_orders": "s_customer_orders",
+        "bronze.orders": "b_orders",
+        "bronze.customers": "b_customers",
+        "bronze.lineitem": "b_lineitem",
+        "silver.order_details": "s_order_details",
+        "silver.customer_orders": "s_customer_orders",
     }
     units = [
         f"SELECT 'Null Check' AS check_type, '{label}' AS check_name, "
-        f"count(CASE WHEN {col} IS NULL THEN 1 END) AS value FROM {src_map[src]}"
-        for label, src, col in _NULL_CHECKS
+        f"count(CASE WHEN {col} IS NULL THEN 1 END) AS value FROM {src_map[table]}"
+        for label, table, col in _NULL_CHECKS
     ]
     body = "\nUNION ALL ".join(units)
     return with_clause(
@@ -170,30 +174,43 @@ def qc_null_checks_oracle_sql() -> str:
 
 # --- family 3: referential integrity -------------------------------------
 
-def qc_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc_referential_integrity(
+    spark: SparkSession, sf_dir: str, sources: dict[str, DataFrame] | None = None
+) -> DataFrame:
     """Orphan detection via anti-join (reference LEFT JOIN ... IS NULL,
     data_quality_checks.py:77-91 — identical physical plan)."""
-    orders = BRONZE_BUILDERS["orders"](spark, sf_dir)
-    customers = BRONZE_BUILDERS["customers"](spark, sf_dir)
-    lineitem = BRONZE_BUILDERS["lineitem"](spark, sf_dir)
-    od = silver_order_details(spark, sf_dir)
+    src = qc_sources(spark, sf_dir, sources)
+    orders = src["bronze.orders"]
+    customers = src["bronze.customers"]
+    lineitem = src["bronze.lineitem"]
+    od = src["silver.order_details"]
 
-    checks = [
-        (
-            "orders -> customers",
-            orders.join(
-                customers, orders.o_custkey == customers.c_custkey, "left_anti"
-            ),
-        ),
-        (
-            "lineitem -> orders",
-            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"),
-        ),
-        (
-            "order_details -> orders",
-            od.join(orders, od.order_key == orders.o_orderkey, "left_anti"),
-        ),
-    ]
+    checks = []
+    if orders is not None and customers is not None:
+        checks.append(
+            (
+                "orders -> customers",
+                orders.join(
+                    customers, orders.o_custkey == customers.c_custkey, "left_anti"
+                ),
+            )
+        )
+    if lineitem is not None and orders is not None:
+        checks.append(
+            (
+                "lineitem -> orders",
+                lineitem.join(
+                    orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+                ),
+            )
+        )
+    if od is not None and orders is not None:
+        checks.append(
+            (
+                "order_details -> orders",
+                od.join(orders, od.order_key == orders.o_orderkey, "left_anti"),
+            )
+        )
     units = [
         df.agg(F.count(F.lit(1)).alias("value")).select(
             F.lit("Referential Integrity").alias("check_type"),
@@ -238,40 +255,48 @@ _RULES = [
 ]
 
 
-def qc_business_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc_business_rules(
+    spark: SparkSession, sf_dir: str, sources: dict[str, DataFrame] | None = None
+) -> DataFrame:
     """Business-rule violations (data_quality_checks.py:102-114)."""
-    od = silver_order_details(spark, sf_dir)
-    co = silver_customer_orders(spark, sf_dir)
-    units = [
-        od.agg(F.count(F.when(F.expr(viol), 1)).alias("value")).select(
-            F.lit("Business Rule").alias("check_type"),
-            F.lit(label).alias("check_name"),
-            F.col("value"),
+    src = qc_sources(spark, sf_dir, sources)
+    od = src["silver.order_details"]
+    co = src["silver.customer_orders"]
+    units = []
+    if od is not None:
+        units += [
+            od.agg(F.count(F.when(F.expr(viol), 1)).alias("value")).select(
+                F.lit("Business Rule").alias("check_type"),
+                F.lit(label).alias("check_name"),
+                F.col("value"),
+            )
+            for label, viol in _RULES
+        ]
+    if co is not None:
+        units.append(
+            co.agg(
+                F.count(
+                    F.when(
+                        (F.col("fulfillment_rate") < 0)
+                        | (F.col("fulfillment_rate") > 100),
+                        1,
+                    )
+                ).alias("value")
+            ).select(
+                F.lit("Business Rule").alias("check_type"),
+                F.lit("customer_orders.fulfillment_rate in [0,100]").alias("check_name"),
+                F.col("value"),
+            )
         )
-        for label, viol in _RULES
-    ]
-    units.append(
-        co.agg(
-            F.count(
-                F.when(
-                    (F.col("fulfillment_rate") < 0) | (F.col("fulfillment_rate") > 100),
-                    1,
-                )
-            ).alias("value")
-        ).select(
-            F.lit("Business Rule").alias("check_type"),
-            F.lit("customer_orders.fulfillment_rate in [0,100]").alias("check_name"),
-            F.col("value"),
+        units.append(
+            co.agg(
+                F.count(F.when(F.col("customer_segment").isNull(), 1)).alias("value")
+            ).select(
+                F.lit("Business Rule").alias("check_type"),
+                F.lit("customer_orders.customer_segment not null").alias("check_name"),
+                F.col("value"),
+            )
         )
-    )
-    units.append(
-        co.agg(F.count(F.when(F.col("customer_segment").isNull(), 1)).alias("value"))
-        .select(
-            F.lit("Business Rule").alias("check_type"),
-            F.lit("customer_orders.customer_segment not null").alias("check_name"),
-            F.col("value"),
-        )
-    )
     return _status(reduce(DataFrame.unionAll, units), F.col("value") == 0)
 
 
@@ -301,23 +326,31 @@ def qc_business_rules_oracle_sql() -> str:
 # --- orchestration --------------------------------------------------------
 
 def run_all_checks(
-    spark: SparkSession, sf_dir: str, raise_on_fail: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    raise_on_fail: bool = True,
+    sources: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Run every family; optionally raise on any FAIL (the reference never
-    raises — data_quality_checks.py:144 — which we treat as a bug)."""
+    raises — data_quality_checks.py:144 — which we treat as a bug).
+
+    ``sources``: materialized warehouse tables from the pipeline runner;
+    resolved once here so all four families share them."""
+    src = qc_sources(spark, sf_dir, sources)
     report = reduce(
         DataFrame.unionAll,
         [
-            qc_row_counts(spark, sf_dir),
-            qc_null_checks(spark, sf_dir),
-            qc_referential_integrity(spark, sf_dir),
-            qc_business_rules(spark, sf_dir),
+            qc_row_counts(spark, sf_dir, src),
+            qc_null_checks(spark, sf_dir, src),
+            qc_referential_integrity(spark, sf_dir, src),
+            qc_business_rules(spark, sf_dir, src),
         ],
     )
-    if raise_on_fail:
-        failures = [r for r in report.collect() if r.status == "FAIL"]
-        if failures:
-            raise AssertionError(f"quality checks failed: {failures}")
+    # Always execute the report (the reference always displays it —
+    # data_quality_checks.py:144); it is ~20 labeled scalar rows.
+    failures = [r for r in report.collect() if r.status == "FAIL"]
+    if raise_on_fail and failures:
+        raise AssertionError(f"quality checks failed: {failures}")
     return report
 
 
