@@ -100,6 +100,29 @@ def main() -> None:
             fn()
             timings[name] = round(time.time() - t0, 3)
 
+    # Extension operators (LLM-data + streaming-batch) — timed for the
+    # record but kept out of the headline total so `value` stays comparable
+    # across rounds (BASELINE.md).
+    from databricks_incremental_lakehouse_spark.registry import QUERIES
+
+    ext = [
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "sim_topk_bruteforce",
+        "sim_hyperplane_lsh",
+        "text_stats",
+        "text_langid",
+        "multimodal_feature_stats",
+        "events_tumbling_hourly",
+        "events_sliding_windows",
+        "events_deduped",
+    ]
+    for name in ext:
+        t0 = time.time()
+        _noop(QUERIES[name](spark, sf_dir))
+        timings[f"ext.{name}"] = round(time.time() - t0, 3)
+
     total = timings["pipeline_sales"] + timings["pipeline_supplier"] + sum(
         timings[n] for n in bi
     )

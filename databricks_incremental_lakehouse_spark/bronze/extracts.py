@@ -308,7 +308,11 @@ def _parts_cte(batch_id: str) -> str:
 
 
 def bronze_partsupp(
-    spark: SparkSession, sf_dir: str, batch_id: str = FIXED_BATCH_ID
+    spark: SparkSession,
+    sf_dir: str,
+    batch_id: str = FIXED_BATCH_ID,
+    lineitem: DataFrame | None = None,
+    parts: DataFrame | None = None,
 ) -> DataFrame:
     """Derived supplier-part bridge.
 
@@ -321,9 +325,20 @@ def bronze_partsupp(
     The reference dedups partsupp on the same composite key
     (extract_parts.py:105-108); DISTINCT here is the degenerate equivalent
     since the derivation is already unique per pair.
+
+    ``lineitem`` / ``parts``: pass the already-materialized bronze tables
+    (the pipeline runner does) so the lineitem window-dedup is not recomputed
+    just to enumerate pairs — at scale that is a second full pass over the
+    largest fact.
     """
-    li = bronze_lineitem(spark, sf_dir, batch_id=batch_id)
-    parts = bronze_parts(spark, sf_dir, batch_id=batch_id)
+    li = (
+        lineitem
+        if lineitem is not None
+        else bronze_lineitem(spark, sf_dir, batch_id=batch_id)
+    )
+    parts = (
+        parts if parts is not None else bronze_parts(spark, sf_dir, batch_id=batch_id)
+    )
     pairs = li.select(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),

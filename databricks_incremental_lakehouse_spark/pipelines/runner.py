@@ -142,12 +142,26 @@ def run_sales_analytics(
         _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t))
     _gate(results, ["ext_nation", "ext_region"], "geo extracts")
 
-    for t in ("customers", "suppliers", "parts", "partsupp"):
+    for t in ("customers", "suppliers", "parts"):
         _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t))
     for t in ("orders", "lineitem"):
         _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t))
     # critical facts gate (run_sales_analytics.py:98-100)
     _gate(results, ["ext_orders", "ext_lineitem"], "critical extracts")
+
+    def _partsupp():
+        # derive from the bronze tables just written, not a second
+        # raw-lineitem dedup pass
+        df = BRONZE_BUILDERS["partsupp"](
+            spark,
+            cfg.sf_dir,
+            batch_id=cfg.batch_id,
+            lineitem=_read(spark, cfg, "extract", "lineitem"),
+            parts=_read(spark, cfg, "extract", "parts"),
+        )
+        write_table(df, cfg.table_path("extract", "partsupp"))
+
+    _run_stage(results, "ext_partsupp", _partsupp)
 
     def _od():
         df = silver_order_details(
