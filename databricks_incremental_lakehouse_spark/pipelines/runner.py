@@ -120,9 +120,19 @@ def _gate(results: dict, stages: list[str], label: str) -> None:
         raise RuntimeError(f"{label} failed: {failed} — aborting pipeline")
 
 
+def _stamp(df: DataFrame, ts_col: str) -> DataFrame:
+    """Audit timestamp at materialization time (reference ``_ingested_at``
+    create_extract_schemas.py:34 / ``_refined_at`` create_refined_schemas.py:54).
+    Applied only on the write path — registry query plans stay deterministic
+    for oracle comparison."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(ts_col, F.current_timestamp())
+
+
 def _extract_stage(spark, cfg: LakehouseConfig, table: str):
     df = BRONZE_BUILDERS[table](spark, cfg.sf_dir, batch_id=cfg.batch_id)
-    write_table(df, cfg.table_path("extract", table))
+    write_table(_stamp(df, "_ingested_at"), cfg.table_path("extract", table))
 
 
 def _read(spark: SparkSession, cfg: LakehouseConfig, schema: str, table: str) -> DataFrame:
@@ -159,7 +169,7 @@ def run_sales_analytics(
             lineitem=_read(spark, cfg, "extract", "lineitem"),
             parts=_read(spark, cfg, "extract", "parts"),
         )
-        write_table(df, cfg.table_path("extract", "partsupp"))
+        write_table(_stamp(df, "_ingested_at"), cfg.table_path("extract", "partsupp"))
 
     _run_stage(results, "ext_partsupp", _partsupp)
 
@@ -172,7 +182,11 @@ def run_sales_analytics(
             lineitem=_read(spark, cfg, "extract", "lineitem"),
             parts=_read(spark, cfg, "extract", "parts"),
         )
-        write_table(df, cfg.table_path("refined", "order_details"), partition_by="order_year")
+        write_table(
+            _stamp(df, "_refined_at"),
+            cfg.table_path("refined", "order_details"),
+            partition_by="order_year",
+        )
 
     def _co():
         df = silver_customer_orders(
@@ -185,7 +199,7 @@ def run_sales_analytics(
             nation=_read(spark, cfg, "extract", "nation"),
             region=_read(spark, cfg, "extract", "region"),
         )
-        write_table(df, cfg.table_path("refined", "customer_orders"))
+        write_table(_stamp(df, "_refined_at"), cfg.table_path("refined", "customer_orders"))
 
     _run_stage(results, "ref_order_details", _od)
     _run_stage(results, "ref_customer_orders", _co)
@@ -265,7 +279,7 @@ def run_supplier_analytics(
             nation=_read(spark, cfg, "extract", "nation"),
             region=_read(spark, cfg, "extract", "region"),
         )
-        write_table(df, cfg.table_path("refined", "supplier_parts"))
+        write_table(_stamp(df, "_refined_at"), cfg.table_path("refined", "supplier_parts"))
 
     _run_stage(results, "ref_supplier_parts", _sp)
     _gate(results, ["ref_supplier_parts"], "refined supplier parts")

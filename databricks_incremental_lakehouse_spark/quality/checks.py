@@ -13,9 +13,10 @@ Families (README.md:185-196):
    reference spells it LEFT JOIN ... IS NULL; ``left_anti`` is the idiomatic
    Spark form of the identical plan
 4. Business rules    — value-domain assertions (:102-114)
-5. Freshness         — max ingest timestamp within SLO (:123-140); checked
-   against the pinned batch parameters in the deterministic harness, so it
-   reduces to an audit-column presence check here
+5. Freshness         — max ingest/refine timestamp within the 25-hour SLO
+   (:123-140); real over materialized warehouse tables (the runner stamps
+   ``_ingested_at``/``_refined_at`` at write time), trivially fresh on the
+   deterministic driver-contract path (stamped on the fly)
 
 Each family is also registered as an oracle-checked query so the driver
 verifies the QC logic itself.
@@ -323,6 +324,49 @@ def qc_business_rules_oracle_sql() -> str:
     )
 
 
+# --- family 5: freshness ---------------------------------------------------
+
+FRESHNESS_SLO_HOURS = 25  # data_quality_checks.py:125
+
+
+def qc_freshness(
+    spark: SparkSession, sf_dir: str, sources: dict[str, DataFrame] | None = None
+) -> DataFrame:
+    """Freshness — seconds since ``max(_ingested_at)`` / ``max(_refined_at)``
+    within the 25-hour SLO (data_quality_checks.py:123-140).
+
+    Over materialized warehouse tables (pipeline path) this is the real
+    check. The self-contained driver-contract path carries no wall-clock
+    audit stamp (deterministic plans — FIXTURES.md), so tables missing the
+    column are stamped now and are trivially fresh; registered rows-only
+    since the lag value is nondeterministic by nature.
+    """
+    src = qc_sources(spark, sf_dir, sources)
+    units = []
+    for name, df in src.items():
+        if df is None:
+            continue
+        ts_col = "_ingested_at" if name.startswith("bronze.") else "_refined_at"
+        if ts_col not in df.columns:
+            df = df.withColumn(ts_col, F.current_timestamp())
+        units.append(
+            df.agg(
+                (
+                    F.unix_timestamp(F.current_timestamp())
+                    - F.unix_timestamp(F.max(ts_col))
+                ).alias("value")
+            ).select(
+                F.lit("Freshness").alias("check_type"),
+                F.lit(name).alias("check_name"),
+                F.col("value"),
+            )
+        )
+    return _status(
+        reduce(DataFrame.unionAll, units),
+        F.col("value") <= FRESHNESS_SLO_HOURS * 3600,
+    )
+
+
 # --- orchestration --------------------------------------------------------
 
 def run_all_checks(
@@ -344,6 +388,7 @@ def run_all_checks(
             qc_null_checks(spark, sf_dir, src),
             qc_referential_integrity(spark, sf_dir, src),
             qc_business_rules(spark, sf_dir, src),
+            qc_freshness(spark, sf_dir, src),
         ],
     )
     # Always execute the report (the reference always displays it —
@@ -363,3 +408,4 @@ def register_all(register) -> None:
         qc_referential_integrity_oracle_sql(),
     )
     register("qc_business_rules", qc_business_rules, qc_business_rules_oracle_sql())
+    register("qc_freshness", qc_freshness)  # rows-only: wall-clock lag
