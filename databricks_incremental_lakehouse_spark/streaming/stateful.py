@@ -1,0 +1,106 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference has no streaming at all (SURVEY.md §2.9); this is the
+north-star extension's custom-state path: where built-in window aggregates
+(windows.py) and ``dropDuplicates`` (incremental.py) cover the declarative
+cases, arbitrary per-key running state needs the Arrow-batched state API.
+
+Operator: per-user running totals — event count, value sum, last-seen
+timestamp — updated per micro-batch from explicit ``GroupState`` and merged
+into a parquet target keyed by ``user_id``. After the stream drains, the
+target equals the batch ``groupBy(user_id).agg(...)`` over the same input
+(asserted in tests/test_streaming.py).
+
+Scale notes: state lives in the executor state store partitioned by the
+group key — per-key state is O(1) here (three scalars), so state size
+grows with distinct users, not events. Arrow moves each micro-batch's
+group rows into pandas in one block; the per-batch merge is
+``merge_upsert`` keyed on user_id (at production scale: Delta MERGE).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .incremental import merge_upsert
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming import StreamingQuery
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, event_count bigint, total_value double, last_ts timestamp"
+)
+STATE_SCHEMA = "event_count bigint, total_value double, last_ts timestamp"
+
+
+def _update_user_totals(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """State update kernel: fold this micro-batch's rows for one user into
+    the running (count, sum, last_ts) triple and emit the new totals."""
+    (user_id,) = key
+    if state.exists:
+        count, total, last_ts = state.get
+    else:
+        count, total, last_ts = 0, 0.0, None
+    for pdf in pdfs:
+        count += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        if last_ts is None or batch_max > last_ts:
+            last_ts = batch_max
+    state.update((count, total, last_ts))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "event_count": count,
+                "total_value": total,
+                "last_ts": last_ts,
+            }
+        ]
+    )
+
+
+def stateful_user_totals_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+) -> "StreamingQuery":
+    """readStream(events parquet) -> applyInPandasWithState running totals
+    -> per-batch merge into ``target_dir`` keyed on user_id.
+
+    Uses ``availableNow`` so the call drains the current source and
+    terminates — the same incremental-batch discipline as
+    :func:`incremental_events_stream`.
+    """
+    static = spark.read.parquet(source_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(source_dir)
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(batch_df.sparkSession, batch_df, target_dir, keys=["user_id"])
+
+    return (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

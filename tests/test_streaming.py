@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from databricks_incremental_lakehouse_spark.streaming import (
     incremental_events_stream,
     merge_upsert,
+    stateful_user_totals_stream,
 )
 from databricks_incremental_lakehouse_spark.tables import load_table
 
@@ -47,6 +48,42 @@ def test_incremental_stream_matches_batch_dedup(spark, sf_smoke, tmp_path):
         == events.select(F.sum("event_id")).first()[0]
     )
     assert os.path.isdir(chk)
+
+
+def test_stateful_totals_match_batch_aggregate(spark, sf_smoke, tmp_path):
+    """applyInPandasWithState running totals: after draining the source —
+    in two incremental chunks, state persisting across runs via the
+    checkpoint — the merged target equals the batch groupBy aggregate."""
+    events = load_table(spark, sf_smoke, "events")
+    first, second = events.filter(F.col("event_id") % 2 == 0), events.filter(
+        F.col("event_id") % 2 == 1
+    )
+    source = str(tmp_path / "st_source")
+    target = str(tmp_path / "st_target")
+    chk = str(tmp_path / "st_chk")
+
+    first.write.mode("append").parquet(source)
+    q = stateful_user_totals_stream(spark, source, target, chk)
+    q.awaitTermination(120)
+    second.write.mode("append").parquet(source)
+    q = stateful_user_totals_stream(spark, source, target, chk)
+    q.awaitTermination(120)
+
+    got = {
+        r.user_id: (r.event_count, round(r.total_value, 6), r.last_ts)
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r.user_id: (r.event_count, round(r.total_value, 6), r.last_ts)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert got == want
 
 
 def test_watermark_drops_late_events(spark, tmp_path):
