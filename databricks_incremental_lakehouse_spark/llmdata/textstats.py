@@ -57,6 +57,12 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         text_len.alias("n_chars_measured"),
         n_tokens.alias("n_tokens"),
+        # BPE-ish subword count: alpha runs, digit runs, and each remaining
+        # symbol count as one token — a cheap proxy for byte-pair vocab
+        # tokenization (class-based regex, identical in Java and RE2 dialects)
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+        .cast("int")
+        .alias("n_subword_tokens"),
         round_dbl(nonspace / F.nullif(n_tokens.cast("double"), F.lit(0.0)), 4).alias(
             "avg_token_len"
         ),
@@ -87,6 +93,7 @@ WITH base AS (
 m AS (
     SELECT doc_id, lang, source, n_chars_measured,
         len(toks) AS n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
         CAST(nonspace AS DOUBLE) / NULLIF(CAST(len(toks) AS DOUBLE), 0) AS avg_tok,
         CAST(punct AS DOUBLE) / NULLIF(CAST(n_chars_measured AS DOUBLE), 0) AS punct_ratio,
         CAST(len(list_filter(toks, t -> t IN ({_sql_list(STOPWORDS["en"])}))) AS DOUBLE)
@@ -96,6 +103,7 @@ m AS (
 SELECT doc_id, lang, source,
     CAST(n_chars_measured AS INT) AS n_chars_measured,
     CAST(n_tokens AS INT) AS n_tokens,
+    CAST(n_subwords AS INT) AS n_subword_tokens,
     {_r("avg_tok", 4)} AS avg_token_len,
     {_r("punct_ratio", 4)} AS punct_ratio,
     {_r("stop_ratio", 4)} AS stopword_ratio,

@@ -1,5 +1,13 @@
 from .audit import with_audit_columns
 from .dedup import dedup_latest
 from .rounding import round_dbl, round_dbl_sql
+from .skew import salted_count_distinct, salted_join
 
-__all__ = ["with_audit_columns", "dedup_latest", "round_dbl", "round_dbl_sql"]
+__all__ = [
+    "with_audit_columns",
+    "dedup_latest",
+    "round_dbl",
+    "round_dbl_sql",
+    "salted_join",
+    "salted_count_distinct",
+]
