@@ -43,6 +43,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
+    # JVM/session warmup outside any stage timing, so the first pipeline
+    # stage measures its own work rather than executor startup
+    t0 = time.time()
+    spark.range(1_000_000).select("id").summary("count").collect()
+    timings["session_warmup"] = round(time.time() - t0, 3)
+
     with tempfile.TemporaryDirectory() as tmp:
         cfg = LakehouseConfig.from_env_file(
             sf_dir=sf_dir, warehouse_dir=os.path.join(tmp, "warehouse")
@@ -116,6 +122,7 @@ def main() -> None:
         "multimodal_feature_stats",
         "events_tumbling_hourly",
         "events_sliding_windows",
+        "events_session_windows",
         "events_deduped",
     ]
     for name in ext:
