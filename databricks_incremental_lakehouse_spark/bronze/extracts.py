@@ -55,10 +55,17 @@ def _audit_cte_cols(batch_id: str) -> str:
 
 
 def bronze_orders(
-    spark: SparkSession, sf_dir: str, batch_id: str = FIXED_BATCH_ID
+    spark: SparkSession,
+    sf_dir: str,
+    batch_id: str = FIXED_BATCH_ID,
+    raw: DataFrame | None = None,
 ) -> DataFrame:
-    """Bronze orders: project -> audit -> null filter -> dedup on o_orderkey."""
-    raw = load_table(spark, sf_dir, "orders").select(
+    """Bronze orders: project -> audit -> null filter -> dedup on o_orderkey.
+
+    ``raw``: apply the same cleaning to an externally supplied orders
+    DataFrame (the incremental streaming path cleans each micro-batch with
+    exactly this logic inside ``foreachBatch``)."""
+    raw = (raw if raw is not None else load_table(spark, sf_dir, "orders")).select(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",

@@ -1,10 +1,15 @@
-from .incremental import incremental_events_stream, merge_upsert
+from .incremental import (
+    incremental_bronze_orders_stream,
+    incremental_events_stream,
+    merge_upsert,
+)
 from .stateful import stateful_user_totals_stream
 from .windows import register_all
 
 __all__ = [
     "merge_upsert",
     "incremental_events_stream",
+    "incremental_bronze_orders_stream",
     "stateful_user_totals_stream",
     "register_all",
 ]

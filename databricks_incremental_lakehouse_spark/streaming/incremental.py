@@ -104,3 +104,44 @@ def incremental_events_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_bronze_orders_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    batch_id: str | None = None,
+) -> StreamingQuery:
+    """Incremental bronze ingest for the core ``orders`` table — the
+    north-star replacement for the reference's daily INSERT OVERWRITE
+    (extract_orders.py:72-88): stream newly arrived order files, run the
+    SAME bronze cleaning (project -> audit -> null filter -> keep-latest
+    dedup, via :func:`..bronze.bronze_orders` with ``raw=``) on each
+    micro-batch, and MERGE on ``o_orderkey``.
+
+    Last-writer-wins across batches: a re-delivered order key replaces the
+    stored image instead of re-ingesting the full snapshot. At production
+    scale the merge body is Delta ``MERGE INTO``; here it is the parquet
+    :func:`merge_upsert` with identical semantics.
+    """
+    from ..bronze.extracts import bronze_orders
+    from ..constants import FIXED_BATCH_ID
+
+    bid = batch_id or FIXED_BATCH_ID
+    static = spark.read.parquet(source_dir)
+    stream = spark.readStream.schema(static.schema).parquet(source_dir)
+
+    def _merge_batch(batch_df: DataFrame, _batch_no: int) -> None:
+        cleaned = bronze_orders(
+            batch_df.sparkSession, sf_dir="", batch_id=bid, raw=batch_df
+        )
+        merge_upsert(batch_df.sparkSession, cleaned, target_path, keys=["o_orderkey"])
+
+    return (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -5,7 +5,9 @@ import os
 
 from pyspark.sql import functions as F
 
+from databricks_incremental_lakehouse_spark.bronze import bronze_orders
 from databricks_incremental_lakehouse_spark.streaming import (
+    incremental_bronze_orders_stream,
     incremental_events_stream,
     merge_upsert,
     stateful_user_totals_stream,
@@ -48,6 +50,47 @@ def test_incremental_stream_matches_batch_dedup(spark, sf_smoke, tmp_path):
         == events.select(F.sum("event_id")).first()[0]
     )
     assert os.path.isdir(chk)
+
+
+def test_incremental_bronze_orders_upsert(spark, sf_smoke, tmp_path):
+    """North-star incremental ingest: initial drain equals the batch bronze
+    snapshot; a later update file replaces the matched key and inserts the
+    new one — no full re-overwrite."""
+    raw = load_table(spark, sf_smoke, "orders")
+    src = str(tmp_path / "ord_src")
+    tgt = str(tmp_path / "ord_tgt")
+    chk = str(tmp_path / "ord_chk")
+    raw.write.mode("append").parquet(src)
+
+    q = incremental_bronze_orders_stream(spark, src, tgt, chk)
+    q.awaitTermination(120)
+    batch = bronze_orders(spark, sf_smoke)
+    got = spark.read.parquet(tgt)
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+
+    # incremental update: one existing key with a new image + one new key
+    some_key = batch.select("o_orderkey").orderBy("o_orderkey").first()[0]
+    new_key = batch.agg(F.max("o_orderkey")).first()[0] + 1
+    upd = spark.createDataFrame(
+        [
+            (some_key, 999, "U", 1.0, "1999-01-01", "1-URGENT"),
+            (new_key, 999, "N", 2.0, "1999-01-02", "2-HIGH"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast(dict(raw.dtypes)["o_orderdate"])
+    )
+    upd.write.mode("append").parquet(src)
+    q = incremental_bronze_orders_stream(spark, src, tgt, chk)
+    q.awaitTermination(120)
+
+    got2 = spark.read.parquet(tgt)
+    assert got2.count() == batch.count() + 1
+    updated = got2.filter(F.col("o_orderkey") == some_key).collect()
+    assert len(updated) == 1 and updated[0].o_custkey == 999
+    assert got2.filter(F.col("o_orderkey") == new_key).count() == 1
 
 
 def test_stateful_totals_match_batch_aggregate(spark, sf_smoke, tmp_path):
