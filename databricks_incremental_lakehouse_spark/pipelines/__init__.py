@@ -1,7 +1,14 @@
+from .catalog import database_name, register_warehouse
 from .runner import (
     LakehouseConfig,
     run_sales_analytics,
     run_supplier_analytics,
 )
 
-__all__ = ["LakehouseConfig", "run_sales_analytics", "run_supplier_analytics"]
+__all__ = [
+    "LakehouseConfig",
+    "run_sales_analytics",
+    "run_supplier_analytics",
+    "register_warehouse",
+    "database_name",
+]
