@@ -297,7 +297,63 @@ def sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy top-k — the justified-Pandas-UDF variant of the
+    brute-force baseline.
+
+    The per-pair ``zip_with``/``aggregate`` dot product evaluates one
+    interpreted lambda per element; for dense float vectors a single numpy
+    matmul per Arrow batch is the faster shape once vectors are wide. The
+    small query matrix ships to every task in the closure (driver collect
+    of N_QUERIES rows — the same data the JVM path broadcasts); each batch
+    computes batch x query cosines in one BLAS call and the per-query top-k
+    window runs JVM-side after. Registered rows-only (float summation order
+    differs from the sequential oracle; equality to the exact baseline is
+    asserted set-wise in tests)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
+    q_ids = np.array([r.vec_id for r in q_rows])
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def _score(batches):
+        for pdf in batches:
+            m = np.array(pdf["v"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            denom = np.outer(norms, q_norm)
+            denom[denom == 0.0] = np.nan
+            cos = (m @ q_mat.T) / denom  # |batch| x N_QUERIES in one BLAS call
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, n),
+                    "neighbor_id": np.repeat(pdf["vec_id"].values, len(q_ids)),
+                    "cosine": np.round(cos.ravel(), 6),
+                }
+            )
+
+    scored = (
+        emb.select("vec_id", "v")
+        .mapInPandas(_score, schema="query_id long, neighbor_id long, cosine double")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def register_all(register) -> None:
     register("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE)
     register("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE)
     register("sim_hyperplane_lsh", sim_hyperplane_lsh)  # rows-only; recall test
+    register("sim_topk_vectorized", sim_topk_vectorized)  # rows-only; set-equality test

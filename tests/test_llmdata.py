@@ -13,6 +13,7 @@ from databricks_incremental_lakehouse_spark.llmdata.multimodal import (
 from databricks_incremental_lakehouse_spark.llmdata.similarity import (
     sim_hyperplane_lsh,
     sim_topk_bruteforce,
+    sim_topk_vectorized,
 )
 from databricks_incremental_lakehouse_spark.llmdata.textstats import text_langid
 
@@ -41,6 +42,21 @@ def test_hyperplane_lsh_recall(spark, sf_correct):
     }
     # approximate search: require meaningful overlap with the exact top-k
     assert len(approx & exact) / len(exact) >= 0.3
+
+
+def test_vectorized_topk_equals_bruteforce(spark, sf_correct):
+    """The numpy/Arrow path must find the same neighbor sets as the JVM
+    zip_with baseline (ranks compared too — cosines round identically at
+    6 dp on this data)."""
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim_topk_bruteforce(spark, sf_correct).collect()
+    }
+    vec = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim_topk_vectorized(spark, sf_correct).collect()
+    }
+    assert vec == exact
 
 
 def test_langid_accuracy_on_latin_langs(spark, sf_correct):
