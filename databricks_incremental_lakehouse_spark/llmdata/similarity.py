@@ -100,9 +100,14 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ) WHERE rank <= {TOP_K}"""
 
 
+N_PROBE = 2  # cells searched per query (multi-probe IVF)
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style top-5: centroid per label cell (element-wise mean), assign
-    each query to its nearest centroid, search only that cell.
+    each query to its ``N_PROBE`` nearest centroids, search only those
+    cells (multi-probe recovers neighbors that fall just across a cell
+    boundary — the standard recall/cost knob).
 
     Centroid components round through the portable decimal grid so the
     Spark and oracle cell assignments agree exactly.
@@ -140,7 +145,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        .filter(F.col("crank") == 1)
+        .filter(F.col("crank") <= N_PROBE)
         .select("query_id", "qv", F.col("label").alias("probe_label"))
     )
     scored = (
@@ -195,7 +200,7 @@ q2c AS (
             ) AS crank
         FROM (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}) q
         CROSS JOIN centroids c
-    ) WHERE crank = 1
+    ) WHERE crank <= {N_PROBE}
 ),
 scored AS (
     SELECT q.query_id, q.probe_label, n.vec_id AS neighbor_id,
