@@ -113,9 +113,12 @@ def main() -> None:
 
     ext = [
         "dedup_exact",
+        "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash_pairs",
         "sim_topk_bruteforce",
+        "sim_topk_vectorized",
+        "sim_ivf_topk",
         "sim_hyperplane_lsh",
         "text_stats",
         "text_langid",
