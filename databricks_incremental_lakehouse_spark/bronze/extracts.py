@@ -116,9 +116,12 @@ def _orders_cte(batch_id: str) -> str:
 
 
 def bronze_customers(
-    spark: SparkSession, sf_dir: str, batch_id: str = FIXED_BATCH_ID
+    spark: SparkSession,
+    sf_dir: str,
+    batch_id: str = FIXED_BATCH_ID,
+    raw: DataFrame | None = None,
 ) -> DataFrame:
-    raw = load_table(spark, sf_dir, "customer").select(
+    raw = (raw if raw is not None else load_table(spark, sf_dir, "customer")).select(
         "c_custkey",
         "c_name",
         "c_nationkey",
@@ -171,9 +174,12 @@ _LINEITEM_TIEBREAKS = [
 
 
 def bronze_lineitem(
-    spark: SparkSession, sf_dir: str, batch_id: str = FIXED_BATCH_ID
+    spark: SparkSession,
+    sf_dir: str,
+    batch_id: str = FIXED_BATCH_ID,
+    raw: DataFrame | None = None,
 ) -> DataFrame:
-    raw = load_table(spark, sf_dir, "lineitem").select(
+    raw = (raw if raw is not None else load_table(spark, sf_dir, "lineitem")).select(
         "l_orderkey",
         "l_partkey",
         "l_suppkey",
@@ -233,9 +239,12 @@ def _lineitem_cte(batch_id: str) -> str:
 
 
 def bronze_suppliers(
-    spark: SparkSession, sf_dir: str, batch_id: str = FIXED_BATCH_ID
+    spark: SparkSession,
+    sf_dir: str,
+    batch_id: str = FIXED_BATCH_ID,
+    raw: DataFrame | None = None,
 ) -> DataFrame:
-    raw = load_table(spark, sf_dir, "supplier").select(
+    raw = (raw if raw is not None else load_table(spark, sf_dir, "supplier")).select(
         "s_suppkey",
         "s_name",
         "s_nationkey",
@@ -272,9 +281,12 @@ def _suppliers_cte(batch_id: str) -> str:
 
 
 def bronze_parts(
-    spark: SparkSession, sf_dir: str, batch_id: str = FIXED_BATCH_ID
+    spark: SparkSession,
+    sf_dir: str,
+    batch_id: str = FIXED_BATCH_ID,
+    raw: DataFrame | None = None,
 ) -> DataFrame:
-    raw = load_table(spark, sf_dir, "part").select(
+    raw = (raw if raw is not None else load_table(spark, sf_dir, "part")).select(
         "p_partkey",
         "p_name",
         "p_brand",
@@ -394,9 +406,12 @@ def _partsupp_cte(batch_id: str) -> str:
 
 
 def bronze_nation(
-    spark: SparkSession, sf_dir: str, batch_id: str = FIXED_BATCH_ID
+    spark: SparkSession,
+    sf_dir: str,
+    batch_id: str = FIXED_BATCH_ID,
+    raw: DataFrame | None = None,
 ) -> DataFrame:
-    raw = load_table(spark, sf_dir, "nation").select(
+    raw = (raw if raw is not None else load_table(spark, sf_dir, "nation")).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
     stamped = with_audit_columns(raw, batch_id=batch_id)
@@ -419,9 +434,12 @@ def _nation_cte(batch_id: str) -> str:
 
 
 def bronze_region(
-    spark: SparkSession, sf_dir: str, batch_id: str = FIXED_BATCH_ID
+    spark: SparkSession,
+    sf_dir: str,
+    batch_id: str = FIXED_BATCH_ID,
+    raw: DataFrame | None = None,
 ) -> DataFrame:
-    raw = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    raw = (raw if raw is not None else load_table(spark, sf_dir, "region")).select("r_regionkey", "r_name")
     stamped = with_audit_columns(raw, batch_id=batch_id)
     cleaned = stamped.filter(F.col("r_regionkey").isNotNull())
     return dedup_latest(cleaned, keys=["r_regionkey"], tiebreak_cols=["r_name"])

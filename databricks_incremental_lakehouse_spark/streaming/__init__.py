@@ -1,5 +1,7 @@
 from .incremental import (
+    BRONZE_MERGE_KEYS,
     incremental_bronze_orders_stream,
+    incremental_bronze_stream,
     incremental_events_stream,
     merge_upsert,
 )
@@ -10,6 +12,8 @@ __all__ = [
     "merge_upsert",
     "incremental_events_stream",
     "incremental_bronze_orders_stream",
+    "incremental_bronze_stream",
+    "BRONZE_MERGE_KEYS",
     "stateful_user_totals_stream",
     "register_all",
 ]

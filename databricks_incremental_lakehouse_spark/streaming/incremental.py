@@ -106,37 +106,58 @@ def incremental_events_stream(
     return writer.start()
 
 
-def incremental_bronze_orders_stream(
+# primary keys per bronze table — the same PKs the reference dedups on
+# (extract_orders.py:63, extract_lineitem.py:72-75, …); partsupp is derived
+# (bronze_partsupp), not ingested, so it has no incremental source path.
+BRONZE_MERGE_KEYS = {
+    "orders": ["o_orderkey"],
+    "customers": ["c_custkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],  # composite
+    "suppliers": ["s_suppkey"],
+    "parts": ["p_partkey"],
+    "nation": ["n_nationkey"],
+    "region": ["r_regionkey"],
+}
+
+
+def incremental_bronze_stream(
     spark: SparkSession,
+    table: str,
     source_dir: str,
     target_path: str,
     checkpoint_dir: str,
     batch_id: str | None = None,
 ) -> StreamingQuery:
-    """Incremental bronze ingest for the core ``orders`` table — the
-    north-star replacement for the reference's daily INSERT OVERWRITE
-    (extract_orders.py:72-88): stream newly arrived order files, run the
-    SAME bronze cleaning (project -> audit -> null filter -> keep-latest
-    dedup, via :func:`..bronze.bronze_orders` with ``raw=``) on each
-    micro-batch, and MERGE on ``o_orderkey``.
+    """Incremental bronze ingest for any source table — the north-star
+    replacement for the reference's daily INSERT OVERWRITE
+    (extract_orders.py:72-88): stream newly arrived files, run the SAME
+    bronze cleaning (project -> audit -> null filter -> keep-latest dedup,
+    via the batch builder's ``raw=`` parameter) on each micro-batch, and
+    MERGE on the table's primary key (:data:`BRONZE_MERGE_KEYS` —
+    composite for lineitem).
 
-    Last-writer-wins across batches: a re-delivered order key replaces the
+    Last-writer-wins across batches: a re-delivered key replaces the
     stored image instead of re-ingesting the full snapshot. At production
     scale the merge body is Delta ``MERGE INTO``; here it is the parquet
     :func:`merge_upsert` with identical semantics.
     """
-    from ..bronze.extracts import bronze_orders
+    from ..bronze import BRONZE_BUILDERS
     from ..constants import FIXED_BATCH_ID
 
+    if table not in BRONZE_MERGE_KEYS:
+        raise ValueError(
+            f"no incremental source path for {table!r}; one of "
+            f"{sorted(BRONZE_MERGE_KEYS)}"
+        )
+    builder = BRONZE_BUILDERS[table]
+    keys = BRONZE_MERGE_KEYS[table]
     bid = batch_id or FIXED_BATCH_ID
     static = spark.read.parquet(source_dir)
     stream = spark.readStream.schema(static.schema).parquet(source_dir)
 
     def _merge_batch(batch_df: DataFrame, _batch_no: int) -> None:
-        cleaned = bronze_orders(
-            batch_df.sparkSession, sf_dir="", batch_id=bid, raw=batch_df
-        )
-        merge_upsert(batch_df.sparkSession, cleaned, target_path, keys=["o_orderkey"])
+        cleaned = builder(batch_df.sparkSession, sf_dir="", batch_id=bid, raw=batch_df)
+        merge_upsert(batch_df.sparkSession, cleaned, target_path, keys=keys)
 
     return (
         stream.writeStream.foreachBatch(_merge_batch)
@@ -144,4 +165,17 @@ def incremental_bronze_orders_stream(
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def incremental_bronze_orders_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    batch_id: str | None = None,
+) -> StreamingQuery:
+    """Orders specialization of :func:`incremental_bronze_stream`."""
+    return incremental_bronze_stream(
+        spark, "orders", source_dir, target_path, checkpoint_dir, batch_id
     )

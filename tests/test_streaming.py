@@ -5,9 +5,12 @@ import os
 
 from pyspark.sql import functions as F
 
-from databricks_incremental_lakehouse_spark.bronze import bronze_orders
+import pytest
+
+from databricks_incremental_lakehouse_spark.bronze import bronze_lineitem, bronze_orders
 from databricks_incremental_lakehouse_spark.streaming import (
     incremental_bronze_orders_stream,
+    incremental_bronze_stream,
     incremental_events_stream,
     merge_upsert,
     stateful_user_totals_stream,
@@ -91,6 +94,27 @@ def test_incremental_bronze_orders_upsert(spark, sf_smoke, tmp_path):
     updated = got2.filter(F.col("o_orderkey") == some_key).collect()
     assert len(updated) == 1 and updated[0].o_custkey == 999
     assert got2.filter(F.col("o_orderkey") == new_key).count() == 1
+
+
+def test_incremental_bronze_lineitem_composite_key(spark, sf_smoke, tmp_path):
+    """The generalized incremental path merges on the composite
+    (l_orderkey, l_linenumber) key and matches the batch snapshot."""
+    raw = load_table(spark, sf_smoke, "lineitem")
+    src = str(tmp_path / "li_src")
+    tgt = str(tmp_path / "li_tgt")
+    chk = str(tmp_path / "li_chk")
+    raw.write.parquet(src)
+    q = incremental_bronze_stream(spark, "lineitem", src, tgt, chk)
+    q.awaitTermination(120)
+    batch = bronze_lineitem(spark, sf_smoke)
+    got = spark.read.parquet(tgt)
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+
+
+def test_incremental_bronze_rejects_derived_table(spark, tmp_path):
+    with pytest.raises(ValueError, match="partsupp"):
+        incremental_bronze_stream(spark, "partsupp", "/nope", "/nope", "/nope")
 
 
 def test_stateful_totals_match_batch_aggregate(spark, sf_smoke, tmp_path):
