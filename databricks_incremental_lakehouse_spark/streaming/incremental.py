@@ -9,26 +9,61 @@ keyed dedup -> ``foreachBatch`` merge into the target table.
 On Databricks/Delta runtimes the merge body is ``DeltaTable.merge`` (MERGE
 INTO keyed on the same PKs the reference dedups on); this harness has no
 Delta, so :func:`merge_upsert` implements the same upsert contract over a
-parquet directory: read current -> anti-join out matched keys -> union new
-image -> atomic overwrite-by-rewrite. Semantics match MERGE
+parquet directory hash-bucketed on the merge key. Semantics match MERGE
 WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *.
 
-Scale notes: the parquet fallback rewrites the table (the cost Delta's
-transaction log avoids); partition the target and restrict the rewrite to
-touched partitions for bounded work. Streaming state is bounded by the
-watermark; ``dropDuplicates`` keys must include the watermark column's
-event-time semantics to allow state eviction.
+Scale notes: the target is partitioned by ``_kb = pmod(xxhash64(keys),
+num_buckets)`` so a micro-batch rewrites ONLY the buckets containing
+updated keys — O(batch x table/num_buckets), not O(table). Untouched
+bucket directories are never opened; their files stay byte-identical
+(asserted in tests). Each touched bucket is rebuilt in a staging dir and
+swapped in with two directory renames (new data is fully written before
+the old is unlinked; a crash between the renames leaves the previous
+image in ``<bucket>.old`` for manual recovery — the narrow non-atomic
+window Delta's transaction log closes). ``num_buckets`` scales with table
+size (date/key-range partitioning at prod; 1000s of buckets at 100 TB).
+Streaming dedup state is bounded by the watermark via
+``dropDuplicatesWithinWatermark``.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators import dedup_latest
+
+# internal key-bucket partition column of merge targets (derivable from the
+# merge keys, so it is dropped on read — see read_merge_target)
+BUCKET_COL = "_kb"
+
+
+def _key_bucket(keys: Sequence[str], num_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)).cast(
+        "int"
+    )
+
+
+def _swap_dir(src: str, dst: str) -> None:
+    """Replace ``dst`` with ``src`` via renames: the new image is complete
+    on disk before the old one is unlinked."""
+    old = dst + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(dst):
+        os.rename(dst, old)
+    os.rename(src, dst)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def read_merge_target(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read a merge target without its internal bucket partition column."""
+    return spark.read.parquet(target_path).drop(BUCKET_COL)
 
 
 def merge_upsert(
@@ -37,29 +72,48 @@ def merge_upsert(
     target_path: str,
     keys: Sequence[str],
     tiebreak_cols: Sequence[str] | None = None,
+    num_buckets: int = 16,
 ) -> None:
-    """Upsert ``updates`` into the parquet table at ``target_path`` by key.
+    """Upsert ``updates`` into the bucketed parquet table at ``target_path``.
 
     Equivalent to ``MERGE INTO target USING updates ON keys WHEN MATCHED
     THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — last-writer-wins
     within ``updates`` via the deterministic keep-latest dedup.
+
+    Partition-restricted: only buckets (``pmod(xxhash64(keys), num_buckets)``)
+    that contain an updated key are read, merged, and swapped; every other
+    bucket's files are untouched. The bucket-id collect is bounded by
+    ``num_buckets``, never by data size.
     """
     updates = dedup_latest(updates, keys=keys, tiebreak_cols=tiebreak_cols)
-    if os.path.isdir(target_path):
-        current = spark.read.parquet(target_path)
+    updates = updates.withColumn(BUCKET_COL, _key_bucket(keys, num_buckets))
+    staging = target_path.rstrip("/") + "._staging"
+    shutil.rmtree(staging, ignore_errors=True)
+
+    initial = not os.path.isdir(target_path)
+    if initial:
+        merged = updates
+        touched: list[int] = []
+    else:
+        touched = sorted(
+            r[0]
+            for r in updates.select(BUCKET_COL).distinct().collect()
+        )
+        # partition filter -> only the touched bucket dirs are scanned
+        current = spark.read.parquet(target_path).filter(
+            F.col(BUCKET_COL).isin(touched)
+        )
         kept = current.join(updates.select(*keys), list(keys), "left_anti")
         merged = kept.unionByName(updates)
-    else:
-        merged = updates
-    # rewrite through a staging dir: the overwrite must not read-and-clobber
-    # the files it is scanning
-    staging = target_path.rstrip("/") + "._staging"
-    merged.write.mode("overwrite").parquet(staging)
-    final = spark.read.parquet(staging)
-    final.write.mode("overwrite").parquet(target_path)
-    import shutil
 
-    shutil.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+    if initial:
+        _swap_dir(staging, target_path)
+    else:
+        for b in touched:
+            part = f"{BUCKET_COL}={b}"
+            _swap_dir(os.path.join(staging, part), os.path.join(target_path, part))
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def incremental_events_stream(
@@ -74,10 +128,18 @@ def incremental_events_stream(
     merge upsert per micro-batch.
 
     ``readStream`` file source at ``source_dir`` (parquet, events schema with
-    a proper timestamp ``ts``), ``withWatermark('ts', watermark)`` bounds
-    dedup state, ``dropDuplicates('event_id')`` is the streaming form of the
-    bronze keep-latest dedup (extract_orders.py:57-67), and each micro-batch
-    merges into the target keyed on ``event_id``.
+    a proper timestamp ``ts``); ``withWatermark('ts', watermark)`` +
+    ``dropDuplicatesWithinWatermark('event_id')`` dedups re-deliveries while
+    letting the watermark EVICT per-key state — plain
+    ``dropDuplicates('event_id')`` would only purge state when the event-time
+    column is among the dedup keys, growing without bound on a long stream.
+
+    Dedup here is deliberately KEEP-FIRST: events are immutable facts, so a
+    re-delivery within the watermark horizon is a duplicate of an identical
+    payload, not an update. Mutable-row streams (bronze tables) get
+    last-writer-wins from the keyed ``dedup_latest`` inside
+    :func:`merge_upsert` instead (see :func:`incremental_bronze_stream`).
+    Each micro-batch merges into the target keyed on ``event_id``.
     """
     static = spark.read.parquet(source_dir)
     stream = (
@@ -85,7 +147,7 @@ def incremental_events_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
         .withWatermark("ts", watermark)
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:

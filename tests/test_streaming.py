@@ -13,6 +13,7 @@ from databricks_incremental_lakehouse_spark.streaming import (
     incremental_bronze_stream,
     incremental_events_stream,
     merge_upsert,
+    read_merge_target,
     stateful_user_totals_stream,
 )
 from databricks_incremental_lakehouse_spark.tables import load_table
@@ -28,8 +29,53 @@ def test_merge_upsert_semantics(spark, tmp_path):
         [(2, "b2", 21.0), (3, "c", 30.0)], "id long, name string, v double"
     )
     merge_upsert(spark, upd, target, keys=["id"])
-    got = {r.id: (r.name, r.v) for r in spark.read.parquet(target).collect()}
+    got = {r.id: (r.name, r.v) for r in read_merge_target(spark, target).collect()}
     assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0)}
+
+
+def test_merge_upsert_touches_only_updated_partitions(spark, tmp_path):
+    """Partition-restricted merge: after an upsert, every file in a bucket
+    that holds no updated key is byte-identical (same path, same bytes) —
+    the merge never rewrote it."""
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = fh.read()
+        return out
+
+    target = str(tmp_path / "t")
+    base = spark.range(200).selectExpr("id", "CAST(id AS STRING) AS payload")
+    merge_upsert(spark, base, target, keys=["id"], num_buckets=8)
+    before = snapshot(target)
+
+    upd = spark.createDataFrame([(7, "updated")], "id long, payload string")
+    merge_upsert(spark, upd, target, keys=["id"], num_buckets=8)
+    after = snapshot(target)
+
+    from databricks_incremental_lakehouse_spark.streaming.incremental import BUCKET_COL
+
+    touched = {
+        r[0]
+        for r in upd.selectExpr(
+            f"CAST(pmod(xxhash64(id), 8) AS INT) AS {BUCKET_COL}"
+        ).collect()
+    }
+    assert len(touched) == 1
+    untouched_before = {
+        p: b
+        for p, b in before.items()
+        if not any(p.startswith(f"{BUCKET_COL}={t}/") for t in touched)
+        and not p.startswith("_")
+    }
+    for p, b in untouched_before.items():
+        assert after.get(p) == b, f"untouched partition file {p} was rewritten"
+    # and the update really landed
+    got = {r.id: r.payload for r in read_merge_target(spark, target).collect()}
+    assert got[7] == "updated" and got[8] == "8" and len(got) == 200
 
 
 def test_incremental_stream_matches_batch_dedup(spark, sf_smoke, tmp_path):
@@ -45,7 +91,7 @@ def test_incremental_stream_matches_batch_dedup(spark, sf_smoke, tmp_path):
     q = incremental_events_stream(spark, source, target, chk, watermark="365 days")
     q.awaitTermination(120)
 
-    streamed = spark.read.parquet(target)
+    streamed = read_merge_target(spark, target)
     assert streamed.count() == events.select("event_id").distinct().count()
     # every event made it through, keyed dedup intact
     assert (
@@ -68,7 +114,7 @@ def test_incremental_bronze_orders_upsert(spark, sf_smoke, tmp_path):
     q = incremental_bronze_orders_stream(spark, src, tgt, chk)
     q.awaitTermination(120)
     batch = bronze_orders(spark, sf_smoke)
-    got = spark.read.parquet(tgt)
+    got = read_merge_target(spark, tgt)
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
 
@@ -89,7 +135,7 @@ def test_incremental_bronze_orders_upsert(spark, sf_smoke, tmp_path):
     q = incremental_bronze_orders_stream(spark, src, tgt, chk)
     q.awaitTermination(120)
 
-    got2 = spark.read.parquet(tgt)
+    got2 = read_merge_target(spark, tgt)
     assert got2.count() == batch.count() + 1
     updated = got2.filter(F.col("o_orderkey") == some_key).collect()
     assert len(updated) == 1 and updated[0].o_custkey == 999
@@ -107,7 +153,7 @@ def test_incremental_bronze_lineitem_composite_key(spark, sf_smoke, tmp_path):
     q = incremental_bronze_stream(spark, "lineitem", src, tgt, chk)
     q.awaitTermination(120)
     batch = bronze_lineitem(spark, sf_smoke)
-    got = spark.read.parquet(tgt)
+    got = read_merge_target(spark, tgt)
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
 
@@ -138,7 +184,7 @@ def test_stateful_totals_match_batch_aggregate(spark, sf_smoke, tmp_path):
 
     got = {
         r.user_id: (r.event_count, round(r.total_value, 6), r.last_ts)
-        for r in spark.read.parquet(target).collect()
+        for r in read_merge_target(spark, target).collect()
     }
     want = {
         r.user_id: (r.event_count, round(r.total_value, 6), r.last_ts)
@@ -176,5 +222,5 @@ def test_watermark_drops_late_events(spark, tmp_path):
     q = incremental_events_stream(spark, src, target, chk, watermark="1 hour")
     q.awaitTermination(120)
 
-    ids = {r.event_id for r in spark.read.parquet(target).collect()}
+    ids = {r.event_id for r in read_merge_target(spark, target).collect()}
     assert ids == {1}
