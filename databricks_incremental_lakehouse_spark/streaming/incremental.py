@@ -28,6 +28,7 @@ Streaming dedup state is bounded by the watermark via
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Sequence
@@ -49,16 +50,67 @@ def _key_bucket(keys: Sequence[str], num_buckets: int):
     )
 
 
+# sidecar recording the physical layout of a merge target; lives inside the
+# target dir. The leading '_' with no '=' keeps Spark's file listing from
+# treating it as data (HadoopFSUtils.shouldFilterOutPathName).
+META_FILE = "_merge_meta.json"
+
+
+def _write_meta(target_path: str, keys: Sequence[str], num_buckets: int) -> None:
+    with open(os.path.join(target_path, META_FILE), "w") as f:
+        json.dump({"keys": list(keys), "num_buckets": int(num_buckets)}, f)
+
+
+def _read_meta(target_path: str) -> dict | None:
+    p = os.path.join(target_path, META_FILE)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _backup_path(dst: str) -> str:
+    # leading '.' => ignored by Spark partition discovery even though the
+    # name contains '=' (unlike '<dir>.old', which would be parsed as a
+    # partition value and flip the bucket column to string)
+    parent, base = os.path.split(dst.rstrip("/"))
+    return os.path.join(parent, f".{base}.old")
+
+
 def _swap_dir(src: str, dst: str) -> None:
     """Replace ``dst`` with ``src`` via renames: the new image is complete
     on disk before the old one is unlinked."""
-    old = dst + ".old"
+    old = _backup_path(dst)
     if os.path.isdir(old):
         shutil.rmtree(old)
     if os.path.isdir(dst):
         os.rename(dst, old)
     os.rename(src, dst)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_swaps(target_path: str) -> None:
+    """Finish any swap interrupted between its two renames.
+
+    A leftover ``.<name>.old`` whose ``<name>`` is missing is the ONLY
+    surviving copy of that bucket (the crash hit after the old image was
+    moved aside but before the new one landed) — restore it. If ``<name>``
+    exists the swap completed; the backup is stale and safe to drop.
+    """
+    parent, base = os.path.split(target_path.rstrip("/"))
+    whole = os.path.join(parent, f".{base}.old")
+    if os.path.isdir(whole) and not os.path.isdir(target_path):
+        os.rename(whole, target_path)
+    if not os.path.isdir(target_path):
+        return
+    for name in os.listdir(target_path):
+        if name.startswith(".") and name.endswith(".old"):
+            dst = os.path.join(target_path, name[1:-4])
+            old = os.path.join(target_path, name)
+            if os.path.isdir(dst):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, dst)
 
 
 def read_merge_target(spark: SparkSession, target_path: str) -> DataFrame:
@@ -84,34 +136,66 @@ def merge_upsert(
     that contain an updated key are read, merged, and swapped; every other
     bucket's files are untouched. The bucket-id collect is bounded by
     ``num_buckets``, never by data size.
+
+    The target's layout (``keys`` + ``num_buckets``) is pinned in a
+    ``_merge_meta.json`` sidecar on initial write; later merges validate the
+    keys and USE THE STORED bucket count, so a caller passing a different
+    ``num_buckets`` cannot silently scatter a key across two buckets and
+    duplicate it. Empty micro-batches (all rows dropped by watermark dedup,
+    or an empty source file) are a no-op — they neither materialize a
+    file-less target nor touch any bucket.
     """
+    _recover_swaps(target_path)
+    initial = not os.path.isdir(target_path)
+    if not initial:
+        meta = _read_meta(target_path)
+        if meta is not None:
+            if list(keys) != list(meta["keys"]):
+                raise ValueError(
+                    f"merge keys {list(keys)!r} do not match the target's "
+                    f"stored keys {meta['keys']!r} ({target_path})"
+                )
+            num_buckets = int(meta["num_buckets"])
+
     updates = dedup_latest(updates, keys=keys, tiebreak_cols=tiebreak_cols)
     updates = updates.withColumn(BUCKET_COL, _key_bucket(keys, num_buckets))
     staging = target_path.rstrip("/") + "._staging"
     shutil.rmtree(staging, ignore_errors=True)
 
-    initial = not os.path.isdir(target_path)
     if initial:
         merged = updates
-        touched: list[int] = []
     else:
         touched = sorted(
             r[0]
             for r in updates.select(BUCKET_COL).distinct().collect()
         )
-        # partition filter -> only the touched bucket dirs are scanned
-        current = spark.read.parquet(target_path).filter(
-            F.col(BUCKET_COL).isin(touched)
+        if not touched:  # empty micro-batch: nothing to merge
+            return
+        # partition filter -> only the touched bucket dirs are scanned;
+        # explicit schema so a (legacy) file-less target cannot poison the read
+        current = (
+            spark.read.schema(updates.schema)
+            .parquet(target_path)
+            .filter(F.col(BUCKET_COL).isin(touched))
         )
         kept = current.join(updates.select(*keys), list(keys), "left_anti")
         merged = kept.unionByName(updates)
 
     merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+    # swap exactly the bucket dirs the write produced (not the pre-write
+    # collect, whose lineage is recomputed by the write and could diverge
+    # under a nondeterministic source)
+    written = sorted(
+        n for n in os.listdir(staging) if n.startswith(BUCKET_COL + "=")
+    )
     if initial:
+        if not written:  # empty initial batch: don't create a file-less target
+            shutil.rmtree(staging, ignore_errors=True)
+            return
         _swap_dir(staging, target_path)
+        _write_meta(target_path, keys, num_buckets)
     else:
-        for b in touched:
-            part = f"{BUCKET_COL}={b}"
+        for part in written:
             _swap_dir(os.path.join(staging, part), os.path.join(target_path, part))
         shutil.rmtree(staging, ignore_errors=True)
 

@@ -224,3 +224,86 @@ def test_watermark_drops_late_events(spark, tmp_path):
 
     ids = {r.event_id for r in read_merge_target(spark, target).collect()}
     assert ids == {1}
+
+
+def test_merge_upsert_empty_updates(spark, tmp_path):
+    """0-row updates are a no-op on both a fresh and an existing target:
+    no file-less target is materialized, and a later merge still works."""
+    target = str(tmp_path / "empty_t")
+    schema = "id long, v double"
+    empty = spark.createDataFrame([], schema)
+
+    # fresh target: nothing should be created
+    merge_upsert(spark, empty, target, keys=["id"])
+    assert not os.path.isdir(target)
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], schema)
+    merge_upsert(spark, base, target, keys=["id"])
+    # existing target: empty merge leaves it byte-identical
+    merge_upsert(spark, empty, target, keys=["id"])
+    got = {r.id: r.v for r in read_merge_target(spark, target).collect()}
+    assert got == {1: 10.0, 2: 20.0}
+    # and a real merge after the empty one still lands
+    merge_upsert(
+        spark, spark.createDataFrame([(3, 30.0)], schema), target, keys=["id"]
+    )
+    assert read_merge_target(spark, target).count() == 3
+
+
+def test_merge_upsert_meta_pins_layout(spark, tmp_path):
+    """The stored _merge_meta.json wins over a caller-supplied num_buckets,
+    so a mismatched bucket count cannot duplicate keys; mismatched keys
+    raise instead of corrupting."""
+    target = str(tmp_path / "meta_t")
+    schema = "id long, v double"
+    base = spark.range(50).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    merge_upsert(spark, base, target, keys=["id"], num_buckets=8)
+
+    upd = spark.range(50).selectExpr("id", "CAST(id + 100 AS DOUBLE) AS v")
+    merge_upsert(spark, upd, target, keys=["id"], num_buckets=16)  # wrong count
+    got = read_merge_target(spark, target)
+    assert got.count() == 50  # no duplicated keys
+    assert got.agg(F.min("v")).first()[0] == 100.0  # updates won
+
+    with pytest.raises(ValueError, match="stored keys"):
+        merge_upsert(spark, base, target, keys=["v"])
+
+
+def test_swap_crash_recovery_restores_backup(spark, tmp_path):
+    """A backup dir left by a crash between _swap_dir's two renames (the
+    bucket dir missing, '.<name>.old' the only copy) is restored by the
+    next merge, and is invisible to Spark reads in the meantime."""
+    import shutil
+
+    from databricks_incremental_lakehouse_spark.streaming.incremental import (
+        BUCKET_COL,
+    )
+
+    target = str(tmp_path / "crash_t")
+    base = spark.range(100).selectExpr("id", "CAST(id AS STRING) AS payload")
+    merge_upsert(spark, base, target, keys=["id"], num_buckets=4)
+    total = read_merge_target(spark, target).count()
+
+    # simulate the crash window: old image moved aside, new one never landed
+    bucket = next(
+        n for n in sorted(os.listdir(target)) if n.startswith(BUCKET_COL + "=")
+    )
+    os.rename(
+        os.path.join(target, bucket), os.path.join(target, f".{bucket}.old")
+    )
+    # the dotted backup must be ignored by partition discovery (no string
+    # partition value, no double-count)
+    partial = spark.read.parquet(target)
+    assert dict(partial.dtypes)[BUCKET_COL] == "int"
+    assert partial.count() < total
+
+    # next merge recovers the backup before merging
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(1000, "new")], "id long, payload string"),
+        target,
+        keys=["id"],
+    )
+    assert read_merge_target(spark, target).count() == total + 1
+    assert not any(n.endswith(".old") for n in os.listdir(target))
+    shutil.rmtree(target)
