@@ -29,16 +29,16 @@ from ..oracle_util import with_clause
 from ..silver.order_details import silver_order_details, silver_order_details_oracle_ctes
 
 
-def vw_monthly_sales_trends(
-    spark: SparkSession,
-    sf_dir: str,
-    batch_id: str = FIXED_BATCH_ID,
-    order_details: DataFrame | None = None,
-) -> DataFrame:
-    if order_details is None:
-        order_details = silver_order_details(spark, sf_dir, batch_id)
+def monthly_sales_base(order_details: DataFrame) -> DataFrame:
+    """Month-grain aggregation layer (vw_monthly_sales_trends.py:24-44).
 
-    monthly = (
+    Split out so the incremental refresh path can maintain it per affected
+    month (delete+insert on the ``(order_year, order_month)`` key) while the
+    batch view composes it with :func:`trend_windows` unchanged. This is the
+    expensive pass — a partial+final hash agg over the line-grain fact; the
+    COUNT(DISTINCT) columns rewrite into expand+two-phase agg in Catalyst.
+    """
+    return (
         order_details.groupBy("order_year", "order_month", "order_quarter")
         .agg(
             F.countDistinct("order_key").alias("total_orders"),
@@ -57,6 +57,14 @@ def vw_monthly_sales_trends(
         )
     )
 
+
+def trend_windows(monthly: DataFrame) -> DataFrame:
+    """Trend-window layer over the month-grain base
+    (vw_monthly_sales_trends.py:48-82).
+
+    Input is month-grain — dozens-hundreds of rows regardless of SF — so
+    recomputing it wholesale after an incremental base refresh is O(months),
+    not O(fact)."""
     w_seq = Window.orderBy("order_year", "order_month")
     w_ytd = (
         Window.partitionBy("order_year")
@@ -122,6 +130,17 @@ def vw_monthly_sales_trends(
             ),
         }
     )
+
+
+def vw_monthly_sales_trends(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_id: str = FIXED_BATCH_ID,
+    order_details: DataFrame | None = None,
+) -> DataFrame:
+    if order_details is None:
+        order_details = silver_order_details(spark, sf_dir, batch_id)
+    return trend_windows(monthly_sales_base(order_details))
 
 
 _GOLD_MST_CTE = """

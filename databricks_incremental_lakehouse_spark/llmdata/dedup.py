@@ -44,9 +44,14 @@ SIMHASH_BITS = 60
 SIMHASH_BANDS = 4  # 15 bits per band
 HAMMING_MAX = 3
 COSINE_DUP_THRESHOLD = 0.95
-# drop shingles appearing in more than this many docs (hot-key cap);
-# disabled at test scale so the oracle stays simple, tune for production
-MAX_SHINGLE_DF = None
+# Hot-shingle document-frequency cap: shingles appearing in more than this
+# many docs are dropped from CANDIDATE GENERATION (not from verification,
+# which stays exact over the full shingle arrays). Bounds the inverted
+# index's worst-case candidate blowup on head-heavy corpora — a shingle in
+# d docs yields d(d-1)/2 candidate pairs. 5 binds on the test corpora
+# (sf0.01 max df = 7), exercising the guard for real; production uses a
+# corpus fraction (e.g. 1e-4 of doc count).
+MAX_SHINGLE_DF = 5
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
@@ -173,6 +178,86 @@ def _jaccard_pairs_sql(threshold: float) -> str:
 DEDUP_NGRAM_ORACLE = f"""
 WITH sh AS ({_SHINGLES_CTE})
 {_jaccard_pairs_sql(JACCARD_THRESHOLD)}"""
+
+
+def dedup_ngram_jaccard_capped(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """N-gram Jaccard dedup with the hot-shingle cap ACTIVE.
+
+    Candidate pairs come from the inverted index with shingles of document
+    frequency > ``max_df`` removed (the df count is a window over the same
+    ``shingle`` partitioning the self-join shuffles on, so the exchange is
+    computed once and reused); candidates are then verified with EXACT
+    Jaccard over the full, uncapped shingle arrays via ``array_intersect``
+    — the cap can only lose pairs whose every shared shingle is hot (a
+    documented recall trade), never report a wrong score. This is the
+    operator to run on a head-heavy corpus where the uncapped
+    :func:`dedup_ngram_jaccard` candidate join would blow up
+    quadratically on stop-phrases."""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = _doc_shingles(docs)
+    sh = ds.select("doc_id", F.explode("shingles").alias("shingle")).repartition(
+        "shingle"
+    )
+    capped = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).filter(F.col("df") <= max_df)
+    cand = (
+        capped.alias("x")
+        .join(capped.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = ds.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    b = ds.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sa", "sb")))
+    )
+    jac = F.col("n_common") / (
+        F.size("sa") + F.size("sb") - F.col("n_common")
+    ).cast("double")
+    return verified.select(
+        "doc_a", "doc_b", round_dbl(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+DEDUP_NGRAM_CAPPED_ORACLE = f"""
+WITH sh AS ({_SHINGLES_CTE}),
+capped AS (
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh
+    ) WHERE df <= {MAX_SHINGLE_DF}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM capped x JOIN capped y
+      ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+),
+joined AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n_shingles AS size_a, b.n_shingles AS size_b,
+           COUNT(*) AS n_common
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+    CAST(ROUND(CAST(CAST(n_common AS DOUBLE) / CAST(size_a + size_b - n_common AS DOUBLE)
+         AS DECIMAL(38,10)), 6) AS DOUBLE) AS jaccard
+FROM joined
+WHERE CAST(ROUND(CAST(CAST(n_common AS DOUBLE) / CAST(size_a + size_b - n_common AS DOUBLE)
+      AS DECIMAL(38,10)), 6) AS DOUBLE) >= {JACCARD_THRESHOLD}"""
 
 
 def dedup_minhash_lsh(
@@ -463,6 +548,11 @@ WHERE {_COS_EXPR} >= {COSINE_DUP_THRESHOLD}"""
 def register_all(register) -> None:
     register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
     register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE)
+    register(
+        "dedup_ngram_jaccard_capped",
+        dedup_ngram_jaccard_capped,
+        DEDUP_NGRAM_CAPPED_ORACLE,
+    )
     register("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_ORACLE)
     register("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE)
     register("dedup_simhash_pairs", dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_ORACLE)

@@ -6,8 +6,14 @@ from .incremental import (
     merge_upsert,
     read_merge_target,
 )
+from .refresh import (
+    IncrementalWarehouse,
+    apply_order_updates,
+    init_incremental_warehouse,
+)
+from .refresh import register_refresh as _register_refresh
 from .stateful import stateful_user_totals_stream
-from .windows import register_all
+from .windows import register_all as _register_windows
 
 __all__ = [
     "merge_upsert",
@@ -17,5 +23,13 @@ __all__ = [
     "incremental_bronze_stream",
     "BRONZE_MERGE_KEYS",
     "stateful_user_totals_stream",
+    "IncrementalWarehouse",
+    "init_incremental_warehouse",
+    "apply_order_updates",
     "register_all",
 ]
+
+
+def register_all(register) -> None:
+    _register_windows(register)
+    _register_refresh(register)

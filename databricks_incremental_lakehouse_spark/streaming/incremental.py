@@ -28,6 +28,7 @@ Streaming dedup state is bounded by the watermark via
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -56,9 +57,23 @@ def _key_bucket(keys: Sequence[str], num_buckets: int):
 META_FILE = "_merge_meta.json"
 
 
-def _write_meta(target_path: str, keys: Sequence[str], num_buckets: int) -> None:
+def _write_meta(
+    target_path: str,
+    keys: Sequence[str],
+    num_buckets: int,
+    bucket_keys: Sequence[str],
+    partition_cols: Sequence[str],
+) -> None:
     with open(os.path.join(target_path, META_FILE), "w") as f:
-        json.dump({"keys": list(keys), "num_buckets": int(num_buckets)}, f)
+        json.dump(
+            {
+                "keys": list(keys),
+                "num_buckets": int(num_buckets),
+                "bucket_keys": list(bucket_keys),
+                "partition_cols": list(partition_cols),
+            },
+            f,
+        )
 
 
 def _read_meta(target_path: str) -> dict | None:
@@ -96,6 +111,7 @@ def _recover_swaps(target_path: str) -> None:
     surviving copy of that bucket (the crash hit after the old image was
     moved aside but before the new one landed) — restore it. If ``<name>``
     exists the swap completed; the backup is stale and safe to drop.
+    Walks the whole tree so nested layouts (``year=Y/_kb=N``) recover too.
     """
     parent, base = os.path.split(target_path.rstrip("/"))
     whole = os.path.join(parent, f".{base}.old")
@@ -103,14 +119,42 @@ def _recover_swaps(target_path: str) -> None:
         os.rename(whole, target_path)
     if not os.path.isdir(target_path):
         return
-    for name in os.listdir(target_path):
-        if name.startswith(".") and name.endswith(".old"):
-            dst = os.path.join(target_path, name[1:-4])
-            old = os.path.join(target_path, name)
-            if os.path.isdir(dst):
-                shutil.rmtree(old)
-            else:
-                os.rename(old, dst)
+    pending = []
+    for dirpath, dirs, _files in os.walk(target_path):
+        for name in dirs:
+            if name.startswith(".") and name.endswith(".old"):
+                pending.append((dirpath, name))
+    for dirpath, name in pending:
+        dst = os.path.join(dirpath, name[1:-4])
+        old = os.path.join(dirpath, name)
+        if os.path.isdir(dst):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, dst)
+
+
+def _leaf_dirs(root: str, levels: int) -> set[str]:
+    """Relative ``col=value/.../_kb=N`` leaf partition dirs under ``root``
+    (``levels`` path segments deep). Glob's default skips dotted backups."""
+    pat = os.path.join(root, *(["*=*"] * levels))
+    return {os.path.relpath(p, root) for p in glob.glob(pat) if os.path.isdir(p)}
+
+
+def _dir_bucket(rel_dir: str) -> int:
+    return int(os.path.basename(rel_dir).split("=", 1)[1])
+
+
+def _dir_in_scope(rel_dir: str, partition_scope: dict | None) -> bool:
+    if not partition_scope:
+        return True
+    seen = dict(
+        seg.split("=", 1) for seg in rel_dir.split(os.sep) if "=" in seg
+    )
+    return all(
+        seen.get(col) in {str(v) for v in vals}
+        for col, vals in partition_scope.items()
+        if col in seen
+    )
 
 
 def read_merge_target(spark: SparkSession, target_path: str) -> DataFrame:
@@ -125,50 +169,92 @@ def merge_upsert(
     keys: Sequence[str],
     tiebreak_cols: Sequence[str] | None = None,
     num_buckets: int = 16,
+    bucket_keys: Sequence[str] | None = None,
+    scope: DataFrame | None = None,
+    partition_cols: Sequence[str] = (),
+    partition_scope: dict[str, Sequence] | None = None,
 ) -> None:
     """Upsert ``updates`` into the bucketed parquet table at ``target_path``.
 
     Equivalent to ``MERGE INTO target USING updates ON keys WHEN MATCHED
     THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — last-writer-wins
-    within ``updates`` via the deterministic keep-latest dedup.
+    within ``updates`` via the deterministic keep-latest dedup. With
+    ``scope``, the semantics extend to Delta's ``WHEN NOT MATCHED BY SOURCE
+    THEN DELETE`` restricted to the scoped key values: every target row
+    whose ``bucket_keys`` match a scope row is replaced wholesale by the
+    rows in ``updates`` (which may be none — a scoped delete). That is the
+    changed-key refresh contract: the caller supplies the COMPLETE new
+    image of each scoped key.
 
-    Partition-restricted: only buckets (``pmod(xxhash64(keys), num_buckets)``)
-    that contain an updated key are read, merged, and swapped; every other
-    bucket's files are untouched. The bucket-id collect is bounded by
-    ``num_buckets``, never by data size.
+    Layout: rows land in ``<partition_cols...>/_kb=pmod(xxhash64(
+    bucket_keys), num_buckets)`` dirs. ``bucket_keys`` (default ``keys``)
+    must be a subset of ``keys`` so a key's rows always share a bucket;
+    using a coarser bucket key (e.g. the order key for line-grain rows)
+    makes whole-entity replacement partition-restricted. ``partition_cols``
+    add visible partitions ahead of the hash bucket (e.g. ``order_year``)
+    so downstream range predicates prune files; ``partition_scope``
+    (col -> allowed values) additionally restricts the merge's read+swap
+    set when the caller knows which partition values can hold affected
+    rows (old image ∪ new image).
 
-    The target's layout (``keys`` + ``num_buckets``) is pinned in a
-    ``_merge_meta.json`` sidecar on initial write; later merges validate the
-    keys and USE THE STORED bucket count, so a caller passing a different
-    ``num_buckets`` cannot silently scatter a key across two buckets and
-    duplicate it. Empty micro-batches (all rows dropped by watermark dedup,
-    or an empty source file) are a no-op — they neither materialize a
-    file-less target nor touch any bucket.
+    Partition-restricted: only buckets containing an updated/scoped key
+    are read, merged, and swapped; every other bucket's files are
+    untouched. The bucket-id collect is bounded by ``num_buckets``, never
+    by data size.
+
+    The target's layout (``keys``/``bucket_keys``/``partition_cols`` +
+    ``num_buckets``) is pinned in a ``_merge_meta.json`` sidecar on initial
+    write; later merges validate the key spec and USE THE STORED bucket
+    count, so a caller passing a different ``num_buckets`` cannot silently
+    scatter a key across two buckets and duplicate it. Empty micro-batches
+    (all rows dropped by watermark dedup, or an empty source file) are a
+    no-op — they neither materialize a file-less target nor touch any
+    bucket.
     """
+    bucket_keys = list(bucket_keys) if bucket_keys is not None else list(keys)
+    partition_cols = list(partition_cols)
+    if not set(bucket_keys) <= set(keys):
+        raise ValueError(
+            f"bucket_keys {bucket_keys!r} must be a subset of keys {list(keys)!r}"
+        )
+
     _recover_swaps(target_path)
     initial = not os.path.isdir(target_path)
     if not initial:
         meta = _read_meta(target_path)
         if meta is not None:
-            if list(keys) != list(meta["keys"]):
-                raise ValueError(
-                    f"merge keys {list(keys)!r} do not match the target's "
-                    f"stored keys {meta['keys']!r} ({target_path})"
-                )
+            for fld, val in (
+                ("keys", list(keys)),
+                ("bucket_keys", bucket_keys),
+                ("partition_cols", partition_cols),
+            ):
+                if list(meta.get(fld, val)) != val:
+                    raise ValueError(
+                        f"merge {fld} {val!r} do not match the target's "
+                        f"stored {fld} {meta[fld]!r} ({target_path})"
+                    )
             num_buckets = int(meta["num_buckets"])
 
     updates = dedup_latest(updates, keys=keys, tiebreak_cols=tiebreak_cols)
-    updates = updates.withColumn(BUCKET_COL, _key_bucket(keys, num_buckets))
+    updates = updates.withColumn(BUCKET_COL, _key_bucket(bucket_keys, num_buckets))
+    if scope is not None:
+        scope = (
+            scope.select(*bucket_keys)
+            .distinct()
+            .withColumn(BUCKET_COL, _key_bucket(bucket_keys, num_buckets))
+        )
     staging = target_path.rstrip("/") + "._staging"
     shutil.rmtree(staging, ignore_errors=True)
+    levels = len(partition_cols) + 1
 
     if initial:
         merged = updates
+        touched: set[int] = set()
     else:
-        touched = sorted(
-            r[0]
-            for r in updates.select(BUCKET_COL).distinct().collect()
-        )
+        tsrc = updates.select(BUCKET_COL)
+        if scope is not None:
+            tsrc = tsrc.unionByName(scope.select(BUCKET_COL))
+        touched = {r[0] for r in tsrc.distinct().collect()}
         if not touched:  # empty micro-batch: nothing to merge
             return
         # partition filter -> only the touched bucket dirs are scanned;
@@ -176,28 +262,45 @@ def merge_upsert(
         current = (
             spark.read.schema(updates.schema)
             .parquet(target_path)
-            .filter(F.col(BUCKET_COL).isin(touched))
+            .filter(F.col(BUCKET_COL).isin(sorted(touched)))
         )
-        kept = current.join(updates.select(*keys), list(keys), "left_anti")
+        if partition_scope:
+            for col, vals in partition_scope.items():
+                current = current.filter(F.col(col).isin(list(vals)))
+        if scope is None:
+            kept = current.join(updates.select(*keys), list(keys), "left_anti")
+        else:
+            kept = current.join(scope.select(*bucket_keys), bucket_keys, "left_anti")
         merged = kept.unionByName(updates)
 
-    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
-    # swap exactly the bucket dirs the write produced (not the pre-write
+    merged.write.mode("overwrite").partitionBy(
+        *partition_cols, BUCKET_COL
+    ).parquet(staging)
+    # swap exactly the partition dirs the write produced (not the pre-write
     # collect, whose lineage is recomputed by the write and could diverge
     # under a nondeterministic source)
-    written = sorted(
-        n for n in os.listdir(staging) if n.startswith(BUCKET_COL + "=")
-    )
+    staged = _leaf_dirs(staging, levels)
     if initial:
-        if not written:  # empty initial batch: don't create a file-less target
+        if not staged:  # empty initial batch: don't create a file-less target
             shutil.rmtree(staging, ignore_errors=True)
             return
         _swap_dir(staging, target_path)
-        _write_meta(target_path, keys, num_buckets)
-    else:
-        for part in written:
-            _swap_dir(os.path.join(staging, part), os.path.join(target_path, part))
-        shutil.rmtree(staging, ignore_errors=True)
+        _write_meta(target_path, keys, num_buckets, bucket_keys, partition_cols)
+        return
+    for rel in sorted(staged):
+        dst = os.path.join(target_path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        _swap_dir(os.path.join(staging, rel), dst)
+    # an affected dir absent from staging lost ALL its rows (scoped delete
+    # or a key that moved partition value) — drop it
+    stale = {
+        rel
+        for rel in _leaf_dirs(target_path, levels)
+        if _dir_bucket(rel) in touched and _dir_in_scope(rel, partition_scope)
+    } - staged
+    for rel in sorted(stale):
+        shutil.rmtree(os.path.join(target_path, rel))
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def incremental_events_stream(

@@ -3,10 +3,14 @@
 from pyspark.sql import functions as F
 
 from databricks_incremental_lakehouse_spark.llmdata.dedup import (
+    MAX_SHINGLE_DF,
+    _shingles,
     dedup_embedding_cosine,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
+    dedup_ngram_jaccard_capped,
 )
+from databricks_incremental_lakehouse_spark.tables import load_table
 from databricks_incremental_lakehouse_spark.llmdata.multimodal import (
     multimodal_features,
 )
@@ -29,6 +33,37 @@ def test_minhash_recall_vs_exact(spark, sf_correct):
     assert lsh <= exact  # verification step kills false positives
     if exact:
         assert len(lsh & exact) / len(exact) >= 0.7
+
+
+def test_shingle_cap_binds_and_preserves_scores(spark, sf_correct):
+    """The hot-shingle df cap must actually drop shingles on this corpus
+    (else the guard is vacuous), and because verification is exact over
+    the full arrays, every surviving pair carries the same score as the
+    uncapped operator — the cap can only affect recall, never precision."""
+    sh = _shingles(load_table(spark, sf_correct, "documents"))
+    hot = (
+        sh.groupBy("shingle")
+        .count()
+        .filter(F.col("count") > MAX_SHINGLE_DF)
+        .count()
+    )
+    assert hot > 0, "cap does not bind at sf0.01 — raise test SF or lower cap"
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, sf_correct).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard_capped(spark, sf_correct).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, jac in capped.items():
+        assert jac == exact[pair]
+    # true 0.8-Jaccard near-dups share many (mostly rare) shingles, so the
+    # cap should lose little recall on this corpus
+    if exact:
+        assert len(capped) / len(exact) >= 0.9
 
 
 def test_hyperplane_lsh_recall(spark, sf_correct):
