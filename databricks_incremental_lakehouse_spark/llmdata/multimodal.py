@@ -80,15 +80,41 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> Arrow-batched feature extraction -> typed features.
 
-    Registered rows-only: the mapInPandas stage is intentionally Python
-    (that is the operator under test); its deterministic output is asserted
-    in tests rather than oracle SQL.
+    The mapInPandas stage is intentionally Python (that is the operator
+    under test); its deterministic byte-statistics output is replayed by a
+    DuckDB oracle that re-derives each byte from ``hex(encode(text))`` —
+    integer-exact, so even ``byte_mean`` (exact int sum / n) hashes
+    identically across engines.
     """
     docs = load_table(spark, sf_dir, "documents")
     payloads = with_binary_payload(docs)
     return payloads.select("doc_id", "payload").mapInPandas(
         _extract_features, schema=FEATURE_SCHEMA
     )
+
+
+# byte i of the payload, via the hex dump (DuckDB has no get_byte);
+# strpos math turns each hex pair back into 0-255
+_BYTES_CTE = """
+    SELECT doc_id, n,
+        list_transform(generate_series(1, CAST(n AS INT)), i ->
+            (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+            + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS bv
+    FROM (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    )"""
+
+MULTIMODAL_FEATURES_ORACLE = f"""
+WITH b AS ({_BYTES_CTE})
+SELECT doc_id,
+    CAST(n AS INT) AS n_bytes,
+    CAST(CASE WHEN n > 0 THEN bv[1] ELSE 0 END AS INT) AS first_byte,
+    CASE WHEN n > 0 THEN CAST(list_sum(bv) AS DOUBLE) / n ELSE 0.0 END AS byte_mean,
+    CAST(CASE WHEN n > 0 THEN 16 + (bv[1] % 16) ELSE 0 END AS INT) AS width,
+    CAST(CASE WHEN n > 0 THEN 16 + (bv[CAST(n AS INT)] % 16) ELSE 0 END AS INT) AS height
+FROM b"""
 
 
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,6 +129,19 @@ def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MULTIMODAL_STATS_ORACLE = f"""
+WITH feats AS ({MULTIMODAL_FEATURES_ORACLE})
+SELECT CAST(width % 4 AS INT) AS width_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(height) AS INT) AS min_height,
+       CAST(MAX(height) AS INT) AS max_height
+FROM feats
+GROUP BY 1"""
+
+
 def register_all(register) -> None:
-    register("multimodal_features", multimodal_features)  # rows-only
-    register("multimodal_feature_stats", multimodal_feature_stats)  # rows-only
+    register("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_ORACLE)
+    register(
+        "multimodal_feature_stats", multimodal_feature_stats, MULTIMODAL_STATS_ORACLE
+    )

@@ -101,36 +101,81 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 
 N_PROBE = 2  # cells searched per query (multi-probe IVF)
+N_LIST = 8  # IVF cells (k-means k)
+KMEANS_ITERS = 2  # Lloyd iterations after the deterministic init
+
+
+def _centroids_of(assigned: DataFrame) -> DataFrame:
+    """cl, cv: element-wise mean vector per cluster, components rounded
+    through the portable decimal grid so Spark and the oracle agree."""
+    return (
+        assigned.select("cl", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cl", "pos")
+        .agg(round_dbl(F.avg("val"), 6).alias("c"))
+        .groupBy("cl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+            ).alias("cv")
+        )
+    )
+
+
+def _assign_to(emb: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """vec_id, v, cl: nearest (max-cosine) centroid per vector; rounded
+    cosine + cluster-id tiebreak keep the argmax engine-portable. Cosine
+    assignment is scale-invariant in the centroid, so the unnormalized
+    mean is a valid spherical-k-means centroid."""
+    scored = emb.crossJoin(F.broadcast(cent_df)).withColumn(
+        "cdist",
+        round_dbl(_dot("v", "cv") / F.nullif(_norm("v") * _norm("cv"), F.lit(0.0)), 6),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cdist").desc(), F.col("cl").asc())
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "v", "cl")
+    )
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style top-5: centroid per label cell (element-wise mean), assign
-    each query to its ``N_PROBE`` nearest centroids, search only those
-    cells (multi-probe recovers neighbors that fall just across a cell
-    boundary — the standard recall/cost knob).
+    """IVF top-5 with k-means-trained coarse quantizer.
 
-    Centroid components round through the portable decimal grid so the
-    Spark and oracle cell assignments agree exactly.
-    """
+    Centroids are trained with ``KMEANS_ITERS`` Lloyd iterations from the
+    deterministic hash-partition init ``cl0 = vec_id % N_LIST`` (random-
+    partition initialization with a pinned hash — fully parallel and
+    replayable by the DuckDB oracle, unlike seeded RNG). Every assignment
+    ranks by grid-rounded cosine with cluster-id tiebreak, so both engines
+    walk identical iterations. Data vectors are then assigned to the final
+    centroids, each query probes its ``N_PROBE`` nearest cells, and only
+    those cells are searched — the 100-TB shape, pruning candidates ~N_LIST/
+    N_PROBE x. At scale the training loop runs on a sample (k-means cost is
+    per-iteration linear in rows x N_LIST) and the final cell assignment is
+    one linear pass; intermediate centroids are nlist-row collects, never
+    data-sized."""
     emb = _emb(spark, sf_dir)
-    # element-wise mean per label: explode to (label, pos, val), avg, rebuild
-    comp = (
-        emb.select("label", F.posexplode("v").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(round_dbl(F.avg("val"), 6).alias("c"))
+    assigned = emb.select(
+        "vec_id", "v", (F.col("vec_id") % N_LIST).cast("int").alias("cl")
     )
-    centroids = comp.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
-        ).alias("cv")
+    for _ in range(KMEANS_ITERS):
+        cent_rows = _centroids_of(assigned).collect()  # nlist rows, never data
+        cent_df = spark.createDataFrame(
+            [(int(r.cl), list(r.cv)) for r in cent_rows], "cl int, cv array<double>"
+        )
+        assigned = _assign_to(emb, cent_df)
+    cent_rows = _centroids_of(assigned).collect()
+    cent_df = spark.createDataFrame(
+        [(int(r.cl), list(r.cv)) for r in cent_rows], "cl int, cv array<double>"
     )
+    cells = _assign_to(emb, cent_df)
+
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    # nearest centroid per query (nlist is small: centroids broadcast)
+    # nearest N_PROBE centroids per query (nlist is small: centroids broadcast)
     q2c = (
         F.broadcast(queries)
-        .crossJoin(F.broadcast(centroids))
+        .crossJoin(F.broadcast(cent_df))
         .withColumn(
             "cdist",
             round_dbl(
@@ -141,17 +186,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "crank",
             F.row_number().over(
                 Window.partitionBy("query_id").orderBy(
-                    F.col("cdist").desc(), F.col("label").asc()
+                    F.col("cdist").desc(), F.col("cl").asc()
                 )
             ),
         )
         .filter(F.col("crank") <= N_PROBE)
-        .select("query_id", "qv", F.col("label").alias("probe_label"))
+        .select("query_id", "qv", F.col("cl").alias("probe_cell"))
     )
     scored = (
         q2c.join(
-            emb.select(F.col("vec_id").alias("neighbor_id"), "label", "v"),
-            (F.col("probe_label") == F.col("label"))
+            cells.select(F.col("vec_id").alias("neighbor_id"), "cl", "v"),
+            (F.col("probe_cell") == F.col("cl"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
         .withColumn(
@@ -167,48 +212,88 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "probe_label", "neighbor_id", "cosine", "rank")
+        .select("query_id", "probe_cell", "neighbor_id", "cosine", "rank")
     )
 
 
-_CCOS = """CAST(ROUND(CAST(
-    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i]))
-    / NULLIF(sqrt(list_sum(list_transform(qv, x -> x * x)))
+_CCOS_V = """CAST(ROUND(CAST(
+    list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * cv[i]))
+    / NULLIF(sqrt(list_sum(list_transform(v, x -> x * x)))
            * sqrt(list_sum(list_transform(cv, x -> x * x))), 0)
- AS DECIMAL(38,10)), 6) AS DOUBLE)"""
+ AS DECIMAL(38,10)), 6) AS DOUBLE)""".replace(chr(10), " ")
+
+_CCOS_Q = _CCOS_V.replace("(v", "(qv").replace(" v[i]", " qv[i]")
+
+
+def _kmeans_cte(assign_src: str, cent_name: str, assign_name: str) -> str:
+    """One Lloyd iteration as two CTE definitions (centroid from
+    ``assign_src``; reassignment of every vector to ``cent_name``)."""
+    return f"""
+{cent_name} AS (
+    SELECT cl, list(c ORDER BY pos) AS cv FROM (
+        SELECT cl, pos,
+            CAST(ROUND(CAST(AVG(val) AS DECIMAL(38,10)), 6) AS DOUBLE) AS c
+        FROM (SELECT cl, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+              FROM {assign_src})
+        GROUP BY cl, pos
+    ) GROUP BY cl
+),
+{assign_name} AS (
+    SELECT vec_id, v, cl FROM (
+        SELECT e.vec_id, e.v, c.cl,
+            ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY {_CCOS_V} DESC, c.cl ASC
+            ) AS crank
+        FROM e CROSS JOIN {cent_name} c
+    ) WHERE crank = 1
+)"""
+
 
 SIM_IVF_ORACLE = f"""
 WITH e AS (
     SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
 ),
-comp AS (
-    SELECT label, pos,
-        CAST(ROUND(CAST(AVG(val) AS DECIMAL(38,10)), 6) AS DOUBLE) AS c
-    FROM (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e)
-    GROUP BY label, pos
+a0 AS (
+    SELECT vec_id, v, CAST(vec_id % {N_LIST} AS INT) AS cl FROM e
+),{_kmeans_cte("a0", "c1", "a1")},{_kmeans_cte("a1", "c2", "a2")},
+cent AS (
+    SELECT cl, list(c ORDER BY pos) AS cv FROM (
+        SELECT cl, pos,
+            CAST(ROUND(CAST(AVG(val) AS DECIMAL(38,10)), 6) AS DOUBLE) AS c
+        FROM (SELECT cl, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM a2)
+        GROUP BY cl, pos
+    ) GROUP BY cl
 ),
-centroids AS (
-    SELECT label, list(c ORDER BY pos) AS cv FROM comp GROUP BY label
+cells AS (
+    SELECT vec_id, v, cl FROM (
+        SELECT e.vec_id, e.v, c.cl,
+            ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY {_CCOS_V} DESC, c.cl ASC
+            ) AS crank
+        FROM e CROSS JOIN cent c
+    ) WHERE crank = 1
 ),
 q2c AS (
-    SELECT query_id, qv, label AS probe_label FROM (
-        SELECT q.vec_id AS query_id, q.v AS qv, c.label,
+    SELECT query_id, qv, cl AS probe_cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cl,
             ROW_NUMBER() OVER (
                 PARTITION BY q.vec_id
-                ORDER BY {_CCOS.replace(chr(10), " ")} DESC, c.label ASC
+                ORDER BY {_CCOS_Q} DESC, c.cl ASC
             ) AS crank
         FROM (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}) q
-        CROSS JOIN centroids c
+        CROSS JOIN cent c
     ) WHERE crank <= {N_PROBE}
 ),
 scored AS (
-    SELECT q.query_id, q.probe_label, n.vec_id AS neighbor_id,
+    SELECT q.query_id, q.probe_cell, n.vec_id AS neighbor_id,
         {_COS} AS cosine
-    FROM (SELECT query_id, qv, probe_label FROM q2c) q
-    JOIN e n ON n.label = q.probe_label AND n.vec_id <> q.query_id
+    FROM (SELECT query_id, qv, probe_cell FROM q2c) q
+    JOIN cells n ON n.cl = q.probe_cell AND n.vec_id <> q.query_id
 )
-SELECT query_id, probe_label, neighbor_id, cosine, rank FROM (
+SELECT query_id, probe_cell, neighbor_id, cosine, rank FROM (
     SELECT *, CAST(ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
     ) AS INT) AS rank
@@ -312,9 +397,15 @@ def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     small query matrix ships to every task in the closure (driver collect
     of N_QUERIES rows — the same data the JVM path broadcasts); each batch
     computes batch x query cosines in one BLAS call and the per-query top-k
-    window runs JVM-side after. Registered rows-only (float summation order
-    differs from the sequential oracle; equality to the exact baseline is
-    asserted set-wise in tests)."""
+    window runs JVM-side after.
+
+    The Pandas UDF emits the RAW cosine; rounding to the portable 6-dp
+    grid happens JVM-side via ``round_dbl`` — ``np.round`` is half-even
+    while the JVM/DuckDB grid is half-up, so rounding in numpy could flip
+    a tied top-k boundary. BLAS-vs-sequential summation differs only in
+    final ulps (64-dim double dot products), which the 6-dp grid absorbs —
+    the same tolerance that already makes the JVM baseline and DuckDB
+    agree. Registered against the brute-force oracle."""
     import numpy as np
     import pandas as pd
 
@@ -338,14 +429,18 @@ def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "query_id": np.tile(q_ids, n),
                     "neighbor_id": np.repeat(pdf["vec_id"].values, len(q_ids)),
-                    "cosine": np.round(cos.ravel(), 6),
+                    "cosine_raw": cos.ravel(),
                 }
             )
 
     scored = (
         emb.select("vec_id", "v")
-        .mapInPandas(_score, schema="query_id long, neighbor_id long, cosine double")
+        .mapInPandas(
+            _score, schema="query_id long, neighbor_id long, cosine_raw double"
+        )
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", round_dbl(F.col("cosine_raw"), 6))
+        .drop("cosine_raw")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -361,4 +456,5 @@ def register_all(register) -> None:
     register("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE)
     register("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE)
     register("sim_hyperplane_lsh", sim_hyperplane_lsh)  # rows-only; recall test
-    register("sim_topk_vectorized", sim_topk_vectorized)  # rows-only; set-equality test
+    # same result contract as the JVM baseline -> same oracle
+    register("sim_topk_vectorized", sim_topk_vectorized, SIM_TOPK_ORACLE)

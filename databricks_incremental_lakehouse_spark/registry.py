@@ -128,6 +128,27 @@ def _bi_strategic_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bi_top_suppliers_by_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-vacuous companion to ``bi_strategic_suppliers``: the reference's
+    Tier-1 filter (README.md:228-233) matches zero suppliers at small SF
+    (max composite score 36.05 at sf0.01, all Tier 4), so its green
+    CORRECTNESS row proves nothing. This query ranks the SAME view's top
+    10 by score with a deterministic name tiebreak — exercising the full
+    supplier-performance chain with rows at every SF."""
+    return (
+        vw_supplier_performance(spark, sf_dir)
+        .select(
+            "supplier_name",
+            "supplier_region",
+            "supplier_tier",
+            "performance_score",
+            "on_time_delivery_rate",
+        )
+        .orderBy(F.col("performance_score").desc(), F.col("supplier_name").asc())
+        .limit(10)
+    )
+
+
 def _bi_monthly_trend_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """README BI query 4: monthly trend projection."""
     return vw_monthly_sales_trends(spark, sf_dir).select(
@@ -164,6 +185,17 @@ register(
         {"base": vw_supplier_performance_oracle_sql()},
         """SELECT supplier_name, supplier_region, performance_score, on_time_delivery_rate
            FROM base WHERE supplier_tier = 'Tier 1 - Strategic'""",
+    ),
+)
+register(
+    "bi_top_suppliers_by_score",
+    _bi_top_suppliers_by_score,
+    with_clause(
+        {"base": vw_supplier_performance_oracle_sql()},
+        """SELECT supplier_name, supplier_region, supplier_tier,
+                  performance_score, on_time_delivery_rate
+           FROM base
+           ORDER BY performance_score DESC, supplier_name ASC LIMIT 10""",
     ),
 )
 register(

@@ -16,6 +16,7 @@ from databricks_incremental_lakehouse_spark.llmdata.multimodal import (
 )
 from databricks_incremental_lakehouse_spark.llmdata.similarity import (
     sim_hyperplane_lsh,
+    sim_ivf_topk,
     sim_topk_bruteforce,
     sim_topk_vectorized,
 )
@@ -77,6 +78,21 @@ def test_hyperplane_lsh_recall(spark, sf_correct):
     }
     # approximate search: require meaningful overlap with the exact top-k
     assert len(approx & exact) / len(exact) >= 0.3
+
+
+def test_ivf_kmeans_recall(spark, sf_correct):
+    """The k-means-trained IVF (nprobe=2 of 8 cells -> ~25% of the corpus
+    searched) must beat the old label-cell quantizer's recall (0.32 on
+    this corpus) by a margin; measured 0.50 with trained centroids."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_topk_bruteforce(spark, sf_correct).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ivf_topk(spark, sf_correct).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.4
 
 
 def test_vectorized_topk_equals_bruteforce(spark, sf_correct):
