@@ -42,11 +42,16 @@ from ..constants import (
 from ..operators import dedup_latest, round_dbl, with_audit_columns
 from ..tables import load_table
 
-_AUDIT_ORACLE = "'tpch' AS _source_system, '{batch_id}' AS _batch_id"
+_AUDIT_ORACLE = (
+    "TIMESTAMP '{ts}' AS _ingested_at, "
+    "'tpch' AS _source_system, '{batch_id}' AS _batch_id"
+)
 
 
 def _audit_cte_cols(batch_id: str) -> str:
-    return _AUDIT_ORACLE.format(batch_id=batch_id)
+    from ..constants import AUDIT_INGESTED_AT
+
+    return _AUDIT_ORACLE.format(ts=AUDIT_INGESTED_AT, batch_id=batch_id)
 
 
 # ---------------------------------------------------------------------------
@@ -69,7 +74,7 @@ def bronze_orders(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
-        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("o_totalprice"),
         F.col("o_orderdate").cast("date").alias("o_orderdate"),
         "o_orderpriority",
     )
@@ -93,7 +98,7 @@ def bronze_orders(
 def _orders_cte(batch_id: str) -> str:
     return f"""
     SELECT o_orderkey, o_custkey, o_orderstatus,
-           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(o_totalprice AS DECIMAL(15,2)) AS o_totalprice,
            CAST(o_orderdate AS DATE) AS o_orderdate,
            o_orderpriority,
            {_audit_cte_cols(batch_id)}
@@ -125,7 +130,7 @@ def bronze_customers(
         "c_custkey",
         "c_name",
         "c_nationkey",
-        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        F.col("c_acctbal").cast("decimal(15,2)").alias("c_acctbal"),
         "c_mktsegment",
     )
     stamped = with_audit_columns(raw, batch_id=batch_id)
@@ -142,7 +147,7 @@ def bronze_customers(
 def _customers_cte(batch_id: str) -> str:
     return f"""
     SELECT c_custkey, c_name, c_nationkey,
-           CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment,
+           CAST(c_acctbal AS DECIMAL(15,2)) AS c_acctbal, c_mktsegment,
            {_audit_cte_cols(batch_id)}
     FROM (
         SELECT *, ROW_NUMBER() OVER (
@@ -184,10 +189,10 @@ def bronze_lineitem(
         "l_partkey",
         "l_suppkey",
         "l_linenumber",
-        F.col("l_quantity").cast("double").alias("l_quantity"),
-        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
-        F.col("l_discount").cast("double").alias("l_discount"),
-        F.col("l_tax").cast("double").alias("l_tax"),
+        F.col("l_quantity").cast("decimal(15,2)").alias("l_quantity"),
+        F.col("l_extendedprice").cast("decimal(15,2)").alias("l_extendedprice"),
+        F.col("l_discount").cast("decimal(15,2)").alias("l_discount"),
+        F.col("l_tax").cast("decimal(15,2)").alias("l_tax"),
         "l_returnflag",
         "l_linestatus",
         F.col("l_shipdate").cast("date").alias("l_shipdate"),
@@ -209,10 +214,10 @@ def bronze_lineitem(
 def _lineitem_cte(batch_id: str) -> str:
     return f"""
     SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
-           CAST(l_quantity AS DOUBLE) AS l_quantity,
-           CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
-           CAST(l_discount AS DOUBLE) AS l_discount,
-           CAST(l_tax AS DOUBLE) AS l_tax,
+           CAST(l_quantity AS DECIMAL(15,2)) AS l_quantity,
+           CAST(l_extendedprice AS DECIMAL(15,2)) AS l_extendedprice,
+           CAST(l_discount AS DECIMAL(15,2)) AS l_discount,
+           CAST(l_tax AS DECIMAL(15,2)) AS l_tax,
            l_returnflag, l_linestatus,
            CAST(l_shipdate AS DATE) AS l_shipdate,
            {_audit_cte_cols(batch_id)}
@@ -248,7 +253,7 @@ def bronze_suppliers(
         "s_suppkey",
         "s_name",
         "s_nationkey",
-        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        F.col("s_acctbal").cast("decimal(15,2)").alias("s_acctbal"),
     )
     stamped = with_audit_columns(raw, batch_id=batch_id)
     cleaned = stamped.filter(
@@ -262,7 +267,7 @@ def bronze_suppliers(
 def _suppliers_cte(batch_id: str) -> str:
     return f"""
     SELECT s_suppkey, s_name, s_nationkey,
-           CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+           CAST(s_acctbal AS DECIMAL(15,2)) AS s_acctbal,
            {_audit_cte_cols(batch_id)}
     FROM (
         SELECT *, ROW_NUMBER() OVER (
@@ -292,7 +297,7 @@ def bronze_parts(
         "p_brand",
         "p_type",
         "p_size",
-        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_retailprice").cast("decimal(15,2)").alias("p_retailprice"),
     )
     stamped = with_audit_columns(raw, batch_id=batch_id)
     cleaned = stamped.filter(F.col("p_partkey").isNotNull())
@@ -306,7 +311,7 @@ def bronze_parts(
 def _parts_cte(batch_id: str) -> str:
     return f"""
     SELECT p_partkey, p_name, p_brand, p_type, p_size,
-           CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+           CAST(p_retailprice AS DECIMAL(15,2)) AS p_retailprice,
            {_audit_cte_cols(batch_id)}
     FROM (
         SELECT *, ROW_NUMBER() OVER (
@@ -377,12 +382,11 @@ def bronze_partsupp(
             )
             .cast("int")
             .alias("ps_availqty"),
-            round_dbl(F.col("p_retailprice") * SUPPLY_COST_FACTOR, 2).alias(
-                "ps_supplycost"
-            ),
+            round_dbl(F.col("p_retailprice").cast("double") * SUPPLY_COST_FACTOR, 2)
+            .cast("decimal(15,2)")
+            .alias("ps_supplycost"),
         )
-        .withColumn("_source_system", F.lit("tpch"))
-        .withColumn("_batch_id", F.lit(batch_id))
+        .transform(lambda df: with_audit_columns(df, batch_id=batch_id))
     )
 
 
@@ -390,7 +394,7 @@ def _partsupp_cte(batch_id: str) -> str:
     return f"""
     SELECT ps_partkey, ps_suppkey,
            CAST((ps_partkey * 7 + ps_suppkey * 13) % {AVAILQTY_MOD} + {AVAILQTY_BASE} AS INT) AS ps_availqty,
-           CAST(ROUND(CAST(p_retailprice * {SUPPLY_COST_FACTOR} AS DECIMAL(38,6)), 2) AS DOUBLE) AS ps_supplycost,
+           CAST(CAST(ROUND(CAST(p_retailprice * {SUPPLY_COST_FACTOR} AS DECIMAL(38,6)), 2) AS DOUBLE) AS DECIMAL(15,2)) AS ps_supplycost,
            {_audit_cte_cols(batch_id)}
     FROM (
         SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey

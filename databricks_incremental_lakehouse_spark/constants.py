@@ -22,6 +22,14 @@ SOURCE_SYSTEM = "tpch"
 # o_orderdate (2001-08-01), so recency math stays meaningful.
 AS_OF_DATE = "2001-12-31"
 
+# Pinned stand-ins for the reference's current_timestamp() audit stamps
+# (``_ingested_at`` extract_orders.py:37 / create_extract_schemas.py:34;
+# ``_refined_at`` create_refined_schemas.py:54) so the audit columns can
+# live in the deterministic oracle-checked query surface. The pipeline
+# runner overwrites them with wall-clock values on materialized tables.
+AUDIT_INGESTED_AT = "2001-12-31 00:00:00"
+AUDIT_REFINED_AT = "2001-12-31 00:00:00"
+
 # The test data lacks l_commitdate/l_receiptdate (FIXTURES.md), so the
 # reference's ``is_late_shipment := ship_date > commit_date``
 # (refined_order_details.py:86) is adapted to

@@ -45,7 +45,7 @@ def vw_customer_lifetime_value(
         F.countDistinct("part_brand").alias("distinct_brands_purchased"),
         F.countDistinct("part_type").alias("distinct_part_types"),
         round_dbl(F.avg("shipping_delay_days"), 1).alias("avg_shipping_delay"),
-        round_dbl(F.avg("discount_pct"), 4).alias("avg_discount_received"),
+        round_dbl(F.avg(F.col("discount_pct").cast("double")), 4).alias("avg_discount_received"),
         returned.alias("returned_lines"),
         F.count(F.lit(1)).alias("total_lines"),
         round_dbl(F.lit(100.0) * returned / F.count(F.lit(1)), 2).alias(
@@ -173,7 +173,7 @@ _GOLD_CLV_CTE = """
             COUNT(DISTINCT part_brand) AS distinct_brands_purchased,
             COUNT(DISTINCT part_type) AS distinct_part_types,
             CAST(ROUND(CAST(AVG(shipping_delay_days) AS DECIMAL(38,5)), 1) AS DOUBLE) AS avg_shipping_delay,
-            CAST(ROUND(CAST(AVG(discount_pct) AS DECIMAL(38,8)), 4) AS DOUBLE) AS avg_discount_received,
+            CAST(ROUND(CAST(AVG(CAST(discount_pct AS DOUBLE)) AS DECIMAL(38,8)), 4) AS DOUBLE) AS avg_discount_received,
             CAST(SUM(CASE WHEN return_flag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_lines,
             COUNT(*) AS total_lines,
             CAST(ROUND(CAST(CAST(100.0 AS DOUBLE) * SUM(CASE WHEN return_flag = 'R' THEN 1 ELSE 0 END)

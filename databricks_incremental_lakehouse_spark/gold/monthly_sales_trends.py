@@ -43,11 +43,11 @@ def monthly_sales_base(order_details: DataFrame) -> DataFrame:
         .agg(
             F.countDistinct("order_key").alias("total_orders"),
             F.count(F.lit(1)).alias("total_line_items"),
-            F.sum("quantity").alias("total_quantity"),
+            F.sum(F.col("quantity").cast("double")).alias("total_quantity"),
             round_dbl(F.sum("net_revenue"), 2).alias("total_revenue"),
             round_dbl(F.sum("total_charge"), 2).alias("total_revenue_with_tax"),
             round_dbl(F.avg("net_revenue"), 2).alias("avg_line_revenue"),
-            round_dbl(F.avg("discount_pct"), 4).alias("avg_discount_rate"),
+            round_dbl(F.avg(F.col("discount_pct").cast("double")), 4).alias("avg_discount_rate"),
             F.countDistinct("customer_key").alias("unique_customers"),
             F.countDistinct("supplier_key").alias("unique_suppliers"),
             F.countDistinct("part_key").alias("unique_products"),
@@ -169,11 +169,11 @@ _GOLD_MST_CTE = """
                 order_year, order_month, order_quarter,
                 COUNT(DISTINCT order_key) AS total_orders,
                 COUNT(*) AS total_line_items,
-                SUM(quantity) AS total_quantity,
+                SUM(CAST(quantity AS DOUBLE)) AS total_quantity,
                 CAST(ROUND(CAST(SUM(net_revenue) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_revenue,
                 CAST(ROUND(CAST(SUM(total_charge) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_revenue_with_tax,
                 CAST(ROUND(CAST(AVG(net_revenue) AS DECIMAL(38,6)), 2) AS DOUBLE) AS avg_line_revenue,
-                CAST(ROUND(CAST(AVG(discount_pct) AS DECIMAL(38,8)), 4) AS DOUBLE) AS avg_discount_rate,
+                CAST(ROUND(CAST(AVG(CAST(discount_pct AS DOUBLE)) AS DECIMAL(38,8)), 4) AS DOUBLE) AS avg_discount_rate,
                 COUNT(DISTINCT customer_key) AS unique_customers,
                 COUNT(DISTINCT supplier_key) AS unique_suppliers,
                 COUNT(DISTINCT part_key) AS unique_products,

@@ -68,11 +68,11 @@ def vw_revenue_by_region(
         )
         .agg(
             F.countDistinct("order_key").alias("order_count"),
-            F.sum("quantity").alias("total_quantity"),
+            F.sum(F.col("quantity").cast("double")).alias("total_quantity"),
             round_dbl(F.sum("net_revenue"), 2).alias("total_revenue"),
             round_dbl(F.sum("total_charge"), 2).alias("total_charge_with_tax"),
             round_dbl(F.avg("net_revenue"), 2).alias("avg_line_revenue"),
-            round_dbl(F.avg("discount_pct"), 4).alias("avg_discount_rate"),
+            round_dbl(F.avg(F.col("discount_pct").cast("double")), 4).alias("avg_discount_rate"),
             late.alias("late_shipments"),
             F.count(F.lit(1)).alias("total_lines"),
             round_dbl(F.lit(100.0) * late / F.count(F.lit(1)), 2).alias(
@@ -122,11 +122,11 @@ _GOLD_RBR_CTE = """
             od.order_quarter,
             od.order_month,
             COUNT(DISTINCT od.order_key) AS order_count,
-            SUM(od.quantity) AS total_quantity,
+            SUM(CAST(od.quantity AS DOUBLE)) AS total_quantity,
             CAST(ROUND(CAST(SUM(od.net_revenue) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_revenue,
             CAST(ROUND(CAST(SUM(od.total_charge) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_charge_with_tax,
             CAST(ROUND(CAST(AVG(od.net_revenue) AS DECIMAL(38,6)), 2) AS DOUBLE) AS avg_line_revenue,
-            CAST(ROUND(CAST(AVG(od.discount_pct) AS DECIMAL(38,8)), 4) AS DOUBLE) AS avg_discount_rate,
+            CAST(ROUND(CAST(AVG(CAST(od.discount_pct AS DOUBLE)) AS DECIMAL(38,8)), 4) AS DOUBLE) AS avg_discount_rate,
             COUNT(CASE WHEN od.is_late_shipment THEN 1 END) AS late_shipments,
             COUNT(*) AS total_lines,
             CAST(ROUND(CAST(CAST(100.0 AS DOUBLE) * COUNT(CASE WHEN od.is_late_shipment THEN 1 END)

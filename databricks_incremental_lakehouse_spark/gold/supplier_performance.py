@@ -50,7 +50,7 @@ def vw_supplier_performance(
         F.countDistinct("part_type").alias("distinct_part_types"),
         F.countDistinct("part_brand").alias("distinct_brands"),
         F.sum("available_qty").alias("total_available_qty"),
-        round_dbl(F.avg("supply_cost"), 2).alias("avg_supply_cost"),
+        round_dbl(F.avg(F.col("supply_cost").cast("double")), 2).alias("avg_supply_cost"),
         round_dbl(F.avg("margin_pct") * F.lit(100.0), 2).alias("avg_margin_pct"),
         round_dbl(F.avg("cost_vs_region_avg"), 4).alias("avg_cost_vs_region"),
         cheapest.alias("cheapest_count"),
@@ -64,7 +64,7 @@ def vw_supplier_performance(
     returned = F.count(F.when(F.col("return_flag") == "R", 1))
     sdm = order_details.groupBy("supplier_key").agg(
         F.countDistinct("order_key").alias("orders_fulfilled"),
-        F.sum("quantity").alias("total_qty_shipped"),
+        F.sum(F.col("quantity").cast("double")).alias("total_qty_shipped"),
         round_dbl(F.sum("net_revenue"), 2).alias("total_revenue_generated"),
         round_dbl(F.avg("shipping_delay_days"), 1).alias("avg_ship_delay_days"),
         late.alias("late_shipments"),
@@ -149,7 +149,7 @@ _GOLD_SPF_CTE = """
                 COUNT(DISTINCT part_type) AS distinct_part_types,
                 COUNT(DISTINCT part_brand) AS distinct_brands,
                 CAST(SUM(available_qty) AS BIGINT) AS total_available_qty,
-                CAST(ROUND(CAST(AVG(supply_cost) AS DECIMAL(38,6)), 2) AS DOUBLE) AS avg_supply_cost,
+                CAST(ROUND(CAST(AVG(CAST(supply_cost AS DOUBLE)) AS DECIMAL(38,6)), 2) AS DOUBLE) AS avg_supply_cost,
                 CAST(ROUND(CAST(AVG(margin_pct) * CAST(100.0 AS DOUBLE) AS DECIMAL(38,6)), 2) AS DOUBLE) AS avg_margin_pct,
                 CAST(ROUND(CAST(AVG(cost_vs_region_avg) AS DECIMAL(38,8)), 4) AS DOUBLE) AS avg_cost_vs_region,
                 CAST(SUM(CASE WHEN is_cheapest_in_region THEN 1 ELSE 0 END) AS BIGINT) AS cheapest_count,
@@ -163,7 +163,7 @@ _GOLD_SPF_CTE = """
             SELECT
                 supplier_key,
                 COUNT(DISTINCT order_key) AS orders_fulfilled,
-                SUM(quantity) AS total_qty_shipped,
+                SUM(CAST(quantity AS DOUBLE)) AS total_qty_shipped,
                 CAST(ROUND(CAST(SUM(net_revenue) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_revenue_generated,
                 CAST(ROUND(CAST(AVG(shipping_delay_days) AS DECIMAL(38,5)), 1) AS DOUBLE) AS avg_ship_delay_days,
                 COUNT(CASE WHEN is_late_shipment THEN 1 END) AS late_shipments,

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..constants import FIXED_BATCH_ID, SOURCE_SYSTEM
+from ..constants import AUDIT_INGESTED_AT, FIXED_BATCH_ID, SOURCE_SYSTEM
 
 
 def with_audit_columns(
@@ -23,12 +23,18 @@ def with_audit_columns(
 ) -> DataFrame:
     """Stamp audit columns.
 
-    ``include_timestamp`` defaults off because ``current_timestamp()`` is
-    nondeterministic and excluded from oracle comparison (FIXTURES.md); the
-    pipeline runner turns it on for materialized tables.
+    ``ts_col`` matches the reference's ``_ingested_at = current_timestamp()``
+    (extract_orders.py:37). By default it is the PINNED
+    ``AUDIT_INGESTED_AT`` so the column sits inside the deterministic
+    oracle-checked surface (FIXTURES.md); ``include_timestamp=True``
+    switches to wall-clock for materialized pipeline tables.
     """
-    if include_timestamp:
-        df = df.withColumn(ts_col, F.current_timestamp())
+    df = df.withColumn(
+        ts_col,
+        F.current_timestamp()
+        if include_timestamp
+        else F.lit(AUDIT_INGESTED_AT).cast("timestamp"),
+    )
     return df.withColumn("_source_system", F.lit(source_system)).withColumn(
         "_batch_id", F.lit(batch_id)
     )

@@ -23,6 +23,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# join types whose output never contains an unmatched SMALL-side row;
+# right/full outer would emit each unmatched small row once per salt
+# replica (n_salts duplicates), so they are rejected rather than corrupted.
+_SALT_SAFE_JOINS = frozenset(
+    {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+     "semi", "left_anti", "leftanti", "anti"}
+)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -36,7 +45,20 @@ def salted_join(
     dimension-sized); the big side's salt is a deterministic hash over its
     full row so the same input always lands in the same bucket. Output
     columns match ``big.join(small, on, how)``.
+
+    ``how`` must keep the big side on the preserved side (inner / left /
+    semi / anti): salting replicates the small side, so any join type that
+    emits unmatched small-side rows (right/full outer) would duplicate
+    them ``n_salts`` x and is rejected.
     """
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SALT_SAFE_JOINS
+    }:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side "
+            f"rows would be emitted once per salt replica; use one of "
+            f"{sorted(_SALT_SAFE_JOINS)}"
+        )
     salt_src: list[Column] = [F.col(c) for c in big.columns]
     big_s = big.withColumn("_salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)))
     small_s = small.withColumn(

@@ -34,7 +34,7 @@ from ..bronze import (
     bronze_orders,
     bronze_region,
 )
-from ..constants import AS_OF_DATE, FIXED_BATCH_ID
+from ..constants import AS_OF_DATE, AUDIT_REFINED_AT, FIXED_BATCH_ID
 from ..operators import round_dbl
 from ..oracle_util import with_clause
 
@@ -109,10 +109,10 @@ def silver_customer_orders(
             cnt.alias("total_orders"),
             # Reference keeps the raw SUM (:53); cent-rounding recovers the
             # exact decimal sum regardless of double summation order.
-            F.coalesce(round_dbl(F.sum("o_totalprice"), 2), F.lit(0.0)).alias(
+            F.coalesce(round_dbl(F.sum(F.col("o_totalprice").cast("double")), 2), F.lit(0.0)).alias(
                 "total_revenue"
             ),
-            F.coalesce(round_dbl(F.avg("o_totalprice"), 2), F.lit(0.0)).alias(
+            F.coalesce(round_dbl(F.avg(F.col("o_totalprice").cast("double")), 2), F.lit(0.0)).alias(
                 "avg_order_value"
             ),
             F.min("o_orderdate").alias("first_order_date"),
@@ -183,7 +183,12 @@ def silver_customer_orders(
         .when((r >= 4) & (f_ >= 4), "At Risk")
         .when((r >= 4) & (f_ <= 2), "Cannot Lose Them")
         .otherwise("Others"),
-    ).withColumn("_batch_id", F.lit(batch_id))
+    ).withColumns(
+        {
+            "_refined_at": F.lit(AUDIT_REFINED_AT).cast("timestamp"),
+            "_batch_id": F.lit(batch_id),
+        }
+    )
 
     return segmented.select(
         "customer_key",
@@ -208,6 +213,7 @@ def silver_customer_orders(
         "rfm_frequency_score",
         "rfm_monetary_score",
         "customer_segment",
+        "_refined_at",
         "_batch_id",
     )
 
@@ -235,6 +241,7 @@ _SILVER_CO_CTE = """
                 THEN 'Cannot Lose Them'
             ELSE 'Others'
         END AS customer_segment,
+        TIMESTAMP '{refined_at}' AS _refined_at,
         '{batch_id}' AS _batch_id
     FROM (
         SELECT *,
@@ -250,8 +257,8 @@ _SILVER_CO_CTE = """
                 cg.region_name,
                 cg.account_balance,
                 COUNT(o.o_orderkey) AS total_orders,
-                COALESCE(CAST(ROUND(CAST(SUM(o.o_totalprice) AS DECIMAL(38,6)), 2) AS DOUBLE), CAST(0 AS DOUBLE)) AS total_revenue,
-                COALESCE(CAST(ROUND(CAST(AVG(o.o_totalprice) AS DECIMAL(38,6)), 2) AS DOUBLE), CAST(0 AS DOUBLE)) AS avg_order_value,
+                COALESCE(CAST(ROUND(CAST(SUM(CAST(o.o_totalprice AS DOUBLE)) AS DECIMAL(38,6)), 2) AS DOUBLE), CAST(0 AS DOUBLE)) AS total_revenue,
+                COALESCE(CAST(ROUND(CAST(AVG(CAST(o.o_totalprice AS DOUBLE)) AS DECIMAL(38,6)), 2) AS DOUBLE), CAST(0 AS DOUBLE)) AS avg_order_value,
                 MIN(o.o_orderdate) AS first_order_date,
                 MAX(o.o_orderdate) AS last_order_date,
                 CAST(date_diff('day', MAX(o.o_orderdate), DATE '{as_of}') AS INT) AS days_since_last_order,
@@ -298,7 +305,7 @@ def silver_customer_orders_oracle_ctes(
         "b_orders": bronze["b_orders"],
         "b_nation": bronze["b_nation"],
         "b_region": bronze["b_region"],
-        "s_customer_orders": _SILVER_CO_CTE.format(batch_id=batch_id, as_of=as_of_date),
+        "s_customer_orders": _SILVER_CO_CTE.format(batch_id=batch_id, as_of=as_of_date, refined_at=AUDIT_REFINED_AT),
     }
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..bronze import BRONZE_ORACLE_CTES, bronze_lineitem, bronze_orders, bronze_parts
-from ..constants import FIXED_BATCH_ID, LATE_SHIP_DAYS
+from ..constants import AUDIT_REFINED_AT, FIXED_BATCH_ID, LATE_SHIP_DAYS
 from ..operators import round_dbl
 from ..oracle_util import with_clause
 
@@ -88,16 +88,24 @@ def silver_order_details(
         .drop("p_partkey")
     )
 
-    # Stage 2 — business calculations (refined_order_details.py:58-93)
-    discounted = F.col("extended_price") * (F.lit(1.0) - F.col("discount_pct"))
+    # Stage 2 — business calculations (refined_order_details.py:58-93).
+    # Money arrives as DECIMAL(15,2) from bronze (the reference's storage
+    # type, create_extract_schemas.py:74-77); computation runs on the
+    # portable double+cent-round grid — operands are cast to double at the
+    # arithmetic boundary in BOTH engines, keeping numeric results
+    # identical to the all-double contract (lossless: source money is 2dp).
+    ext_d = F.col("extended_price").cast("double")
+    disc_d = F.col("discount_pct").cast("double")
+    tax_d = F.col("tax_pct").cast("double")
+    discounted = ext_d * (F.lit(1.0) - disc_d)
     calculated = joined.withColumns(
         {
             "unit_price": round_dbl(
-                F.col("extended_price") / F.nullif(F.col("quantity"), F.lit(0.0)), 2
+                ext_d / F.nullif(F.col("quantity").cast("double"), F.lit(0.0)), 2
             ),
             "net_revenue": round_dbl(discounted, 2),
-            "tax_amount": round_dbl(discounted * F.col("tax_pct"), 2),
-            "total_charge": round_dbl(discounted * (F.lit(1.0) + F.col("tax_pct")), 2),
+            "tax_amount": round_dbl(discounted * tax_d, 2),
+            "total_charge": round_dbl(discounted * (F.lit(1.0) + tax_d), 2),
             "shipping_delay_days": F.datediff(F.col("ship_date"), F.col("order_date")),
             "order_year": F.year("order_date"),
             "order_month": F.month("order_date"),
@@ -116,7 +124,14 @@ def silver_order_details(
         (F.col("quantity") > 0)
         & (F.col("extended_price") > 0)
         & (F.col("net_revenue") >= 0)
-    ).withColumn("_batch_id", F.lit(batch_id))
+    ).withColumns(
+        {
+            # pinned audit stamp (reference _refined_at,
+            # create_refined_schemas.py:54) — see constants.AUDIT_REFINED_AT
+            "_refined_at": F.lit(AUDIT_REFINED_AT).cast("timestamp"),
+            "_batch_id": F.lit(batch_id),
+        }
+    )
 
     return gated.select(
         "order_key",
@@ -145,6 +160,7 @@ def silver_order_details(
         "order_year",
         "order_month",
         "order_quarter",
+        "_refined_at",
         "_batch_id",
     )
 
@@ -157,7 +173,7 @@ _SILVER_OD_CTE = """
         quantity, unit_price, extended_price, discount_pct, tax_pct,
         net_revenue, tax_amount, total_charge,
         ship_date, shipping_delay_days, is_late_shipment, return_flag,
-        order_year, order_month, order_quarter, _batch_id
+        order_year, order_month, order_quarter, _refined_at, _batch_id
     FROM (
         SELECT
             o.o_orderkey AS order_key,
@@ -172,13 +188,13 @@ _SILVER_OD_CTE = """
             p.p_brand AS part_brand,
             p.p_type AS part_type,
             li.l_quantity AS quantity,
-            CAST(ROUND(CAST(li.l_extendedprice / NULLIF(li.l_quantity, 0) AS DECIMAL(38,6)), 2) AS DOUBLE) AS unit_price,
+            CAST(ROUND(CAST(CAST(li.l_extendedprice AS DOUBLE) / NULLIF(CAST(li.l_quantity AS DOUBLE), 0) AS DECIMAL(38,6)), 2) AS DOUBLE) AS unit_price,
             li.l_extendedprice AS extended_price,
             li.l_discount AS discount_pct,
             li.l_tax AS tax_pct,
-            CAST(ROUND(CAST(li.l_extendedprice * (1.0 - li.l_discount) AS DECIMAL(38,6)), 2) AS DOUBLE) AS net_revenue,
-            CAST(ROUND(CAST(li.l_extendedprice * (1.0 - li.l_discount) * li.l_tax AS DECIMAL(38,6)), 2) AS DOUBLE) AS tax_amount,
-            CAST(ROUND(CAST(li.l_extendedprice * (1.0 - li.l_discount) * (1.0 + li.l_tax) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_charge,
+            CAST(ROUND(CAST(CAST(li.l_extendedprice AS DOUBLE) * (1.0 - CAST(li.l_discount AS DOUBLE)) AS DECIMAL(38,6)), 2) AS DOUBLE) AS net_revenue,
+            CAST(ROUND(CAST(CAST(li.l_extendedprice AS DOUBLE) * (1.0 - CAST(li.l_discount AS DOUBLE)) * CAST(li.l_tax AS DOUBLE) AS DECIMAL(38,6)), 2) AS DOUBLE) AS tax_amount,
+            CAST(ROUND(CAST(CAST(li.l_extendedprice AS DOUBLE) * (1.0 - CAST(li.l_discount AS DOUBLE)) * (1.0 + CAST(li.l_tax AS DOUBLE)) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_charge,
             li.l_shipdate AS ship_date,
             CAST(date_diff('day', o.o_orderdate, li.l_shipdate) AS INT) AS shipping_delay_days,
             CAST(date_diff('day', o.o_orderdate, li.l_shipdate) AS INT) > {late_days} AS is_late_shipment,
@@ -186,6 +202,7 @@ _SILVER_OD_CTE = """
             CAST(year(o.o_orderdate) AS INT) AS order_year,
             CAST(month(o.o_orderdate) AS INT) AS order_month,
             CAST(quarter(o.o_orderdate) AS INT) AS order_quarter,
+            TIMESTAMP '{refined_at}' AS _refined_at,
             '{batch_id}' AS _batch_id
         FROM b_orders o
         INNER JOIN b_lineitem li ON o.o_orderkey = li.l_orderkey
@@ -201,7 +218,7 @@ def silver_order_details_oracle_ctes(batch_id: str = FIXED_BATCH_ID) -> dict[str
         "b_lineitem": bronze["b_lineitem"],
         "b_parts": bronze["b_parts"],
         "s_order_details": _SILVER_OD_CTE.format(
-            late_days=LATE_SHIP_DAYS, batch_id=batch_id
+            late_days=LATE_SHIP_DAYS, batch_id=batch_id, refined_at=AUDIT_REFINED_AT
         ),
     }
 

@@ -31,7 +31,7 @@ from ..bronze import (
     bronze_region,
     bronze_suppliers,
 )
-from ..constants import FIXED_BATCH_ID
+from ..constants import AUDIT_REFINED_AT, FIXED_BATCH_ID
 from ..operators import round_dbl
 from ..oracle_util import with_clause
 
@@ -108,10 +108,17 @@ def silver_supplier_parts(
     # Stage 2 — margin metrics (:51-61)
     margin = joined.withColumns(
         {
-            "cost_margin": round_dbl(F.col("retail_price") - F.col("supply_cost"), 2),
+            "cost_margin": round_dbl(
+                F.col("retail_price").cast("double")
+                - F.col("supply_cost").cast("double"),
+                2,
+            ),
             "margin_pct": round_dbl(
-                (F.col("retail_price") - F.col("supply_cost"))
-                / F.nullif(F.col("retail_price"), F.lit(0.0)),
+                (
+                    F.col("retail_price").cast("double")
+                    - F.col("supply_cost").cast("double")
+                )
+                / F.nullif(F.col("retail_price").cast("double"), F.lit(0.0)),
                 4,
             ),
         }
@@ -127,14 +134,24 @@ def silver_supplier_parts(
     ).withColumns(
         {
             "is_cheapest_in_region": F.col("cost_rank_in_region") == 1,
-            "avg_region_cost": round_dbl(F.avg("supply_cost").over(w_avg), 2),
+            "avg_region_cost": round_dbl(
+                F.avg(F.col("supply_cost").cast("double")).over(w_avg), 2
+            ),
             "cost_vs_region_avg": round_dbl(
-                F.col("supply_cost")
-                / F.nullif(F.avg("supply_cost").over(w_avg), F.lit(0.0)),
+                F.col("supply_cost").cast("double")
+                / F.nullif(
+                    F.avg(F.col("supply_cost").cast("double")).over(w_avg),
+                    F.lit(0.0),
+                ),
                 4,
             ),
         }
-    ).withColumn("_batch_id", F.lit(batch_id))
+    ).withColumns(
+        {
+            "_refined_at": F.lit(AUDIT_REFINED_AT).cast("timestamp"),
+            "_batch_id": F.lit(batch_id),
+        }
+    )
 
     return final.select(
         "supplier_key",
@@ -156,6 +173,7 @@ def silver_supplier_parts(
         "is_cheapest_in_region",
         "avg_region_cost",
         "cost_vs_region_avg",
+        "_refined_at",
         "_batch_id",
     )
 
@@ -172,8 +190,9 @@ _SILVER_SP_CTE = """
         DENSE_RANK() OVER (
             PARTITION BY supplier_region, part_type ORDER BY supply_cost ASC
         ) = 1 AS is_cheapest_in_region,
-        CAST(ROUND(CAST(AVG(supply_cost) OVER (PARTITION BY supplier_region, part_type) AS DECIMAL(38,6)), 2) AS DOUBLE) AS avg_region_cost,
-        CAST(ROUND(CAST(supply_cost / NULLIF(AVG(supply_cost) OVER (PARTITION BY supplier_region, part_type), 0) AS DECIMAL(38,8)), 4) AS DOUBLE) AS cost_vs_region_avg,
+        CAST(ROUND(CAST(AVG(CAST(supply_cost AS DOUBLE)) OVER (PARTITION BY supplier_region, part_type) AS DECIMAL(38,6)), 2) AS DOUBLE) AS avg_region_cost,
+        CAST(ROUND(CAST(CAST(supply_cost AS DOUBLE) / NULLIF(AVG(CAST(supply_cost AS DOUBLE)) OVER (PARTITION BY supplier_region, part_type), 0) AS DECIMAL(38,8)), 4) AS DOUBLE) AS cost_vs_region_avg,
+        TIMESTAMP '{refined_at}' AS _refined_at,
         '{batch_id}' AS _batch_id
     FROM (
         SELECT
@@ -190,8 +209,8 @@ _SILVER_SP_CTE = """
             p.p_retailprice AS retail_price,
             ps.ps_supplycost AS supply_cost,
             ps.ps_availqty AS available_qty,
-            CAST(ROUND(CAST(p.p_retailprice - ps.ps_supplycost AS DECIMAL(38,6)), 2) AS DOUBLE) AS cost_margin,
-            CAST(ROUND(CAST((p.p_retailprice - ps.ps_supplycost) / NULLIF(p.p_retailprice, 0) AS DECIMAL(38,8)), 4) AS DOUBLE) AS margin_pct
+            CAST(ROUND(CAST(CAST(p.p_retailprice AS DOUBLE) - CAST(ps.ps_supplycost AS DOUBLE) AS DECIMAL(38,6)), 2) AS DOUBLE) AS cost_margin,
+            CAST(ROUND(CAST((CAST(p.p_retailprice AS DOUBLE) - CAST(ps.ps_supplycost AS DOUBLE)) / NULLIF(CAST(p.p_retailprice AS DOUBLE), 0) AS DECIMAL(38,8)), 4) AS DOUBLE) AS margin_pct
         FROM b_suppliers s
         INNER JOIN b_partsupp ps ON s.s_suppkey = ps.ps_suppkey
         INNER JOIN b_parts p ON ps.ps_partkey = p.p_partkey
@@ -209,7 +228,7 @@ def silver_supplier_parts_oracle_ctes(batch_id: str = FIXED_BATCH_ID) -> dict[st
         "b_suppliers": bronze["b_suppliers"],
         "b_nation": bronze["b_nation"],
         "b_region": bronze["b_region"],
-        "s_supplier_parts": _SILVER_SP_CTE.format(batch_id=batch_id),
+        "s_supplier_parts": _SILVER_SP_CTE.format(batch_id=batch_id, refined_at=AUDIT_REFINED_AT),
     }
 
 

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from databricks_incremental_lakehouse_spark.operators import (
     dedup_latest,
+    round_dbl,
     salted_count_distinct,
     salted_join,
 )
@@ -75,3 +76,61 @@ def test_dedup_latest_property(spark, rows):
     assert len(out) == len(by_key)
     for r in out:
         assert (r.v, r.p) == min(by_key[r.k])
+
+
+def test_cent_grid_faithfully_represents_decimal_money(spark):
+    """The double+cent-round compute contract vs the reference's DECIMAL
+    storage types: DECIMAL(15,2) -> double -> portable cent-grid round
+    -> DECIMAL(15,2) is lossless across the full money range (13 integer
+    digits; cents stay below 2^53 so the double grid is exact). This is
+    the property that lets bronze carry the reference's DECIMAL(15,2)
+    columns while silver/gold arithmetic stays on the portable double
+    grid with identical results."""
+    import random
+    from decimal import Decimal
+
+    rng = random.Random(42)
+    vals = [Decimal(rng.randrange(-10**15, 10**15)) / 100 for _ in range(5000)]
+    vals += [Decimal("0.005"), Decimal("-0.005"), Decimal("0.01"),
+             Decimal("9999999999999.99"), Decimal("-9999999999999.99")]
+    df = spark.createDataFrame([(str(v),) for v in vals], "s string").select(
+        F.col("s").cast("decimal(15,2)").alias("d")
+    )
+    bad = (
+        df.select(
+            "d",
+            round_dbl(F.col("d").cast("double"), 2)
+            .cast("decimal(15,2)")
+            .alias("r"),
+        )
+        .filter(F.col("r") != F.col("d"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_salted_join_left_outer_matches_naive(spark):
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k int, payload string"
+    )
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k int, dim string")
+    got = sorted(
+        (r.k, r.payload, r.dim)
+        for r in salted_join(big, small, ["k"], how="left").collect()
+    )
+    want = sorted(
+        (r.k, r.payload, r.dim) for r in big.join(small, ["k"], "left").collect()
+    )
+    assert got == want
+
+
+def test_salted_join_rejects_small_side_preserving_types(spark):
+    """right/full outer would duplicate unmatched small rows per salt
+    replica — the API must refuse instead of corrupting."""
+    big = spark.createDataFrame([(1, "a")], "k int, payload string")
+    small = spark.createDataFrame([(1, "x"), (9, "z")], "k int, dim string")
+    import pytest as _pytest
+
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with _pytest.raises(ValueError, match="salt replica"):
+            salted_join(big, small, ["k"], how=how)
