@@ -114,6 +114,7 @@ def main() -> None:
     ext = [
         "dedup_exact",
         "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard_capped",
         "dedup_minhash_lsh",
         "dedup_simhash_pairs",
         "sim_topk_bruteforce",
@@ -127,6 +128,7 @@ def main() -> None:
         "events_sliding_windows",
         "events_session_windows",
         "events_deduped",
+        "incr_monthly_trends_refresh",
     ]
     for name in ext:
         t0 = time.time()
