@@ -30,6 +30,10 @@ AS_OF_DATE = "2001-12-31"
 AUDIT_INGESTED_AT = "2001-12-31 00:00:00"
 AUDIT_REFINED_AT = "2001-12-31 00:00:00"
 
+# Pinned "now" for the deterministic freshness check (10 h after the audit
+# stamps — inside the 25 h SLO). The pipeline path uses real wall-clock.
+QC_AS_OF_NOW = "2001-12-31 10:00:00"
+
 # The test data lacks l_commitdate/l_receiptdate (FIXTURES.md), so the
 # reference's ``is_late_shipment := ship_date > commit_date``
 # (refined_order_details.py:86) is adapted to

@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 import time
 from dataclasses import dataclass, field
 
@@ -98,19 +99,66 @@ def write_table(
     w.parquet(path)
 
 
-def _run_stage(results: dict, name: str, fn) -> dict:
-    """Timing + status capture (run_sales_analytics.py:45-60)."""
+def _run_stage(
+    results: dict, name: str, fn, max_retries: int = 0, retry_delay: float = 0.0
+) -> dict:
+    """Timing + status capture (run_sales_analytics.py:45-60), with the
+    config's ``max_retries``/``retry_delay_seconds`` honored (the reference
+    declares both in configs/*.json but never wires them up — here a
+    transient stage failure is retried before the gate sees it)."""
     start = time.time()
-    try:
-        fn()
-        results[name] = {"status": "SUCCESS", "elapsed": time.time() - start}
-    except Exception as exc:  # noqa: BLE001 — stage gate decides fate
-        results[name] = {
-            "status": "FAILED",
-            "elapsed": time.time() - start,
-            "error": str(exc),
-        }
+    attempts = 0
+    while True:
+        try:
+            fn()
+            results[name] = {
+                "status": "SUCCESS",
+                "elapsed": time.time() - start,
+                "attempts": attempts + 1,
+            }
+            break
+        except Exception as exc:  # noqa: BLE001 — stage gate decides fate
+            attempts += 1
+            if attempts > max_retries:
+                results[name] = {
+                    "status": "FAILED",
+                    "elapsed": time.time() - start,
+                    "attempts": attempts,
+                    "error": str(exc),
+                }
+                break
+            if retry_delay:
+                time.sleep(retry_delay)
     return results[name]
+
+
+def format_run_summary(
+    pipeline_name: str, results: dict, env: str = "dev", run_id: str = ""
+) -> str:
+    """Formatted pipeline summary (run_sales_analytics.py:146-160) as a
+    string — the reference prints it; callers here log or print it."""
+    total = sum(r.get("elapsed", 0.0) for r in results.values())
+    failed = {k: v for k, v in results.items() if v["status"] == "FAILED"}
+    lines = [
+        "=" * 65,
+        f"  PIPELINE SUMMARY: {pipeline_name}",
+        "=" * 65,
+        f"  Run ID:   {run_id}",
+        f"  Env:      {env}",
+        f"  Duration: {round(total, 2)}s",
+        "─" * 65,
+        f"  {'Stage':<35} {'Status':<10} {'Time':<10}",
+        "─" * 65,
+    ]
+    for stage, res in results.items():
+        icon = "OK" if res["status"] == "SUCCESS" else "FAIL"
+        lines.append(f"  {stage:<35} {icon:<10} {round(res['elapsed'], 3)}s")
+    lines += [
+        "─" * 65,
+        f"  Result: {'SUCCESS' if not failed else f'FAILED ({len(failed)} failures)'}",
+        "=" * 65,
+    ]
+    return "\n".join(lines)
 
 
 def _gate(results: dict, stages: list[str], label: str) -> None:
@@ -145,17 +193,19 @@ def run_sales_analytics(
     """Sales DAG (run_sales_analytics.py:69-134): nation/region first (needed
     by downstream joins), dims, facts, refined, views, QC."""
     results: dict = {}
+    retries = int(cfg.settings.get("max_retries", 0))
+    delay = float(cfg.settings.get("retry_delay_seconds", 0))
     if os.path.isdir(cfg.warehouse_dir):
         shutil.rmtree(cfg.warehouse_dir)
 
     for t in ("nation", "region"):
-        _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t))
+        _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t), retries, delay)
     _gate(results, ["ext_nation", "ext_region"], "geo extracts")
 
     for t in ("customers", "suppliers", "parts"):
-        _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t))
+        _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t), retries, delay)
     for t in ("orders", "lineitem"):
-        _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t))
+        _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t), retries, delay)
     # critical facts gate (run_sales_analytics.py:98-100)
     _gate(results, ["ext_orders", "ext_lineitem"], "critical extracts")
 
@@ -171,7 +221,7 @@ def run_sales_analytics(
         )
         write_table(_stamp(df, "_ingested_at"), cfg.table_path("extract", "partsupp"))
 
-    _run_stage(results, "ext_partsupp", _partsupp)
+    _run_stage(results, "ext_partsupp", _partsupp, retries, delay)
 
     def _od():
         df = silver_order_details(
@@ -201,8 +251,8 @@ def run_sales_analytics(
         )
         write_table(_stamp(df, "_refined_at"), cfg.table_path("refined", "customer_orders"))
 
-    _run_stage(results, "ref_order_details", _od)
-    _run_stage(results, "ref_customer_orders", _co)
+    _run_stage(results, "ref_order_details", _od, retries, delay)
+    _run_stage(results, "ref_customer_orders", _co, retries, delay)
     _gate(results, ["ref_order_details", "ref_customer_orders"], "refined models")
 
     od = _read(spark, cfg, "refined", "order_details")
@@ -224,7 +274,7 @@ def run_sales_analytics(
         ),
     }
     for name, fn in views.items():
-        _run_stage(results, name, fn)
+        _run_stage(results, name, fn, retries, delay)
 
     # QC reads the materialized warehouse (reference data_quality_checks
     # reads catalog tables), not re-derived layers; supplier_parts belongs
@@ -237,14 +287,17 @@ def run_sales_analytics(
     qc_src["silver.supplier_parts"] = (
         spark.read.parquet(sp_path) if os.path.isdir(sp_path) else None
     )
-    _run_stage(
-        results,
+    _run_stage(results,
         "quality_checks",
         lambda: run_all_checks(
             spark, cfg.sf_dir, raise_on_fail=quality_raises, sources=qc_src
         ),
     )
 
+    print(
+        format_run_summary("sales_analytics", results, env=cfg.env),
+        file=sys.stderr,
+    )
     failed = {k: v for k, v in results.items() if v["status"] != "SUCCESS"}
     if failed:
         raise RuntimeError(f"sales pipeline completed with failures: {failed}")
@@ -258,10 +311,12 @@ def run_supplier_analytics(
     extracts exist (run after or alongside the sales DAG, as the reference
     schedules weekly after daily sales runs)."""
     results: dict = {}
+    retries = int(cfg.settings.get("max_retries", 0))
+    delay = float(cfg.settings.get("retry_delay_seconds", 0))
     needed = ["orders", "lineitem", "suppliers", "parts", "partsupp", "nation", "region"]
     for t in needed:
         if not os.path.isdir(cfg.table_path("extract", t)):
-            _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t))
+            _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t), retries, delay)
     _gate(
         results,
         [k for k in results if k.startswith("ext_")],
@@ -281,7 +336,7 @@ def run_supplier_analytics(
         )
         write_table(_stamp(df, "_refined_at"), cfg.table_path("refined", "supplier_parts"))
 
-    _run_stage(results, "ref_supplier_parts", _sp)
+    _run_stage(results, "ref_supplier_parts", _sp, retries, delay)
     _gate(results, ["ref_supplier_parts"], "refined supplier parts")
 
     def _vw():
@@ -294,8 +349,12 @@ def run_supplier_analytics(
             cfg.table_path("views", "vw_supplier_performance"),
         )
 
-    _run_stage(results, "vw_supplier_performance", _vw)
+    _run_stage(results, "vw_supplier_performance", _vw, retries, delay)
 
+    print(
+        format_run_summary("supplier_analytics", results, env=cfg.env),
+        file=sys.stderr,
+    )
     failed = {k: v for k, v in results.items() if v["status"] != "SUCCESS"}
     if failed:
         raise RuntimeError(f"supplier pipeline completed with failures: {failed}")

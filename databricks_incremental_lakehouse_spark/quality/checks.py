@@ -330,30 +330,34 @@ FRESHNESS_SLO_HOURS = 25  # data_quality_checks.py:125
 
 
 def qc_freshness(
-    spark: SparkSession, sf_dir: str, sources: dict[str, DataFrame] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    sources: dict[str, DataFrame] | None = None,
+    now: str | None = None,
 ) -> DataFrame:
     """Freshness — seconds since ``max(_ingested_at)`` / ``max(_refined_at)``
     within the 25-hour SLO (data_quality_checks.py:123-140).
 
-    Over materialized warehouse tables (pipeline path) this is the real
-    check. The self-contained driver-contract path carries no wall-clock
-    audit stamp (deterministic plans — FIXTURES.md), so tables missing the
-    column are stamped now and are trivially fresh; registered rows-only
-    since the lag value is nondeterministic by nature.
-    """
+    Over materialized warehouse tables (pipeline path, ``now=None`` ->
+    wall-clock) this is the real check. The driver-contract path pins
+    ``now=QC_AS_OF_NOW`` against the pinned audit stamps, making the lag
+    deterministic and oracle-checkable — the same pinning pattern as
+    AS_OF_DATE recency math."""
     src = qc_sources(spark, sf_dir, sources)
+    now_expr = (
+        F.current_timestamp() if now is None else F.lit(now).cast("timestamp")
+    )
     units = []
     for name, df in src.items():
         if df is None:
             continue
         ts_col = "_ingested_at" if name.startswith("bronze.") else "_refined_at"
         if ts_col not in df.columns:
-            df = df.withColumn(ts_col, F.current_timestamp())
+            df = df.withColumn(ts_col, now_expr)
         units.append(
             df.agg(
                 (
-                    F.unix_timestamp(F.current_timestamp())
-                    - F.unix_timestamp(F.max(ts_col))
+                    F.unix_timestamp(now_expr) - F.unix_timestamp(F.max(ts_col))
                 ).alias("value")
             ).select(
                 F.lit("Freshness").alias("check_type"),
@@ -364,6 +368,37 @@ def qc_freshness(
     return _status(
         reduce(DataFrame.unionAll, units),
         F.col("value") <= FRESHNESS_SLO_HOURS * 3600,
+    )
+
+
+def qc_freshness_oracle_sql() -> str:
+    from ..constants import QC_AS_OF_NOW
+
+    ctes = silver_order_details_oracle_ctes()
+    ctes.update(silver_customer_orders_oracle_ctes())
+    ctes.update(silver_supplier_parts_oracle_ctes())
+    for name, cte in BRONZE_ORACLE_CTES().items():
+        ctes.setdefault(name, cte)
+    now = f"TIMESTAMP '{QC_AS_OF_NOW}'"
+    units = [
+        f"SELECT 'Freshness' AS check_type, 'bronze.{t}' AS check_name, "
+        f"CAST(epoch({now}) - epoch(MAX(_ingested_at)) AS BIGINT) AS value FROM b_{t}"
+        for t in (
+            "orders", "customers", "lineitem", "suppliers", "parts",
+            "partsupp", "nation", "region",
+        )
+    ] + [
+        f"SELECT 'Freshness', 'silver.{t}', "
+        f"CAST(epoch({now}) - epoch(MAX(_refined_at)) AS BIGINT) FROM s_{t}"
+        for t in ("order_details", "customer_orders", "supplier_parts")
+    ]
+    body = " UNION ALL ".join(units)
+    return with_clause(
+        ctes,
+        f"""SELECT check_type, check_name, value,
+               CASE WHEN value <= {FRESHNESS_SLO_HOURS * 3600}
+                    THEN 'PASS' ELSE 'FAIL' END AS status
+           FROM ({body})""",
     )
 
 
@@ -408,4 +443,10 @@ def register_all(register) -> None:
         qc_referential_integrity_oracle_sql(),
     )
     register("qc_business_rules", qc_business_rules, qc_business_rules_oracle_sql())
-    register("qc_freshness", qc_freshness)  # rows-only: wall-clock lag
+    from ..constants import QC_AS_OF_NOW
+
+    register(
+        "qc_freshness",
+        lambda spark, sf_dir: qc_freshness(spark, sf_dir, now=QC_AS_OF_NOW),
+        qc_freshness_oracle_sql(),
+    )

@@ -45,3 +45,39 @@ def test_both_pipelines_end_to_end(spark, sf_smoke, tmp_path):
     assert n_sql == spark.read.parquet(od_dir).count() and n_sql > 0
     # idempotent re-registration
     assert len(register_warehouse(spark, cfg)) == 15
+
+
+def test_stage_retry_and_run_summary():
+    """max_retries/retry_delay_seconds from the config are honored (the
+    reference declares but never wires them), and the formatted summary
+    mirrors run_sales_analytics.py:146-160."""
+    from databricks_incremental_lakehouse_spark.pipelines.runner import (
+        _run_stage,
+        format_run_summary,
+    )
+
+    results = {}
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+
+    _run_stage(results, "flaky_stage", flaky, max_retries=3, retry_delay=0)
+    assert results["flaky_stage"]["status"] == "SUCCESS"
+    assert results["flaky_stage"]["attempts"] == 3
+
+    def always_fails():
+        raise RuntimeError("boom")
+
+    _run_stage(results, "bad_stage", always_fails, max_retries=1, retry_delay=0)
+    assert results["bad_stage"]["status"] == "FAILED"
+    assert results["bad_stage"]["attempts"] == 2
+    assert "boom" in results["bad_stage"]["error"]
+
+    out = format_run_summary("sales_analytics", results, env="dev")
+    assert "PIPELINE SUMMARY: sales_analytics" in out
+    assert "flaky_stage" in out and "OK" in out
+    assert "bad_stage" in out and "FAIL" in out
+    assert "FAILED (1 failures)" in out
