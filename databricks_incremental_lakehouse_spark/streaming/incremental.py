@@ -273,9 +273,14 @@ def merge_upsert(
             kept = current.join(scope.select(*bucket_keys), bucket_keys, "left_anti")
         merged = kept.unionByName(updates)
 
-    merged.write.mode("overwrite").partitionBy(
-        *partition_cols, BUCKET_COL
-    ).parquet(staging)
+    # cluster rows by their destination dir before the write: each
+    # (partition..., bucket) dir then receives one file from one task
+    # instead of a sliver from every shuffle partition — file count stays
+    # O(dirs), not O(dirs x shuffle_partitions). At 100 TB the same shuffle
+    # is what Delta's optimizeWrite performs.
+    merged.repartition(*partition_cols, BUCKET_COL).write.mode(
+        "overwrite"
+    ).partitionBy(*partition_cols, BUCKET_COL).parquet(staging)
     # swap exactly the partition dirs the write produced (not the pre-write
     # collect, whose lineage is recomputed by the write and could diverge
     # under a nondeterministic source)
