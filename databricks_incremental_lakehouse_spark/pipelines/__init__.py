@@ -1,4 +1,4 @@
-from .catalog import database_name, register_warehouse
+from .catalog import create_gold_views, database_name, register_warehouse
 from .runner import (
     LakehouseConfig,
     run_sales_analytics,
@@ -10,5 +10,6 @@ __all__ = [
     "run_sales_analytics",
     "run_supplier_analytics",
     "register_warehouse",
+    "create_gold_views",
     "database_name",
 ]

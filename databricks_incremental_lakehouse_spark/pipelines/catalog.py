@@ -100,3 +100,49 @@ def register_warehouse(
                 spark.sql(f"MSCK REPAIR TABLE {fq}")
             registered.append(fq)
     return registered
+
+
+def create_gold_views(spark: SparkSession, cfg: LakehouseConfig) -> list[str]:
+    """Register the four gold models as NON-materialized views over the
+    materialized silver tables — the reference's actual gold shape
+    (``CREATE OR REPLACE VIEW`` — vw_revenue_by_region.py:20-23), while the
+    pipeline additionally materializes them for BI latency.
+
+    The views are session-scoped temp views built from the same lazy
+    DataFrame programs the pipeline materializes; querying one recomputes
+    from current silver state (a view's semantics), writing nothing.
+    Returns the registered view names.
+    """
+    from ..gold import (
+        vw_customer_lifetime_value,
+        vw_monthly_sales_trends,
+        vw_revenue_by_region,
+        vw_supplier_performance,
+    )
+
+    od = spark.read.parquet(cfg.table_path("refined", "order_details"))
+    co = spark.read.parquet(cfg.table_path("refined", "customer_orders"))
+    views = {
+        "vw_revenue_by_region": vw_revenue_by_region(
+            spark, cfg.sf_dir, order_details=od, customer_orders=co
+        ),
+        "vw_customer_lifetime_value": vw_customer_lifetime_value(
+            spark, cfg.sf_dir, order_details=od, customer_orders=co
+        ),
+        "vw_monthly_sales_trends": vw_monthly_sales_trends(
+            spark, cfg.sf_dir, order_details=od
+        ),
+    }
+    import os
+
+    sp_path = cfg.table_path("refined", "supplier_parts")
+    if os.path.isdir(sp_path):
+        views["vw_supplier_performance"] = vw_supplier_performance(
+            spark,
+            cfg.sf_dir,
+            supplier_parts=spark.read.parquet(sp_path),
+            order_details=od,
+        )
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    return sorted(views)

@@ -4,6 +4,7 @@ import os
 
 from databricks_incremental_lakehouse_spark.pipelines import (
     LakehouseConfig,
+    create_gold_views,
     database_name,
     register_warehouse,
     run_sales_analytics,
@@ -45,6 +46,18 @@ def test_both_pipelines_end_to_end(spark, sf_smoke, tmp_path):
     assert n_sql == spark.read.parquet(od_dir).count() and n_sql > 0
     # idempotent re-registration
     assert len(register_warehouse(spark, cfg)) == 15
+
+    # reference-shaped NON-materialized gold views (CREATE OR REPLACE VIEW,
+    # vw_revenue_by_region.py:20-23): recompute lazily from silver, match
+    # the materialized snapshot, and write nothing
+    view_names = create_gold_views(spark, cfg)
+    assert "vw_monthly_sales_trends" in view_names
+    live = spark.sql("SELECT * FROM vw_monthly_sales_trends")
+    mat = spark.read.parquet(views).drop("_refined_at")
+    assert live.count() == mat.count()
+    assert sorted(c for c in live.columns) == sorted(
+        c for c in mat.columns if c != "_refined_at"
+    )
 
 
 def test_stage_retry_and_run_summary():
