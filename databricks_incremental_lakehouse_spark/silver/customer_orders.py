@@ -39,25 +39,22 @@ from ..operators import round_dbl
 from ..oracle_util import with_clause
 
 
-def silver_customer_orders(
-    spark: SparkSession,
-    sf_dir: str,
-    batch_id: str = FIXED_BATCH_ID,
+def customer_orders_base(
+    customers: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
     as_of_date: str = AS_OF_DATE,
-    customers: DataFrame | None = None,
-    orders: DataFrame | None = None,
-    nation: DataFrame | None = None,
-    region: DataFrame | None = None,
 ) -> DataFrame:
-    if customers is None:
-        customers = bronze_customers(spark, sf_dir, batch_id)
-    if orders is None:
-        orders = bronze_orders(spark, sf_dir, batch_id)
-    if nation is None:
-        nation = bronze_nation(spark, sf_dir, batch_id)
-    if region is None:
-        region = bronze_region(spark, sf_dir, batch_id)
+    """Customer-grain base: geo join + per-customer order aggregation
+    (refined_customer_orders.py:24-87), INCLUDING zero-order customers.
 
+    Split out so the incremental refresh path can maintain it per changed
+    customer (scope-replace on ``customer_key``) while
+    :func:`rfm_segmentation` — the global-quintile window layer that any
+    customer's change can shift — recomputes over the customer-grain base
+    (O(customers), not O(orders); the same single-partition-over-aggregates
+    trade-off the reference makes)."""
     # Stage 1 — geography (refined_customer_orders.py:24-41); nation/region
     # are tiny -> explicit broadcast keeps the plan shuffle-free here.
     customers_geo = (
@@ -147,7 +144,12 @@ def silver_customer_orders(
             ),
         )
     )
+    return agg
 
+
+def rfm_segmentation(agg: DataFrame, batch_id: str = FIXED_BATCH_ID) -> DataFrame:
+    """RFM quintiles + segmentation over the customer-grain base
+    (refined_customer_orders.py:90-145)."""
     # Stage 3 — RFM quintiles over customers with orders (:90-101);
     # customer_key appended for tie determinism (module docstring).
     with_orders = agg.filter(F.col("total_orders") > 0)
@@ -215,6 +217,30 @@ def silver_customer_orders(
         "customer_segment",
         "_refined_at",
         "_batch_id",
+    )
+
+
+def silver_customer_orders(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_id: str = FIXED_BATCH_ID,
+    as_of_date: str = AS_OF_DATE,
+    customers: DataFrame | None = None,
+    orders: DataFrame | None = None,
+    nation: DataFrame | None = None,
+    region: DataFrame | None = None,
+) -> DataFrame:
+    if customers is None:
+        customers = bronze_customers(spark, sf_dir, batch_id)
+    if orders is None:
+        orders = bronze_orders(spark, sf_dir, batch_id)
+    if nation is None:
+        nation = bronze_nation(spark, sf_dir, batch_id)
+    if region is None:
+        region = bronze_region(spark, sf_dir, batch_id)
+    return rfm_segmentation(
+        customer_orders_base(customers, orders, nation, region, as_of_date),
+        batch_id,
     )
 
 

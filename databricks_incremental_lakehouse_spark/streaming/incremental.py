@@ -173,6 +173,7 @@ def merge_upsert(
     scope: DataFrame | None = None,
     partition_cols: Sequence[str] = (),
     partition_scope: dict[str, Sequence] | None = None,
+    deletes: DataFrame | None = None,
 ) -> None:
     """Upsert ``updates`` into the bucketed parquet table at ``target_path``.
 
@@ -184,7 +185,11 @@ def merge_upsert(
     whose ``bucket_keys`` match a scope row is replaced wholesale by the
     rows in ``updates`` (which may be none — a scoped delete). That is the
     changed-key refresh contract: the caller supplies the COMPLETE new
-    image of each scoped key.
+    image of each scoped key. ``deletes`` adds ``WHEN MATCHED THEN DELETE``:
+    a DataFrame of full-key rows to drop exactly (needed e.g. when an
+    entity's bucket key changes — the old image lives in a bucket the new
+    image does not touch). Together the three paths cover the whole Delta
+    MERGE surface.
 
     Layout: rows land in ``<partition_cols...>/_kb=pmod(xxhash64(
     bucket_keys), num_buckets)`` dirs. ``bucket_keys`` (default ``keys``)
@@ -243,6 +248,12 @@ def merge_upsert(
             .distinct()
             .withColumn(BUCKET_COL, _key_bucket(bucket_keys, num_buckets))
         )
+    if deletes is not None:
+        deletes = (
+            deletes.select(*keys)
+            .distinct()
+            .withColumn(BUCKET_COL, _key_bucket(bucket_keys, num_buckets))
+        )
     staging = target_path.rstrip("/") + "._staging"
     shutil.rmtree(staging, ignore_errors=True)
     levels = len(partition_cols) + 1
@@ -254,6 +265,8 @@ def merge_upsert(
         tsrc = updates.select(BUCKET_COL)
         if scope is not None:
             tsrc = tsrc.unionByName(scope.select(BUCKET_COL))
+        if deletes is not None:
+            tsrc = tsrc.unionByName(deletes.select(BUCKET_COL))
         touched = {r[0] for r in tsrc.distinct().collect()}
         if not touched:  # empty micro-batch: nothing to merge
             return
@@ -271,6 +284,8 @@ def merge_upsert(
             kept = current.join(updates.select(*keys), list(keys), "left_anti")
         else:
             kept = current.join(scope.select(*bucket_keys), bucket_keys, "left_anti")
+        if deletes is not None:
+            kept = kept.join(deletes.select(*keys), list(keys), "left_anti")
         merged = kept.unionByName(updates)
 
     # cluster rows by their destination dir before the write: each

@@ -120,6 +120,84 @@ def test_lineitem_update_refreshes_its_order(spark, sf_smoke, warehouse):
     assert after_rows != before_rows
 
 
+def test_customer_orders_refresh_matches_batch_rebuild(
+    spark, sf_smoke, warehouse
+):
+    """An order reassigned to a DIFFERENT customer plus a customer-profile
+    update flow through the by-customer clustering (exact-key delete of
+    the stale image) and the refreshed customer_orders equals a
+    from-scratch batch rebuild over the updated sources."""
+    from databricks_incremental_lakehouse_spark.bronze import bronze_customers
+    from databricks_incremental_lakehouse_spark.silver.customer_orders import (
+        silver_customer_orders,
+    )
+    from databricks_incremental_lakehouse_spark.streaming.refresh import (
+        read_merge_target,
+    )
+
+    wh = IncrementalWarehouse(warehouse)
+    # current state of the warehouse's bronze (includes earlier tests' edits)
+    cur_orders = read_merge_target(spark, wh.bronze("orders"))
+    cur_custs = read_merge_target(spark, wh.bronze("customers"))
+
+    # pick an order and reassign it to a different customer
+    victim = cur_orders.orderBy("o_orderkey").limit(1).collect()[0]
+    other_cust = (
+        cur_custs.filter(F.col("c_custkey") != victim.o_custkey)
+        .orderBy("c_custkey")
+        .first()
+        .c_custkey
+    )
+    from decimal import Decimal
+
+    ord_upd = spark.createDataFrame(
+        [
+            (
+                victim.o_orderkey,
+                other_cust,
+                victim.o_orderstatus,
+                victim.o_totalprice + Decimal("1.00"),
+                victim.o_orderdate,
+                victim.o_orderpriority,
+            )
+        ],
+        cur_orders.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ).schema,
+    )
+    # and bump one customer's account balance
+    cust_upd = spark.createDataFrame(
+        [(victim.o_custkey,)], "c_custkey long"
+    ).join(cur_custs, "c_custkey").withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100
+    ).select(*cur_custs.columns)
+
+    apply_order_updates(
+        spark, warehouse, orders_updates=ord_upd, customers_updates=cust_upd
+    )
+
+    got = spark.read.parquet(wh.gold_customer_orders)
+    # batch rebuild from the SAME post-update bronze state
+    want = silver_customer_orders(
+        spark,
+        sf_smoke,
+        customers=read_merge_target(spark, wh.bronze("customers")),
+        orders=read_merge_target(spark, wh.bronze("orders")),
+        nation=read_merge_target(spark, wh.bronze("nation")),
+        region=read_merge_target(spark, wh.bronze("region")),
+    )
+    assert _rows(got) == _rows(want)
+
+    # the by-customer clustering holds exactly one image of the reassigned
+    # order, under the new customer
+    byc = read_merge_target(spark, wh.bronze_orders_by_customer)
+    images = byc.filter(F.col("o_orderkey") == victim.o_orderkey).collect()
+    assert len(images) == 1 and images[0].o_custkey == other_cust
+    # and the by-customer copy agrees row-for-row with the primary
+    assert byc.count() == read_merge_target(spark, wh.bronze("orders")).count()
+
+
 def test_empty_update_batch_is_noop(spark, sf_smoke, warehouse):
     wh = IncrementalWarehouse(warehouse)
     before = _rows(spark.read.parquet(wh.gold_monthly_trends))
