@@ -129,6 +129,7 @@ def main() -> None:
         "events_session_windows",
         "events_deduped",
         "incr_monthly_trends_refresh",
+        "incr_customer_orders_refresh",
     ]
     for name in ext:
         t0 = time.time()

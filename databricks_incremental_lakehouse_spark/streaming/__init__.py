@@ -9,6 +9,7 @@ from .incremental import (
 from .refresh import (
     IncrementalWarehouse,
     apply_order_updates,
+    incremental_sales_stream,
     init_incremental_warehouse,
 )
 from .refresh import register_refresh as _register_refresh
@@ -26,6 +27,7 @@ __all__ = [
     "IncrementalWarehouse",
     "init_incremental_warehouse",
     "apply_order_updates",
+    "incremental_sales_stream",
     "register_all",
 ]
 

@@ -217,3 +217,52 @@ def test_uninitialized_warehouse_raises_with_updates(spark, sf_smoke, tmp_path):
     upd = load_table(spark, sf_smoke, "orders").limit(1)
     with pytest.raises(ValueError, match="not initialized"):
         apply_order_updates(spark, str(tmp_path / "nope"), orders_updates=upd)
+
+
+def test_streaming_front_door_refreshes_gold(spark, sf_smoke, warehouse, tmp_path):
+    """Files arriving in a streaming source directory flow through the full
+    refresh: after the stream drains, gold monthly trends equals a batch
+    rebuild over the merged bronze state, exactly-once via the checkpoint."""
+    from decimal import Decimal
+
+    from databricks_incremental_lakehouse_spark.bronze import bronze_orders
+    from databricks_incremental_lakehouse_spark.streaming import (
+        incremental_sales_stream,
+        read_merge_target,
+    )
+
+    wh = IncrementalWarehouse(warehouse)
+    cur_orders = read_merge_target(spark, wh.bronze("orders"))
+    victim = cur_orders.orderBy(F.col("o_orderkey").desc()).limit(1).collect()[0]
+    upd = spark.createDataFrame(
+        [
+            (
+                victim.o_orderkey,
+                victim.o_custkey,
+                victim.o_orderstatus,
+                victim.o_totalprice + Decimal("500.00"),
+                victim.o_orderdate,
+                victim.o_orderpriority,
+            )
+        ],
+        cur_orders.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ).schema,
+    )
+    src = str(tmp_path / "stream_src")
+    chk = str(tmp_path / "stream_chk")
+    upd.write.mode("append").parquet(src)
+
+    q = incremental_sales_stream(spark, src, warehouse, chk)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(wh.gold_monthly_trends)
+    od = read_merge_target(spark, wh.silver_order_details)
+    want = vw_monthly_sales_trends(spark, sf_smoke, order_details=od)
+    assert _rows(got) == _rows(want)
+    # re-running the drained stream is a no-op (checkpoint exactly-once)
+    before = _rows(got)
+    q = incremental_sales_stream(spark, src, warehouse, chk)
+    q.awaitTermination(120)
+    assert _rows(spark.read.parquet(wh.gold_monthly_trends)) == before
