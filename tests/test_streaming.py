@@ -6,6 +6,8 @@ import os
 from pyspark.sql import functions as F
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from databricks_incremental_lakehouse_spark.bronze import bronze_lineitem, bronze_orders
 from databricks_incremental_lakehouse_spark.streaming import (
@@ -307,3 +309,85 @@ def test_swap_crash_recovery_restores_backup(spark, tmp_path):
     assert read_merge_target(spark, target).count() == total + 1
     assert not any(n.endswith(".old") for n in os.listdir(target))
     shutil.rmtree(target)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["upsert", "replace_scope", "delete"]),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=6),  # entity (scope key)
+                    st.integers(min_value=0, max_value=2),  # item within entity
+                    st.integers(min_value=0, max_value=99),  # payload version
+                ),
+                min_size=0,
+                max_size=6,
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_merge_upsert_model_property(spark, tmp_path_factory, ops):
+    """Randomized op sequences against a dict reference model. Semantics:
+    - upsert: last-writer-wins per (entity, item) key
+    - replace_scope: every stored row of the batch's entities is replaced
+      by exactly the batch's rows (entity-complete image)
+    - delete: exact-key removal
+    Bucketing is by entity (coarser than the key), so items of one entity
+    always share a bucket — the layout the silver fact uses."""
+    root = str(tmp_path_factory.mktemp("merge_prop"))
+    target = os.path.join(root, "t")
+    model: dict = {}
+    for op, rows in ops:
+        # dedup within batch: keep-latest == minimal tiebreak ordering
+        batch: dict = {}
+        for e, i, v in rows:
+            k = (e, i)
+            batch[k] = min(v, batch[k]) if k in batch else v
+        df = spark.createDataFrame(
+            [(e, i, v) for (e, i), v in sorted(batch.items())] or [],
+            "entity int, item int, payload int",
+        )
+        if op == "upsert":
+            merge_upsert(
+                spark, df, target, keys=["entity", "item"],
+                bucket_keys=["entity"], num_buckets=4,
+            )
+            model.update(batch)
+        elif op == "replace_scope":
+            merge_upsert(
+                spark, df, target, keys=["entity", "item"],
+                bucket_keys=["entity"], num_buckets=4,
+                scope=df.select("entity"),
+            )
+            scoped = {e for (e, _i) in batch}
+            model = {k: v for k, v in model.items() if k[0] not in scoped}
+            model.update(batch)
+        else:  # delete
+            if not os.path.isdir(target):
+                continue
+            merge_upsert(
+                spark,
+                df.limit(0),
+                target,
+                keys=["entity", "item"],
+                bucket_keys=["entity"],
+                num_buckets=4,
+                deletes=df.select("entity", "item"),
+            )
+            model = {k: v for k, v in model.items() if k not in batch}
+        if os.path.isdir(target):
+            got = {
+                (r.entity, r.item): r.payload
+                for r in read_merge_target(spark, target).collect()
+            }
+            assert got == model, f"after {op}: {got} != {model}"
+        else:
+            assert model == {} or op == "delete"
