@@ -8,10 +8,10 @@
   would be iterative), probe only the nearest centroid's cell. This is the
   100-TB shape: centroid assignment prunes the candidate set by ~nlist x.
 - ``sim_hyperplane_lsh``   : random-hyperplane (sign-LSH) bucketing — the
-  other scale path; hyperplanes are derived deterministically from the
-  portable hash so the signature is reproducible. Registered rows-only
-  (bit-sign geometry over floats is not robustly oracle-stable); recall vs
-  the brute-force baseline is asserted in tests.
+  other scale path; hyperplanes are derived deterministically from md5 so
+  the same basis is reproducible in Python, Spark and DuckDB, and the
+  query is oracle-checked end to end. Recall vs the brute-force baseline
+  is additionally asserted in tests.
 
 All vector math is JVM-side built-in higher-order functions (zip_with /
 aggregate) — no Python UDFs in the hot path; cosines are rounded through
@@ -301,6 +301,28 @@ SELECT query_id, probe_cell, neighbor_id, cosine, rank FROM (
 ) WHERE rank <= {TOP_K}"""
 
 
+EMB_DIM = 64
+
+
+def _plane_weights() -> list[list[float]]:
+    """The 16x64 hyperplane basis, derived from md5 so it is identical in
+    Python (here), Spark SQL (``conv(substring(md5(..)))``) and DuckDB
+    (``('0x' || substr(md5(..)))::BIGINT``) — verified equal across all
+    three engines. Data-independent constants, so they are embedded as
+    literals instead of being recomputed through an explode+join."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{i}#{j}".encode()).hexdigest()[:15], 16)
+            / float(2**59)
+            - 1.0
+            for j in range(EMB_DIM)
+        ]
+        for i in range(N_HYPERPLANES)
+    ]
+
+
 def sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH banded approximate top-k (the non-IVF scale path).
 
@@ -310,46 +332,38 @@ def sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 4 bits; a row is a candidate for a query iff they share at least one
     band value. At scale this is an equi-join on (band, band_sig) — a plain
     shuffle-hash/broadcast join with ~4x candidate pruning on this corpus —
-    not a pairwise Hamming filter. Registered rows-only — verified against
-    the brute-force baseline by recall in tests.
+    not a pairwise Hamming filter.
+
+    The projection is computed as 16 ``aggregate(zip_with(v, w_i))`` fold
+    expressions over literal weight arrays — whole-stage codegen, zero
+    shuffle until the band equi-join (the previous explode+join+2-agg
+    pipeline shuffled 64x the corpus). The fold sums strictly in index
+    order, so DuckDB's ordered ``list_sum`` reproduces the same projection
+    and the query is oracle-checked end to end.
     """
     n_bands, band_bits = 4, N_HYPERPLANES // 4
     emb = _emb(spark, sf_dir)
-    planes = (
-        spark.range(N_HYPERPLANES)
-        .select(F.col("id").cast("int").alias("plane"))
-        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("pos")))
-        .withColumn(
-            "w",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws("#", F.col("plane"), F.col("pos"))), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("double")
-                / F.lit(float(2**59))
-                - 1.0
-            ),
+    weights = _plane_weights()
+    proj = [
+        F.aggregate(
+            F.zip_with("v", F.array(*[F.lit(w) for w in weights[i]]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-    )
-    # band signature per (vec_id, band): integer packing of the band's sign bits
-    bands = (
-        emb.select("vec_id", F.posexplode("v").alias("pos", "val"))
-        .join(F.broadcast(planes), "pos")
-        .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("val") * F.col("w")).alias("proj"))
-        .withColumn("bit", (F.col("proj") > 0).cast("long"))
-        .groupBy(
-            "vec_id", (F.col("plane") / F.lit(band_bits)).cast("int").alias("band")
-        )
-        .agg(
-            F.sum(
-                F.col("bit")
-                * F.expr(f"shiftleft(1L, CAST(plane % {band_bits} AS INT))")
-            ).alias("bsig")
-        )
+        for i in range(N_HYPERPLANES)
+    ]
+    # integer packing of each band's sign bits, directly as 4 columns
+    sigs = [
+        sum(
+            (proj[b * band_bits + k] > 0).cast("long") * F.lit(1 << k)
+            for k in range(band_bits)
+        ).alias(f"sig{b}")
+        for b in range(n_bands)
+    ]
+    stack_expr = ", ".join(f"{b}, sig{b}" for b in range(n_bands))
+    bands = emb.select("vec_id", *sigs).select(
+        "vec_id",
+        F.expr(f"stack({n_bands}, {stack_expr}) AS (band, bsig)"),
     )
     q_bands = bands.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "bsig"
@@ -385,6 +399,50 @@ def sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+SIM_LSH_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+planes AS (
+    SELECT plane, list(w ORDER BY pos) AS wv FROM (
+        SELECT plane, pos,
+            CAST(('0x' || substr(md5(plane::VARCHAR || '#' || pos::VARCHAR), 1, 15))
+                 AS BIGINT)::DOUBLE / {float(2**59)!r} - 1.0 AS w
+        FROM (SELECT unnest(range({N_HYPERPLANES})) AS plane),
+             (SELECT unnest(range(64)) AS pos)
+    ) GROUP BY plane
+),
+bands AS (
+    SELECT vec_id, CAST(plane // 4 AS INT) AS band,
+           SUM(CASE WHEN proj > 0 THEN 1 << CAST(plane % 4 AS INT) ELSE 0 END) AS bsig
+    FROM (
+        SELECT e.vec_id, p.plane,
+               list_sum(list_transform(generate_series(1, len(e.v)),
+                                       k -> e.v[k] * p.wv[k])) AS proj
+        FROM e CROSS JOIN planes p
+    )
+    GROUP BY vec_id, plane // 4
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+    FROM bands q JOIN bands n ON q.band = n.band AND q.bsig = n.bsig
+    WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id, {_COS} AS cosine
+    FROM cand c
+    JOIN (SELECT vec_id, v AS qv FROM e) q ON q.vec_id = c.query_id
+    JOIN e n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+    ) AS INT) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}"""
 
 
 def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,6 +513,6 @@ def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def register_all(register) -> None:
     register("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE)
     register("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE)
-    register("sim_hyperplane_lsh", sim_hyperplane_lsh)  # rows-only; recall test
+    register("sim_hyperplane_lsh", sim_hyperplane_lsh, SIM_LSH_ORACLE)
     # same result contract as the JVM baseline -> same oracle
     register("sim_topk_vectorized", sim_topk_vectorized, SIM_TOPK_ORACLE)
