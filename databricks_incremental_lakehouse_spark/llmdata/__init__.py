@@ -1,15 +1,18 @@
 """LLM-training-data operators (extension beyond the reference surface).
 
-Modules: text analysis (textstats), deduplication (dedup), similarity
-search (similarity), multimodal column plumbing (multimodal). Each operator
-is registered as an oracle-checked query where SQL-expressible.
+Modules: text analysis (textstats), deduplication (dedup), corpus curation
+(curation: dup clustering, decontamination, sampling, sequence packing),
+similarity search (similarity), multimodal column plumbing (multimodal).
+Each operator is registered as an oracle-checked query where
+SQL-expressible.
 """
 
-from . import dedup, multimodal, similarity, textstats
+from . import curation, dedup, multimodal, similarity, textstats
 
 
 def register_all(register) -> None:
     textstats.register_all(register)
     dedup.register_all(register)
+    curation.register_all(register)
     similarity.register_all(register)
     multimodal.register_all(register)

@@ -1,0 +1,348 @@
+"""Corpus-curation operators — the steps after near-dup *detection* that an
+LLM training-data pipeline actually ships:
+
+- ``dedup_clusters``        : connected components over the MinHash-LSH
+  near-dup pair graph -> one canonical survivor per duplicate cluster.
+- ``text_decontamination``  : n-gram-overlap check of the training corpus
+  against a held-out benchmark set (train/test contamination audit).
+- ``sample_stratified``     : deterministic hash-based stratified sampling
+  with per-language rates (+ a per-stratum summary query).
+- ``pack_sequences``        : greedy token packing of the corpus into
+  fixed-size context windows via a distributed prefix sum.
+
+All arithmetic that crosses the engine boundary is integer (portable md5
+hash60, integer division) or routed through the portable decimal rounding
+grid, so every operator here is oracle-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import round_dbl
+from ..tables import load_table
+from .dedup import DEDUP_MINHASH_ORACLE, _SHINGLES_CTE, _doc_shingles, dedup_minhash_lsh
+from .texthash import TOKENIZE_SQL, hash60, hash60_sql, tokenize
+
+# --- dedup_clusters -------------------------------------------------------
+
+MAX_CC_ITERS = 20  # safety bound; real runs converge in O(cluster diameter)
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pairs: every doc
+    mapped to its cluster's canonical id (the minimum doc_id reachable
+    through dup edges); singletons map to themselves.
+
+    Algorithm: iterative min-label propagation (hash-to-min). Each round a
+    node's label becomes min(own label, neighbors' labels) — one equi-join
+    + min-aggregate per round, converging in O(cluster diameter) rounds
+    (near-dup clusters are shallow: dup pairs chain only through shared
+    content). The edge list and label frame are ``localCheckpoint``-ed per
+    round so lineage stays O(1) instead of growing per iteration; the only
+    driver-side values are the per-round changed-row counts (scalars).
+    At 100 TB the same loop holds — each round is a shuffle on doc_id — and
+    heavy-skew graphs would swap in the large-star/small-star variant
+    (Kiveris et al.), which this loop structure accommodates.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)  # materialize the LSH pipeline once
+    )
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("canonical_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(MAX_CC_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("canonical_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("canonical_id"),
+                    F.coalesce("nbr_min", F.col("canonical_id")),
+                ).alias("canonical_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_kept"),
+    )
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({DEDUP_MINHASH_ORACLE}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT doc_id, MIN(r) AS canonical_id, MIN(r) = doc_id AS is_kept
+FROM reach GROUP BY doc_id"""
+
+
+# --- text_decontamination -------------------------------------------------
+
+# Held-out "benchmark" set: every 20th document stands in for an eval
+# benchmark (a real pipeline would load the benchmark corpus as a second
+# table; the operator shape — small distinct-ngram set broadcast against
+# the corpus inverted index — is identical).
+BENCH_MOD = 20
+CONTAMINATION_RATIO = 0.2
+
+
+def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: for each non-benchmark document, the
+    fraction of its 3-token shingles that also appear in the benchmark
+    set, and a flag at the standard >= 20% overlap threshold.
+
+    The benchmark shingle set is DISTINCT and tiny relative to the corpus
+    (eval suites are ~1e-5 of training tokens), so it broadcasts; the
+    corpus side stays a streamed scan of the exploded shingle index — one
+    broadcast-hash join + one groupBy(doc_id), no shuffle of the corpus
+    text itself. Verification-grade exact overlap (no sketching): the
+    candidate volume is bounded by the benchmark set size, not the corpus.
+    """
+    sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    ev = sh.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id",
+        F.explode("shingles").alias("shingle"),
+        F.size("shingles").cast("long").alias("n_ngrams"),
+    )
+    hits = (
+        ev.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    per_doc = ev.select("doc_id", "n_ngrams").distinct()
+    ratio = F.col("n_contaminated") / F.col("n_ngrams").cast("double")
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_contaminated",
+            round_dbl(ratio, 6).alias("contamination_ratio"),
+            (ratio >= CONTAMINATION_RATIO).alias("is_contaminated"),
+        )
+    )
+
+
+TEXT_DECONTAMINATION_ORACLE = f"""
+WITH sh AS ({_SHINGLES_CTE}),
+bench AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0
+),
+ev AS (
+    SELECT doc_id, shingle, n_shingles AS n_ngrams
+    FROM sh WHERE doc_id % {BENCH_MOD} <> 0
+),
+hits AS (
+    SELECT doc_id, COUNT(*) AS n_contaminated
+    FROM ev JOIN bench USING (shingle)
+    GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_ngrams,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       CAST(ROUND(CAST(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+            / CAST(d.n_ngrams AS DOUBLE) AS DECIMAL(38,10)), 6) AS DOUBLE)
+           AS contamination_ratio,
+       CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / CAST(d.n_ngrams AS DOUBLE)
+           >= {CONTAMINATION_RATIO} AS is_contaminated
+FROM (SELECT DISTINCT doc_id, n_ngrams FROM ev) d
+LEFT JOIN hits h USING (doc_id)"""
+
+
+# --- sample_stratified ----------------------------------------------------
+
+# Per-stratum keep rates as EXACT integer thresholds on the 60-bit hash
+# (rate * 2^60, precomputed in Python) — membership is a pure integer
+# comparison, bit-identical across engines; no float boundary exists.
+SAMPLE_RATE_EN = 0.5
+SAMPLE_RATE_OTHER = 0.2
+_TH_EN = int(SAMPLE_RATE_EN * 2**60)
+_TH_OTHER = int(SAMPLE_RATE_OTHER * 2**60)
+_SAMPLE_KEY = "sample#"
+
+
+def _sample_kept(docs: DataFrame) -> DataFrame:
+    h = hash60(F.concat(F.lit(_SAMPLE_KEY), F.col("doc_id").cast("string")))
+    th = F.when(F.col("lang") == "en", F.lit(_TH_EN)).otherwise(F.lit(_TH_OTHER))
+    return docs.withColumn("_h", h).filter(F.col("_h") < th)
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of the corpus: keep 50% of English
+    documents and 20% of every other language, by comparing a portable
+    60-bit content-independent hash of the doc_id against precomputed
+    integer thresholds.
+
+    Hash-threshold sampling is the scale-correct shape: no global count,
+    no sort, no state — a pure filter that parallelizes perfectly, is
+    reproducible run-to-run, and composes with incremental ingest (a doc's
+    membership never changes as the corpus grows, unlike rate-based
+    ``df.sample``). The filter is a codegen'd scan predicate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return _sample_kept(docs).select("doc_id", "lang", "source")
+
+
+_SAMPLE_HASH_SQL = hash60_sql(f"concat('{_SAMPLE_KEY}', CAST(doc_id AS VARCHAR))")
+_SAMPLE_PRED = (
+    f"{_SAMPLE_HASH_SQL} < CASE WHEN lang = 'en' THEN {_TH_EN} ELSE {_TH_OTHER} END"
+)
+
+SAMPLE_STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang, source FROM documents WHERE {_SAMPLE_PRED}"""
+
+
+def sample_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum audit of the sample: total docs, kept docs, realized
+    rate — the report a curation run logs next to its target rates."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = _sample_kept(docs).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    rate = F.col("n_sampled") / F.col("n_total").cast("double")
+    return (
+        totals.join(kept, "lang", "left")
+        .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0)))
+        .select(
+            "lang", "n_total", "n_sampled", round_dbl(rate, 6).alias("realized_rate")
+        )
+    )
+
+
+SAMPLE_STRATIFIED_COUNTS_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE {_SAMPLE_PRED}) AS n_sampled,
+       CAST(ROUND(CAST(CAST(COUNT(*) FILTER (WHERE {_SAMPLE_PRED}) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,10)), 6) AS DOUBLE)
+           AS realized_rate
+FROM documents GROUP BY lang"""
+
+
+# --- pack_sequences -------------------------------------------------------
+
+CONTEXT_LEN = 512  # tokens per packed training sequence
+PACK_BUCKET = 64  # docs per prefix-sum bucket
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate the corpus in doc_id order and
+    split into fixed ``CONTEXT_LEN``-token context windows, reporting for
+    each document the bin range it lands in (documents crossing a boundary
+    span multiple bins — the standard concat-and-chunk packing used for
+    LLM pretraining batches).
+
+    The global token prefix sum is computed distributed, not with a naive
+    single-partition ``Window.orderBy``: docs are bucketed by
+    ``doc_id / PACK_BUCKET``, each bucket computes its intra-bucket running
+    sum in parallel (window partitioned BY bucket), per-bucket totals —
+    one small row per bucket — are cumulated on a single partition and
+    broadcast back as offsets. That is the textbook two-phase scan: the
+    only single-partition work is O(n_buckets) rows, so the pattern holds
+    at 100 TB where a global-order window would serialize the corpus
+    through one task. All math is integer (token counts, integer
+    division), so the oracle matches exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    docs = docs.withColumn("bucket", (F.col("doc_id") / PACK_BUCKET).cast("long"))
+    intra_w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    docs = docs.withColumn("intra_cum", F.sum("n_tokens").over(intra_w))
+    bucket_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        docs.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .withColumn(
+            "offset", F.sum("bucket_tokens").over(bucket_w) - F.col("bucket_tokens")
+        )
+        .select("bucket", "offset")
+    )
+    packed = docs.join(F.broadcast(offsets), "bucket").withColumn(
+        "end_tok", F.col("offset") + F.col("intra_cum")
+    )
+    start = F.col("end_tok") - F.col("n_tokens")
+    first_bin = F.expr(f"(end_tok - n_tokens) DIV {CONTEXT_LEN}")
+    last_bin = F.expr(f"(end_tok - 1) DIV {CONTEXT_LEN}")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_tok"),
+        first_bin.alias("first_bin"),
+        last_bin.alias("last_bin"),
+        (last_bin - first_bin + 1).alias("n_bins"),
+    )
+
+
+PACK_SEQUENCES_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, len({TOKENIZE_SQL.format(c="text")}) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           SUM(CAST(n_tokens AS BIGINT)) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS end_tok
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       end_tok - n_tokens AS start_tok,
+       (end_tok - n_tokens) // {CONTEXT_LEN} AS first_bin,
+       (end_tok - 1) // {CONTEXT_LEN} AS last_bin,
+       (end_tok - 1) // {CONTEXT_LEN} - (end_tok - n_tokens) // {CONTEXT_LEN} + 1
+           AS n_bins
+FROM c"""
+
+
+def register_all(register) -> None:
+    register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE)
+    register("text_decontamination", text_decontamination, TEXT_DECONTAMINATION_ORACLE)
+    register("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE)
+    register(
+        "sample_stratified_counts",
+        sample_stratified_counts,
+        SAMPLE_STRATIFIED_COUNTS_ORACLE,
+    )
+    register("pack_sequences", pack_sequences, PACK_SEQUENCES_ORACLE)

@@ -1,0 +1,125 @@
+"""Curation operators: semantic checks against independent Python reference
+models (oracle parity itself is covered by test_registry)."""
+
+import hashlib
+
+from databricks_incremental_lakehouse_spark.llmdata.curation import (
+    _TH_EN,
+    _TH_OTHER,
+    CONTEXT_LEN,
+    dedup_clusters,
+    pack_sequences,
+    sample_stratified,
+    text_decontamination,
+)
+from databricks_incremental_lakehouse_spark.llmdata.dedup import dedup_minhash_lsh
+from databricks_incremental_lakehouse_spark.tables import load_table
+
+
+def test_dedup_clusters_match_union_find(spark, sf_correct):
+    """Spark label propagation must agree with a driver-side union-find
+    over the same LSH pair set: identical component membership with the
+    min doc_id as canonical."""
+    pairs = [
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_correct).collect()
+    ]
+    docs = [
+        r.doc_id
+        for r in load_table(spark, sf_correct, "documents").select("doc_id").collect()
+    ]
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min doc_id per component
+    comp = {}
+    for d in docs:
+        comp.setdefault(find(d), []).append(d)
+    expected = {d: min(members) for members in comp.values() for d in members}
+
+    got = {
+        r.doc_id: (r.canonical_id, r.is_kept)
+        for r in dedup_clusters(spark, sf_correct).collect()
+    }
+    assert set(got) == set(expected)
+    for d, (canon, kept) in got.items():
+        assert canon == expected[d], f"doc {d}: {canon} != {expected[d]}"
+        assert kept == (canon == d)
+    assert pairs, "no dup pairs at this SF — clustering test is vacuous"
+
+
+def test_decontamination_reference_model(spark, sf_correct):
+    """Per-doc contamination counts must equal a direct Python recompute
+    with the same tokenizer and shingle definition."""
+    rows = load_table(spark, sf_correct, "documents").select("doc_id", "text").collect()
+
+    def shingles(text):
+        toks = text.strip().lower().split()
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    bench = set()
+    for r in rows:
+        if r.doc_id % 20 == 0:
+            bench |= shingles(r.text)
+    expected = {}
+    for r in rows:
+        if r.doc_id % 20 != 0:
+            s = shingles(r.text)
+            expected[r.doc_id] = (len(s), len(s & bench))
+
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_contaminated, r.is_contaminated)
+        for r in text_decontamination(spark, sf_correct).collect()
+    }
+    assert set(got) == set(expected)
+    any_contaminated = False
+    for d, (n, c, flag) in got.items():
+        assert (n, c) == expected[d]
+        assert flag == (c / n >= 0.2)
+        any_contaminated = any_contaminated or flag
+    assert any_contaminated, "no contaminated docs — threshold check is vacuous"
+
+
+def test_sample_stratified_membership(spark, sf_correct):
+    """Sampled set must equal the md5-threshold reference exactly, and
+    both strata must be non-trivially sampled (0 < kept < total)."""
+    docs = load_table(spark, sf_correct, "documents").select("doc_id", "lang").collect()
+
+    def kept(doc_id, lang):
+        h = int(hashlib.md5(f"sample#{doc_id}".encode()).hexdigest()[:15], 16)
+        return h < (_TH_EN if lang == "en" else _TH_OTHER)
+
+    expected = {r.doc_id for r in docs if kept(r.doc_id, r.lang)}
+    got = {r.doc_id for r in sample_stratified(spark, sf_correct).collect()}
+    assert got == expected
+    en_total = sum(1 for r in docs if r.lang == "en")
+    en_kept = sum(1 for r in docs if r.lang == "en" and r.doc_id in got)
+    assert 0 < en_kept < en_total
+
+
+def test_pack_sequences_invariants(spark, sf_correct):
+    """Packing must tile the concatenated token stream exactly: starts are
+    the running sum in doc_id order, bins are contiguous, and some doc
+    spans a bin boundary (else the multi-bin path is untested)."""
+    out = sorted(pack_sequences(spark, sf_correct).collect(), key=lambda r: r.doc_id)
+    cum = 0
+    crosses = False
+    for r in out:
+        assert r.start_tok == cum
+        assert r.n_tokens >= 1
+        assert r.first_bin == r.start_tok // CONTEXT_LEN
+        assert r.last_bin == (r.start_tok + r.n_tokens - 1) // CONTEXT_LEN
+        assert r.n_bins == r.last_bin - r.first_bin + 1
+        crosses = crosses or r.n_bins > 1
+        cum += r.n_tokens
+    assert crosses, "no doc crosses a bin boundary — multi-bin path untested"
