@@ -14,6 +14,7 @@ from .refresh import (
 )
 from .refresh import register_refresh as _register_refresh
 from .stateful import stateful_user_totals_stream
+from .temporal import register_all as _register_temporal
 from .windows import register_all as _register_windows
 
 __all__ = [
@@ -34,4 +35,5 @@ __all__ = [
 
 def register_all(register) -> None:
     _register_windows(register)
+    _register_temporal(register)
     _register_refresh(register)

@@ -1,0 +1,207 @@
+"""Temporal join operators over the ``events`` table — the event-time
+relations Spark has no native operator for, each built from shuffle-minimal
+primitives and oracle-checked against DuckDB's native temporal SQL:
+
+- ``events_asof_join``       : per purchase, the most recent prior (or
+  simultaneous) click by the same user — the classic AS-OF join. Spark
+  lacks ASOF; the implementation is the scalable union-then-window form:
+  tag both sides, sort once within user_id, ``last(struct, ignorenulls)``
+  carries the latest right-side row forward. ONE shuffle (on user_id),
+  no range explosion, no per-row probe — the shape that holds when both
+  sides are 100 TB. The DuckDB oracle uses its native ``ASOF LEFT JOIN``,
+  making the parity check a genuine cross-implementation test of the
+  semantics.
+- ``events_rolling_5min``    : per event, count / sum(value) of the same
+  user's events in the strictly-preceding 5 minutes — a RANGE-frame
+  window over integer event-time (``unix_micros``), the bounded-state
+  sliding aggregate (streaming twin: watermark + state store).
+- ``events_in_error_windows``: interval containment turned into an
+  equi-join — flag hours whose error count exceeds the per-hour average,
+  then join other traffic to those hours on the truncated-hour key. The
+  generic range-join-by-bucketing pattern: align intervals to a bucket
+  grid and the O(n*m) interval probe becomes a hash join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import round_dbl
+from ..tables import load_table
+
+_EVENTS_ORACLE_VIEW = (
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props "
+    "FROM events"
+)
+
+ASOF_LEFT_TYPE = "purchase"
+ASOF_RIGHT_TYPE = "click"
+ROLLING_WINDOW_US = 5 * 60 * 1_000_000  # 5 minutes in microseconds
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase matched to the same user's latest click
+    with ``click.ts <= purchase.ts`` (NULL columns when no prior click).
+
+    Union-then-window: click rows (side 0) sort before purchase rows
+    (side 1) at equal ts, so a simultaneous click is visible to the
+    purchase — the >= semantics of ``ASOF JOIN``. The right-side payload
+    travels as ONE struct through ``last(ignorenulls)`` so all matched
+    columns come from the same click row by construction. (user_id, ts)
+    is unique on this corpus; a corpus with ties would pre-dedup the
+    right side to its max-event_id row per (user_id, ts).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c_struct_type = "struct<click_event_id:bigint,click_ts:timestamp,click_value:double>"
+    clicks = ev.filter(F.col("event_type") == ASOF_RIGHT_TYPE).select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.struct(
+            F.col("event_id").alias("click_event_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        ).alias("c"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast(c_struct_type).alias("c"),
+        "event_id",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_c", F.last("c", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.col("last_c.click_event_id").alias("click_event_id"),
+            F.col("last_c.click_ts").alias("click_ts"),
+            F.col("last_c.click_value").alias("click_value"),
+        )
+    )
+
+
+EVENTS_ASOF_ORACLE = f"""
+WITH e AS ({_EVENTS_ORACLE_VIEW}),
+p AS (SELECT event_id, user_id, ts, value FROM e
+      WHERE event_type = '{ASOF_LEFT_TYPE}'),
+c AS (SELECT event_id, user_id, ts, value FROM e
+      WHERE event_type = '{ASOF_RIGHT_TYPE}')
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.event_id AS click_event_id, c.ts AS click_ts, c.value AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
+
+def events_rolling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: how many events (and how much value) the same user
+    produced in the strictly-preceding 5 minutes.
+
+    RANGE frame over integer microsecond event-time — exclusive of the
+    current row ([-5min, -1us]) so an event never counts itself, and all
+    frame arithmetic is integer. State is bounded by the window span per
+    user (the batch twin of a watermarked sliding aggregate); one shuffle
+    on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-ROLLING_WINDOW_US, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_prev_5min"),
+        round_dbl(F.sum("value").over(w), 2).alias("value_prev_5min"),
+    )
+
+
+EVENTS_ROLLING_ORACLE = f"""
+WITH e AS ({_EVENTS_ORACLE_VIEW})
+SELECT event_id, user_id, ts, event_type,
+       COUNT(*) OVER w AS n_prev_5min,
+       CAST(ROUND(CAST(SUM(value) OVER w AS DECIMAL(38,6)), 2) AS DOUBLE)
+           AS value_prev_5min
+FROM e
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN {ROLLING_WINDOW_US} PRECEDING AND 1 PRECEDING
+)"""
+
+
+def events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic during incident hours: hours whose error count exceeds the
+    per-hour average are flagged, and all non-error traffic in those hours
+    is aggregated per type.
+
+    The interval join (event ts ∈ flagged hour) is expressed as an
+    equi-join on the truncated-hour key; the flagged-hour list is tiny
+    (it is an aggregate of the fact table) and broadcasts. The threshold
+    is relative (count > avg) so the operator binds at every scale factor
+    instead of hard-coding a rate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hours = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    avg_errors = hours.agg(F.avg("n_errors").alias("avg_errors"))
+    flagged = hours.crossJoin(F.broadcast(avg_errors)).filter(
+        F.col("n_errors") > F.col("avg_errors")
+    )
+    return (
+        ev.filter(F.col("event_type") != "error")
+        .withColumn("window_start", F.date_trunc("hour", "ts"))
+        .join(F.broadcast(flagged), "window_start")
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.min("n_errors").alias("n_errors"),
+            F.count(F.lit(1)).alias("event_count"),
+            round_dbl(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+EVENTS_ERROR_WINDOWS_ORACLE = f"""
+WITH e AS ({_EVENTS_ORACLE_VIEW}),
+hours AS (
+    SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_errors
+    FROM e WHERE event_type = 'error' GROUP BY 1
+),
+flagged AS (
+    SELECT window_start, n_errors FROM hours
+    WHERE n_errors > (SELECT AVG(n_errors) FROM hours)
+)
+SELECT f.window_start, e.event_type, MIN(f.n_errors) AS n_errors,
+       COUNT(*) AS event_count,
+       CAST(ROUND(CAST(SUM(e.value) AS DECIMAL(38,6)), 2) AS DOUBLE)
+           AS total_value
+FROM e
+JOIN flagged f ON date_trunc('hour', e.ts) = f.window_start
+WHERE e.event_type <> 'error'
+GROUP BY 1, 2"""
+
+
+def register_all(register) -> None:
+    register("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE)
+    register("events_rolling_5min", events_rolling_5min, EVENTS_ROLLING_ORACLE)
+    register(
+        "events_in_error_windows", events_in_error_windows, EVENTS_ERROR_WINDOWS_ORACLE
+    )

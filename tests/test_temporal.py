@@ -1,0 +1,76 @@
+"""Temporal event operators: semantics vs driver-side reference models
+(oracle parity is covered by test_registry — notably events_asof_join is
+checked there against DuckDB's native ASOF JOIN)."""
+
+from bisect import bisect_right
+from collections import defaultdict
+
+from databricks_incremental_lakehouse_spark.streaming.temporal import (
+    events_asof_join,
+    events_rolling_5min,
+)
+from databricks_incremental_lakehouse_spark.tables import load_table
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").collect()
+
+
+def test_asof_join_reference_model(spark, sf_smoke):
+    """Each purchase must match the same user's latest click with
+    click.ts <= purchase.ts, found by binary search in a sorted list."""
+    rows = _events(spark, sf_smoke)
+    clicks = defaultdict(list)
+    for r in rows:
+        if r.event_type == "click":
+            clicks[r.user_id].append((r.ts, r.event_id, r.value))
+    for lst in clicks.values():
+        lst.sort()
+
+    got = {r.event_id: r for r in events_asof_join(spark, sf_smoke).collect()}
+    purchases = [r for r in rows if r.event_type == "purchase"]
+    assert set(got) == {r.event_id for r in purchases}
+    n_matched = n_unmatched = 0
+    for p in purchases:
+        lst = clicks.get(p.user_id, [])
+        i = bisect_right(lst, (p.ts, float("inf"), float("inf")))
+        g = got[p.event_id]
+        if i == 0:
+            assert g.click_event_id is None and g.click_ts is None
+            n_unmatched += 1
+        else:
+            ts, eid, val = lst[i - 1]
+            assert (g.click_ts, g.click_event_id, g.click_value) == (ts, eid, val)
+            n_matched += 1
+    assert n_matched > 0 and n_unmatched > 0, "both match paths must be exercised"
+
+
+def test_rolling_5min_reference_model(spark, sf_smoke):
+    """Count/sum over the strictly-preceding 5-minute window must equal a
+    direct per-user scan."""
+    rows = _events(spark, sf_smoke)
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for lst in by_user.values():
+        lst.sort(key=lambda r: r.ts)
+
+    got = {r.event_id: r for r in events_rolling_5min(spark, sf_smoke).collect()}
+    assert len(got) == len(rows)
+    checked_nonzero = False
+    for user, lst in by_user.items():
+        for i, r in enumerate(lst):
+            lo = r.ts.timestamp() * 1e6 - 300e6
+            prev = [
+                x
+                for x in lst[:i]
+                if lo <= x.ts.timestamp() * 1e6 < r.ts.timestamp() * 1e6
+            ]
+            g = got[r.event_id]
+            assert g.n_prev_5min == len(prev)
+            if prev:
+                assert abs(g.value_prev_5min - sum(x.value for x in prev)) < 1e-6
+                checked_nonzero = True
+            else:
+                assert g.value_prev_5min is None
+    assert checked_nonzero
