@@ -128,6 +128,12 @@ def main() -> None:
         "events_sliding_windows",
         "events_session_windows",
         "events_deduped",
+        "events_asof_join",
+        "events_rolling_5min",
+        "dedup_clusters",
+        "text_decontamination",
+        "sample_stratified",
+        "pack_sequences",
         "incr_monthly_trends_refresh",
         "incr_customer_orders_refresh",
     ]

@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 
 from ..operators import round_dbl
 from ..tables import load_table
-from .dedup import DEDUP_MINHASH_ORACLE, _SHINGLES_CTE, _doc_shingles, dedup_minhash_lsh
+from .dedup import (
+    DEDUP_MINHASH_ORACLE,
+    _SHINGLES_CTE,
+    _exploded_shingles,
+    dedup_minhash_lsh,
+)
 from .texthash import TOKENIZE_SQL, hash60, hash60_sql, tokenize
 
 # --- dedup_clusters -------------------------------------------------------
@@ -128,23 +133,17 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     text itself. Verification-grade exact overlap (no sketching): the
     candidate volume is bounded by the benchmark set size, not the corpus.
     """
-    sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    ex = _exploded_shingles(load_table(spark, sf_dir, "documents"))
     bench = (
-        sh.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .select(F.explode("shingles").alias("shingle"))
-        .distinct()
+        ex.filter(F.col("doc_id") % BENCH_MOD == 0).select("shingle").distinct()
     )
-    ev = sh.filter(F.col("doc_id") % BENCH_MOD != 0).select(
-        "doc_id",
-        F.explode("shingles").alias("shingle"),
-        F.size("shingles").cast("long").alias("n_ngrams"),
-    )
+    ev = ex.filter(F.col("doc_id") % BENCH_MOD != 0)
     hits = (
         ev.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
-    per_doc = ev.select("doc_id", "n_ngrams").distinct()
+    per_doc = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
     ratio = F.col("n_contaminated") / F.col("n_ngrams").cast("double")
     return (
         per_doc.join(hits, "doc_id", "left")

@@ -16,12 +16,12 @@ DataFrame program with a DuckDB oracle:
   embedding table (brute-force; the LSH/IVF scale paths live in
   similarity.py).
 
-Scale notes: signatures (MinHash, SimHash) are computed per document in a
-single narrow projection via nested higher-order functions — no explode,
-no crossJoin, no shuffle; the first shuffle in each operator is the small
-(band, signature) equi-join that generates candidates, and verification
-joins candidate pairs back to per-doc shingle arrays (array_intersect)
-rather than re-joining an exploded inverted index. Only the exact
+Scale notes: shingle material is built on the whole-stage-codegen path
+(posexplode + window lead — see ``_exploded_shingles``) and each signature
+(MinHash, SimHash) is one wide codegen'd aggregate over it; the candidate
+generator in each operator is a small (band, signature) equi-join, and
+verification joins candidate pairs back to per-doc shingle arrays
+(array_intersect) rather than re-joining an exploded inverted index. Only the exact
 n-gram-Jaccard operator keeps the exploded inverted index — candidate
 enumeration by shared shingle is its definition. Frequency capping of hot
 shingles (drop shingles shared by > MAX_SHINGLE_DF docs) bounds worst-case
@@ -54,39 +54,57 @@ COSINE_DUP_THRESHOLD = 0.95
 MAX_SHINGLE_DF = 5
 
 
-def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """doc_id -> distinct 3-token shingle array (one row per doc).
+def _exploded_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id, shingle — the distinct 3-token shingles of each document, in
+    exploded (inverted-index) form.
 
-    The array stays a named column: every downstream op (signatures,
-    intersections) is a per-doc higher-order function over it, so shingle
-    material is computed exactly once per document and never shuffled in
-    exploded form."""
-    tokens = tokenize(F.col("text"))
-    n = F.size(tokens)
-    arr = F.array_distinct(
-        F.when(
-            n >= 3,
-            F.transform(
-                F.sequence(F.lit(0), n - 3),
-                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, 3)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    Built on the whole-stage-codegen path: posexplode tokens, window
+    ``lead`` to pair each token with its two successors, ``concat_ws``.
+    A per-doc higher-order ``transform`` over the token array expresses
+    the same thing with no shuffle, but Spark evaluates HOF lambdas
+    interpreted per element — measured 4.5x slower than this
+    explode+window form at sf0.1 even though the window sorts within
+    doc_id. Docs with < 3 tokens fall back to one whole-text shingle
+    (the pos==0 row; concat_ws skips the NULL leads)."""
+    tok = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "token")
     )
-    return docs.select("doc_id", arr.alias("shingles"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        tok.withColumn("t1", F.lead("token", 1).over(w))
+        .withColumn("t2", F.lead("token", 2).over(w))
+        .withColumn(
+            "shingle",
+            F.when(
+                F.col("t2").isNotNull(), F.concat_ws(" ", "token", "t1", "t2")
+            ).when(
+                (F.col("pos") == 0) & F.col("t2").isNull(),
+                F.concat_ws(" ", "token", "t1"),
+            ),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .select("doc_id", "shingle")
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id -> distinct 3-token shingle array (one row per doc), for the
+    per-doc verification ops (``array_intersect``). Array element order is
+    unspecified (collect_list after a shuffle) — every consumer treats the
+    array as a set."""
+    return (
+        _exploded_shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shingles"))
+    )
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """Exploded inverted-index form: doc_id, shingle, per-doc shingle count.
-
-    NOTE: explode(arr) and size(arr) must reference the *named* column from
-    :func:`_doc_shingles`, not the raw array expression — inlining the
-    expression twice makes Spark re-evaluate the O(tokens) array build per
-    exploded OUTPUT row (O(tokens^2) per doc; measured 70x slowdown)."""
-    staged = _doc_shingles(docs)
-    return staged.select(
-        "doc_id",
-        F.explode("shingles").alias("shingle"),
-        F.size("shingles").alias("n_shingles"),
+    """Exploded inverted-index form: doc_id, shingle, per-doc shingle count
+    (a window count over the same doc_id partitioning)."""
+    return _exploded_shingles(docs).withColumn(
+        "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
 
 
@@ -200,9 +218,7 @@ def dedup_ngram_jaccard_capped(
     quadratically on stop-phrases."""
     docs = load_table(spark, sf_dir, "documents")
     ds = _doc_shingles(docs)
-    sh = ds.select("doc_id", F.explode("shingles").alias("shingle")).repartition(
-        "shingle"
-    )
+    sh = _exploded_shingles(docs).repartition("shingle")
     capped = sh.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     ).filter(F.col("df") <= max_df)
@@ -279,7 +295,7 @@ def dedup_minhash_lsh(
     # codegen. (A nested-transform per-doc variant avoids the shuffle but
     # higher-order functions evaluate interpreted — measured slower than
     # the shuffle by 10x; 16 inline min-aggs keep the hash loop in codegen.)
-    inv = ds.select("doc_id", F.explode("shingles").alias("shingle"))
+    inv = _exploded_shingles(docs)
     sig = inv.groupBy("doc_id").agg(
         *[
             F.min(
