@@ -19,7 +19,8 @@ bucket directories are never opened; their files stay byte-identical
 (asserted in tests). Each touched bucket is rebuilt in a staging dir and
 swapped in with two directory renames (new data is fully written before
 the old is unlinked; a crash between the renames leaves the previous
-image in ``<bucket>.old`` for manual recovery — the narrow non-atomic
+image in ``.<bucket>.old`` (dot-prefixed so partition discovery ignores
+it), restored automatically on the next merge — the narrow non-atomic
 window Delta's transaction log closes). ``num_buckets`` scales with table
 size (date/key-range partitioning at prod; 1000s of buckets at 100 TB).
 Streaming dedup state is bounded by the watermark via
