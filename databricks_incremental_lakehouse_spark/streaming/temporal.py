@@ -117,9 +117,11 @@ def events_rolling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user_id.
     """
     ev = load_table(spark, sf_dir, "events")
+    # cast covers TIMESTAMP_NTZ sources (unix_micros only accepts LTZ; the
+    # session timezone is pinned UTC so the cast is wall-clock-preserving)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-ROLLING_WINDOW_US, -1)
     )
     return ev.select(
