@@ -121,20 +121,37 @@ def _centroids_of(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _assign_to(emb: DataFrame, cent_df: DataFrame) -> DataFrame:
+def _assign_to(emb: DataFrame, cent_rows: list[tuple[int, list[float]]]) -> DataFrame:
     """vec_id, v, cl: nearest (max-cosine) centroid per vector; rounded
     cosine + cluster-id tiebreak keep the argmax engine-portable. Cosine
     assignment is scale-invariant in the centroid, so the unnormalized
-    mean is a valid spherical-k-means centroid."""
-    scored = emb.crossJoin(F.broadcast(cent_df)).withColumn(
-        "cdist",
-        round_dbl(_dot("v", "cv") / F.nullif(_norm("v") * _norm("cv"), F.lit(0.0)), 6),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cdist").desc(), F.col("cl").asc())
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "v", "cl")
+    mean is a valid spherical-k-means centroid.
+
+    The centroids are driver-side rows (nlist of them, never data-sized),
+    so assignment is a pure shuffle-free projection: each centroid becomes
+    a literal array, ``norm(v)`` is computed once per row (not once per
+    centroid pair), centroid norms are precomputed in Python (same
+    left-to-right summation as the engines, so bit-identical), and the
+    argmax is ``array_max`` over (cdist, -cl) structs — max cosine with
+    min-cl tiebreak, no crossJoin and no ranking window. This replaced a
+    crossJoin + row_number plan that shuffled every (vector, centroid)
+    pair per Lloyd iteration."""
+    import math
+
+    nv = _norm("v")
+    entries = []
+    for cl, cv in cent_rows:
+        cnorm = math.sqrt(sum(x * x for x in cv))
+        dot = F.aggregate(
+            F.zip_with("v", F.array(*[F.lit(x) for x in cv]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cdist = round_dbl(dot / F.nullif(nv * F.lit(cnorm), F.lit(0.0)), 6)
+        entries.append(F.struct(cdist.alias("d"), F.lit(-cl).alias("negcl")))
+    best = F.array_max(F.array(*entries))
+    return emb.select(
+        "vec_id", "v", (-best["negcl"]).cast("int").alias("cl")
     )
 
 
@@ -158,16 +175,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "v", (F.col("vec_id") % N_LIST).cast("int").alias("cl")
     )
     for _ in range(KMEANS_ITERS):
-        cent_rows = _centroids_of(assigned).collect()  # nlist rows, never data
-        cent_df = spark.createDataFrame(
-            [(int(r.cl), list(r.cv)) for r in cent_rows], "cl int, cv array<double>"
-        )
-        assigned = _assign_to(emb, cent_df)
-    cent_rows = _centroids_of(assigned).collect()
-    cent_df = spark.createDataFrame(
-        [(int(r.cl), list(r.cv)) for r in cent_rows], "cl int, cv array<double>"
-    )
-    cells = _assign_to(emb, cent_df)
+        cent_rows = [
+            (int(r.cl), list(r.cv))
+            for r in _centroids_of(assigned).collect()  # nlist rows, never data
+        ]
+        assigned = _assign_to(emb, cent_rows)
+    cent_rows = [
+        (int(r.cl), list(r.cv)) for r in _centroids_of(assigned).collect()
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "cl int, cv array<double>")
+    cells = _assign_to(emb, cent_rows)
 
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
