@@ -40,59 +40,70 @@ ASOF_RIGHT_TYPE = "click"
 ROLLING_WINDOW_US = 5 * 60 * 1_000_000  # 5 minutes in microseconds
 
 
-def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AS-OF join: each purchase matched to the same user's latest click
-    with ``click.ts <= purchase.ts`` (NULL columns when no prior click).
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    ts: str = "ts",
+    prefix: str = "right_",
+) -> DataFrame:
+    """Generic AS-OF LEFT join (Spark has no native one; cf. pandas
+    ``merge_asof`` / DuckDB ``ASOF JOIN``): every ``left`` row gains the
+    columns of the latest ``right`` row sharing its ``by`` keys with
+    ``right.ts <= left.ts`` (NULLs when no such row), renamed
+    ``{prefix}{col}``.
 
-    Union-then-window: click rows (side 0) sort before purchase rows
-    (side 1) at equal ts, so a simultaneous click is visible to the
-    purchase — the >= semantics of ``ASOF JOIN``. The right-side payload
+    Union-then-window: right rows (side 0) sort before left rows (side 1)
+    at equal ts, giving the inclusive <= semantics; the right-side payload
     travels as ONE struct through ``last(ignorenulls)`` so all matched
-    columns come from the same click row by construction. (user_id, ts)
-    is unique on this corpus; a corpus with ties would pre-dedup the
-    right side to its max-event_id row per (user_id, ts).
+    columns come from the same right row by construction. ONE shuffle (on
+    the ``by`` keys), no range explosion, no per-row probe — the shape
+    that holds when both sides are 100 TB. Ties on (by, ts) within
+    ``right`` resolve to the row last in the union sort — pre-dedup the
+    right side if tie choice matters; NULL-ts right rows sort first and
+    act as an "earliest" fallback match.
     """
-    ev = load_table(spark, sf_dir, "events")
-    c_struct_type = "struct<click_event_id:bigint,click_ts:timestamp,click_value:double>"
-    clicks = ev.filter(F.col("event_type") == ASOF_RIGHT_TYPE).select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("side"),
-        F.struct(
-            F.col("event_id").alias("click_event_id"),
-            F.col("ts").alias("click_ts"),
-            F.col("value").alias("click_value"),
-        ).alias("c"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("double").alias("value"),
+    pay_cols = [c for c in right.columns if c not in by]
+    for reserved in ("__p", "__side"):
+        assert reserved not in left.columns, f"left must not contain {reserved}"
+    r = right.select(
+        *by,
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c).alias(c) for c in pay_cols]).alias("__p"),
     )
-    purchases = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("side"),
-        F.lit(None).cast(c_struct_type).alias("c"),
-        "event_id",
-        "value",
+    lhs = left.select(
+        "*", F.col(ts).alias("__ts"), F.lit(1).alias("__side")
     )
     w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("side").asc())
+        Window.partitionBy(*by)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        clicks.unionByName(purchases)
-        .withColumn("last_c", F.last("c", ignorenulls=True).over(w))
-        .filter(F.col("side") == 1)
+        lhs.unionByName(r, allowMissingColumns=True)
+        .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
         .select(
-            "event_id",
-            "user_id",
-            "ts",
-            "value",
-            F.col("last_c.click_event_id").alias("click_event_id"),
-            F.col("last_c.click_ts").alias("click_ts"),
-            F.col("last_c.click_value").alias("click_value"),
+            *left.columns,
+            *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in pay_cols],
         )
     )
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join over events: each purchase matched to the same user's
+    latest click with ``click.ts <= purchase.ts`` (NULL columns when no
+    prior click) — an instantiation of the generic :func:`asof_join`.
+    (user_id, ts) is unique on this corpus, so tie choice is moot."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == ASOF_RIGHT_TYPE).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return asof_join(purchases, clicks, by=["user_id"], ts="ts", prefix="click_")
 
 
 EVENTS_ASOF_ORACLE = f"""

@@ -5,7 +5,11 @@ checked there against DuckDB's native ASOF JOIN)."""
 from bisect import bisect_right
 from collections import defaultdict
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
 from databricks_incremental_lakehouse_spark.streaming.temporal import (
+    asof_join,
     events_asof_join,
     events_rolling_5min,
 )
@@ -43,6 +47,55 @@ def test_asof_join_reference_model(spark, sf_smoke):
             assert (g.click_ts, g.click_event_id, g.click_value) == (ts, eid, val)
             n_matched += 1
     assert n_matched > 0 and n_unmatched > 0, "both match paths must be exercised"
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.integers(min_value=0, max_value=20),  # ts
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.integers(min_value=0, max_value=20),  # ts
+            st.integers(min_value=0, max_value=99),  # payload
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),  # asof tie choice is unspecified
+    ),
+)
+def test_asof_join_property(spark, left, right):
+    """Generic asof_join on adversarial integer timelines: every left row
+    matches the greatest right (key, ts<=left.ts) row or NULL."""
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid int, k int, ts int"
+    )
+    rdf = spark.createDataFrame(right, "k int, ts int, pay int")
+    out = {r.lid: r for r in asof_join(ldf, rdf, by=["k"], ts="ts").collect()}
+    by_key = defaultdict(list)
+    for k, t, p in right:
+        by_key[k].append((t, p))
+    for lst in by_key.values():
+        lst.sort()
+    assert len(out) == len(left)
+    for i, (k, t) in enumerate(left):
+        lst = by_key.get(k, [])
+        j = bisect_right(lst, (t, float("inf")))
+        g = out[i]
+        if j == 0:
+            assert g.right_ts is None and g.right_pay is None
+        else:
+            assert (g.right_ts, g.right_pay) == lst[j - 1]
 
 
 def test_rolling_5min_reference_model(spark, sf_smoke):
