@@ -335,6 +335,116 @@ SELECT doc_id, n_tokens,
 FROM c"""
 
 
+# --- corpus_curate --------------------------------------------------------
+
+QUALITY_MIN = 0.4  # drops the worst ~10% at sf0.01; binds at every SF
+
+
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel as one auditable query: every document with
+    a boolean per gate —
+
+    - ``pass_exact``    : survivor of exact content-hash dedup (min doc_id
+      per normalized-text md5),
+    - ``pass_neardup``  : canonical doc of its MinHash-LSH near-dup cluster,
+    - ``pass_decontam`` : not a benchmark doc and under the n-gram overlap
+      threshold vs the benchmark set,
+    - ``pass_quality``  : composite quality score >= QUALITY_MIN,
+    - ``pass_sample``   : selected by the stratified hash sample,
+
+    and ``is_kept`` = all gates — the training-corpus membership a real
+    pipeline materializes (keeping the flags makes every drop explainable,
+    the audit requirement for curated-data releases). Each gate reuses the
+    standalone operator; all joins are on doc_id, so at scale they
+    co-partition into one shuffle stage over the (tiny) per-doc flag
+    frames rather than re-shuffling document text."""
+    from .textstats import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_md5")
+    base = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.md5(F.trim(F.lower(F.col("text")))).alias("content_md5"),
+        )
+        .withColumn("pass_exact", F.col("doc_id") == F.min("doc_id").over(w))
+        .drop("content_md5")
+    )
+    clusters = dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("is_kept").alias("pass_neardup")
+    )
+    decon = text_decontamination(spark, sf_dir).select("doc_id", "is_contaminated")
+    quality = text_stats(spark, sf_dir).select("doc_id", "quality_score")
+    is_benchmark = F.col("doc_id") % BENCH_MOD == 0
+    h = hash60(F.concat(F.lit(_SAMPLE_KEY), F.col("doc_id").cast("string")))
+    th = F.when(F.col("lang") == "en", F.lit(_TH_EN)).otherwise(F.lit(_TH_OTHER))
+    out = (
+        base.join(clusters, "doc_id")
+        .join(decon, "doc_id", "left")
+        .join(quality, "doc_id")
+        .withColumn("is_benchmark", is_benchmark)
+        .withColumn(
+            "pass_decontam",
+            ~is_benchmark & ~F.coalesce("is_contaminated", F.lit(False)),
+        )
+        .withColumn("pass_quality", F.col("quality_score") >= QUALITY_MIN)
+        .withColumn("pass_sample", h < th)
+    )
+    kept = (
+        F.col("pass_exact")
+        & F.col("pass_neardup")
+        & F.col("pass_decontam")
+        & F.col("pass_quality")
+        & F.col("pass_sample")
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "is_benchmark",
+        "pass_exact",
+        "pass_neardup",
+        "pass_decontam",
+        "pass_quality",
+        "pass_sample",
+        kept.alias("is_kept"),
+    )
+
+
+def _corpus_curate_oracle() -> str:
+    from .textstats import TEXT_STATS_ORACLE
+
+    decontam_pred = (
+        f"doc_id % {BENCH_MOD} <> 0 AND NOT COALESCE(dc.is_contaminated, FALSE)"
+    )
+    quality_pred = f"q.quality_score >= {QUALITY_MIN}"
+    return f"""
+WITH ex AS (
+    SELECT doc_id,
+           doc_id = MIN(doc_id) OVER (
+               PARTITION BY md5(trim(lower(text)))
+           ) AS pass_exact
+    FROM documents
+),
+cl AS (SELECT doc_id, is_kept FROM ({DEDUP_CLUSTERS_ORACLE})),
+dc AS (SELECT doc_id, is_contaminated FROM ({TEXT_DECONTAMINATION_ORACLE})),
+q AS (SELECT doc_id, quality_score FROM ({TEXT_STATS_ORACLE}))
+SELECT doc_id, d.lang,
+       doc_id % {BENCH_MOD} = 0 AS is_benchmark,
+       ex.pass_exact,
+       cl.is_kept AS pass_neardup,
+       {decontam_pred} AS pass_decontam,
+       {quality_pred} AS pass_quality,
+       {_SAMPLE_PRED} AS pass_sample,
+       (ex.pass_exact AND cl.is_kept AND {decontam_pred}
+        AND {quality_pred} AND {_SAMPLE_PRED}) AS is_kept
+FROM documents d
+JOIN ex USING (doc_id)
+JOIN cl USING (doc_id)
+LEFT JOIN dc USING (doc_id)
+JOIN q USING (doc_id)"""
+
+
 def register_all(register) -> None:
     register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE)
     register("text_decontamination", text_decontamination, TEXT_DECONTAMINATION_ORACLE)
@@ -345,3 +455,4 @@ def register_all(register) -> None:
         SAMPLE_STRATIFIED_COUNTS_ORACLE,
     )
     register("pack_sequences", pack_sequences, PACK_SEQUENCES_ORACLE)
+    register("corpus_curate", corpus_curate, _corpus_curate_oracle())
