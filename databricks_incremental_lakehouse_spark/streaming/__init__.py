@@ -2,6 +2,7 @@ from .incremental import (
     BRONZE_MERGE_KEYS,
     incremental_bronze_orders_stream,
     incremental_bronze_stream,
+    incremental_corpus_dedup_stream,
     incremental_events_stream,
     merge_upsert,
     read_merge_target,
@@ -23,6 +24,7 @@ __all__ = [
     "incremental_events_stream",
     "incremental_bronze_orders_stream",
     "incremental_bronze_stream",
+    "incremental_corpus_dedup_stream",
     "BRONZE_MERGE_KEYS",
     "stateful_user_totals_stream",
     "IncrementalWarehouse",

@@ -175,6 +175,7 @@ def merge_upsert(
     partition_cols: Sequence[str] = (),
     partition_scope: dict[str, Sequence] | None = None,
     deletes: DataFrame | None = None,
+    on_match: str = "update",
 ) -> None:
     """Upsert ``updates`` into the bucketed parquet table at ``target_path``.
 
@@ -189,7 +190,12 @@ def merge_upsert(
     image of each scoped key. ``deletes`` adds ``WHEN MATCHED THEN DELETE``:
     a DataFrame of full-key rows to drop exactly (needed e.g. when an
     entity's bucket key changes — the old image lives in a bucket the new
-    image does not touch). Together the three paths cover the whole Delta
+    image does not touch). ``on_match="keep"`` is the insert-only merge
+    (``WHEN NOT MATCHED THEN INSERT *`` with no matched clause): an
+    existing key's stored row wins over any re-delivery — the keep-FIRST
+    registry semantics (e.g. a streaming content-hash dedup registry);
+    incompatible with ``scope``/``deletes``, which assume the caller
+    replaces stored images. Together these paths cover the whole Delta
     MERGE surface.
 
     Layout: rows land in ``<partition_cols...>/_kb=pmod(xxhash64(
@@ -223,6 +229,10 @@ def merge_upsert(
         raise ValueError(
             f"bucket_keys {bucket_keys!r} must be a subset of keys {list(keys)!r}"
         )
+    if on_match not in ("update", "keep"):
+        raise ValueError(f"on_match must be 'update' or 'keep', got {on_match!r}")
+    if on_match == "keep" and (scope is not None or deletes is not None):
+        raise ValueError("on_match='keep' cannot be combined with scope/deletes")
 
     _recover_swaps(target_path)
     initial = not os.path.isdir(target_path)
@@ -281,13 +291,20 @@ def merge_upsert(
         if partition_scope:
             for col, vals in partition_scope.items():
                 current = current.filter(F.col(col).isin(list(vals)))
-        if scope is None:
-            kept = current.join(updates.select(*keys), list(keys), "left_anti")
+        if on_match == "keep":
+            # insert-only: stored rows win; only genuinely new keys land
+            new_rows = updates.join(current.select(*keys), list(keys), "left_anti")
+            merged = current.unionByName(new_rows)
         else:
-            kept = current.join(scope.select(*bucket_keys), bucket_keys, "left_anti")
-        if deletes is not None:
-            kept = kept.join(deletes.select(*keys), list(keys), "left_anti")
-        merged = kept.unionByName(updates)
+            if scope is None:
+                kept = current.join(updates.select(*keys), list(keys), "left_anti")
+            else:
+                kept = current.join(
+                    scope.select(*bucket_keys), bucket_keys, "left_anti"
+                )
+            if deletes is not None:
+                kept = kept.join(deletes.select(*keys), list(keys), "left_anti")
+            merged = kept.unionByName(updates)
 
     # cluster rows by their destination dir before the write: each
     # (partition..., bucket) dir then receives one file from one task
@@ -449,3 +466,59 @@ def incremental_bronze_orders_stream(
     return incremental_bronze_stream(
         spark, "orders", source_dir, target_path, checkpoint_dir, batch_id
     )
+
+
+def incremental_corpus_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact-dedup registry over a growing document corpus — the
+    incremental twin of the batch ``dedup_exact`` query.
+
+    Newly arrived document files are streamed; each micro-batch hashes
+    normalized text to ``content_md5`` and merges into a registry keyed on
+    the hash with ``on_match='keep'`` (insert-only): the FIRST document
+    seen with a given content wins, re-deliveries and later duplicates
+    never displace it, and a duplicate inside one batch resolves to its
+    min ``doc_id`` via the merge's keyed dedup. The registry holds one
+    row per distinct content — O(distinct docs), bucketed by hash — so
+    admitting a new batch costs O(batch x registry/num_buckets), not a
+    rescan of the corpus: exactly how a 100 TB training-data pipeline
+    keeps global exact dedup incremental. (Near-dup state is different:
+    MinHash signatures would be registered the same way, but candidate
+    verification joins stay batch jobs over the registry.)
+    """
+    static = spark.read.parquet(source_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        registry = batch_df.select(
+            F.md5(F.trim(F.lower(F.col("text")))).alias("content_md5"),
+            "doc_id",
+            "lang",
+            "source",
+        )
+        merge_upsert(
+            batch_df.sparkSession,
+            registry,
+            target_path,
+            keys=["content_md5"],
+            tiebreak_cols=["doc_id"],
+            on_match="keep",
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

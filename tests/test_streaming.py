@@ -391,3 +391,62 @@ def test_merge_upsert_model_property(spark, tmp_path_factory, ops):
             assert got == model, f"after {op}: {got} != {model}"
         else:
             assert model == {} or op == "delete"
+
+
+def test_incremental_corpus_dedup_keep_first(spark, sf_smoke, tmp_path):
+    """Streaming exact-dedup registry: duplicates arriving in LATER batches
+    must not displace the first-seen document (on_match='keep'), and the
+    final registry must hold exactly one row per distinct content."""
+    from databricks_incremental_lakehouse_spark.streaming import (
+        incremental_corpus_dedup_stream,
+    )
+
+    import glob
+    import shutil
+
+    docs = load_table(spark, sf_smoke, "documents")
+    source = str(tmp_path / "source")
+    os.makedirs(source)
+
+    def stage_file(df, name):
+        staging = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(source, name))
+
+    # file 0: the original corpus (single file => first micro-batch)
+    stage_file(docs, "f0.parquet")
+    # file 1: re-deliveries of 20 originals under NEW higher doc_ids —
+    # exact duplicates that must lose to the first-seen rows
+    dupes = (
+        docs.orderBy("doc_id")
+        .limit(20)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text",
+            "lang",
+            F.lit("redelivery").alias("source"),
+            "n_chars",
+        )
+    )
+    stage_file(dupes, "f1.parquet")
+
+    target = str(tmp_path / "target")
+    chk = str(tmp_path / "chk")
+    q = incremental_corpus_dedup_stream(spark, source, target, chk)
+    q.awaitTermination(120)
+
+    got = {
+        r.content_md5: r.doc_id for r in read_merge_target(spark, target).collect()
+    }
+    expected = {
+        r.content_md5: r.kept_doc_id
+        for r in docs.select(
+            F.md5(F.trim(F.lower(F.col("text")))).alias("content_md5"), "doc_id"
+        )
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("kept_doc_id"))
+        .collect()
+    }
+    assert got == expected  # registry == batch dedup_exact survivors
+    assert all(d < 1_000_000 for d in got.values())  # no re-delivery won
