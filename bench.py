@@ -142,6 +142,15 @@ def main() -> None:
         _noop(QUERIES[name](spark, sf_dir))
         timings[f"ext.{name}"] = round(time.time() - t0, 3)
 
+    # steady-state refresh cost: the first incr_* call above paid the full
+    # warehouse init; the warehouse is cached per sf_dir and every call
+    # re-applies the 50-order update batch, so a second timed call isolates
+    # the per-micro-batch cost — the number that matters for the
+    # incremental-vs-daily-rebuild comparison.
+    t0 = time.time()
+    _noop(QUERIES["incr_monthly_trends_refresh"](spark, sf_dir))
+    timings["ext.incr_monthly_trends_update_only"] = round(time.time() - t0, 3)
+
     total = timings["pipeline_sales"] + timings["pipeline_supplier"] + sum(
         timings[n] for n in bi
     )
