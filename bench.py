@@ -123,6 +123,8 @@ def main() -> None:
         "sim_hyperplane_lsh",
         "text_stats",
         "text_langid",
+        "sketch_hll_distinct",
+        "sketch_cms_heavy_hitters",
         "multimodal_feature_stats",
         "events_tumbling_hourly",
         "events_sliding_windows",

@@ -2,12 +2,13 @@
 
 Modules: text analysis (textstats), deduplication (dedup), corpus curation
 (curation: dup clustering, decontamination, sampling, sequence packing),
-similarity search (similarity), multimodal column plumbing (multimodal).
-Each operator is registered as an oracle-checked query where
+similarity search (similarity), multimodal column plumbing (multimodal),
+sketch aggregates (sketches: HyperLogLog distinct, count-min heavy
+hitters). Each operator is registered as an oracle-checked query where
 SQL-expressible.
 """
 
-from . import curation, dedup, multimodal, similarity, textstats
+from . import curation, dedup, multimodal, similarity, sketches, textstats
 
 
 def register_all(register) -> None:
@@ -16,3 +17,4 @@ def register_all(register) -> None:
     curation.register_all(register)
     similarity.register_all(register)
     multimodal.register_all(register)
+    sketches.register_all(register)

@@ -1,0 +1,296 @@
+"""Sketch aggregates — approximate distinct counts and heavy hitters that
+are *deterministically replayable* in the DuckDB oracle.
+
+A 100-TB engine needs one-pass, fixed-memory, mergeable summaries:
+
+- ``sketch_hll_distinct``     : HyperLogLog distinct-user estimate per
+  event type (Flajolet et al. 2007), m=512 registers, alongside the exact
+  count so the error is visible in the output.
+- ``sketch_cms_heavy_hitters``: count-min sketch (Cormode & Muthukrishnan
+  2005) over document tokens, d=4 rows x w=256 buckets, top-20 tokens by
+  estimated frequency with the exact count and the overestimate.
+
+Why these are oracle-checkable at all: engine-native sketches
+(``approx_count_distinct``, datasketches) hash differently per engine, so
+their outputs can never hash-match DuckDB. Here every random choice is
+derived from the portable md5-based ``hash60`` family (texthash.py), and
+all register/bucket arithmetic is integer (bit masks, shifts, binary-string
+lengths, integer sums) — the only floating-point steps are one final
+multiply/divide (IEEE, correctly rounded, identical across engines) and the
+HLL linear-counting ``ln`` (both engines round the estimate to a whole
+count, so a last-ulp libm difference cannot surface).
+
+Scale notes (the whole point of sketches):
+
+- HLL registers aggregate as ``groupBy(group, idx).max(rho)`` — partial
+  aggregation runs map-side, so the shuffle carries at most
+  ``groups x m`` rows no matter how many billions of events scanned, and
+  register maxes merge associatively across any partitioning (the
+  streaming/cube-friendly property the exact ``COUNT(DISTINCT)`` lacks).
+- The CMS table is a constant ``d x w`` cells; the heavy-hitter candidate
+  join broadcasts it. The one O(corpus) shuffle is the exact-count
+  comparison column, which exists only to exhibit the sketch error — drop
+  it and the operator is a pure scan + fixed-size reduce.
+
+The reference has no sketch surface; this extends SURVEY.md §2.4 the same
+way the streaming module extends §2.9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import round_dbl
+from ..operators.rounding import round_dbl_sql
+from ..tables import load_table
+from .texthash import (
+    TOKENIZE_SQL,
+    hash60,
+    hash60_sql,
+    seeded_hash60_sql,
+    tokenize,
+)
+
+# --- HyperLogLog ----------------------------------------------------------
+
+HLL_P = 9                      # register-index bits
+HLL_M = 1 << HLL_P             # 512 registers
+HLL_W = 60 - HLL_P             # 51 bits feed the rank (hash60 is 60-bit)
+# alpha_m * m^2 (Flajolet et al. 2007 eq. for m >= 128); embedded as the
+# same decimal literal in Spark and DuckDB so both parse the same double
+HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
+# register sums are kept as exact integers scaled by 2^(W+1): double
+# addition is order-sensitive once the terms span > 53 bits, and Spark's
+# partition order differs from DuckDB's
+HLL_SCALE = 1 << (HLL_W + 1)   # 2^52
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL distinct-``user_id`` estimate vs the exact count.
+
+    rho (rank of the first 1-bit in the 51-bit suffix) is computed from the
+    *binary-string length* of the suffix — ``bin()`` is exact and identical
+    in both engines, unlike floating ``log2`` at exact powers of two.
+    """
+    events = load_table(spark, sf_dir, "events")
+    h = hash60(F.col("user_id").cast("string"))
+    reg = events.select(
+        "event_type",
+        h.bitwiseAND(F.lit(HLL_M - 1)).alias("idx"),
+        F.shiftright(h, HLL_P).alias("rest"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("rest") == 0, F.lit(HLL_W + 1)).otherwise(
+            F.lit(HLL_W + 1) - F.length(F.bin("rest"))
+        ),
+    )
+    # map-side partial max per register, then the fixed-size register table
+    regs = reg.groupBy("event_type", "idx").agg(F.max("rho").alias("m_j"))
+    groups = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("v"),
+        # sum of 2^(52 - m_j) as exact integers (see HLL_SCALE note)
+        F.sum(F.expr(f"shiftleft(1L, {HLL_W + 1} - m_j)")).alias("s_hit"),
+    )
+    s_total = (
+        F.col("s_hit") + (F.lit(HLL_M) - F.col("v")) * F.lit(HLL_SCALE)
+    ).cast("double")
+    raw = F.lit(HLL_ALPHA_M2 * float(HLL_SCALE)) / s_total
+    zeros = F.lit(HLL_M) - F.col("v")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        groups.select(
+            "event_type",
+            F.col("v").cast("int").alias("registers_hit"),
+            round_dbl(est, 0).cast("bigint").alias("est_distinct"),
+        )
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "registers_hit",
+            "est_distinct",
+            "exact_distinct",
+            # ratio of integers can land exactly on a .005 tie — route
+            # through the portable decimal grid, not raw double ROUND
+            round_dbl(
+                (F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct").cast("double")
+                * 100,
+                2,
+            ).alias("rel_error_pct"),
+        )
+    )
+
+
+SKETCH_HLL_ORACLE = f"""
+WITH h AS (
+    SELECT event_type,
+           {hash60_sql("CAST(user_id AS VARCHAR)")} AS h
+    FROM events
+),
+r AS (
+    SELECT event_type,
+           h & {HLL_M - 1} AS idx,
+           h >> {HLL_P} AS rest
+    FROM h
+),
+rho AS (
+    SELECT event_type, idx,
+           CASE WHEN rest = 0 THEN {HLL_W + 1}
+                ELSE {HLL_W + 1} - length(bin(rest)) END AS rho
+    FROM r
+),
+regs AS (
+    SELECT event_type, idx, max(rho) AS m_j FROM rho GROUP BY 1, 2
+),
+g AS (
+    SELECT event_type,
+           count(*) AS v,
+           CAST(sum(1::BIGINT << ({HLL_W + 1} - m_j)) AS BIGINT) AS s_hit
+    FROM regs GROUP BY 1
+),
+e AS (
+    SELECT event_type,
+           CAST({HLL_ALPHA_M2 * float(HLL_SCALE)!r} AS DOUBLE)
+               / CAST(s_hit + ({HLL_M} - v) * {HLL_SCALE}::BIGINT AS DOUBLE) AS raw,
+           {HLL_M} - v AS zeros,
+           v
+    FROM g
+),
+est AS (
+    SELECT event_type, v,
+           CASE WHEN raw <= {2.5 * HLL_M!r} AND zeros > 0
+                THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(zeros AS DOUBLE))
+                ELSE raw END AS est_d
+    FROM e
+),
+x AS (
+    SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+    FROM events GROUP BY 1
+)
+SELECT est.event_type,
+       CAST(v AS INT) AS registers_hit,
+       CAST({round_dbl_sql("est_d", 0)} AS BIGINT) AS est_distinct,
+       exact_distinct,
+       {round_dbl_sql(
+           "(CAST(" + round_dbl_sql("est_d", 0) + " AS BIGINT) - exact_distinct)"
+           " / CAST(exact_distinct AS DOUBLE) * 100", 2)} AS rel_error_pct
+FROM est JOIN x ON est.event_type = x.event_type"""
+
+
+# --- count-min sketch -----------------------------------------------------
+
+CMS_D = 4        # hash rows
+CMS_W = 256      # buckets per row
+CMS_TOPK = 20
+
+
+def _cms_bucket(token_col, seed_col, w: int = CMS_W):
+    # seed-prefixed member of the portable hash family, folded to a bucket
+    return F.pmod(
+        hash60(F.concat(seed_col.cast("string"), F.lit("#"), token_col)),
+        F.lit(w),
+    ).alias("bucket")
+
+
+def cms_token_estimates(
+    spark: SparkSession, sf_dir: str, w: int = CMS_W
+) -> DataFrame:
+    """Count-min frequency estimate for every distinct document token.
+
+    The sketch is built exactly as it would stream: every (token, seed)
+    occurrence increments one of d x w counters. The estimate for a token
+    is the min over its d counters — an overestimate by construction
+    (collisions only add), so ``est_count >= exact_count`` always; the
+    exact count is carried purely to exhibit that error. ``w`` is a
+    parameter so tests can force the collision regime (the synthetic
+    corpus vocabulary is smaller than the default row width).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    seeds = F.array(*[F.lit(s) for s in range(CMS_D)])
+    tok = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    # the d x w counter table (fixed size regardless of corpus size)
+    sketch = (
+        tok.select("token", F.explode(seeds).alias("seed"))
+        .select("seed", _cms_bucket(F.col("token"), F.col("seed"), w))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # point-query every distinct token against the broadcast sketch
+    tokens = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        tokens.select("token", "exact_count", F.explode(seeds).alias("seed"))
+        .select(
+            "token",
+            "exact_count",
+            "seed",
+            _cms_bucket(F.col("token"), F.col("seed"), w),
+        )
+        .join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 document tokens by count-min-estimated frequency (the token
+    distribution is the corpus's Zipf-like head — the data shape CMS is
+    built for; the deterministic (est desc, token asc) order pins the
+    LIMIT boundary for the oracle)."""
+    est = cms_token_estimates(spark, sf_dir)
+    return (
+        est.select(
+            "token",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.col("est_count").desc(), F.col("token").asc())
+        .limit(CMS_TOPK)
+    )
+
+
+def _cms_bucket_sql(tok: str, seed: str) -> str:
+    return f"{seeded_hash60_sql(tok, seed)} % {CMS_W}"
+
+
+SKETCH_CMS_ORACLE = f"""
+WITH tok AS (
+    SELECT unnest({TOKENIZE_SQL.format(c="text")}) AS token FROM documents
+),
+seeds(seed) AS (VALUES (0), (1), (2), (3)),
+cells AS (
+    SELECT seed, {_cms_bucket_sql("token", "seed")} AS bucket
+    FROM tok CROSS JOIN seeds
+),
+sketch AS (
+    SELECT seed, bucket, count(*) AS c FROM cells GROUP BY 1, 2
+),
+tokens AS (
+    SELECT token, count(*) AS exact_count FROM tok GROUP BY 1
+),
+probes AS (
+    SELECT token, exact_count, seed,
+           {_cms_bucket_sql("token", "seed")} AS bucket
+    FROM tokens CROSS JOIN seeds
+),
+est AS (
+    SELECT token, exact_count, min(c) AS est_count
+    FROM probes JOIN sketch USING (seed, bucket)
+    GROUP BY 1, 2
+)
+SELECT token, est_count, exact_count, est_count - exact_count AS overcount
+FROM est
+ORDER BY est_count DESC, token ASC
+LIMIT {CMS_TOPK}"""
+
+
+def register_all(register) -> None:
+    register("sketch_hll_distinct", sketch_hll_distinct, SKETCH_HLL_ORACLE)
+    register("sketch_cms_heavy_hitters", sketch_cms_heavy_hitters, SKETCH_CMS_ORACLE)

@@ -136,3 +136,45 @@ def test_embedding_cosine_pairs_symmetric_threshold(spark, sf_correct):
     pairs = dedup_embedding_cosine(spark, sf_correct)
     assert pairs.filter(F.col("vec_a") >= F.col("vec_b")).count() == 0
     assert pairs.filter(F.col("cosine") < 0.95).count() == 0
+
+
+def test_hll_estimate_within_error_bound(spark, sf_correct):
+    """HLL with m=512 has theoretical std error 1.04/sqrt(512) ~= 4.6%;
+    in the linear-counting regime (small n) it is tighter still. Require
+    every group within 15% of exact — loose enough to never flake, tight
+    enough that a broken rho/register computation (which produces wild
+    estimates) fails loudly."""
+    from databricks_incremental_lakehouse_spark.llmdata.sketches import (
+        sketch_hll_distinct,
+    )
+
+    rows = sketch_hll_distinct(spark, sf_correct).collect()
+    assert rows, "no event types"
+    for r in rows:
+        assert r.exact_distinct > 0
+        assert abs(r.est_distinct - r.exact_distinct) / r.exact_distinct <= 0.15, (
+            f"{r.event_type}: est={r.est_distinct} exact={r.exact_distinct}"
+        )
+
+
+def test_cms_never_underestimates_and_collides_when_narrow(spark, sf_correct):
+    """Count-min estimates are >= exact for EVERY token (collisions only
+    add). The synthetic vocabulary (~31 tokens) fits inside the default
+    256-wide row, so the narrow w=16 variant forces the collision regime:
+    there the sketch must still never underestimate AND must actually
+    overcount somewhere (proving the bucket-fold arithmetic is real, not
+    vacuously exact)."""
+    from pyspark.sql import functions as SF
+
+    from databricks_incremental_lakehouse_spark.llmdata.sketches import (
+        cms_token_estimates,
+    )
+
+    wide = cms_token_estimates(spark, sf_correct)
+    assert wide.filter(SF.col("est_count") < SF.col("exact_count")).count() == 0
+
+    narrow = cms_token_estimates(spark, sf_correct, w=16)
+    n_tokens = narrow.count()
+    assert n_tokens > 16, "vocabulary must exceed the narrow row width"
+    assert narrow.filter(SF.col("est_count") < SF.col("exact_count")).count() == 0
+    assert narrow.filter(SF.col("est_count") > SF.col("exact_count")).count() > 0
