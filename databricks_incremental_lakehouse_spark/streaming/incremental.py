@@ -371,6 +371,9 @@ def incremental_events_stream(
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
+        # watermarks require TIMESTAMP (LTZ); sources written with
+        # spark.sql.timestampType=TIMESTAMP_NTZ would otherwise fail analysis
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
