@@ -288,8 +288,14 @@ def apply_order_updates(
         )
     if not changed_parts and customers_updates is None:
         return wh
+    # Pinned eagerly: the micro-batch-sized key set is re-used by every
+    # bucket-pruned read and merge scope below, and its lineage otherwise
+    # re-reads the caller's source (and, after the first swap, could read
+    # a target dir that no longer exists).
     changed = (
-        reduce(DataFrame.unionByName, changed_parts).distinct()
+        reduce(DataFrame.unionByName, changed_parts)
+        .distinct()
+        .localCheckpoint(eager=True)
         if changed_parts
         else None
     )
@@ -538,15 +544,25 @@ def _refreshed_warehouse(spark: SparkSession, sf_dir: str) -> IncrementalWarehou
     of each key, so the keyed dedup resolves exactly as the initial load
     did); the refreshed outputs must therefore equal the from-scratch
     silver/gold builds — exactly the oracles the refresh queries register
-    against. Mutating-update cases (values equal a true batch rebuild) are
-    covered in pytest."""
+    against. The 50 keys are the most RECENT orders (latest o_orderdate):
+    a real micro-batch clusters in current dates, and that is what lets the
+    year-partitioned silver merge and the affected-month gold re-aggregate
+    prune — a random-date batch would touch every year partition and most
+    months, degenerating to a near-full rewrite. Mutating-update cases
+    (values equal a true batch rebuild) are covered in pytest."""
     root = _WAREHOUSES.get(sf_dir)
     if root is None:
         root = tempfile.mkdtemp(prefix="incr_wh_")
         init_incremental_warehouse(spark, sf_dir, root)
         _WAREHOUSES[sf_dir] = root
     raw = load_table(spark, sf_dir, "orders")
-    keys50 = raw.select("o_orderkey").distinct().orderBy("o_orderkey").limit(50)
+    keys50 = (
+        raw.groupBy("o_orderkey")
+        .agg(F.max("o_orderdate").alias("d"))
+        .orderBy(F.desc("d"), F.desc("o_orderkey"))
+        .limit(50)
+        .select("o_orderkey")
+    )
     upd = raw.join(F.broadcast(keys50), "o_orderkey", "left_semi")
     return apply_order_updates(spark, root, orders_updates=upd)
 
