@@ -8,11 +8,12 @@ hitters). Each operator is registered as an oracle-checked query where
 SQL-expressible.
 """
 
-from . import curation, dedup, multimodal, similarity, sketches, textstats
+from . import curation, dedup, docquality, multimodal, similarity, sketches, textstats
 
 
 def register_all(register) -> None:
     textstats.register_all(register)
+    docquality.register_all(register)
     dedup.register_all(register)
     curation.register_all(register)
     similarity.register_all(register)

@@ -178,3 +178,43 @@ def test_cms_never_underestimates_and_collides_when_narrow(spark, sf_correct):
     assert n_tokens > 16, "vocabulary must exceed the narrow row width"
     assert narrow.filter(SF.col("est_count") < SF.col("exact_count")).count() == 0
     assert narrow.filter(SF.col("est_count") > SF.col("exact_count")).count() > 0
+
+
+def test_gopher_flags_discriminate_and_compose(spark, sf_correct):
+    """Every quality gate that CAN vary on this corpus must produce both
+    outcomes (a flag that never fires is a vacuous guard), the repetition
+    metrics must agree with a per-doc python recomputation on a sample,
+    and pass_gopher must equal the conjunction of its component flags."""
+    from databricks_incremental_lakehouse_spark.llmdata.docquality import (
+        text_quality_gopher,
+    )
+
+    rows = text_quality_gopher(spark, sf_correct).collect()
+    assert rows
+    for flag in ("pass_word_count", "pass_stopwords", "pass_repetition"):
+        vals = {getattr(r, flag) for r in rows}
+        assert vals == {True, False}, f"{flag} is vacuous on this corpus: {vals}"
+    for r in rows:
+        expect = (
+            r.pass_word_count
+            and r.pass_mean_word_len
+            and r.pass_symbol_ratio
+            and r.pass_stopwords
+            and r.pass_repetition
+        )
+        assert r.pass_gopher == expect
+
+    docs = {
+        d.doc_id: d.text
+        for d in load_table(spark, sf_correct, "documents").limit(25).collect()
+    }
+    by_id = {r.doc_id: r for r in rows}
+    for doc_id, text in docs.items():
+        toks = text.strip().lower().split()
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top_bg = max((bgs.count(b) for b in set(bgs)), default=0)
+        r = by_id[doc_id]
+        assert r.n_words == len(toks)
+        assert abs(r.dup_token_frac - (1 - len(set(toks)) / len(toks))) < 1e-3
+        expected_topbgf = top_bg / len(bgs) if bgs else 0.0
+        assert abs(r.top_bigram_frac - expected_topbgf) < 1e-3
