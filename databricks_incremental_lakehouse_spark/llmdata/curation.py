@@ -445,6 +445,128 @@ LEFT JOIN dc USING (doc_id)
 JOIN q USING (doc_id)"""
 
 
+# --- temperature-weighted mixture sampling --------------------------------
+
+# Temperature sampling over the language axis (the multilingual-pretraining
+# standard: sample language l with probability ~ n_l^alpha, alpha<1 flattens
+# the head and upsamples the tail). alpha is fixed at 0.5 so the weight is
+# sqrt(n) — IEEE-correctly-rounded in BOTH engines, unlike pow(), keeping
+# the whole rate derivation bit-reproducible for the oracle. Rates are
+# rounded to a 1e-9 grid before thresholding so a last-ulp difference in
+# the double arithmetic chain can never flip a membership decision.
+TEMP_BUDGET_FRAC = 0.5  # fraction of the corpus the mixture keeps
+_TEMP_KEY = "tsample#"
+
+
+def _temp_rates(docs: DataFrame) -> DataFrame:
+    """Per-language target rate: least(1, budget * q_l / n_l) with
+    q_l = sqrt(n_l) / sum(sqrt(n)). One tiny aggregate (O(#languages)
+    rows) + a scalar cross-broadcast — no corpus shuffle."""
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("n_total").cast("double"))).alias("z"),
+        F.sum("n_total").alias("n_corpus"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(TEMP_BUDGET_FRAC)
+        * F.col("n_corpus").cast("double")
+        * F.sqrt(F.col("n_total").cast("double"))
+        / F.col("z")
+        / F.col("n_total").cast("double"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_total",
+        F.round(rate, 9).alias("target_rate"),
+    )
+
+
+def _temp_kept(docs: DataFrame) -> DataFrame:
+    rates = _temp_rates(docs).select(
+        "lang",
+        F.floor(F.col("target_rate") * F.lit(float(2**60)))
+        .cast("long")
+        .alias("_th"),
+    )
+    h = hash60(F.concat(F.lit(_TEMP_KEY), F.col("doc_id").cast("string")))
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .withColumn("_h", h)
+        .filter(F.col("_h") < F.col("_th"))
+    )
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature-weighted language-mixture sample.
+
+    The head language's rate drops below the budget fraction and tail
+    languages rise above it — the alpha=0.5 flattening used to train
+    multilingual models. Same hash-threshold shape as
+    :func:`sample_stratified`: membership is a pure broadcast-join filter,
+    reproducible and stable under corpus growth of other languages (a
+    doc's hash never changes; only the per-language thresholds move as
+    counts drift)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _temp_kept(docs).select("doc_id", "lang", "source")
+
+
+def sample_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language audit: corpus count, target rate, realized sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = _temp_kept(docs).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    return (
+        _temp_rates(docs)
+        .join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            "target_rate",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            round_dbl(
+                F.coalesce("n_sampled", F.lit(0))
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("realized_rate"),
+        )
+    )
+
+
+_TEMP_RATES_CTE = f"""
+    SELECT lang, n_total,
+        ROUND(LEAST(1.0, {TEMP_BUDGET_FRAC} * n_corpus * sqrt(CAST(n_total AS DOUBLE))
+                         / z / CAST(n_total AS DOUBLE)), 9) AS target_rate
+    FROM (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang)
+    CROSS JOIN (SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS z,
+                       CAST(SUM(n) AS DOUBLE) AS n_corpus
+                FROM (SELECT COUNT(*) AS n FROM documents GROUP BY lang))"""
+
+_TEMP_HASH_SQL = hash60_sql(f"concat('{_TEMP_KEY}', CAST(doc_id AS VARCHAR))")
+
+SAMPLE_TEMPERATURE_ORACLE = f"""
+WITH rates AS ({_TEMP_RATES_CTE})
+SELECT doc_id, d.lang, source
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE {_TEMP_HASH_SQL} < CAST(floor(r.target_rate * {float(2**60)!r}) AS BIGINT)"""
+
+SAMPLE_TEMPERATURE_RATES_ORACLE = f"""
+WITH rates AS ({_TEMP_RATES_CTE}),
+kept AS (
+    SELECT d.lang, COUNT(*) AS n_sampled
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {_TEMP_HASH_SQL} < CAST(floor(r.target_rate * {float(2**60)!r}) AS BIGINT)
+    GROUP BY d.lang
+)
+SELECT r.lang, r.n_total, r.target_rate,
+    COALESCE(k.n_sampled, 0) AS n_sampled,
+    CAST(ROUND(CAST(CAST(COALESCE(k.n_sampled, 0) AS DOUBLE)
+         / CAST(r.n_total AS DOUBLE) AS DECIMAL(38,10)), 6) AS DOUBLE)
+        AS realized_rate
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang"""
+
+
 def register_all(register) -> None:
     register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE)
     register("text_decontamination", text_decontamination, TEXT_DECONTAMINATION_ORACLE)
@@ -456,3 +578,9 @@ def register_all(register) -> None:
     )
     register("pack_sequences", pack_sequences, PACK_SEQUENCES_ORACLE)
     register("corpus_curate", corpus_curate, _corpus_curate_oracle())
+    register("sample_temperature", sample_temperature, SAMPLE_TEMPERATURE_ORACLE)
+    register(
+        "sample_temperature_rates",
+        sample_temperature_rates,
+        SAMPLE_TEMPERATURE_RATES_ORACLE,
+    )

@@ -155,3 +155,30 @@ def test_pack_sequences_invariants(spark, sf_correct):
         crosses = crosses or r.n_bins > 1
         cum += r.n_tokens
     assert crosses, "no doc crosses a bin boundary — multi-bin path untested"
+
+
+def test_temperature_sampling_flattens_head(spark, sf_correct):
+    """alpha=0.5 temperature must sample the head language BELOW the
+    budget fraction and every tail language ABOVE it, realized rates must
+    track targets (binomial tolerance), and membership must be stable
+    under corpus growth: a doc kept at sf0.01 whose language rate did not
+    DECREASE stays kept (hash-threshold monotonicity)."""
+    from databricks_incremental_lakehouse_spark.llmdata.curation import (
+        TEMP_BUDGET_FRAC,
+        sample_temperature_rates,
+    )
+
+    rows = {r.lang: r for r in sample_temperature_rates(spark, sf_correct).collect()}
+    head = max(rows.values(), key=lambda r: r.n_total)
+    assert head.target_rate < TEMP_BUDGET_FRAC
+    for lang, r in rows.items():
+        if lang != head.lang:
+            assert r.target_rate > TEMP_BUDGET_FRAC
+        # 4-sigma binomial tolerance
+        sigma = (r.target_rate * (1 - r.target_rate) / r.n_total) ** 0.5
+        assert abs(r.realized_rate - r.target_rate) <= 4 * sigma + 1e-9
+
+    # expected kept volume ~= budget * corpus
+    n = sum(r.n_total for r in rows.values())
+    kept = sum(r.n_sampled for r in rows.values())
+    assert abs(kept / n - TEMP_BUDGET_FRAC) < 0.1
