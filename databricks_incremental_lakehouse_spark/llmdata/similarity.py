@@ -155,6 +155,27 @@ def _assign_to(emb: DataFrame, cent_rows: list[tuple[int, list[float]]]) -> Data
     )
 
 
+def _kmeans_cells(emb: DataFrame):
+    """Train the k-means coarse quantizer (``KMEANS_ITERS`` Lloyd
+    iterations from the deterministic ``vec_id % N_LIST`` partition init)
+    and assign every vector to its final cell. Returns ``(cent_rows,
+    cells)`` — the nlist driver-side centroid rows and the (vec_id, v, cl)
+    assignment DataFrame. Shared by the IVF index and semantic dedup."""
+    assigned = emb.select(
+        "vec_id", "v", (F.col("vec_id") % N_LIST).cast("int").alias("cl")
+    )
+    for _ in range(KMEANS_ITERS):
+        cent_rows = [
+            (int(r.cl), list(r.cv))
+            for r in _centroids_of(assigned).collect()  # nlist rows, never data
+        ]
+        assigned = _assign_to(emb, cent_rows)
+    cent_rows = [
+        (int(r.cl), list(r.cv)) for r in _centroids_of(assigned).collect()
+    ]
+    return cent_rows, _assign_to(emb, cent_rows)
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 with k-means-trained coarse quantizer.
 
@@ -171,20 +192,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one linear pass; intermediate centroids are nlist-row collects, never
     data-sized."""
     emb = _emb(spark, sf_dir)
-    assigned = emb.select(
-        "vec_id", "v", (F.col("vec_id") % N_LIST).cast("int").alias("cl")
-    )
-    for _ in range(KMEANS_ITERS):
-        cent_rows = [
-            (int(r.cl), list(r.cv))
-            for r in _centroids_of(assigned).collect()  # nlist rows, never data
-        ]
-        assigned = _assign_to(emb, cent_rows)
-    cent_rows = [
-        (int(r.cl), list(r.cv)) for r in _centroids_of(assigned).collect()
-    ]
+    cent_rows, cells = _kmeans_cells(emb)
     cent_df = spark.createDataFrame(cent_rows, "cl int, cv array<double>")
-    cells = _assign_to(emb, cent_rows)
 
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -267,7 +276,10 @@ def _kmeans_cte(assign_src: str, cent_name: str, assign_name: str) -> str:
 )"""
 
 
-SIM_IVF_ORACLE = f"""
+# shared WITH-prologue: embeddings as doubles -> deterministic-init k-means
+# (KMEANS_ITERS iterations) -> final centroids `cent` + cell assignment
+# `cells`; reused verbatim by the IVF and semantic-dedup oracles.
+_KMEANS_CELLS_WITH = f"""
 WITH e AS (
     SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
@@ -292,7 +304,10 @@ cells AS (
             ) AS crank
         FROM e CROSS JOIN cent c
     ) WHERE crank = 1
-),
+)"""
+
+
+SIM_IVF_ORACLE = f"""{_KMEANS_CELLS_WITH},
 q2c AS (
     SELECT query_id, qv, cl AS probe_cell FROM (
         SELECT q.vec_id AS query_id, q.v AS qv, c.cl,
@@ -527,9 +542,127 @@ def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- semantic dedup (SemDeDup) --------------------------------------------
+
+# Cosine threshold above which two same-cell vectors count as semantic
+# duplicates. SemDeDup (Abbas et al. 2023) tunes eps per corpus; this
+# synthetic corpus has no true near-duplicates (max pairwise cosine ~0.51),
+# so the threshold sits at the top ~0.05% of the pair distribution — high
+# enough to be selective, low enough that the gate demonstrably binds.
+SEMDEDUP_COS = 0.35
+
+
+def _assign_topk(emb: DataFrame, cent_rows, k: int) -> DataFrame:
+    """(vec_id, v, cl) rows assigning each vector to its ``k`` nearest
+    centroids — the multi-probe generalization of :func:`_assign_to`,
+    still a shuffle-free projection (centroids are literals; the per-row
+    struct array is sorted and sliced, no crossJoin/window)."""
+    import math
+
+    nv = _norm("v")
+    entries = []
+    for cl, cv in cent_rows:
+        cnorm = math.sqrt(sum(x * x for x in cv))
+        dot = F.aggregate(
+            F.zip_with("v", F.array(*[F.lit(x) for x in cv]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cdist = round_dbl(dot / F.nullif(nv * F.lit(cnorm), F.lit(0.0)), 6)
+        entries.append(F.struct(cdist.alias("d"), F.lit(-cl).alias("negcl")))
+    # ascending struct sort then reverse = cosine DESC with cl ASC tiebreak
+    top = F.slice(F.reverse(F.array_sort(F.array(*entries))), 1, k)
+    return emb.select("vec_id", "v", F.explode(top).alias("s")).select(
+        "vec_id", "v", (-F.col("s.negcl")).cast("int").alias("cl")
+    )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the embedding column.
+
+    The k-means cells of the shared coarse quantizer bound the pairwise
+    work (the published SemDeDup shape — cluster first, quadratic only
+    inside clusters: sum(|cell|^2) ~ n^2/nlist, each cell's pair block an
+    independent shuffle partition), with multi-probe candidate generation:
+    every vector lands in its ``N_PROBE`` nearest cells, so a pair is a
+    candidate if the two vectors SHARE any probed cell — the same recall
+    lever the IVF search uses, at a bounded ~N_PROBE^2x candidate factor.
+    A vector is a duplicate if some lower-id candidate clears the cosine
+    threshold; its keeper (``dup_of``) is the highest-cosine such mate
+    (lowest id on ties), and ``cl`` reports the (lowest) shared cell.
+    Residual cross-cell misses are measured against brute force in tests."""
+    emb = _emb(spark, sf_dir)
+    cent_rows, _cells = _kmeans_cells(emb)
+    probed = _assign_topk(emb, cent_rows, N_PROBE)
+    a = probed.select(
+        F.col("vec_id").alias("dup_of"), F.col("v").alias("va"), "cl"
+    )
+    b = probed.select(
+        F.col("vec_id").alias("vec_id"), F.col("v").alias("vb"), "cl"
+    )
+    pairs = (
+        a.join(b, "cl")
+        .filter(F.col("dup_of") < F.col("vec_id"))
+        .withColumn(
+            "cosine",
+            round_dbl(
+                _dot("va", "vb") / F.nullif(_norm("va") * _norm("vb"), F.lit(0.0)),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_COS)
+        # a pair sharing both probed cells appears twice: collapse it
+        .groupBy("dup_of", "vec_id")
+        .agg(F.min("cl").alias("cl"), F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("dup_of").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cl", "dup_of", "cosine")
+    )
+
+
+_PCOS = """CAST(ROUND(CAST(
+    list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+    / NULLIF(sqrt(list_sum(list_transform(a.v, x -> x * x)))
+           * sqrt(list_sum(list_transform(b.v, x -> x * x))), 0)
+ AS DECIMAL(38,10)), 6) AS DOUBLE)""".replace(chr(10), " ")
+
+DEDUP_SEMANTIC_ORACLE = f"""{_KMEANS_CELLS_WITH},
+probed AS (
+    SELECT vec_id, v, cl FROM (
+        SELECT e.vec_id, e.v, c.cl,
+            ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY {_CCOS_V} DESC, c.cl ASC
+            ) AS crank
+        FROM e CROSS JOIN cent c
+    ) WHERE crank <= {N_PROBE}
+)
+SELECT vec_id, cl, dup_of, cosine FROM (
+    SELECT vec_id, cl, dup_of, cosine,
+        ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, dup_of ASC
+        ) AS rk
+    FROM (
+        SELECT vec_id, dup_of, min(cl) AS cl, max(cosine) AS cosine FROM (
+            SELECT b.vec_id AS vec_id, b.cl AS cl, a.vec_id AS dup_of,
+                {_PCOS} AS cosine
+            FROM probed a JOIN probed b
+              ON a.cl = b.cl AND a.vec_id < b.vec_id
+        ) WHERE cosine >= {SEMDEDUP_COS}
+        GROUP BY vec_id, dup_of
+    )
+) WHERE rk = 1"""
+
+
 def register_all(register) -> None:
     register("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE)
     register("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE)
     register("sim_hyperplane_lsh", sim_hyperplane_lsh, SIM_LSH_ORACLE)
     # same result contract as the JVM baseline -> same oracle
     register("sim_topk_vectorized", sim_topk_vectorized, SIM_TOPK_ORACLE)
+    register("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_ORACLE)

@@ -218,3 +218,49 @@ def test_gopher_flags_discriminate_and_compose(spark, sf_correct):
         assert abs(r.dup_token_frac - (1 - len(set(toks)) / len(toks))) < 1e-3
         expected_topbgf = top_bg / len(bgs) if bgs else 0.0
         assert abs(r.top_bigram_frac - expected_topbgf) < 1e-3
+
+
+def test_semantic_dedup_precision_and_recall(spark, sf_correct):
+    """Every flagged duplicate must be a TRUE above-threshold pair
+    (within-cell cosine is exact, so precision is 1.0 by construction --
+    verify anyway), and the cluster bound must retain most of the
+    brute-force duplicate set (cross-cell pairs are the only loss)."""
+    import numpy as np
+
+    from databricks_incremental_lakehouse_spark.llmdata.similarity import (
+        SEMDEDUP_COS,
+        dedup_semantic,
+    )
+
+    rows = dedup_semantic(spark, sf_correct).collect()
+    assert rows, "threshold is vacuous on this corpus"
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_correct, "embeddings").collect()
+    }
+    ids = sorted(emb)
+    V = np.stack([emb[i] for i in ids])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = np.round(Vn @ Vn.T, 6)
+
+    pos = {i: k for k, i in enumerate(ids)}
+    for r in rows:
+        assert r.dup_of < r.vec_id
+        assert r.cosine >= SEMDEDUP_COS
+        assert abs(S[pos[r.dup_of], pos[r.vec_id]] - r.cosine) < 1e-4
+
+    # brute-force duplicate set: vectors with ANY lower-id partner >= th
+    true_dups = {
+        ids[j]
+        for j in range(len(ids))
+        for i in range(j)
+        if S[i, j] >= SEMDEDUP_COS
+    }
+    flagged = {r.vec_id for r in rows}
+    assert flagged <= true_dups
+    # multi-probe (N_PROBE=2) measured 0.83 on this corpus; single-cell
+    # assignment gave 0.40 — the margin guards the probe machinery
+    assert len(flagged) / len(true_dups) >= 0.7, (
+        f"cluster-bounded recall too low: {len(flagged)}/{len(true_dups)}"
+    )
