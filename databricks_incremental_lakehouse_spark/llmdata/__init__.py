@@ -8,12 +8,22 @@ hitters). Each operator is registered as an oracle-checked query where
 SQL-expressible.
 """
 
-from . import curation, dedup, docquality, multimodal, similarity, sketches, textstats
+from . import (
+    corpusstats,
+    curation,
+    dedup,
+    docquality,
+    multimodal,
+    similarity,
+    sketches,
+    textstats,
+)
 
 
 def register_all(register) -> None:
     textstats.register_all(register)
     docquality.register_all(register)
+    corpusstats.register_all(register)
     dedup.register_all(register)
     curation.register_all(register)
     similarity.register_all(register)

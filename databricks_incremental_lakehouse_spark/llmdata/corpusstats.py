@@ -1,0 +1,145 @@
+"""Corpus-level statistics over the ``documents`` table.
+
+- ``vocab_topk``           : exact global token frequencies, top-K — the
+  exact counterpart of the ``sketch_cms_heavy_hitters`` estimate (vocab
+  building / tokenizer-training input).
+- ``text_length_quantiles``: exact per-language document-length quantiles
+  computed the scale-correct way — aggregate to (group, value) counts
+  first, then a cumulative window over DISTINCT VALUES only. The shuffle
+  carries one row per distinct length per language (bounded by the value
+  domain, not the corpus), unlike a per-group row sort which at 100 TB
+  would funnel each language's every document through one partition.
+  PERCENTILE_DISC semantics: smallest value whose cumulative count
+  reaches ceil(q * n).
+
+Both are pure built-in aggregations — codegen'd, map-side partial
+combine, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .texthash import TOKENIZE_SQL, tokenize
+
+VOCAB_TOP_K = 50
+LENGTH_QUANTILES = (0.25, 0.5, 0.75, 0.9)
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``VOCAB_TOP_K`` tokens by exact global occurrence count.
+
+    Explode -> two-level aggregate (map-side combine carries (token,
+    partial-count)) -> global top-k, which Spark plans as
+    TakeOrderedAndProject: each partition keeps only its local top-k, the
+    driver merges k-sized heaps — no global sort materializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    # orderBy+limit BEFORE the ranking window: plans as
+    # TakeOrderedAndProject (per-partition k-heaps merged on the driver);
+    # the window then numbers only the k survivors. Ranking first would
+    # funnel the whole vocabulary through one window partition.
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "token",
+        "n_occurrences",
+        "n_docs",
+    )
+
+
+VOCAB_TOPK_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKENIZE_SQL.format(c="text")}) AS token
+    FROM documents
+),
+counts AS (
+    SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM tok GROUP BY token
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS INT)
+        AS rank,
+    token, n_occurrences, n_docs
+FROM counts
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {VOCAB_TOP_K}"""
+
+
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles from cumulative value counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.length("text").alias("len"))
+        .groupBy("lang", "len")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("lang")
+    cum = counts.select(
+        "lang",
+        "len",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    qcols = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("len")
+            )
+        ).alias(f"p{int(q * 100)}")
+        for q in LENGTH_QUANTILES
+    ]
+    return cum.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        F.min("len").alias("min_len"),
+        *qcols,
+        F.max("len").alias("max_len"),
+    )
+
+
+_QCOLS_SQL = ",\n    ".join(
+    f"MIN(CASE WHEN cum >= CEIL({q} * n) THEN len END) AS p{int(q * 100)}"
+    for q in LENGTH_QUANTILES
+)
+
+TEXT_LENGTH_QUANTILES_ORACLE = f"""
+WITH counts AS (
+    SELECT lang, CAST(length(text) AS INT) AS len, COUNT(*) AS c
+    FROM documents GROUP BY lang, length(text)
+),
+cum AS (
+    SELECT lang, len, c,
+        SUM(c) OVER (PARTITION BY lang ORDER BY len
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(c) OVER (PARTITION BY lang) AS n
+    FROM counts
+)
+SELECT lang, MAX(n) AS n_docs, MIN(len) AS min_len,
+    {_QCOLS_SQL},
+    MAX(len) AS max_len
+FROM cum GROUP BY lang"""
+
+
+def register_all(register) -> None:
+    register("vocab_topk", vocab_topk, VOCAB_TOPK_ORACLE)
+    register(
+        "text_length_quantiles",
+        text_length_quantiles,
+        TEXT_LENGTH_QUANTILES_ORACLE,
+    )

@@ -264,3 +264,56 @@ def test_semantic_dedup_precision_and_recall(spark, sf_correct):
     assert len(flagged) / len(true_dups) >= 0.7, (
         f"cluster-bounded recall too low: {len(flagged)}/{len(true_dups)}"
     )
+
+
+def test_vocab_topk_exact_reference(spark, sf_correct):
+    """Top-k token counts must equal a python Counter over the corpus,
+    rank must follow (count desc, token asc)."""
+    from collections import Counter
+
+    from databricks_incremental_lakehouse_spark.llmdata.corpusstats import (
+        VOCAB_TOP_K,
+        vocab_topk,
+    )
+
+    rows = vocab_topk(spark, sf_correct).collect()
+
+    occ = Counter()
+    docs = Counter()
+    for d in load_table(spark, sf_correct, "documents").collect():
+        toks = d.text.strip().lower().split()
+        occ.update(toks)
+        docs.update(set(toks))
+    # the synthetic vocabulary (~31 tokens) is smaller than the k cap
+    assert len(rows) == min(VOCAB_TOP_K, len(occ))
+    expect = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_TOP_K]
+    got = [(r.token, r.n_occurrences) for r in sorted(rows, key=lambda r: r.rank)]
+    assert got == expect
+    for r in rows:
+        assert r.n_docs == docs[r.token]
+
+
+def test_length_quantiles_match_percentile_disc(spark, sf_correct):
+    """Cumulative-count quantiles must equal the per-group sorted-list
+    PERCENTILE_DISC reference: smallest value at cumulative rank
+    ceil(q*n)."""
+    import math
+
+    from databricks_incremental_lakehouse_spark.llmdata.corpusstats import (
+        LENGTH_QUANTILES,
+        text_length_quantiles,
+    )
+
+    rows = {r.lang: r for r in text_length_quantiles(spark, sf_correct).collect()}
+    by_lang = {}
+    for d in load_table(spark, sf_correct, "documents").collect():
+        by_lang.setdefault(d.lang, []).append(len(d.text))
+    assert set(rows) == set(by_lang)
+    for lang, lens in by_lang.items():
+        lens.sort()
+        r = rows[lang]
+        assert r.n_docs == len(lens)
+        assert r.min_len == lens[0] and r.max_len == lens[-1]
+        for q in LENGTH_QUANTILES:
+            expect = lens[math.ceil(q * len(lens)) - 1]
+            assert getattr(r, f"p{int(q * 100)}") == expect, (lang, q)
