@@ -659,6 +659,89 @@ SELECT vec_id, cl, dup_of, cosine FROM (
 ) WHERE rk = 1"""
 
 
+# --- int8 scalar quantization ---------------------------------------------
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column —
+    the standard 4x storage/bandwidth reduction for ANN serving (FAISS
+    ``SQ8`` shape): ``scale = max|v_i| / 127``, ``code_i = round(v_i /
+    scale)`` in [-127, 127], plus reconstruction-error audit columns.
+
+    Pure per-row expression work (transform/aggregate over the array —
+    no shuffle, no Python); rounding goes through the portable decimal
+    grid so the DuckDB oracle reproduces every code exactly. A zero
+    vector quantizes to all-zero codes with scale 0."""
+    emb = _emb(spark, sf_dir)
+    scale = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(
+        127.0
+    )
+    q = emb.select(
+        "vec_id",
+        "v",
+        F.round(scale, 9).alias("scale"),
+    )
+    code = lambda x: F.coalesce(  # noqa: E731
+        F.round(
+            (x / F.nullif(F.col("scale"), F.lit(0.0))).cast("decimal(38,10)"),
+            0,
+        ).cast("int"),
+        F.lit(0),
+    )
+    q = q.withColumn("codes", F.transform(F.col("v"), code))
+    err = F.zip_with(
+        "v",
+        "codes",
+        lambda x, c: x - c.cast("double") * F.col("scale"),
+    )
+    sq = F.aggregate(
+        F.transform(err, lambda d: d * d),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        "codes",
+        round_dbl(F.sqrt(sq / F.size("v")), 6).alias("rms_err"),
+        round_dbl(
+            F.array_max(F.transform(err, lambda d: F.abs(d))), 6
+        ).alias("max_abs_err"),
+    )
+
+
+EMBEDDING_QUANTIZE_ORACLE = """
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, v,
+        ROUND(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) AS scale
+    FROM e
+),
+q AS (
+    SELECT vec_id, v, scale,
+        list_transform(v, x -> COALESCE(
+            CAST(ROUND(CAST(x / NULLIF(scale, 0) AS DECIMAL(38,10)), 0) AS INT),
+            0)) AS codes
+    FROM s
+),
+err AS (
+    SELECT vec_id, scale, codes,
+        list_transform(generate_series(1, len(v)),
+                       i -> v[i] - CAST(codes[i] AS DOUBLE) * scale) AS d,
+        len(v) AS dim
+    FROM q
+)
+SELECT vec_id, scale, codes,
+    CAST(ROUND(CAST(sqrt(list_sum(list_transform(d, x -> x * x)) / dim)
+         AS DECIMAL(38,10)), 6) AS DOUBLE) AS rms_err,
+    CAST(ROUND(CAST(list_max(list_transform(d, x -> abs(x)))
+         AS DECIMAL(38,10)), 6) AS DOUBLE) AS max_abs_err
+FROM err"""
+
+
 def register_all(register) -> None:
     register("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE)
     register("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE)
@@ -666,3 +749,4 @@ def register_all(register) -> None:
     # same result contract as the JVM baseline -> same oracle
     register("sim_topk_vectorized", sim_topk_vectorized, SIM_TOPK_ORACLE)
     register("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_ORACLE)
+    register("embedding_quantize", embedding_quantize, EMBEDDING_QUANTIZE_ORACLE)

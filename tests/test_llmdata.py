@@ -317,3 +317,38 @@ def test_length_quantiles_match_percentile_disc(spark, sf_correct):
         for q in LENGTH_QUANTILES:
             expect = lens[math.ceil(q * len(lens)) - 1]
             assert getattr(r, f"p{int(q * 100)}") == expect, (lang, q)
+
+
+def test_embedding_quantize_roundtrip(spark, sf_correct):
+    """Codes must stay in int8 range, per-component error is bounded by
+    scale/2 (symmetric rounding), and dequantized vectors must preserve
+    pairwise cosine to ~1% on this corpus."""
+    import numpy as np
+
+    from databricks_incremental_lakehouse_spark.llmdata.similarity import (
+        embedding_quantize,
+    )
+
+    rows = {r.vec_id: r for r in embedding_quantize(spark, sf_correct).collect()}
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_correct, "embeddings").collect()
+    }
+    assert set(rows) == set(emb)
+    deq = {}
+    for vid, r in rows.items():
+        codes = np.array(r.codes)
+        assert codes.min() >= -127 and codes.max() <= 127
+        # 5e-7: max_abs_err is reported on a 6-dp rounding grid
+        assert r.max_abs_err <= r.scale / 2 + 5e-7
+        v = emb[vid]
+        d = codes * r.scale
+        assert abs(np.sqrt(((v - d) ** 2).mean()) - r.rms_err) < 1e-4
+        deq[vid] = d
+
+    ids = sorted(emb)[:50]
+    V = np.stack([emb[i] for i in ids])
+    D = np.stack([deq[i] for i in ids])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Dn = D / np.linalg.norm(D, axis=1, keepdims=True)
+    assert np.abs(Vn @ Vn.T - Dn @ Dn.T).max() < 0.01
