@@ -133,8 +133,14 @@ def main() -> None:
         "events_asof_join",
         "events_rolling_5min",
         "dedup_clusters",
+        "dedup_semantic",
         "text_decontamination",
+        "text_quality_gopher",
         "sample_stratified",
+        "sample_temperature",
+        "vocab_topk",
+        "text_length_quantiles",
+        "embedding_quantize",
         "pack_sequences",
         "incr_monthly_trends_refresh",
         "incr_customer_orders_refresh",

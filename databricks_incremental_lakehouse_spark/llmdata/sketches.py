@@ -291,6 +291,146 @@ ORDER BY est_count DESC, token ASC
 LIMIT {CMS_TOPK}"""
 
 
+# --- fixed-width histogram quantiles --------------------------------------
+
+HIST_WIDTH = 5.0  # bucket width over events.value (range ~0-500)
+HIST_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-width-histogram quantile estimates per event type,
+    alongside the exact PERCENTILE_DISC values so the bucket-width error
+    is visible in the output.
+
+    The sketch state is (group, bucket) counts — bounded by the value
+    domain / HIST_WIDTH regardless of event volume, built with one
+    map-side-combined aggregation, and mergeable by simple addition
+    (micro-batches, partitions, or days sum cell-wise; the exact
+    quantile's sorted state does not). The estimate for quantile q is the
+    UPPER edge of the first bucket whose cumulative count reaches
+    ceil(q*n): always >= the exact value and within HIST_WIDTH of it.
+    Bucketing is floor(value/width) — exact IEEE arithmetic in both
+    engines, so the DuckDB oracle replays the sketch bit-for-bit. The
+    exact columns reuse the cumulative distinct-value-count construction
+    of ``text_length_quantiles`` (no per-group row sort)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    from pyspark.sql import Window
+
+    b = ev.select(
+        "event_type",
+        "value",
+        F.floor(F.col("value") / F.lit(HIST_WIDTH)).cast("long").alias("bkt"),
+    )
+    # sketch state: (group, bucket) counts
+    hist = b.groupBy("event_type", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bkt",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    est_cols = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("n")),
+                (F.col("bkt") + 1) * F.lit(HIST_WIDTH),
+            )
+        ).alias(f"est_p{int(q * 100)}")
+        for q in HIST_QUANTILES
+    ]
+    est = cum.groupBy("event_type").agg(
+        F.max("n").alias("n_events"), *est_cols
+    )
+
+    # exact PERCENTILE_DISC via cumulative distinct-value counts
+    vals = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    wvcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vcum = vals.select(
+        "event_type",
+        "value",
+        F.sum("c").over(wvcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    ex_cols = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("value")
+            )
+        ).alias(f"exact_p{int(q * 100)}")
+        for q in HIST_QUANTILES
+    ]
+    exact = vcum.groupBy("event_type").agg(*ex_cols)
+    return est.join(exact, "event_type")
+
+
+_HQ_EST_SQL = ",\n    ".join(
+    f"MIN(CASE WHEN cum >= CEIL({q} * n) THEN (bkt + 1) * {HIST_WIDTH} END)"
+    f" AS est_p{int(q * 100)}"
+    for q in HIST_QUANTILES
+)
+_HQ_EXACT_SQL = ",\n    ".join(
+    f"MIN(CASE WHEN cum >= CEIL({q} * n) THEN value END) AS exact_p{int(q * 100)}"
+    for q in HIST_QUANTILES
+)
+
+SKETCH_HISTOGRAM_ORACLE = f"""
+WITH ev AS (
+    SELECT event_type, CAST(value AS DOUBLE) AS value FROM events
+),
+hist AS (
+    SELECT event_type, CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bkt,
+        COUNT(*) AS c
+    FROM ev GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, bkt,
+        SUM(c) OVER (PARTITION BY event_type ORDER BY bkt
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(c) OVER (PARTITION BY event_type) AS n
+    FROM hist
+),
+est AS (
+    SELECT event_type, MAX(n) AS n_events,
+    {_HQ_EST_SQL}
+    FROM cum GROUP BY event_type
+),
+vals AS (
+    SELECT event_type, value, COUNT(*) AS c FROM ev GROUP BY 1, 2
+),
+vcum AS (
+    SELECT event_type, value,
+        SUM(c) OVER (PARTITION BY event_type ORDER BY value
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(c) OVER (PARTITION BY event_type) AS n
+    FROM vals
+),
+exact AS (
+    SELECT event_type,
+    {_HQ_EXACT_SQL}
+    FROM vcum GROUP BY event_type
+)
+SELECT est.event_type, n_events,
+    est_p50, est_p90, est_p99, exact_p50, exact_p90, exact_p99
+FROM est JOIN exact ON est.event_type = exact.event_type"""
+
+
 def register_all(register) -> None:
     register("sketch_hll_distinct", sketch_hll_distinct, SKETCH_HLL_ORACLE)
     register("sketch_cms_heavy_hitters", sketch_cms_heavy_hitters, SKETCH_CMS_ORACLE)
+    register(
+        "sketch_histogram_quantiles",
+        sketch_histogram_quantiles,
+        SKETCH_HISTOGRAM_ORACLE,
+    )

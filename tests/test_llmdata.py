@@ -352,3 +352,47 @@ def test_embedding_quantize_roundtrip(spark, sf_correct):
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
     Dn = D / np.linalg.norm(D, axis=1, keepdims=True)
     assert np.abs(Vn @ Vn.T - Dn @ Dn.T).max() < 0.01
+
+
+def test_histogram_quantile_bounds_and_mergeability(spark, sf_correct):
+    """The histogram estimate must bracket the exact quantile from above
+    within one bucket width, and the sketch state must be mergeable:
+    building one histogram over the full table equals summing two
+    histograms built over disjoint halves."""
+    from databricks_incremental_lakehouse_spark.llmdata.sketches import (
+        HIST_QUANTILES,
+        HIST_WIDTH,
+        sketch_histogram_quantiles,
+    )
+
+    rows = sketch_histogram_quantiles(spark, sf_correct).collect()
+    assert rows
+    for r in rows:
+        for q in HIST_QUANTILES:
+            est = getattr(r, f"est_p{int(q * 100)}")
+            exact = getattr(r, f"exact_p{int(q * 100)}")
+            assert exact <= est <= exact + HIST_WIDTH, (r.event_type, q)
+
+    ev = load_table(spark, sf_correct, "events").select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    bkt = F.floor(F.col("value") / F.lit(HIST_WIDTH)).cast("long")
+    whole = {
+        (r.event_type, r.bkt): r.c
+        for r in ev.select("event_type", bkt.alias("bkt"))
+        .groupBy("event_type", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    merged = {}
+    for half in (ev.filter("value < 50"), ev.filter("value >= 50")):
+        for r in (
+            half.select("event_type", bkt.alias("bkt"))
+            .groupBy("event_type", "bkt")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ):
+            merged[(r.event_type, r.bkt)] = (
+                merged.get((r.event_type, r.bkt), 0) + r.c
+            )
+    assert merged == whole
