@@ -43,7 +43,13 @@ MAX_TOP_BIGRAM_FRAC = 0.08
 
 def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher quality signals + pass/fail flags."""
-    docs = load_table(spark, sf_dir, "documents")
+    return gopher_flags(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """The gate battery over any (doc_id, source, text) DataFrame — the
+    registry query consumes the documents table; the streaming curation
+    front door applies the same gates per micro-batch."""
     toks = tokenize(F.col("text"))
     n_words = F.size(toks)
     nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))

@@ -3,6 +3,7 @@ from .incremental import (
     incremental_bronze_orders_stream,
     incremental_bronze_stream,
     incremental_corpus_dedup_stream,
+    incremental_curated_corpus_stream,
     incremental_events_stream,
     merge_upsert,
     read_merge_target,
@@ -25,6 +26,7 @@ __all__ = [
     "incremental_bronze_orders_stream",
     "incremental_bronze_stream",
     "incremental_corpus_dedup_stream",
+    "incremental_curated_corpus_stream",
     "BRONZE_MERGE_KEYS",
     "stateful_user_totals_stream",
     "IncrementalWarehouse",

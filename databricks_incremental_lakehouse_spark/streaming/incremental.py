@@ -396,6 +396,68 @@ def incremental_events_stream(
     return writer.start()
 
 
+def incremental_curated_corpus_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous corpus curation: arriving document files pass the
+    Gopher quality battery, then enter the exact-dedup registry.
+
+    The composition of :func:`~..llmdata.docquality.gopher_flags` (pure
+    per-row expression work — the gate costs one codegen'd scan of the
+    micro-batch plus its bigram aggregate) with the insert-only content-
+    hash registry of :func:`incremental_corpus_dedup_stream`. Order
+    matters at scale: gating BEFORE registry admission means rejected
+    documents never cost a registry bucket read, and the registry stays
+    O(distinct ACCEPTED docs). Keep-first semantics make the result
+    independent of arrival order up to the first accepted copy of each
+    content — drained over a static corpus it equals the batch pipeline
+    ``gopher pass -> exact dedup (min doc_id)``, which is what the test
+    asserts."""
+    from ..llmdata.docquality import gopher_flags
+
+    static = spark.read.parquet(source_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        accepted = (
+            gopher_flags(batch_df)
+            .filter(F.col("pass_gopher"))
+            .select("doc_id")
+            .join(batch_df, "doc_id")
+        )
+        registry = accepted.select(
+            F.md5(F.trim(F.lower(F.col("text")))).alias("content_md5"),
+            "doc_id",
+            "lang",
+            "source",
+        )
+        merge_upsert(
+            batch_df.sparkSession,
+            registry,
+            target_path,
+            keys=["content_md5"],
+            tiebreak_cols=["doc_id"],
+            on_match="keep",
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # primary keys per bronze table — the same PKs the reference dedups on
 # (extract_orders.py:63, extract_lineitem.py:72-75, …); partsupp is derived
 # (bronze_partsupp), not ingested, so it has no incremental source path.

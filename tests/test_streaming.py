@@ -450,3 +450,71 @@ def test_incremental_corpus_dedup_keep_first(spark, sf_smoke, tmp_path):
     }
     assert got == expected  # registry == batch dedup_exact survivors
     assert all(d < 1_000_000 for d in got.values())  # no re-delivery won
+
+
+def test_incremental_curated_corpus_stream(spark, sf_smoke, tmp_path):
+    """Streaming curation front door: drained over a static corpus split
+    across files, the registry must equal the batch pipeline (gopher pass
+    -> exact dedup keeping min doc_id), and a re-delivered duplicate of an
+    accepted document must not displace the first-seen row."""
+    import glob
+    import shutil
+
+    from databricks_incremental_lakehouse_spark.llmdata.docquality import (
+        gopher_flags,
+    )
+    from databricks_incremental_lakehouse_spark.streaming import (
+        incremental_curated_corpus_stream,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    source = str(tmp_path / "source")
+    os.makedirs(source)
+
+    def stage_file(df, name):
+        staging = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(source, name))
+
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    stage_file(half_a, "f0.parquet")
+    stage_file(half_b, "f1.parquet")
+    # re-deliver accepted docs under new ids: must all lose keep-first
+    accepted_ids = [
+        r.doc_id
+        for r in gopher_flags(docs).filter(F.col("pass_gopher")).limit(10).collect()
+    ]
+    redeliver = docs.filter(F.col("doc_id").isin(accepted_ids)).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("redelivery").alias("source"),
+        "n_chars",
+    )
+    stage_file(redeliver, "f2.parquet")
+
+    target = str(tmp_path / "target")
+    chk = str(tmp_path / "chk")
+    q = incremental_curated_corpus_stream(spark, source, target, chk)
+    q.awaitTermination(120)
+
+    got = {
+        r.content_md5: r.doc_id for r in read_merge_target(spark, target).collect()
+    }
+    passed = gopher_flags(docs).filter(F.col("pass_gopher")).select("doc_id")
+    expected = {
+        r.content_md5: r.kept_doc_id
+        for r in passed.join(docs, "doc_id")
+        .select(
+            F.md5(F.trim(F.lower(F.col("text")))).alias("content_md5"), "doc_id"
+        )
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("kept_doc_id"))
+        .collect()
+    }
+    assert got == expected
+    assert all(d < 1_000_000 for d in got.values())
+    # the gate actually rejected something, else the test is vacuous
+    assert docs.count() > gopher_flags(docs).filter(F.col("pass_gopher")).count()
