@@ -132,6 +132,8 @@ def main() -> None:
         "events_deduped",
         "events_asof_join",
         "events_rolling_5min",
+        "events_funnel",
+        "sketch_histogram_quantiles",
         "dedup_clusters",
         "dedup_semantic",
         "text_decontamination",

@@ -212,9 +212,111 @@ WHERE e.event_type <> 'error'
 GROUP BY 1, 2"""
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_HOURS = 24  # max delay for each step after the previous one
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: the earliest ``view``, the
+    earliest ``click`` within ``FUNNEL_WINDOW_HOURS`` STRICTLY AFTER that
+    view, the earliest ``purchase`` within the window after that click —
+    the standard product-analytics funnel (each step must follow the
+    previous step's first completion inside the conversion window; a
+    click before any view, or one arriving after the window, does not
+    convert).
+
+    Three cascaded whole-partition conditional-min windows over ONE
+    user_id exchange (each step's predicate references the previous
+    step's window result; Spark reuses the partitioning, so the plan is
+    shuffle-once + three window stages). The per-user reduction then
+    collapses to one row — no self-joins, no per-step scans of the fact.
+    ``reached_step`` counts completed steps (0 = user never viewed)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    horizon = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    w = Window.partitionBy("user_id")
+    s1 = F.min(
+        F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts"))
+    ).over(w)
+    e1 = ev.withColumn("t_view", s1)
+    s2 = F.min(
+        F.when(
+            (F.col("event_type") == FUNNEL_STEPS[1])
+            & (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + horizon),
+            F.col("ts"),
+        )
+    ).over(w)
+    e2 = e1.withColumn("t_click", s2)
+    s3 = F.min(
+        F.when(
+            (F.col("event_type") == FUNNEL_STEPS[2])
+            & (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + horizon),
+            F.col("ts"),
+        )
+    ).over(w)
+    e3 = e2.withColumn("t_purchase", s3)
+    reached = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        e3.groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.max("t_click").alias("t_click"),
+            F.max("t_purchase").alias("t_purchase"),
+        )
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            reached.cast("int").alias("reached_step"),
+        )
+    )
+
+
+EVENTS_FUNNEL_ORACLE = f"""
+WITH ev AS ({_EVENTS_ORACLE_VIEW}),
+u AS (SELECT DISTINCT user_id FROM ev),
+s1 AS (
+    SELECT user_id, MIN(ts) AS t_view FROM ev
+    WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t_click
+    FROM ev e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t_view
+      AND e.ts <= s1.t_view + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM ev e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t_click
+      AND e.ts <= s2.t_click + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+    GROUP BY e.user_id
+)
+SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+    CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+              WHEN s2.t_click IS NOT NULL THEN 2
+              WHEN s1.t_view IS NOT NULL THEN 1
+              ELSE 0 END AS INT) AS reached_step
+FROM u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id"""
+
+
 def register_all(register) -> None:
     register("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE)
     register("events_rolling_5min", events_rolling_5min, EVENTS_ROLLING_ORACLE)
     register(
         "events_in_error_windows", events_in_error_windows, EVENTS_ERROR_WINDOWS_ORACLE
     )
+    register("events_funnel", events_funnel, EVENTS_FUNNEL_ORACLE)

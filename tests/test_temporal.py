@@ -127,3 +127,64 @@ def test_rolling_5min_reference_model(spark, sf_smoke):
             else:
                 assert g.value_prev_5min is None
     assert checked_nonzero
+
+
+def test_funnel_reference_model(spark, sf_smoke):
+    """Per-user python scan: earliest view, earliest click after it,
+    earliest purchase after that — every user's step times and
+    reached_step must match, and the corpus must exercise all of
+    reached_step 1, 2 and 3 (0 needs a user with zero view events)."""
+    from databricks_incremental_lakehouse_spark.streaming.temporal import (
+        events_funnel,
+    )
+
+    rows = load_table(spark, sf_smoke, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+
+    expect = {}
+    for user, evs in by_user.items():
+        evs.sort(key=lambda e: e.ts)
+        from datetime import timedelta
+
+        from databricks_incremental_lakehouse_spark.streaming.temporal import (
+            FUNNEL_WINDOW_HOURS,
+        )
+
+        horizon = timedelta(hours=FUNNEL_WINDOW_HOURS)
+        t1 = min((e.ts for e in evs if e.event_type == "view"), default=None)
+        t2 = (
+            min(
+                (
+                    e.ts
+                    for e in evs
+                    if e.event_type == "click" and t1 < e.ts <= t1 + horizon
+                ),
+                default=None,
+            )
+            if t1
+            else None
+        )
+        t3 = (
+            min(
+                (
+                    e.ts
+                    for e in evs
+                    if e.event_type == "purchase" and t2 < e.ts <= t2 + horizon
+                ),
+                default=None,
+            )
+            if t2
+            else None
+        )
+        expect[user] = (t1, t2, t3, 3 if t3 else 2 if t2 else 1 if t1 else 0)
+
+    got = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase, r.reached_step)
+        for r in events_funnel(spark, sf_smoke).collect()
+    }
+    assert got == expect
+    assert {v[3] for v in got.values()} >= {1, 2, 3}
