@@ -516,7 +516,9 @@ def dedup_embedding_cosine(
     """Embedding near-dup pairs: cosine >= threshold, brute-force pair join.
 
     Quadratic by construction — correct as the verification baseline; the
-    bucketed scale path is similarity.sim_hyperplane_lsh.
+    scale paths are similarity.dedup_semantic (k-means cells bound the
+    pairwise work, SemDeDup shape) and similarity.sim_hyperplane_lsh
+    (sign-LSH banding).
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
