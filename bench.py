@@ -133,6 +133,7 @@ def main() -> None:
         "events_asof_join",
         "events_rolling_5min",
         "events_funnel",
+        "events_retention",
         "sketch_histogram_quantiles",
         "dedup_clusters",
         "dedup_semantic",

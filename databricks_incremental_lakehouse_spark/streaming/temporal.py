@@ -313,6 +313,72 @@ LEFT JOIN s2 ON u.user_id = s2.user_id
 LEFT JOIN s3 ON u.user_id = s3.user_id"""
 
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain cohort retention triangle: users cohorted by first-seen
+    day; for each (cohort, day offset), how many came back and the rate
+    against the cohort's size — the other standard product-analytics
+    temporal rollup next to the funnel.
+
+    Shape: one aggregate to (user, day) grain (this is the big one — it
+    collapses the fact to at most users x days rows, map-side combined),
+    one tiny aggregate for first-seen days, a broadcast-back join, then
+    the O(cohorts x offsets) triangle aggregate. No window over raw
+    events, no self-join of the fact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    user_days = ev.distinct()
+    first = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = user_days.join(F.broadcast(first), "user_id").select(
+        "cohort_day",
+        F.datediff("day", "cohort_day").alias("day_offset"),
+        "user_id",
+    )
+    ret = active.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    size = first.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return ret.join(F.broadcast(size), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        round_dbl(
+            F.col("n_active") / F.col("cohort_size").cast("double"), 6
+        ).alias("retention_rate"),
+    )
+
+
+EVENTS_RETENTION_ORACLE = f"""
+WITH ev AS ({_EVENTS_ORACLE_VIEW}),
+user_days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev
+),
+first AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM user_days GROUP BY user_id
+),
+active AS (
+    SELECT f.cohort_day, date_diff('day', f.cohort_day, u.day) AS day_offset,
+        u.user_id
+    FROM user_days u JOIN first f ON u.user_id = f.user_id
+),
+ret AS (
+    SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+        COUNT(DISTINCT user_id) AS n_active
+    FROM active GROUP BY 1, 2
+),
+sz AS (
+    SELECT cohort_day, COUNT(DISTINCT user_id) AS cohort_size
+    FROM first GROUP BY cohort_day
+)
+SELECT r.cohort_day, r.day_offset, r.n_active, s.cohort_size,
+    CAST(ROUND(CAST(CAST(r.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+         AS DECIMAL(38,10)), 6) AS DOUBLE) AS retention_rate
+FROM ret r JOIN sz s ON r.cohort_day = s.cohort_day"""
+
+
 def register_all(register) -> None:
     register("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE)
     register("events_rolling_5min", events_rolling_5min, EVENTS_ROLLING_ORACLE)
@@ -320,3 +386,4 @@ def register_all(register) -> None:
         "events_in_error_windows", events_in_error_windows, EVENTS_ERROR_WINDOWS_ORACLE
     )
     register("events_funnel", events_funnel, EVENTS_FUNNEL_ORACLE)
+    register("events_retention", events_retention, EVENTS_RETENTION_ORACLE)

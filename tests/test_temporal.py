@@ -188,3 +188,42 @@ def test_funnel_reference_model(spark, sf_smoke):
     }
     assert got == expect
     assert {v[3] for v in got.values()} >= {1, 2, 3}
+
+
+def test_retention_reference_model(spark, sf_smoke):
+    """Cohort triangle vs a python reference: every (cohort, offset) cell
+    count, cohort sizes summing to the distinct-user total, offset-0
+    retention always 1.0, and rates monotonically bounded by 1."""
+    from databricks_incremental_lakehouse_spark.streaming.temporal import (
+        events_retention,
+    )
+
+    rows = load_table(spark, sf_smoke, "events").select("user_id", "ts").collect()
+    first = {}
+    days = {}
+    for r in rows:
+        d = r.ts.date()
+        days.setdefault(r.user_id, set()).add(d)
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+
+    expect = {}
+    for user, ds in days.items():
+        c = first[user]
+        for d in ds:
+            key = (c, (d - c).days)
+            expect[key] = expect.get(key, 0) + 1
+
+    got = {
+        (r.cohort_day, r.day_offset): r for r in events_retention(spark, sf_smoke).collect()
+    }
+    assert {k: r.n_active for k, r in got.items()} == expect
+    sizes = {}
+    for user, c in first.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    assert sum(sizes.values()) == len(first)
+    for (c, off), r in got.items():
+        assert r.cohort_size == sizes[c]
+        assert 0 < r.retention_rate <= 1
+        if off == 0:
+            assert r.retention_rate == 1.0
