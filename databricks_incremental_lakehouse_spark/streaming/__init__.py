@@ -6,6 +6,7 @@ from .incremental import (
     incremental_curated_corpus_stream,
     incremental_events_stream,
     merge_upsert,
+    read_changelog,
     read_merge_target,
 )
 from .refresh import (
@@ -21,6 +22,7 @@ from .windows import register_all as _register_windows
 
 __all__ = [
     "merge_upsert",
+    "read_changelog",
     "read_merge_target",
     "incremental_events_stream",
     "incremental_bronze_orders_stream",

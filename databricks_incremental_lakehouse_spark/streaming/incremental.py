@@ -163,6 +163,23 @@ def read_merge_target(spark: SparkSession, target_path: str) -> DataFrame:
     return spark.read.parquet(target_path).drop(BUCKET_COL)
 
 
+def _next_commit(changelog_dir: str) -> int:
+    os.makedirs(changelog_dir, exist_ok=True)
+    seqs = [
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in glob.glob(os.path.join(changelog_dir, "commit=*"))
+        if os.path.isdir(p)
+    ]
+    return max(seqs, default=-1) + 1
+
+
+def read_changelog(spark: SparkSession, changelog_dir: str) -> DataFrame:
+    """Read a merge target's change data feed: the payload columns plus
+    ``_op`` (insert | update | delete) and the partition-discovered
+    ``commit`` sequence number."""
+    return spark.read.parquet(changelog_dir)
+
+
 def merge_upsert(
     spark: SparkSession,
     updates: DataFrame,
@@ -176,6 +193,7 @@ def merge_upsert(
     partition_scope: dict[str, Sequence] | None = None,
     deletes: DataFrame | None = None,
     on_match: str = "update",
+    changelog_dir: str | None = None,
 ) -> None:
     """Upsert ``updates`` into the bucketed parquet table at ``target_path``.
 
@@ -222,6 +240,19 @@ def merge_upsert(
     (all rows dropped by watermark dedup, or an empty source file) are a
     no-op — they neither materialize a file-less target nor touch any
     bucket.
+
+    ``changelog_dir`` enables the change data feed (Delta CDF analogue):
+    each merge appends its row-level changes under
+    ``changelog_dir/_commit=N`` (N monotonic per merge) with a ``_op``
+    column — ``insert`` (key did not exist), ``update`` (key replaced;
+    postimage), ``delete`` (payload is the removed preimage; produced by
+    ``deletes`` rows and by scoped keys whose new image omits them). The
+    change computation reuses the already-bucket-pruned ``current`` read,
+    so its cost is bounded by the touched buckets like the merge itself.
+    Replaying inserts/updates/deletes in commit order over an empty state
+    reconstructs the target exactly (asserted in tests) — the contract
+    downstream incremental consumers (gold refresh, registries, audits)
+    need.
     """
     bucket_keys = list(bucket_keys) if bucket_keys is not None else list(keys)
     partition_cols = list(partition_cols)
@@ -306,6 +337,44 @@ def merge_upsert(
                 kept = kept.join(deletes.select(*keys), list(keys), "left_anti")
             merged = kept.unionByName(updates)
 
+        if changelog_dir is not None:
+            # computed (and written) BEFORE the swap: `current` reads the
+            # pre-merge bucket files. Costs one extra pass over the same
+            # touched buckets the merge already reads.
+            payload = [c for c in updates.columns if c != BUCKET_COL]
+            cur_keys = current.select(*keys)
+            ins = updates.join(cur_keys, list(keys), "left_anti")
+            pieces = [ins.select(*payload).withColumn("_op", F.lit("insert"))]
+            if on_match != "keep":
+                upd = updates.join(cur_keys, list(keys), "left_semi")
+                pieces.append(
+                    upd.select(*payload).withColumn("_op", F.lit("update"))
+                )
+                if scope is not None:
+                    gone = current.join(
+                        scope.select(*bucket_keys), bucket_keys, "left_semi"
+                    ).join(updates.select(*keys), list(keys), "left_anti")
+                    pieces.append(
+                        gone.select(*payload).withColumn("_op", F.lit("delete"))
+                    )
+                if deletes is not None:
+                    dropped = current.join(
+                        deletes.select(*keys), list(keys), "left_semi"
+                    ).join(updates.select(*keys), list(keys), "left_anti")
+                    pieces.append(
+                        dropped.select(*payload).withColumn(
+                            "_op", F.lit("delete")
+                        )
+                    )
+            changes = pieces[0]
+            for p in pieces[1:]:
+                changes = changes.unionByName(p)
+            changes.write.parquet(
+                os.path.join(
+                    changelog_dir, f"commit={_next_commit(changelog_dir)}"
+                )
+            )
+
     # cluster rows by their destination dir before the write: each
     # (partition..., bucket) dir then receives one file from one task
     # instead of a sliver from every shuffle partition — file count stays
@@ -324,6 +393,14 @@ def merge_upsert(
             return
         _swap_dir(staging, target_path)
         _write_meta(target_path, keys, num_buckets, bucket_keys, partition_cols)
+        if changelog_dir is not None:  # initial load: everything is an insert
+            updates.drop(BUCKET_COL).withColumn(
+                "_op", F.lit("insert")
+            ).write.parquet(
+                os.path.join(
+                    changelog_dir, f"commit={_next_commit(changelog_dir)}"
+                )
+            )
         return
     for rel in sorted(staged):
         dst = os.path.join(target_path, rel)

@@ -518,3 +518,112 @@ def test_incremental_curated_corpus_stream(spark, sf_smoke, tmp_path):
     assert all(d < 1_000_000 for d in got.values())
     # the gate actually rejected something, else the test is vacuous
     assert docs.count() > gopher_flags(docs).filter(F.col("pass_gopher")).count()
+
+
+def test_merge_changelog_replay(spark, tmp_path):
+    """Change data feed: ops are classified per commit (insert vs update
+    vs delete with preimage payloads), and replaying the changelog in
+    commit order over empty state reconstructs the target exactly."""
+    from databricks_incremental_lakehouse_spark.streaming import read_changelog
+
+    target = str(tmp_path / "t")
+    cdf = str(tmp_path / "cdf")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    )
+    merge_upsert(spark, base, target, keys=["id"], changelog_dir=cdf)
+    # commit 1: update 2, insert 4
+    merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(2, "b2", 21.0), (4, "d", 40.0)], "id long, name string, v double"
+        ),
+        target,
+        keys=["id"],
+        changelog_dir=cdf,
+    )
+    # commit 2: exact-key delete of 1, update 3
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(3, "c2", 31.0)], "id long, name string, v double"),
+        target,
+        keys=["id"],
+        deletes=spark.createDataFrame([(1,)], "id long"),
+        changelog_dir=cdf,
+    )
+    log = read_changelog(spark, cdf).collect()
+    by_commit = {}
+    for r in log:
+        by_commit.setdefault(r.commit, []).append(r)
+    assert {(r.id, r._op) for r in by_commit[0]} == {
+        (1, "insert"), (2, "insert"), (3, "insert")
+    }
+    assert {(r.id, r._op) for r in by_commit[1]} == {
+        (2, "update"), (4, "insert")
+    }
+    assert {(r.id, r._op) for r in by_commit[2]} == {
+        (3, "update"), (1, "delete")
+    }
+    # delete rows carry the removed preimage
+    (pre,) = [r for r in by_commit[2] if r._op == "delete"]
+    assert (pre.name, pre.v) == ("a", 10.0)
+
+    # replay reconstructs the final target
+    state = {}
+    for c in sorted(by_commit):
+        for r in by_commit[c]:
+            if r._op == "delete":
+                del state[r.id]
+            else:
+                state[r.id] = (r.name, r.v)
+    got = {r.id: (r.name, r.v) for r in read_merge_target(spark, target).collect()}
+    assert state == got
+
+
+def test_merge_changelog_scoped_delete_and_keep(spark, tmp_path):
+    """Scope-replacement emits deletes for keys whose new image omits
+    them; insert-only (keep) merges log only genuinely-new keys."""
+    from databricks_incremental_lakehouse_spark.streaming import read_changelog
+
+    target = str(tmp_path / "t")
+    cdf = str(tmp_path / "cdf")
+    base = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "y"), (2, 1, "z")],
+        "ord long, line long, s string",
+    )
+    merge_upsert(
+        spark, base, target, keys=["ord", "line"], bucket_keys=["ord"],
+        changelog_dir=cdf,
+    )
+    # replace order 1 wholesale with a single line: line 2 must log delete
+    scope = spark.createDataFrame([(1,)], "ord long")
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(1, 1, "x2")], "ord long, line long, s string"),
+        target,
+        keys=["ord", "line"],
+        bucket_keys=["ord"],
+        scope=scope,
+        changelog_dir=cdf,
+    )
+    log = read_changelog(spark, cdf).filter(F.col("commit") == 1).collect()
+    assert {(r.ord, r.line, r._op) for r in log} == {
+        (1, 1, "update"), (1, 2, "delete")
+    }
+
+    # keep-first registry: re-delivered key logs nothing, new key inserts
+    reg = str(tmp_path / "reg")
+    rcdf = str(tmp_path / "rcdf")
+    merge_upsert(
+        spark,
+        spark.createDataFrame([("h1", 10)], "h string, doc long"),
+        reg, keys=["h"], on_match="keep", changelog_dir=rcdf,
+    )
+    merge_upsert(
+        spark,
+        spark.createDataFrame([("h1", 99), ("h2", 20)], "h string, doc long"),
+        reg, keys=["h"], on_match="keep", changelog_dir=rcdf,
+    )
+    log2 = read_changelog(spark, rcdf).filter(F.col("commit") == 1).collect()
+    assert {(r.h, r.doc, r._op) for r in log2} == {("h2", 20, "insert")}
