@@ -241,18 +241,21 @@ def merge_upsert(
     no-op — they neither materialize a file-less target nor touch any
     bucket.
 
-    ``changelog_dir`` enables the change data feed (Delta CDF analogue):
-    each merge appends its row-level changes under
-    ``changelog_dir/_commit=N`` (N monotonic per merge) with a ``_op``
-    column — ``insert`` (key did not exist), ``update`` (key replaced;
-    postimage), ``delete`` (payload is the removed preimage; produced by
-    ``deletes`` rows and by scoped keys whose new image omits them). The
-    change computation reuses the already-bucket-pruned ``current`` read,
-    so its cost is bounded by the touched buckets like the merge itself.
-    Replaying inserts/updates/deletes in commit order over an empty state
-    reconstructs the target exactly (asserted in tests) — the contract
-    downstream incremental consumers (gold refresh, registries, audits)
-    need.
+    ``changelog_dir`` enables the change data feed (Delta CDF analogue,
+    same ``_op`` vocabulary as Delta's ``_change_type``): each merge
+    appends its row-level changes under ``changelog_dir/commit=N`` (N
+    monotonic per merge) — ``insert`` (key did not exist),
+    ``update_preimage`` + ``update_postimage`` (key replaced: the stored
+    row and its replacement), ``delete`` (the removed preimage; produced
+    by ``deletes`` rows and by scoped keys whose new image omits them).
+    Preimages are what let a downstream consumer find VACATED values (a
+    row whose partition value changed appears in both its old and new
+    location). The change computation reuses the already-bucket-pruned
+    ``current`` read, so its cost is bounded by the touched buckets like
+    the merge itself. Replaying commits in order over an empty state
+    (applying postimages, ignoring preimages) reconstructs the target
+    exactly (asserted in tests) — the contract downstream incremental
+    consumers (gold refresh, registries, audits) need.
     """
     bucket_keys = list(bucket_keys) if bucket_keys is not None else list(keys)
     partition_cols = list(partition_cols)
@@ -346,9 +349,17 @@ def merge_upsert(
             ins = updates.join(cur_keys, list(keys), "left_anti")
             pieces = [ins.select(*payload).withColumn("_op", F.lit("insert"))]
             if on_match != "keep":
+                pre = current.join(updates.select(*keys), list(keys), "left_semi")
+                pieces.append(
+                    pre.select(*payload).withColumn(
+                        "_op", F.lit("update_preimage")
+                    )
+                )
                 upd = updates.join(cur_keys, list(keys), "left_semi")
                 pieces.append(
-                    upd.select(*payload).withColumn("_op", F.lit("update"))
+                    upd.select(*payload).withColumn(
+                        "_op", F.lit("update_postimage")
+                    )
                 )
                 if scope is not None:
                     gone = current.join(

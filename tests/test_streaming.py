@@ -560,12 +560,14 @@ def test_merge_changelog_replay(spark, tmp_path):
         (1, "insert"), (2, "insert"), (3, "insert")
     }
     assert {(r.id, r._op) for r in by_commit[1]} == {
-        (2, "update"), (4, "insert")
+        (2, "update_preimage"), (2, "update_postimage"), (4, "insert")
     }
     assert {(r.id, r._op) for r in by_commit[2]} == {
-        (3, "update"), (1, "delete")
+        (3, "update_preimage"), (3, "update_postimage"), (1, "delete")
     }
-    # delete rows carry the removed preimage
+    # preimages carry the replaced row, deletes the removed row
+    (upre,) = [r for r in by_commit[1] if r._op == "update_preimage"]
+    assert (upre.name, upre.v) == ("b", 20.0)
     (pre,) = [r for r in by_commit[2] if r._op == "delete"]
     assert (pre.name, pre.v) == ("a", 10.0)
 
@@ -575,7 +577,7 @@ def test_merge_changelog_replay(spark, tmp_path):
         for r in by_commit[c]:
             if r._op == "delete":
                 del state[r.id]
-            else:
+            elif r._op != "update_preimage":
                 state[r.id] = (r.name, r.v)
     got = {r.id: (r.name, r.v) for r in read_merge_target(spark, target).collect()}
     assert state == got
@@ -609,7 +611,7 @@ def test_merge_changelog_scoped_delete_and_keep(spark, tmp_path):
     )
     log = read_changelog(spark, cdf).filter(F.col("commit") == 1).collect()
     assert {(r.ord, r.line, r._op) for r in log} == {
-        (1, 1, "update"), (1, 2, "delete")
+        (1, 1, "update_preimage"), (1, 1, "update_postimage"), (1, 2, "delete")
     }
 
     # keep-first registry: re-delivered key logs nothing, new key inserts
