@@ -61,7 +61,10 @@ def database_name(cfg: LakehouseConfig, schema_key: str) -> str:
 
 
 def register_warehouse(
-    spark: SparkSession, cfg: LakehouseConfig, missing_ok: bool = True
+    spark: SparkSession,
+    cfg: LakehouseConfig,
+    missing_ok: bool = True,
+    analyze: bool = True,
 ) -> list[str]:
     """Idempotently register every materialized warehouse table in the Spark
     catalog. Returns the fully-qualified names registered.
@@ -69,6 +72,15 @@ def register_warehouse(
     ``missing_ok``: skip tables whose parquet directory does not exist yet
     (e.g. supplier-DAG outputs before the weekly run), mirroring the
     reference's create-before-populate idempotency (README.md:122).
+
+    ``analyze`` runs ``ANALYZE TABLE ... COMPUTE STATISTICS`` on each
+    registered table, persisting rowCount/sizeInBytes into the catalog.
+    Leaf parquet relations get size-based estimates for free, but ROW
+    counts are what the cost-based optimizer needs for join reordering
+    and aggregate estimation (``spark.sql.cbo.enabled`` — set in
+    :func:`~..session.build_spark`); on Databricks this is the same
+    ``ANALYZE``/auto-stats Delta runs. One footer-driven count job per
+    table at registration time.
     """
     import os
 
@@ -98,6 +110,8 @@ def register_warehouse(
             # recovered — without this the table exists but returns 0 rows
             if any("=" in d for d in os.listdir(path) if not d.startswith("_")):
                 spark.sql(f"MSCK REPAIR TABLE {fq}")
+            if analyze:
+                spark.sql(f"ANALYZE TABLE {fq} COMPUTE STATISTICS")
             registered.append(fq)
     return registered
 

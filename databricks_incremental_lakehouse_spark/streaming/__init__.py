@@ -2,6 +2,7 @@ from .incremental import (
     BRONZE_MERGE_KEYS,
     incremental_bronze_orders_stream,
     incremental_bronze_stream,
+    incremental_cdf_aggregate_stream,
     incremental_corpus_dedup_stream,
     incremental_curated_corpus_stream,
     incremental_events_stream,
@@ -27,6 +28,7 @@ __all__ = [
     "incremental_events_stream",
     "incremental_bronze_orders_stream",
     "incremental_bronze_stream",
+    "incremental_cdf_aggregate_stream",
     "incremental_corpus_dedup_stream",
     "incremental_curated_corpus_stream",
     "BRONZE_MERGE_KEYS",

@@ -47,6 +47,24 @@ def test_both_pipelines_end_to_end(spark, sf_smoke, tmp_path):
     # idempotent re-registration
     assert len(register_warehouse(spark, cfg)) == 15
 
+    # catalog statistics persisted for the cost-based optimizer: rowCount
+    # must match the data (size-only stats would leave rowCount absent)
+    det = spark.sql(f"DESCRIBE TABLE EXTENDED {bronze_db}.orders").collect()
+    stats = next(r.data_type for r in det if r.col_name == "Statistics")
+    assert f"{n} rows" in stats
+    # with stats + CBO on, the dimension side of a catalog-table join is
+    # chosen for broadcast without any hint
+    plan = (
+        spark.sql(
+            f"SELECT * FROM {bronze_db}.orders o JOIN {bronze_db}.customers c "
+            "ON o.o_custkey = c.c_custkey"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
     # reference-shaped NON-materialized gold views (CREATE OR REPLACE VIEW,
     # vw_revenue_by_region.py:20-23): recompute lazily from silver, match
     # the materialized snapshot, and write nothing

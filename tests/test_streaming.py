@@ -629,3 +629,59 @@ def test_merge_changelog_scoped_delete_and_keep(spark, tmp_path):
     )
     log2 = read_changelog(spark, rcdf).filter(F.col("commit") == 1).collect()
     assert {(r.h, r.doc, r._op) for r in log2} == {("h2", 20, "insert")}
+
+
+def test_cdf_aggregate_stream_matches_batch(spark, tmp_path):
+    """CDC consumer invariant: after draining the change feed of a target
+    that saw inserts, updates (month moved!, value changed) and deletes,
+    the maintained (group -> n_rows, sum) table equals a batch groupBy of
+    the final target state — and a fully-deleted group's row is gone."""
+    from databricks_incremental_lakehouse_spark.streaming import (
+        incremental_cdf_aggregate_stream,
+    )
+
+    target = str(tmp_path / "t")
+    cdf = str(tmp_path / "cdf")
+    schema = "id long, m int, v double"
+    merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 1, 10.0), (2, 1, 20.0), (3, 2, 30.0), (4, 3, 40.0)], schema
+        ),
+        target, keys=["id"], changelog_dir=cdf,
+    )
+    # move id=2 to month 2 with a new value; insert id=5 into month 1
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(2, 2, 25.0), (5, 1, 50.0)], schema),
+        target, keys=["id"], changelog_dir=cdf,
+    )
+    # delete id=4: month 3 empties out entirely
+    merge_upsert(
+        spark,
+        spark.createDataFrame([], schema),
+        target, keys=["id"],
+        deletes=spark.createDataFrame([(4,)], "id long"),
+        changelog_dir=cdf,
+    )
+
+    totals = str(tmp_path / "totals")
+    chk = str(tmp_path / "chk")
+    q = incremental_cdf_aggregate_stream(
+        spark, cdf, totals, chk, group_cols=["m"], sum_cols=["v"]
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.m: (r.n_rows, r.sum_v)
+        for r in read_merge_target(spark, totals).collect()
+    }
+    expect = {
+        r.m: (r.n, r.s)
+        for r in read_merge_target(spark, target)
+        .groupBy("m")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == expect
+    assert 3 not in got  # emptied group dropped, not left at zero
