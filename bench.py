@@ -143,6 +143,7 @@ def main() -> None:
         "sample_temperature",
         "vocab_topk",
         "text_length_quantiles",
+        "text_unigram_logprob",
         "embedding_quantize",
         "pack_sequences",
         "incr_monthly_trends_refresh",

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import round_dbl
 from ..tables import load_table
 from .texthash import TOKENIZE_SQL, tokenize
 
@@ -136,10 +137,77 @@ SELECT lang, MAX(n) AS n_docs, MIN(len) AS min_len,
 FROM cum GROUP BY lang"""
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus' own
+    unigram distribution, plus the implied perplexity — the cheap stand-in
+    for the KenLM perplexity filter of CCNet-style curation (documents of
+    rare-token soup score low / high-perplexity; common-token text scores
+    high). Self-scoring keeps the operator closed over the corpus; a real
+    pipeline would broadcast an external LM's table the same way.
+
+    Two passes: the vocabulary aggregate (map-side combined; the
+    vocabulary, not the corpus, crosses the shuffle) broadcasts back onto
+    the exploded tokens, then one groupBy(doc_id) averages the logs. The
+    scalar token total rides along via a broadcast cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n_corpus_tokens"))
+    scored = (
+        tok.join(F.broadcast(counts), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(
+                F.log2(
+                    F.col("c")
+                    / F.col("n_corpus_tokens").cast("double")
+                )
+            ).alias("raw_lp"),
+        )
+    )
+    lp = round_dbl(F.col("raw_lp"), 4)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        lp.alias("avg_logprob"),
+        round_dbl(F.pow(F.lit(2.0), -lp), 2).alias("perplexity"),
+    )
+
+
+TEXT_UNIGRAM_LOGPROB_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKENIZE_SQL.format(c="text")}) AS token
+    FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_corpus_tokens FROM counts),
+scored AS (
+    SELECT doc_id, COUNT(*) AS n_tokens,
+        AVG(log2(CAST(c AS DOUBLE) / n_corpus_tokens)) AS raw_lp
+    FROM tok JOIN counts USING (token) CROSS JOIN total
+    GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+    CAST(ROUND(CAST(raw_lp AS DECIMAL(38,8)), 4) AS DOUBLE) AS avg_logprob,
+    CAST(ROUND(CAST(
+        pow(2.0, -CAST(ROUND(CAST(raw_lp AS DECIMAL(38,8)), 4) AS DOUBLE))
+     AS DECIMAL(38,6)), 2) AS DOUBLE) AS perplexity
+FROM scored"""
+
+
 def register_all(register) -> None:
     register("vocab_topk", vocab_topk, VOCAB_TOPK_ORACLE)
     register(
         "text_length_quantiles",
         text_length_quantiles,
         TEXT_LENGTH_QUANTILES_ORACLE,
+    )
+    register(
+        "text_unigram_logprob",
+        text_unigram_logprob,
+        TEXT_UNIGRAM_LOGPROB_ORACLE,
     )

@@ -396,3 +396,35 @@ def test_histogram_quantile_bounds_and_mergeability(spark, sf_correct):
                 merged.get((r.event_type, r.bkt), 0) + r.c
             )
     assert merged == whole
+
+
+def test_unigram_logprob_reference(spark, sf_correct):
+    """Scores must match a python recomputation of the corpus unigram
+    model, and the score must actually rank documents (rare-token docs
+    below common-token docs)."""
+    import math
+    from collections import Counter
+
+    from databricks_incremental_lakehouse_spark.llmdata.corpusstats import (
+        text_unigram_logprob,
+    )
+
+    docs = {
+        d.doc_id: d.text.strip().lower().split()
+        for d in load_table(spark, sf_correct, "documents").collect()
+    }
+    counts = Counter(t for toks in docs.values() for t in toks)
+    total = sum(counts.values())
+
+    rows = {r.doc_id: r for r in text_unigram_logprob(spark, sf_correct).collect()}
+    assert set(rows) == set(docs)
+    scores = {}
+    for doc_id, toks in docs.items():
+        lp = sum(math.log2(counts[t] / total) for t in toks) / len(toks)
+        r = rows[doc_id]
+        assert r.n_tokens == len(toks)
+        assert abs(r.avg_logprob - lp) < 1e-3
+        assert abs(r.perplexity - 2 ** -r.avg_logprob) < 0.01
+        scores[doc_id] = lp
+    # the score separates documents (not a constant)
+    assert max(scores.values()) - min(scores.values()) > 0.1
