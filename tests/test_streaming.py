@@ -344,6 +344,7 @@ def test_merge_upsert_model_property(spark, tmp_path_factory, ops):
     always share a bucket — the layout the silver fact uses."""
     root = str(tmp_path_factory.mktemp("merge_prop"))
     target = os.path.join(root, "t")
+    cdf = os.path.join(root, "cdf")
     model: dict = {}
     for op, rows in ops:
         # dedup within batch: keep-latest == minimal tiebreak ordering
@@ -358,14 +359,14 @@ def test_merge_upsert_model_property(spark, tmp_path_factory, ops):
         if op == "upsert":
             merge_upsert(
                 spark, df, target, keys=["entity", "item"],
-                bucket_keys=["entity"], num_buckets=4,
+                bucket_keys=["entity"], num_buckets=4, changelog_dir=cdf,
             )
             model.update(batch)
         elif op == "replace_scope":
             merge_upsert(
                 spark, df, target, keys=["entity", "item"],
                 bucket_keys=["entity"], num_buckets=4,
-                scope=df.select("entity"),
+                scope=df.select("entity"), changelog_dir=cdf,
             )
             scoped = {e for (e, _i) in batch}
             model = {k: v for k, v in model.items() if k[0] not in scoped}
@@ -381,6 +382,7 @@ def test_merge_upsert_model_property(spark, tmp_path_factory, ops):
                 bucket_keys=["entity"],
                 num_buckets=4,
                 deletes=df.select("entity", "item"),
+                changelog_dir=cdf,
             )
             model = {k: v for k, v in model.items() if k not in batch}
         if os.path.isdir(target):
@@ -391,6 +393,24 @@ def test_merge_upsert_model_property(spark, tmp_path_factory, ops):
             assert got == model, f"after {op}: {got} != {model}"
         else:
             assert model == {} or op == "delete"
+
+    # the change feed must replay to the same final state: apply postimages
+    # and inserts, drop deletes, ignore preimages, in commit order
+    if os.path.isdir(cdf):
+        from databricks_incremental_lakehouse_spark.streaming import read_changelog
+
+        replay: dict = {}
+        log = read_changelog(spark, cdf).collect()
+        by_commit: dict = {}
+        for r in log:
+            by_commit.setdefault(r.commit, []).append(r)
+        for c in sorted(by_commit):
+            for r in by_commit[c]:
+                if r._op == "delete":
+                    replay.pop((r.entity, r.item), None)
+                elif r._op != "update_preimage":
+                    replay[(r.entity, r.item)] = r.payload
+        assert replay == model, f"changelog replay diverged: {replay} != {model}"
 
 
 def test_incremental_corpus_dedup_keep_first(spark, sf_smoke, tmp_path):
