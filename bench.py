@@ -137,6 +137,7 @@ def main() -> None:
         "sketch_histogram_quantiles",
         "dedup_clusters",
         "dedup_semantic",
+        "dedup_substring_spans",
         "text_decontamination",
         "text_quality_gopher",
         "sample_stratified",

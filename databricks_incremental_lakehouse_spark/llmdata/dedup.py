@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..operators import round_dbl
 from ..tables import load_table
-from .texthash import TOKENIZE_SQL, hash60_sql, seeded_hash60_sql, tokenize
+from .texthash import TOKENIZE_SQL, hash60, hash60_sql, seeded_hash60_sql, tokenize
 
 JACCARD_THRESHOLD = 0.8
 MINHASH_SEEDS = 16
@@ -563,6 +563,111 @@ FROM pairs
 WHERE {_COS_EXPR} >= {COSINE_DUP_THRESHOLD}"""
 
 
+# --- substring-span dedup (Lee et al. 2022) -------------------------------
+
+SPAN_WINDOW = 5  # tokens per rolling window
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring spans: maximal per-document token ranges
+    covered by ``SPAN_WINDOW``-token windows that appear in MORE THAN ONE
+    document — the substring-level dedup of "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al. 2022), which removes
+    repeated passages that document-level dedup cannot see.
+
+    Shape: rolling windows form on the codegen posexplode+lead path (one
+    row per token position); window identity is the portable 60-bit hash,
+    so the document-frequency aggregate and the flagged-window semi-join
+    shuffle 8-byte keys, never window text — linear in corpus tokens, the
+    suffix-array replacement that actually distributes. Overlapping /
+    adjacent flagged windows then merge into maximal spans with one
+    gaps-and-islands pass per document (cumulative max of span ends).
+    Output: (doc_id, span_id, start_pos, end_pos, n_windows), positions
+    1-based token indices, end exclusive."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("p", "token")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    win_text = F.concat_ws(
+        " ",
+        F.col("token"),
+        *[F.lead("token", i).over(wdoc) for i in range(1, SPAN_WINDOW)],
+    )
+    tail = F.lead("token", SPAN_WINDOW - 1).over(wdoc)
+    wins = (
+        tok.withColumn("wh", hash60(win_text))
+        .withColumn("_full", tail.isNotNull())
+        .filter(F.col("_full"))
+        .select("doc_id", (F.col("p") + 1).alias("pos"), "wh")
+    )
+    flagged = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("wh")
+    )
+    hits = wins.join(flagged, "wh", "left_semi")
+    word = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + SPAN_WINDOW).over(
+        word.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "new_island",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "span_id",
+        F.sum("new_island").over(
+            word.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return islands.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("start_pos"),
+        (F.max("pos") + SPAN_WINDOW).alias("end_pos"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+
+
+DEDUP_SUBSTRING_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {TOKENIZE_SQL.format(c="text")} AS toks FROM documents
+),
+wins AS (
+    SELECT doc_id, i AS pos,
+        {hash60_sql(f"array_to_string(toks[i:i+{SPAN_WINDOW}-1], ' ')")} AS wh
+    FROM t, unnest(generate_series(1, len(toks) - {SPAN_WINDOW} + 1)) AS u(i)
+),
+flagged AS (
+    SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) > 1
+),
+hits AS (
+    SELECT doc_id, pos FROM wins JOIN flagged USING (wh)
+),
+islands AS (
+    SELECT doc_id, pos,
+        SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS span_id
+    FROM (
+        SELECT doc_id, pos,
+            CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END
+                AS new_island
+        FROM (
+            SELECT doc_id, pos,
+                MAX(pos + {SPAN_WINDOW}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) AS prev_end
+            FROM hits
+        )
+    )
+)
+SELECT doc_id, span_id, MIN(pos) AS start_pos,
+    MAX(pos) + {SPAN_WINDOW} AS end_pos, COUNT(*) AS n_windows
+FROM islands GROUP BY doc_id, span_id"""
+
+
 def register_all(register) -> None:
     register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
     register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE)
@@ -575,3 +680,4 @@ def register_all(register) -> None:
     register("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE)
     register("dedup_simhash_pairs", dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_ORACLE)
     register("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_COS_ORACLE)
+    register("dedup_substring_spans", dedup_substring_spans, DEDUP_SUBSTRING_ORACLE)

@@ -428,3 +428,48 @@ def test_unigram_logprob_reference(spark, sf_correct):
         scores[doc_id] = lp
     # the score separates documents (not a constant)
     assert max(scores.values()) - min(scores.values()) > 0.1
+
+
+def test_substring_spans_reference(spark, sf_correct):
+    """Span output must equal a python reference: windows repeated across
+    documents, merged into maximal intervals; spans must exist, never
+    overlap within a doc, and cover only flagged window positions."""
+    from collections import defaultdict
+
+    from databricks_incremental_lakehouse_spark.llmdata.dedup import (
+        SPAN_WINDOW,
+        dedup_substring_spans,
+    )
+
+    docs = {
+        d.doc_id: d.text.strip().lower().split()
+        for d in load_table(spark, sf_correct, "documents").collect()
+    }
+    by_win = defaultdict(set)
+    for doc_id, toks in docs.items():
+        for i in range(len(toks) - SPAN_WINDOW + 1):
+            by_win[" ".join(toks[i : i + SPAN_WINDOW])].add(doc_id)
+    expect = {}
+    for doc_id, toks in docs.items():
+        hits = [
+            i + 1
+            for i in range(len(toks) - SPAN_WINDOW + 1)
+            if len(by_win[" ".join(toks[i : i + SPAN_WINDOW])]) > 1
+        ]
+        spans = []
+        for p in hits:
+            if spans and p <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + SPAN_WINDOW))
+            else:
+                spans.append((p, p + SPAN_WINDOW))
+        if spans:
+            expect[doc_id] = spans
+
+    got = defaultdict(list)
+    for r in dedup_substring_spans(spark, sf_correct).collect():
+        got[r.doc_id].append((r.span_id, r.start_pos, r.end_pos))
+    assert set(got) == set(expect)
+    for doc_id, spans in got.items():
+        spans.sort()
+        assert [(s, e) for (_i, s, e) in spans] == expect[doc_id]
+    assert expect, "no duplicated spans on this corpus — operator vacuous"
