@@ -132,6 +132,37 @@ def _run_stage(
     return results[name]
 
 
+def _run_stages_parallel(
+    results: dict,
+    stages: dict,
+    max_retries: int = 0,
+    retry_delay: float = 0.0,
+    max_workers: int = 4,
+) -> None:
+    """Run INDEPENDENT stages concurrently, each under the same
+    :func:`_run_stage` timing/retry capture.
+
+    Spark's scheduler multiplexes concurrently-submitted jobs across the
+    executor pool (a documented multi-thread driver pattern), so a group
+    of small independent writes — the 8 bronze extracts, the silver
+    builds, the gold views — overlaps its per-job fixed costs instead of
+    paying them serially; each stage's tasks still use every core when it
+    is the only one running. The reference's Databricks Workflow runs its
+    child notebooks strictly sequentially (run_sales_analytics.py:69-134)
+    — DAG-level parallelism is free wall-clock it leaves on the table.
+    Stage results land under distinct keys, so concurrent capture is
+    safe; gates still run AFTER the group completes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        futures = [
+            ex.submit(_run_stage, results, name, fn, max_retries, retry_delay)
+            for name, fn in stages.items()
+        ]
+        for f in futures:
+            f.result()
+
+
 def format_run_summary(
     pipeline_name: str, results: dict, env: str = "dev", run_id: str = ""
 ) -> str:
@@ -198,14 +229,23 @@ def run_sales_analytics(
     if os.path.isdir(cfg.warehouse_dir):
         shutil.rmtree(cfg.warehouse_dir)
 
-    for t in ("nation", "region"):
-        _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t), retries, delay)
+    _run_stages_parallel(
+        results,
+        {f"ext_{t}": (lambda t=t: _extract_stage(spark, cfg, t)) for t in ("nation", "region")},
+        retries,
+        delay,
+    )
     _gate(results, ["ext_nation", "ext_region"], "geo extracts")
 
-    for t in ("customers", "suppliers", "parts"):
-        _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t), retries, delay)
-    for t in ("orders", "lineitem"):
-        _run_stage(results, f"ext_{t}", lambda t=t: _extract_stage(spark, cfg, t), retries, delay)
+    _run_stages_parallel(
+        results,
+        {
+            f"ext_{t}": (lambda t=t: _extract_stage(spark, cfg, t))
+            for t in ("customers", "suppliers", "parts", "orders", "lineitem")
+        },
+        retries,
+        delay,
+    )
     # critical facts gate (run_sales_analytics.py:98-100)
     _gate(results, ["ext_orders", "ext_lineitem"], "critical extracts")
 
@@ -251,8 +291,12 @@ def run_sales_analytics(
         )
         write_table(_stamp(df, "_refined_at"), cfg.table_path("refined", "customer_orders"))
 
-    _run_stage(results, "ref_order_details", _od, retries, delay)
-    _run_stage(results, "ref_customer_orders", _co, retries, delay)
+    _run_stages_parallel(
+        results,
+        {"ref_order_details": _od, "ref_customer_orders": _co},
+        retries,
+        delay,
+    )
     _gate(results, ["ref_order_details", "ref_customer_orders"], "refined models")
 
     od = _read(spark, cfg, "refined", "order_details")
@@ -273,8 +317,7 @@ def run_sales_analytics(
             cfg.table_path("views", "vw_monthly_sales_trends"),
         ),
     }
-    for name, fn in views.items():
-        _run_stage(results, name, fn, retries, delay)
+    _run_stages_parallel(results, views, retries, delay)
 
     # QC reads the materialized warehouse (reference data_quality_checks
     # reads catalog tables), not re-derived layers; supplier_parts belongs
