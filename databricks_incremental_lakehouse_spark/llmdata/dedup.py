@@ -276,25 +276,20 @@ WHERE CAST(ROUND(CAST(CAST(n_common AS DOUBLE) / CAST(size_a + size_b - n_common
       AS DECIMAL(38,10)), 6) AS DOUBLE) >= {JACCARD_THRESHOLD}"""
 
 
-def dedup_minhash_lsh(
-    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
-) -> DataFrame:
-    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) LSH band rows for any (doc_id, text)
+    DataFrame — the registrable signature unit shared by the batch LSH
+    dedup and the streaming near-dup registry.
 
-    Signature: 16 seeded portable min-hashes per doc; band key = 4
-    consecutive signature values; docs sharing any band key become
-    candidates; candidates are verified with true shingle Jaccard. With
-    s=0.8, P[band match] = 1-(1-0.8^4)^4 ≈ 0.93 — the standard S-curve.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    ds = _doc_shingles(docs)
+    Signature via ONE codegen'd wide aggregate: explode shingles once,
+    then 16 min() aggregates (one per seed) in a single groupBy(doc_id) —
+    one narrow shuffle of (doc, shingle) rows, everything whole-stage
+    codegen. (A nested-transform per-doc variant avoids the shuffle but
+    higher-order functions evaluate interpreted — measured slower than
+    the shuffle by 10x; 16 inline min-aggs keep the hash loop in
+    codegen.) Band keys come straight off the 16 signature columns — no
+    second shuffle."""
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
-    # Signature via ONE codegen'd wide aggregate: explode shingles once,
-    # then 16 min() aggregates (one per seed) in a single groupBy(doc_id) —
-    # one narrow shuffle of (doc, shingle) rows, everything whole-stage
-    # codegen. (A nested-transform per-doc variant avoids the shuffle but
-    # higher-order functions evaluate interpreted — measured slower than
-    # the shuffle by 10x; 16 inline min-aggs keep the hash loop in codegen.)
     inv = _exploded_shingles(docs)
     sig = inv.groupBy("doc_id").agg(
         *[
@@ -310,7 +305,6 @@ def dedup_minhash_lsh(
             for s in range(MINHASH_SEEDS)
         ]
     )
-    # band keys straight off the 16 signature columns — no second shuffle
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -323,9 +317,24 @@ def dedup_minhash_lsh(
             for b in range(LSH_BANDS)
         ]
     )
-    bands = sig.select(
-        "doc_id", F.posexplode(band_arr).alias("band", "band_key")
-    ).repartition("band", "band_key")  # identical exchange both sides -> reused
+    return sig.select("doc_id", F.posexplode(band_arr).alias("band", "band_key"))
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+
+    Signature: 16 seeded portable min-hashes per doc; band key = 4
+    consecutive signature values; docs sharing any band key become
+    candidates; candidates are verified with true shingle Jaccard. With
+    s=0.8, P[band match] = 1-(1-0.8^4)^4 ≈ 0.93 — the standard S-curve.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ds = _doc_shingles(docs)
+    bands = minhash_bands(docs).repartition(
+        "band", "band_key"
+    )  # identical exchange both sides -> reused
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_key"])

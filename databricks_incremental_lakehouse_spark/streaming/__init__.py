@@ -6,6 +6,7 @@ from .incremental import (
     incremental_corpus_dedup_stream,
     incremental_curated_corpus_stream,
     incremental_events_stream,
+    incremental_minhash_registry_stream,
     merge_upsert,
     read_changelog,
     read_merge_target,
@@ -31,6 +32,7 @@ __all__ = [
     "incremental_cdf_aggregate_stream",
     "incremental_corpus_dedup_stream",
     "incremental_curated_corpus_stream",
+    "incremental_minhash_registry_stream",
     "BRONZE_MERGE_KEYS",
     "stateful_user_totals_stream",
     "IncrementalWarehouse",

@@ -594,6 +594,111 @@ def incremental_cdf_aggregate_stream(
     return writer.start()
 
 
+def incremental_minhash_registry_stream(
+    spark: SparkSession,
+    source_dir: str,
+    registry_path: str,
+    dups_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming NEAR-dup admission: arriving documents are flagged if any
+    of their MinHash-LSH band keys is already registered, else their bands
+    are admitted — the approximate-near-dup extension of the exact
+    content-hash registry (and the design COVERAGE.md called out as the
+    natural next step of :func:`incremental_corpus_dedup_stream`).
+
+    Per micro-batch: band rows form on the batch only (one codegen'd
+    wide-agg signature per doc); a doc is flagged when any band matches
+    the registry OR a lower-id doc of its own batch, then ALL the batch's
+    bands merge keep-first into the registry — the banded inverted index
+    of the batch LSH operator, built incrementally, so the flagged set
+    equals the batch candidate set restricted to earlier arrivals (the
+    equivalence the test asserts). Registration costs
+    O(batch x registry/num_buckets) via the bucket-pruned merge; flagged
+    docs append to ``dups_path`` with their earliest match. Candidates
+    carry LSH's usual false-positive rate; exact-Jaccard verification
+    over the flagged log stays a batch job, as in the batch operator."""
+    from ..llmdata.dedup import minhash_bands
+
+    static = spark.read.parquet(source_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _admit(batch_df: DataFrame, _batch_no: int) -> None:
+        sess = batch_df.sparkSession
+        bands = minhash_bands(batch_df).localCheckpoint(eager=True)
+        matches = []
+        if os.path.isdir(registry_path):
+            meta = _read_meta(registry_path)
+            nb = int(meta["num_buckets"])
+            buckets = sorted(
+                {
+                    r[0]
+                    for r in bands.select(
+                        _key_bucket(["band", "band_key"], nb).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                }
+            )
+            reg = (
+                sess.read.parquet(registry_path)
+                .filter(F.col(BUCKET_COL).isin(buckets))
+                .drop(BUCKET_COL)
+            )
+            matches.append(
+                bands.join(
+                    reg.withColumnRenamed("doc_id", "matched_doc_id"),
+                    ["band", "band_key"],
+                )
+            )
+        # within-batch: a doc also matches a lower-id batchmate's band
+        matches.append(
+            bands.join(
+                bands.select(
+                    "band",
+                    "band_key",
+                    F.col("doc_id").alias("matched_doc_id"),
+                ),
+                ["band", "band_key"],
+            ).filter(F.col("matched_doc_id") < F.col("doc_id"))
+        )
+        cand = matches[0]
+        for m in matches[1:]:
+            cand = cand.unionByName(m)
+        flagged = (
+            cand.groupBy("doc_id")
+            .agg(
+                F.min("matched_doc_id").alias("matched_doc_id"),
+                F.count(F.lit(1)).alias("n_band_matches"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if flagged.count() > 0:
+            flagged.write.mode("append").parquet(dups_path)
+        merge_upsert(
+            sess,
+            bands,
+            registry_path,
+            keys=["band", "band_key"],
+            tiebreak_cols=["doc_id"],
+            on_match="keep",
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_curated_corpus_stream(
     spark: SparkSession,
     source_dir: str,

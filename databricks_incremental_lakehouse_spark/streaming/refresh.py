@@ -66,6 +66,25 @@ from .incremental import (
 )
 
 
+def _parallel(*thunks) -> None:
+    """Run independent merge/rewrite steps concurrently (same pattern as
+    the batch runner's stage groups: Spark multiplexes concurrently
+    submitted jobs, so a group of small independent writes overlaps its
+    fixed costs). The first exception propagates after all complete."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, len(thunks))) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        errs = []
+        for f in futures:
+            try:
+                f.result()
+            except Exception as exc:  # noqa: BLE001 — re-raised below
+                errs.append(exc)
+        if errs:
+            raise errs[0]
+
+
 class IncrementalWarehouse:
     """Path layout of the incremental warehouse (all merge targets)."""
 
@@ -158,56 +177,59 @@ def init_incremental_warehouse(
 ) -> IncrementalWarehouse:
     """Initial (full) load of every layer into merge targets."""
     wh = IncrementalWarehouse(root)
-    merge_upsert(
-        spark,
-        bronze_orders(spark, sf_dir, batch_id),
-        wh.bronze("orders"),
-        keys=["o_orderkey"],
-        num_buckets=num_buckets,
-    )
-    merge_upsert(
-        spark,
-        bronze_lineitem(spark, sf_dir, batch_id),
-        wh.bronze("lineitem"),
-        keys=["l_orderkey", "l_linenumber"],
-        bucket_keys=["l_orderkey"],
-        num_buckets=num_buckets,
-    )
-    merge_upsert(
-        spark,
-        bronze_parts(spark, sf_dir, batch_id),
-        wh.bronze("parts"),
-        keys=["p_partkey"],
-        num_buckets=num_buckets,
-    )
-    merge_upsert(
-        spark,
-        bronze_orders(spark, sf_dir, batch_id),
-        wh.bronze_orders_by_customer,
-        keys=["o_custkey", "o_orderkey"],
-        bucket_keys=["o_custkey"],
-        num_buckets=num_buckets,
-    )
-    merge_upsert(
-        spark,
-        bronze_customers(spark, sf_dir, batch_id),
-        wh.bronze("customers"),
-        keys=["c_custkey"],
-        num_buckets=num_buckets,
-    )
-    merge_upsert(
-        spark,
-        bronze_nation(spark, sf_dir, batch_id),
-        wh.bronze("nation"),
-        keys=["n_nationkey"],
-        num_buckets=2,
-    )
-    merge_upsert(
-        spark,
-        bronze_region(spark, sf_dir, batch_id),
-        wh.bronze("region"),
-        keys=["r_regionkey"],
-        num_buckets=2,
+    # the seven bronze merge targets are independent — load concurrently
+    _parallel(
+        lambda: merge_upsert(
+            spark,
+            bronze_orders(spark, sf_dir, batch_id),
+            wh.bronze("orders"),
+            keys=["o_orderkey"],
+            num_buckets=num_buckets,
+        ),
+        lambda: merge_upsert(
+            spark,
+            bronze_lineitem(spark, sf_dir, batch_id),
+            wh.bronze("lineitem"),
+            keys=["l_orderkey", "l_linenumber"],
+            bucket_keys=["l_orderkey"],
+            num_buckets=num_buckets,
+        ),
+        lambda: merge_upsert(
+            spark,
+            bronze_parts(spark, sf_dir, batch_id),
+            wh.bronze("parts"),
+            keys=["p_partkey"],
+            num_buckets=num_buckets,
+        ),
+        lambda: merge_upsert(
+            spark,
+            bronze_orders(spark, sf_dir, batch_id),
+            wh.bronze_orders_by_customer,
+            keys=["o_custkey", "o_orderkey"],
+            bucket_keys=["o_custkey"],
+            num_buckets=num_buckets,
+        ),
+        lambda: merge_upsert(
+            spark,
+            bronze_customers(spark, sf_dir, batch_id),
+            wh.bronze("customers"),
+            keys=["c_custkey"],
+            num_buckets=num_buckets,
+        ),
+        lambda: merge_upsert(
+            spark,
+            bronze_nation(spark, sf_dir, batch_id),
+            wh.bronze("nation"),
+            keys=["n_nationkey"],
+            num_buckets=2,
+        ),
+        lambda: merge_upsert(
+            spark,
+            bronze_region(spark, sf_dir, batch_id),
+            wh.bronze("region"),
+            keys=["r_regionkey"],
+            num_buckets=2,
+        ),
     )
     od = silver_order_details(
         spark,
@@ -226,30 +248,38 @@ def init_incremental_warehouse(
         partition_cols=["order_year"],
         num_buckets=num_buckets,
     )
-    base = monthly_sales_base(read_merge_target(spark, wh.silver_order_details))
-    merge_upsert(
-        spark,
-        base,
-        wh.gold_monthly_base,
-        keys=["order_year", "order_month"],
-        num_buckets=4,
-    )
-    _rewrite_trends(spark, wh)
+    # the month-grain gold chain and the customer-grain chain only share
+    # already-materialized inputs — build them concurrently
+    def _monthly_chain() -> None:
+        base = monthly_sales_base(
+            read_merge_target(spark, wh.silver_order_details)
+        )
+        merge_upsert(
+            spark,
+            base,
+            wh.gold_monthly_base,
+            keys=["order_year", "order_month"],
+            num_buckets=4,
+        )
+        _rewrite_trends(spark, wh)
 
-    cust_base = customer_orders_base(
-        read_merge_target(spark, wh.bronze("customers")),
-        read_merge_target(spark, wh.bronze_orders_by_customer),
-        read_merge_target(spark, wh.bronze("nation")),
-        read_merge_target(spark, wh.bronze("region")),
-    )
-    merge_upsert(
-        spark,
-        cust_base,
-        wh.silver_customer_base,
-        keys=["customer_key"],
-        num_buckets=num_buckets,
-    )
-    _rewrite_customer_orders(spark, wh)
+    def _customer_chain() -> None:
+        cust_base = customer_orders_base(
+            read_merge_target(spark, wh.bronze("customers")),
+            read_merge_target(spark, wh.bronze_orders_by_customer),
+            read_merge_target(spark, wh.bronze("nation")),
+            read_merge_target(spark, wh.bronze("region")),
+        )
+        merge_upsert(
+            spark,
+            cust_base,
+            wh.silver_customer_base,
+            keys=["customer_key"],
+            num_buckets=num_buckets,
+        )
+        _rewrite_customer_orders(spark, wh)
+
+    _parallel(_monthly_chain, _customer_chain)
     return wh
 
 
@@ -336,6 +366,7 @@ def apply_order_updates(
     # about to swap, and a truncated lineage makes every later use (second
     # merge, key collects) read the pinned blocks instead of deleted files.
     changed_custkeys: set = {ck for ck, _ok in old_pairs if ck is not None}
+    bronze_merges = []
     if orders_updates is not None:
         cleaned_orders = bronze_orders(
             spark, "", batch_id, raw=orders_updates
@@ -345,32 +376,41 @@ def apply_order_updates(
             for r in cleaned_orders.select("o_custkey").distinct().collect()
             if r[0] is not None
         }
-        merge_upsert(
-            spark,
-            cleaned_orders,
-            wh.bronze("orders"),
-            keys=["o_orderkey"],
-        )
         deletes_df = (
             spark.createDataFrame(old_pairs, "o_custkey long, o_orderkey long")
             if old_pairs
             else None
         )
-        merge_upsert(
-            spark,
-            cleaned_orders,
-            wh.bronze_orders_by_customer,
-            keys=["o_custkey", "o_orderkey"],
-            bucket_keys=["o_custkey"],
-            deletes=deletes_df,
+        bronze_merges.append(
+            lambda: merge_upsert(
+                spark,
+                cleaned_orders,
+                wh.bronze("orders"),
+                keys=["o_orderkey"],
+            )
+        )
+        bronze_merges.append(
+            lambda: merge_upsert(
+                spark,
+                cleaned_orders,
+                wh.bronze_orders_by_customer,
+                keys=["o_custkey", "o_orderkey"],
+                bucket_keys=["o_custkey"],
+                deletes=deletes_df,
+            )
         )
     if lineitem_updates is not None:
-        merge_upsert(
-            spark,
-            bronze_lineitem(spark, "", batch_id, raw=lineitem_updates),
-            wh.bronze("lineitem"),
-            keys=["l_orderkey", "l_linenumber"],
-            bucket_keys=["l_orderkey"],
+        cleaned_lines = bronze_lineitem(
+            spark, "", batch_id, raw=lineitem_updates
+        ).localCheckpoint(eager=True)
+        bronze_merges.append(
+            lambda: merge_upsert(
+                spark,
+                cleaned_lines,
+                wh.bronze("lineitem"),
+                keys=["l_orderkey", "l_linenumber"],
+                bucket_keys=["l_orderkey"],
+            )
         )
     if customers_updates is not None:
         cleaned_custs = bronze_customers(
@@ -379,15 +419,23 @@ def apply_order_updates(
         changed_custkeys |= {
             r[0] for r in cleaned_custs.select("c_custkey").distinct().collect()
         }
-        merge_upsert(
-            spark,
-            cleaned_custs,
-            wh.bronze("customers"),
-            keys=["c_custkey"],
+        bronze_merges.append(
+            lambda: merge_upsert(
+                spark,
+                cleaned_custs,
+                wh.bronze("customers"),
+                keys=["c_custkey"],
+            )
         )
+    # independent bronze targets (old images already collected above)
+    if bronze_merges:
+        _parallel(*bronze_merges)
 
-    # 2. recompute the changed orders' silver rows from merged bronze
-    if changed is not None:
+    # 2+3 (order chain) and 4 (customer chain) touch disjoint targets —
+    # the silver/month path and the customer path run concurrently below.
+    def _order_chain() -> None:
+        if changed is None:
+            return
         orders_new = _read_keys_pruned(
             spark,
             wh.bronze("orders"),
@@ -456,7 +504,9 @@ def apply_order_updates(
     # 4. recompute the changed customers' base rows (bucket-pruned via the
     # by-customer clustering) and scope-replace them; then re-run the
     # global RFM layer over the customer-grain base
-    if changed_custkeys and os.path.isdir(wh.silver_customer_base):
+    def _customer_chain() -> None:
+        if not changed_custkeys or not os.path.isdir(wh.silver_customer_base):
+            return
         cust_df = spark.createDataFrame(
             [(int(k),) for k in sorted(changed_custkeys)], "customer_key long"
         )
@@ -486,6 +536,8 @@ def apply_order_updates(
             scope=cust_df,
         )
         _rewrite_customer_orders(spark, wh)
+
+    _parallel(_order_chain, _customer_chain)
     return wh
 
 

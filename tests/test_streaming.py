@@ -705,3 +705,77 @@ def test_cdf_aggregate_stream_matches_batch(spark, tmp_path):
     }
     assert got == expect
     assert 3 not in got  # emptied group dropped, not left at zero
+
+
+def test_minhash_registry_stream_matches_batch_candidates(spark, sf_correct, tmp_path):
+    """Streaming near-dup admission must flag exactly the docs that share
+    an LSH band with ANY earlier-arriving doc — i.e. the batch band index
+    built incrementally. Reference model: simulate the band registry in
+    python from batch-computed band rows, in the same file order."""
+    import glob
+    import shutil
+
+    from databricks_incremental_lakehouse_spark.llmdata.dedup import minhash_bands
+    from databricks_incremental_lakehouse_spark.streaming import (
+        incremental_minhash_registry_stream,
+    )
+
+    docs = load_table(spark, sf_correct, "documents")
+    source = str(tmp_path / "source")
+    os.makedirs(source)
+
+    def stage_file(df, name):
+        staging = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(source, name))
+
+    # two files split by doc_id so arrival order == id order is plausible
+    # for the model; near-dup families in this corpus span the id range
+    stage_file(docs.filter(F.col("doc_id") < 250), "f0.parquet")
+    stage_file(docs.filter(F.col("doc_id") >= 250), "f1.parquet")
+
+    registry = str(tmp_path / "registry")
+    dups = str(tmp_path / "dups")
+    chk = str(tmp_path / "chk")
+    q = incremental_minhash_registry_stream(spark, source, registry, dups, chk)
+    q.awaitTermination(180)
+
+    band_rows = minhash_bands(docs).collect()
+    by_doc = {}
+    for r in band_rows:
+        by_doc.setdefault(r.doc_id, []).append((r.band, r.band_key))
+    seen = {}
+    expect_flagged = {}
+    for batch in ([d for d in sorted(by_doc) if d < 250],
+                  [d for d in sorted(by_doc) if d >= 250]):
+        batch_matches = {}
+        for d in batch:
+            hits = [
+                seen[bk] for bk in by_doc[d] if bk in seen
+            ] + [
+                o for o in batch
+                if o < d and set(by_doc[o]) & set(by_doc[d])
+            ]
+            if hits:
+                batch_matches[d] = min(hits)
+        for d in batch:
+            for bk in by_doc[d]:
+                if bk not in seen or seen[bk] > d:
+                    seen[bk] = d
+        expect_flagged.update(batch_matches)
+
+    got = {
+        r.doc_id: r.matched_doc_id
+        for r in spark.read.parquet(dups).collect()
+    } if os.path.isdir(dups) else {}
+    assert set(got) == set(expect_flagged)
+    for d, m in got.items():
+        assert m == expect_flagged[d], (d, m, expect_flagged[d])
+    assert got, "no near-dups flagged — stream is vacuous on this corpus"
+    # registry keeps the first-seen doc per band
+    reg = {
+        (r.band, r.band_key): r.doc_id
+        for r in read_merge_target(spark, registry).collect()
+    }
+    assert reg == seen
