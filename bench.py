@@ -145,6 +145,7 @@ def main() -> None:
         "vocab_topk",
         "text_length_quantiles",
         "text_unigram_logprob",
+        "text_ccnet_buckets",
         "embedding_quantize",
         "pack_sequences",
         "incr_monthly_trends_refresh",

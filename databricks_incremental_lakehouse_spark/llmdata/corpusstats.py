@@ -199,6 +199,79 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM scored"""
 
 
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split by unigram perplexity:
+    documents below the first tercile of ``avg_logprob`` (the most
+    improbable text) land in ``tail``, the middle third in ``middle``,
+    the most-typical third in ``head`` — the bucketing CCNet uses to
+    stage quality-filtered pre-training data.
+
+    Terciles come from the same cumulative distinct-VALUE count
+    construction as the exact quantiles (PERCENTILE_DISC at 1/3 and 2/3):
+    the single-partition window runs over distinct score values (bounded
+    by the 1e-4 score grid), never document rows, and the two boundary
+    scalars broadcast back onto the scored corpus. Tied scores share a
+    bucket by construction."""
+    lp = text_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    counts = lp.groupBy("avg_logprob").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.orderBy("avg_logprob")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    cum = counts.select(
+        "avg_logprob",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    bounds = cum.agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("n") / F.lit(3.0)),
+                F.col("avg_logprob"),
+            )
+        ).alias("t_lo"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(2.0) * F.col("n") / F.lit(3.0)),
+                F.col("avg_logprob"),
+            )
+        ).alias("t_hi"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") <= F.col("t_lo"), F.lit("tail"))
+        .when(F.col("avg_logprob") <= F.col("t_hi"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return lp.crossJoin(F.broadcast(bounds)).select(
+        "doc_id", "avg_logprob", bucket.alias("ppl_bucket")
+    )
+
+
+TEXT_CCNET_BUCKETS_ORACLE = f"""
+WITH lp AS (
+    SELECT doc_id, avg_logprob FROM ({TEXT_UNIGRAM_LOGPROB_ORACLE})
+),
+counts AS (SELECT avg_logprob, COUNT(*) AS c FROM lp GROUP BY 1),
+cum AS (
+    SELECT avg_logprob,
+        SUM(c) OVER (ORDER BY avg_logprob ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(c) OVER () AS n
+    FROM counts
+),
+b AS (
+    SELECT
+        MIN(CASE WHEN cum >= CEIL(n / 3.0) THEN avg_logprob END) AS t_lo,
+        MIN(CASE WHEN cum >= CEIL(2.0 * n / 3.0) THEN avg_logprob END) AS t_hi
+    FROM cum
+)
+SELECT doc_id, avg_logprob,
+    CASE WHEN avg_logprob <= t_lo THEN 'tail'
+         WHEN avg_logprob <= t_hi THEN 'middle'
+         ELSE 'head' END AS ppl_bucket
+FROM lp CROSS JOIN b"""
+
+
 def register_all(register) -> None:
     register("vocab_topk", vocab_topk, VOCAB_TOPK_ORACLE)
     register(
@@ -211,3 +284,4 @@ def register_all(register) -> None:
         text_unigram_logprob,
         TEXT_UNIGRAM_LOGPROB_ORACLE,
     )
+    register("text_ccnet_buckets", text_ccnet_buckets, TEXT_CCNET_BUCKETS_ORACLE)

@@ -473,3 +473,28 @@ def test_substring_spans_reference(spark, sf_correct):
         spans.sort()
         assert [(s, e) for (_i, s, e) in spans] == expect[doc_id]
     assert expect, "no duplicated spans on this corpus — operator vacuous"
+
+
+def test_ccnet_buckets_tercile_split(spark, sf_correct):
+    """Buckets must split the corpus into thirds (up to score ties), the
+    ordering must hold (every tail score <= every middle <= every head),
+    and tied scores must share a bucket."""
+    from collections import Counter
+
+    from databricks_incremental_lakehouse_spark.llmdata.corpusstats import (
+        text_ccnet_buckets,
+    )
+
+    rows = text_ccnet_buckets(spark, sf_correct).collect()
+    n = len(rows)
+    sizes = Counter(r.ppl_bucket for r in rows)
+    assert set(sizes) == {"head", "middle", "tail"}
+    for b in sizes:
+        assert abs(sizes[b] - n / 3) <= n * 0.05 + 5, sizes
+    hi = {b: max(r.avg_logprob for r in rows if r.ppl_bucket == b) for b in sizes}
+    lo = {b: min(r.avg_logprob for r in rows if r.ppl_bucket == b) for b in sizes}
+    assert hi["tail"] <= lo["middle"] and hi["middle"] <= lo["head"]
+    by_score = {}
+    for r in rows:
+        by_score.setdefault(r.avg_logprob, set()).add(r.ppl_bucket)
+    assert all(len(v) == 1 for v in by_score.values())
