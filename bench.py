@@ -148,6 +148,7 @@ def main() -> None:
         "text_ccnet_buckets",
         "embedding_quantize",
         "pack_sequences",
+        "qc_revenue_anomaly",
         "incr_monthly_trends_refresh",
         "incr_customer_orders_refresh",
     ]

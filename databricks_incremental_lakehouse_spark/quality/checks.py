@@ -26,11 +26,12 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..bronze import BRONZE_BUILDERS
 from ..bronze.extracts import BRONZE_ORACLE_CTES
+from ..operators import round_dbl
 from ..oracle_util import with_clause
 from ..silver.customer_orders import silver_customer_orders, silver_customer_orders_oracle_ctes
 from ..silver.order_details import silver_order_details, silver_order_details_oracle_ctes
@@ -434,6 +435,60 @@ def run_all_checks(
     return report
 
 
+ANOMALY_Z = 2.0  # |z| above this flags a daily-revenue outlier
+
+
+def qc_revenue_anomaly(
+    spark: SparkSession, sf_dir: str, sources: dict[str, DataFrame] | None = None
+) -> DataFrame:
+    """Daily-revenue anomaly detection: z-score of each order date's
+    revenue against the corpus of daily totals, outliers flagged at
+    |z| > ANOMALY_Z — the statistical QC family the reference's
+    fixed-threshold checks lack (a revenue collapse inside the allowed
+    range passes every rule check but not this one).
+
+    The fact collapses to one row per order date first (map-side
+    combined; DECIMAL-exact sums), so the whole-partition mean/stddev
+    window runs over O(distinct dates) rows, never order rows. The flag
+    tests the grid-ROUNDED z so the oracle can never disagree at the
+    boundary."""
+    src = qc_sources(spark, sf_dir, sources)
+    orders = src["bronze.orders"]
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum("o_totalprice").alias("daily_revenue")
+    )
+    w = Window.partitionBy()
+    rev = F.col("daily_revenue").cast("double")
+    z = (rev - F.avg(rev).over(w)) / F.stddev(rev).over(w)
+    return daily.select(
+        F.col("o_orderdate").alias("order_date"),
+        "daily_revenue",
+        round_dbl(z, 4).alias("z_score"),
+    ).withColumn("is_anomaly", F.abs(F.col("z_score")) > ANOMALY_Z)
+
+
+def qc_revenue_anomaly_oracle_sql() -> str:
+    ctes = silver_order_details_oracle_ctes()
+    return with_clause(
+        ctes,
+        f"""SELECT order_date, daily_revenue, z_score,
+                   abs(z_score) > {ANOMALY_Z} AS is_anomaly
+            FROM (
+                SELECT order_date, daily_revenue,
+                    CAST(ROUND(CAST(
+                        (CAST(daily_revenue AS DOUBLE)
+                         - AVG(CAST(daily_revenue AS DOUBLE)) OVER ())
+                        / STDDEV(CAST(daily_revenue AS DOUBLE)) OVER ()
+                     AS DECIMAL(38,8)), 4) AS DOUBLE) AS z_score
+                FROM (
+                    SELECT o_orderdate AS order_date,
+                           SUM(o_totalprice) AS daily_revenue
+                    FROM b_orders GROUP BY 1
+                )
+            )""",
+    )
+
+
 def register_all(register) -> None:
     register("qc_row_counts", qc_row_counts, qc_row_counts_oracle_sql())
     register("qc_null_checks", qc_null_checks, qc_null_checks_oracle_sql())
@@ -449,4 +504,7 @@ def register_all(register) -> None:
         "qc_freshness",
         lambda spark, sf_dir: qc_freshness(spark, sf_dir, now=QC_AS_OF_NOW),
         qc_freshness_oracle_sql(),
+    )
+    register(
+        "qc_revenue_anomaly", qc_revenue_anomaly, qc_revenue_anomaly_oracle_sql()
     )

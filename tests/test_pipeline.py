@@ -112,3 +112,26 @@ def test_stage_retry_and_run_summary():
     assert "flaky_stage" in out and "OK" in out
     assert "bad_stage" in out and "FAIL" in out
     assert "FAILED (1 failures)" in out
+
+
+def test_revenue_anomaly_zscore(spark, sf_correct):
+    """z-scores must match a python recomputation over daily totals and
+    the flag must fire on this corpus (and only above the threshold)."""
+    import statistics
+
+    from databricks_incremental_lakehouse_spark.quality.checks import (
+        ANOMALY_Z,
+        qc_revenue_anomaly,
+    )
+
+    rows = qc_revenue_anomaly(spark, sf_correct).collect()
+    totals = {r.order_date: float(r.daily_revenue) for r in rows}
+    mu = statistics.fmean(totals.values())
+    sd = statistics.stdev(totals.values())
+    flagged = 0
+    for r in rows:
+        z = (totals[r.order_date] - mu) / sd
+        assert abs(r.z_score - z) < 1e-3
+        assert r.is_anomaly == (abs(r.z_score) > ANOMALY_Z)
+        flagged += r.is_anomaly
+    assert 0 < flagged < len(rows)
