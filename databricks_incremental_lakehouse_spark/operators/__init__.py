@@ -1,4 +1,5 @@
 from .audit import with_audit_columns
+from .layout import z_value, zorder_write
 from .dedup import dedup_latest
 from .rounding import round_dbl, round_dbl_sql
 from .skew import salted_count_distinct, salted_join
@@ -10,4 +11,6 @@ __all__ = [
     "round_dbl_sql",
     "salted_join",
     "salted_count_distinct",
+    "z_value",
+    "zorder_write",
 ]

@@ -1,6 +1,8 @@
 """Shared operator primitives: skew tools are semantics-preserving, and
 keep-latest dedup honors its contract on adversarial input (hypothesis)."""
 
+import os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -134,3 +136,65 @@ def test_salted_join_rejects_small_side_preserving_types(spark):
     for how in ("right", "right_outer", "full", "full_outer", "outer"):
         with _pytest.raises(ValueError, match="salt replica"):
             salted_join(big, small, ["k"], how=how)
+
+
+def test_zorder_layout_tightens_file_stats(spark, sf_correct, tmp_path):
+    """Z-ordered files must cover small hyper-rectangles of the column
+    space: per-file min/max span fractions on BOTH z-columns well under
+    the hash layout's (~1.0), and — unlike a single-column sort — under
+    1.0 on the non-leading column too. Measured from real parquet footers
+    (exactly the statistics Delta's file skipping uses)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from databricks_incremental_lakehouse_spark.operators import zorder_write
+    from databricks_incremental_lakehouse_spark.tables import load_table
+
+    orders = load_table(spark, sf_correct, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lo_c, hi_c, lo_t, hi_t = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+
+    def spans(path):
+        out = {"o_custkey": [], "o_totalprice": []}
+        for f in glob.glob(os.path.join(path, "part-*.parquet")):
+            md = pq.read_metadata(f)
+            mins = {c: None for c in out}
+            maxs = {c: None for c in out}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in out and col.statistics is not None:
+                        st = col.statistics
+                        mins[name] = st.min if mins[name] is None else min(mins[name], st.min)
+                        maxs[name] = st.max if maxs[name] is None else max(maxs[name], st.max)
+            dom = {
+                "o_custkey": (lo_c, hi_c),
+                "o_totalprice": (float(lo_t), float(hi_t)),
+            }
+            for c in out:
+                lo, hi = dom[c]
+                out[c].append((float(maxs[c]) - float(mins[c])) / (float(hi) - float(lo)))
+        return {c: sum(v) / len(v) for c, v in out.items()}
+
+    zpath = str(tmp_path / "z")
+    zorder_write(orders, zpath, ["o_custkey", "o_totalprice"], num_files=8)
+    hpath = str(tmp_path / "h")
+    orders.repartition(8).write.parquet(hpath)
+    spath = str(tmp_path / "s")
+    orders.repartitionByRange(8, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    ).write.parquet(spath)
+
+    z, h, s = spans(zpath), spans(hpath), spans(spath)
+    for c in ("o_custkey", "o_totalprice"):
+        assert h[c] > 0.9, (c, h)       # hash layout: every file spans the domain
+        assert z[c] < 0.6, (c, z)       # z-order: sub-rectangles on BOTH columns
+    assert s["o_custkey"] < 0.2          # single sort: leading column tight...
+    assert s["o_totalprice"] > 0.9       # ...but the other column not pruned
+    assert z["o_totalprice"] < s["o_totalprice"] - 0.3
