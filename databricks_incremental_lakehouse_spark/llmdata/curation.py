@@ -259,7 +259,9 @@ CONTEXT_LEN = 512  # tokens per packed training sequence
 PACK_BUCKET = 64  # docs per prefix-sum bucket
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Greedy sequence packing: concatenate the corpus in doc_id order and
     split into fixed ``CONTEXT_LEN``-token context windows, reporting for
     each document the bin range it lands in (documents crossing a boundary
@@ -277,7 +279,9 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     through one task. All math is integer (token counts, integer
     division), so the oracle matches exactly.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.select(
         "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
     )
     docs = docs.withColumn("bucket", (F.col("doc_id") / PACK_BUCKET).cast("long"))

@@ -182,3 +182,40 @@ def test_temperature_sampling_flattens_head(spark, sf_correct):
     n = sum(r.n_total for r in rows.values())
     kept = sum(r.n_sampled for r in rows.values())
     assert abs(kept / n - TEMP_BUDGET_FRAC) < 0.1
+
+
+def test_corpus_curation_pipeline(spark, sf_correct, tmp_path):
+    """The operated curation DAG must materialize flags, corpus, report
+    and packed outputs consistent with each other and with the
+    corpus_curate query; every stage reports SUCCESS."""
+    from pyspark.sql import functions as SF
+
+    from databricks_incremental_lakehouse_spark.llmdata.curation import corpus_curate
+    from databricks_incremental_lakehouse_spark.llmdata.pipeline import (
+        GATES,
+        run_corpus_curation,
+    )
+
+    out = str(tmp_path / "curated")
+    results = run_corpus_curation(spark, sf_correct, out)
+    assert all(r["status"] == "SUCCESS" for r in results.values())
+    assert set(results) == {
+        "curate_flags", "curated_corpus", "gate_report", "packed_sequences"
+    }
+
+    flags = corpus_curate(spark, sf_correct)
+    kept_ids = {r.doc_id for r in flags.filter("is_kept").collect()}
+    corpus = spark.read.parquet(out + "/corpus")
+    assert {r.doc_id for r in corpus.select("doc_id").collect()} == kept_ids
+    assert "text" in corpus.columns and 0 < len(kept_ids) < flags.count()
+
+    rep = spark.read.parquet(out + "/report").first()
+    assert rep.n_docs == flags.count()
+    assert rep.n_kept == len(kept_ids)
+    for g in GATES:
+        assert getattr(rep, f"n_{g}") == flags.filter(SF.col(g)).count()
+
+    packed = spark.read.parquet(out + "/packed")
+    assert packed.count() == len(kept_ids)  # one packing row per kept doc
+    # bins are contiguous from 0: packing ran over the kept corpus only
+    assert packed.agg(SF.min("first_bin")).first()[0] == 0
