@@ -157,6 +157,16 @@ def main() -> None:
         _noop(QUERIES[name](spark, sf_dir))
         timings[f"ext.{name}"] = round(time.time() - t0, 3)
 
+    # the operated curation DAG (flags -> corpus || report -> packing)
+    from databricks_incremental_lakehouse_spark.llmdata.pipeline import (
+        run_corpus_curation,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.time()
+        run_corpus_curation(spark, sf_dir, os.path.join(tmp, "curated"))
+        timings["ext.pipeline_curation"] = round(time.time() - t0, 3)
+
     # steady-state refresh cost: the first incr_* call above paid the full
     # warehouse init; the warehouse is cached per sf_dir and every call
     # re-applies the 50-order update batch, so a second timed call isolates
