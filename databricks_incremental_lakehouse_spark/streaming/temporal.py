@@ -319,17 +319,21 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the cohort's size — the other standard product-analytics
     temporal rollup next to the funnel.
 
-    Shape: one aggregate to (user, day) grain (this is the big one — it
-    collapses the fact to at most users x days rows, map-side combined),
-    one tiny aggregate for first-seen days, a broadcast-back join, then
-    the O(cohorts x offsets) triangle aggregate. No window over raw
-    events, no self-join of the fact."""
+    Shape: ONE pass collapses the fact to (user, day) grain (map-side
+    combined); the cohort day is a min-window over the same user_id
+    partitioning (no second scan of the fact, no join back); the
+    O(cohorts x offsets) triangle aggregate follows. Cohort size needs no
+    separate computation — every user is active on their own cohort day,
+    so it IS the triangle's offset-0 cell, joined back broadcast (and the
+    two branches share the aggregate's exchange, which AQE reuses rather
+    than recomputing). Total: three exchanges over ever-shrinking grains,
+    zero fact self-joins."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
     )
     user_days = ev.distinct()
-    first = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    active = user_days.join(F.broadcast(first), "user_id").select(
+    w = Window.partitionBy("user_id")
+    active = user_days.withColumn("cohort_day", F.min("day").over(w)).select(
         "cohort_day",
         F.datediff("day", "cohort_day").alias("day_offset"),
         "user_id",
@@ -337,8 +341,8 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ret = active.groupBy("cohort_day", "day_offset").agg(
         F.countDistinct("user_id").alias("n_active")
     )
-    size = first.groupBy("cohort_day").agg(
-        F.countDistinct("user_id").alias("cohort_size")
+    size = ret.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_active").alias("cohort_size")
     )
     return ret.join(F.broadcast(size), "cohort_day").select(
         "cohort_day",
