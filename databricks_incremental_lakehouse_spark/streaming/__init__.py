@@ -8,6 +8,7 @@ from .incremental import (
     incremental_events_stream,
     incremental_minhash_registry_stream,
     merge_upsert,
+    read_as_of,
     read_changelog,
     read_merge_target,
 )
@@ -24,6 +25,7 @@ from .windows import register_all as _register_windows
 
 __all__ = [
     "merge_upsert",
+    "read_as_of",
     "read_changelog",
     "read_merge_target",
     "incremental_events_stream",

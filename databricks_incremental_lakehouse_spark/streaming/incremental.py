@@ -35,7 +35,7 @@ import os
 import shutil
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -178,6 +178,31 @@ def read_changelog(spark: SparkSession, changelog_dir: str) -> DataFrame:
     ``_op`` (insert | update | delete) and the partition-discovered
     ``commit`` sequence number."""
     return spark.read.parquet(changelog_dir)
+
+
+def read_as_of(
+    spark: SparkSession,
+    changelog_dir: str,
+    keys: Sequence[str],
+    commit: int,
+) -> DataFrame:
+    """Time travel: the merge target's state as of ``commit``
+    (inclusive), reconstructed from the change data feed — the
+    ``VERSION AS OF`` read Delta offers, expressed as one window over the
+    feed: for each key, the latest state-bearing change row (insert /
+    update_postimage / delete) up to the commit decides presence and
+    payload. One shuffle on the keys over O(changes <= commit) rows; no
+    dependence on the current table files, so historical states survive
+    in-place bucket swaps."""
+    log = read_changelog(spark, changelog_dir).filter(
+        (F.col("commit") <= commit) & (F.col("_op") != "update_preimage")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("commit").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("_op") != "delete"))
+        .drop("_rn", "_op", "commit")
+    )
 
 
 def merge_upsert(

@@ -779,3 +779,42 @@ def test_minhash_registry_stream_matches_batch_candidates(spark, sf_correct, tmp
         for r in read_merge_target(spark, registry).collect()
     }
     assert reg == seen
+
+
+def test_read_as_of_time_travel(spark, tmp_path):
+    """VERSION AS OF reconstruction: the state read from the change feed
+    at each commit must equal the snapshot the target held right after
+    that merge -- including across updates, deletes, and a key that is
+    deleted then re-inserted."""
+    from databricks_incremental_lakehouse_spark.streaming import read_as_of
+
+    target = str(tmp_path / "t")
+    cdf = str(tmp_path / "cdf")
+    schema = "id long, v string"
+    batches = [
+        dict(updates=[(1, "a"), (2, "b")]),
+        dict(updates=[(2, "b2"), (3, "c")]),
+        dict(updates=[], deletes=[1]),
+        dict(updates=[(1, "a-again"), (3, "c2")]),
+    ]
+    snapshots = []
+    for b in batches:
+        merge_upsert(
+            spark,
+            spark.createDataFrame(b["updates"], schema),
+            target,
+            keys=["id"],
+            deletes=(
+                spark.createDataFrame([(i,) for i in b["deletes"]], "id long")
+                if b.get("deletes")
+                else None
+            ),
+            changelog_dir=cdf,
+        )
+        snapshots.append(
+            {r.id: r.v for r in read_merge_target(spark, target).collect()}
+        )
+
+    for commit, snap in enumerate(snapshots):
+        got = {r.id: r.v for r in read_as_of(spark, cdf, ["id"], commit).collect()}
+        assert got == snap, (commit, got, snap)
