@@ -1,5 +1,6 @@
 from .incremental import (
     BRONZE_MERGE_KEYS,
+    checkpoint_changelog,
     incremental_bronze_orders_stream,
     incremental_bronze_stream,
     incremental_cdf_aggregate_stream,
@@ -26,6 +27,7 @@ from .windows import register_all as _register_windows
 __all__ = [
     "merge_upsert",
     "read_as_of",
+    "checkpoint_changelog",
     "read_changelog",
     "read_merge_target",
     "incremental_events_stream",

@@ -205,6 +205,35 @@ def read_as_of(
     )
 
 
+def checkpoint_changelog(
+    spark: SparkSession,
+    changelog_dir: str,
+    keys: Sequence[str],
+    upto: int,
+) -> None:
+    """Squash commits ``0..upto`` into one base snapshot commit — the
+    checkpointing that keeps time travel sustainable: ``read_as_of``
+    replays O(changes since checkpoint), not the table's whole history,
+    and the feed's storage stops growing with dead intermediate states.
+
+    The state as of ``upto`` is materialized (all rows as ``insert`` —
+    exactly what an initial-load commit looks like), atomically swapped
+    in as ``commit=upto``, and the earlier commit dirs are removed.
+    Reads at or after ``upto`` are unaffected (asserted in tests); reads
+    BEFORE the checkpoint are no longer possible — the retention
+    trade-off every log-structured system makes."""
+    state = read_as_of(spark, changelog_dir, keys, upto).withColumn(
+        "_op", F.lit("insert")
+    )
+    staging = os.path.join(changelog_dir, f".commit={upto}._staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    state.write.parquet(staging)
+    for p in glob.glob(os.path.join(changelog_dir, "commit=*")):
+        if os.path.isdir(p) and int(os.path.basename(p).split("=", 1)[1]) <= upto:
+            shutil.rmtree(p)
+    os.rename(staging, os.path.join(changelog_dir, f"commit={upto}"))
+
+
 def merge_upsert(
     spark: SparkSession,
     updates: DataFrame,

@@ -818,3 +818,45 @@ def test_read_as_of_time_travel(spark, tmp_path):
     for commit, snap in enumerate(snapshots):
         got = {r.id: r.v for r in read_as_of(spark, cdf, ["id"], commit).collect()}
         assert got == snap, (commit, got, snap)
+
+
+def test_checkpoint_changelog_preserves_later_reads(spark, tmp_path):
+    """Squashing commits 0..N into a base snapshot must leave every read
+    at or after N identical (including the live head), shrink the feed to
+    the checkpoint + later commits, and keep accepting new merges."""
+    from databricks_incremental_lakehouse_spark.streaming import (
+        checkpoint_changelog,
+        read_as_of,
+        read_changelog,
+    )
+
+    target = str(tmp_path / "t")
+    cdf = str(tmp_path / "cdf")
+    schema = "id long, v string"
+    for batch in (
+        [(1, "a"), (2, "b")],
+        [(2, "b2"), (3, "c")],
+        [(1, "a2")],
+        [(4, "d")],
+    ):
+        merge_upsert(
+            spark, spark.createDataFrame(batch, schema), target,
+            keys=["id"], changelog_dir=cdf,
+        )
+    before = {
+        c: {r.id: r.v for r in read_as_of(spark, cdf, ["id"], c).collect()}
+        for c in (2, 3)
+    }
+    checkpoint_changelog(spark, cdf, ["id"], upto=2)
+    commits = {r.commit for r in read_changelog(spark, cdf).select("commit").distinct().collect()}
+    assert commits == {2, 3}
+    for c in (2, 3):
+        got = {r.id: r.v for r in read_as_of(spark, cdf, ["id"], c).collect()}
+        assert got == before[c], c
+    # the feed keeps working after the checkpoint
+    merge_upsert(
+        spark, spark.createDataFrame([(5, "e")], schema), target,
+        keys=["id"], changelog_dir=cdf,
+    )
+    head = {r.id: r.v for r in read_as_of(spark, cdf, ["id"], 4).collect()}
+    assert head == {r.id: r.v for r in read_merge_target(spark, target).collect()}
