@@ -138,6 +138,7 @@ def main() -> None:
         "dedup_clusters",
         "dedup_semantic",
         "dedup_substring_spans",
+        "dedup_substring_clean",
         "text_decontamination",
         "text_quality_gopher",
         "sample_stratified",

@@ -677,6 +677,118 @@ SELECT doc_id, span_id, MIN(pos) AS start_pos,
 FROM islands GROUP BY doc_id, span_id"""
 
 
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned corpus of substring-level dedup: every NON-CANONICAL
+    occurrence of a cross-document repeated window is removed from the
+    text, keeping the globally-first copy — the corpus Lee et al.'s
+    dedup actually ships (the spans operator is its audit view).
+
+    Canonical occurrence of a repeated window = the minimum (doc_id, pos)
+    holding its hash. Token-level removal avoids any range join: a token
+    at position t is covered by a non-canonical hit iff some hit sits in
+    [t-W+1, t], which is one bounded ROWS window over the token stream
+    with the hit flag equi-joined at the same position — scan + equi-join
+    + fixed-width window, all linear. The surviving tokens re-assemble
+    per document with the ordered-struct collect the centroid builder
+    uses. Output: doc_id, clean_text, n_tokens_removed."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("p", "token")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    win_text = F.concat_ws(
+        " ",
+        F.col("token"),
+        *[F.lead("token", i).over(wdoc) for i in range(1, SPAN_WINDOW)],
+    )
+    tail = F.lead("token", SPAN_WINDOW - 1).over(wdoc)
+    wins = (
+        tok.withColumn("wh", hash60(win_text))
+        .withColumn("_full", tail.isNotNull())
+        .filter(F.col("_full"))
+        .select("doc_id", F.col("p").alias("pos"), "wh")
+    )
+    # repeated windows + their canonical (first) occurrence
+    canon = (
+        wins.groupBy("wh")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .filter(F.col("df") > 1)
+        .select("wh", "first")
+    )
+    noncanon = wins.join(canon, "wh").filter(
+        (F.col("doc_id") != F.col("first.doc_id"))
+        | (F.col("pos") != F.col("first.pos"))
+    )
+    hits = noncanon.groupBy("doc_id", "pos").agg(F.lit(1).alias("hit"))
+    wcover = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(SPAN_WINDOW - 1), 0)
+    )
+    tagged = tok.join(
+        hits.withColumnRenamed("pos", "p"), ["doc_id", "p"], "left"
+    ).withColumn("covered", F.max("hit").over(wcover).isNotNull())
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("covered"), F.struct("p", "token")
+                            )
+                        )
+                    ),
+                    lambda s: s.token,
+                ),
+            ).alias("clean_text"),
+            F.sum(F.col("covered").cast("long")).alias("n_tokens_removed"),
+        )
+    )
+
+
+DEDUP_SUBSTRING_CLEAN_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {TOKENIZE_SQL.format(c="text")} AS toks FROM documents
+),
+tok AS (
+    SELECT doc_id, i - 1 AS p, toks[i] AS token
+    FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+),
+wins AS (
+    SELECT doc_id, i - 1 AS pos,
+        {hash60_sql(f"array_to_string(toks[i:i+{SPAN_WINDOW}-1], ' ')")} AS wh
+    FROM t, unnest(generate_series(1, len(toks) - {SPAN_WINDOW} + 1)) AS u(i)
+),
+canon AS (
+    SELECT wh, MIN(struct_pack(doc_id := doc_id, pos := pos)) AS first
+    FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) > 1
+),
+hits AS (
+    SELECT DISTINCT w.doc_id, w.pos
+    FROM wins w JOIN canon c USING (wh)
+    WHERE (w.doc_id, w.pos) <> (c.first.doc_id, c.first.pos)
+),
+tagged AS (
+    SELECT tok.doc_id, tok.p, tok.token,
+        MAX(CASE WHEN h.pos IS NOT NULL THEN 1 END) OVER (
+            PARTITION BY tok.doc_id ORDER BY tok.p
+            ROWS BETWEEN {SPAN_WINDOW - 1} PRECEDING AND CURRENT ROW
+        ) IS NOT NULL AS covered
+    FROM tok LEFT JOIN hits h ON tok.doc_id = h.doc_id AND tok.p = h.pos
+)
+SELECT doc_id,
+    COALESCE(array_to_string(list(token ORDER BY p) FILTER (WHERE NOT covered), ' '), '')
+        AS clean_text,
+    COALESCE(SUM(CASE WHEN covered THEN 1 END), 0) AS n_tokens_removed
+FROM tagged GROUP BY doc_id"""
+
+
 def register_all(register) -> None:
     register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
     register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE)
@@ -690,3 +802,4 @@ def register_all(register) -> None:
     register("dedup_simhash_pairs", dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_ORACLE)
     register("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_COS_ORACLE)
     register("dedup_substring_spans", dedup_substring_spans, DEDUP_SUBSTRING_ORACLE)
+    register("dedup_substring_clean", dedup_substring_clean, DEDUP_SUBSTRING_CLEAN_ORACLE)

@@ -498,3 +498,61 @@ def test_ccnet_buckets_tercile_split(spark, sf_correct):
     for r in rows:
         by_score.setdefault(r.avg_logprob, set()).add(r.ppl_bucket)
     assert all(len(v) == 1 for v in by_score.values())
+
+
+def test_substring_clean_reference(spark, sf_correct):
+    """Cleaned text must equal a python reference (tokens covered by a
+    non-canonical repeated window removed; globally-first occurrence
+    kept), and the canonical copy of every repeated window must survive
+    somewhere in the cleaned corpus."""
+    from collections import defaultdict
+
+    from databricks_incremental_lakehouse_spark.llmdata.dedup import (
+        SPAN_WINDOW,
+        dedup_substring_clean,
+    )
+
+    docs = {
+        d.doc_id: d.text.strip().lower().split()
+        for d in load_table(spark, sf_correct, "documents").collect()
+    }
+    occurrences = defaultdict(list)
+    for doc_id in sorted(docs):
+        toks = docs[doc_id]
+        for i in range(len(toks) - SPAN_WINDOW + 1):
+            occurrences[" ".join(toks[i : i + SPAN_WINDOW])].append((doc_id, i))
+    expect = {}
+    removed_counts = {}
+    for doc_id, toks in docs.items():
+        covered = [False] * len(toks)
+        for i in range(len(toks) - SPAN_WINDOW + 1):
+            occ = occurrences[" ".join(toks[i : i + SPAN_WINDOW])]
+            if len({d for d, _p in occ}) > 1 and min(occ) != (doc_id, i):
+                for t in range(i, i + SPAN_WINDOW):
+                    covered[t] = True
+        expect[doc_id] = " ".join(
+            t for t, c in zip(toks, covered) if not c
+        )
+        removed_counts[doc_id] = sum(covered)
+
+    got = {r.doc_id: r for r in dedup_substring_clean(spark, sf_correct).collect()}
+    assert set(got) == set(expect)
+    for doc_id in expect:
+        assert got[doc_id].clean_text == expect[doc_id], doc_id
+        assert got[doc_id].n_tokens_removed == removed_counts[doc_id]
+    assert any(removed_counts.values()), "nothing removed — operator vacuous"
+    # canonical survival: every repeated window still exists in the corpus
+    cleaned_tokens = {d: r.clean_text.split() for d, r in got.items()}
+    all_windows = set()
+    for toks in cleaned_tokens.values():
+        for i in range(len(toks) - SPAN_WINDOW + 1):
+            all_windows.add(" ".join(toks[i : i + SPAN_WINDOW]))
+    surviving = sum(
+        1
+        for w, occ in occurrences.items()
+        if len({d for d, _p in occ}) > 1 and w in all_windows
+    )
+    repeated = sum(1 for occ in occurrences.values() if len({d for d, _p in occ}) > 1)
+    # merged-span removal may clip a canonical window's neighbors, so not
+    # every repeated window literally survives — but the large majority must
+    assert surviving / repeated > 0.8, (surviving, repeated)
