@@ -126,6 +126,7 @@ def main() -> None:
         "sketch_hll_distinct",
         "sketch_cms_heavy_hitters",
         "multimodal_feature_stats",
+        "multimodal_frame_sample",
         "events_tumbling_hourly",
         "events_sliding_windows",
         "events_session_windows",

@@ -117,6 +117,81 @@ SELECT doc_id,
 FROM b"""
 
 
+FRAME_BYTES = 32  # payload bytes per fake "frame"
+FRAME_SAMPLE_EVERY = 4  # keep every 4th frame
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_frame_bytes int, "
+    "frame_first_byte int, frame_byte_mean double"
+)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel with the 1:N video shape: each payload chunks
+    into fixed-size fake frames, every FRAME_SAMPLE_EVERY-th frame emits
+    one OUTPUT ROW — the cardinality-expanding plumbing (frame sampling,
+    audio windowing, page splitting) that the 1:1 feature kernel cannot
+    express. Still one Arrow batch in, one out."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
+            for idx in range(0, n_frames, FRAME_SAMPLE_EVERY):
+                fb = payload[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "frame_idx": idx,
+                        "n_frame_bytes": len(fb),
+                        "frame_first_byte": fb[0],
+                        "frame_byte_mean": sum(fb) / len(fb),
+                    }
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "frame_idx",
+                "n_frame_bytes",
+                "frame_first_byte",
+                "frame_byte_mean",
+            ],
+        )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the binary payload: the video-pipeline step
+    (decode container -> sample every k-th frame -> per-frame features)
+    with the decode stubbed to fixed-size byte chunks and the Spark
+    plumbing real — Arrow batches, a cardinality-expanding kernel, typed
+    per-frame schema. Swapping in ffmpeg changes ``_sample_frames``'s
+    body, not the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs)
+    return payloads.select("doc_id", "payload").mapInPandas(
+        _sample_frames, schema=FRAME_SCHEMA
+    )
+
+
+MULTIMODAL_FRAME_SAMPLE_ORACLE = f"""
+WITH b AS ({_BYTES_CTE}),
+f AS (
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        bv[(i * {FRAME_BYTES} + 1):least((i + 1) * {FRAME_BYTES}, CAST(n AS INT))]
+            AS fb
+    FROM b,
+        unnest(generate_series(0,
+            CAST(ceil(n / {FRAME_BYTES}.0) AS INT) - 1)) AS u(i)
+    WHERE i % {FRAME_SAMPLE_EVERY} = 0
+)
+SELECT doc_id, frame_idx,
+    CAST(len(fb) AS INT) AS n_frame_bytes,
+    CAST(fb[1] AS INT) AS frame_first_byte,
+    CAST(list_sum(fb) AS DOUBLE) / len(fb) AS frame_byte_mean
+FROM f"""
+
+
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over extracted features — the downstream consumer shape
     (metadata-only, payloads pruned before the shuffle)."""
@@ -144,4 +219,9 @@ def register_all(register) -> None:
     register("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_ORACLE)
     register(
         "multimodal_feature_stats", multimodal_feature_stats, MULTIMODAL_STATS_ORACLE
+    )
+    register(
+        "multimodal_frame_sample",
+        multimodal_frame_sample,
+        MULTIMODAL_FRAME_SAMPLE_ORACLE,
     )

@@ -556,3 +556,37 @@ def test_substring_clean_reference(spark, sf_correct):
     # merged-span removal may clip a canonical window's neighbors, so not
     # every repeated window literally survives — but the large majority must
     assert surviving / repeated > 0.8, (surviving, repeated)
+
+
+def test_frame_sample_cardinality_and_values(spark, sf_correct):
+    """Frame sampling must emit exactly ceil(ceil(n/32)/4) rows per doc
+    (every 4th fixed-size chunk), with byte-exact per-frame statistics."""
+    import math
+
+    from databricks_incremental_lakehouse_spark.llmdata.multimodal import (
+        FRAME_BYTES,
+        FRAME_SAMPLE_EVERY,
+        multimodal_frame_sample,
+    )
+
+    docs = {
+        d.doc_id: d.text.encode("utf-8")
+        for d in load_table(spark, sf_correct, "documents").collect()
+    }
+    rows = multimodal_frame_sample(spark, sf_correct).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, payload in docs.items():
+        n_frames = math.ceil(len(payload) / FRAME_BYTES)
+        expect_idx = list(range(0, n_frames, FRAME_SAMPLE_EVERY))
+        got = sorted(by_doc[doc_id], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in got] == expect_idx
+        for r in got:
+            fb = payload[r.frame_idx * FRAME_BYTES : (r.frame_idx + 1) * FRAME_BYTES]
+            assert r.n_frame_bytes == len(fb)
+            assert r.frame_first_byte == fb[0]
+            assert abs(r.frame_byte_mean - sum(fb) / len(fb)) < 1e-9
+    # the 1:N expansion actually happened
+    assert len(rows) > len(docs)
