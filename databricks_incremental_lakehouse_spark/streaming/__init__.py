@@ -1,5 +1,6 @@
 from .incremental import (
     BRONZE_MERGE_KEYS,
+    apply_cdf_delta,
     checkpoint_changelog,
     incremental_bronze_orders_stream,
     incremental_bronze_stream,
@@ -10,6 +11,7 @@ from .incremental import (
     incremental_minhash_registry_stream,
     merge_upsert,
     read_as_of,
+    read_cdf_totals,
     read_changelog,
     read_merge_target,
 )
@@ -27,6 +29,8 @@ from .windows import register_all as _register_windows
 __all__ = [
     "merge_upsert",
     "read_as_of",
+    "read_cdf_totals",
+    "apply_cdf_delta",
     "checkpoint_changelog",
     "read_changelog",
     "read_merge_target",

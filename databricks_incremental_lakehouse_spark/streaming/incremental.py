@@ -219,6 +219,7 @@ def checkpoint_changelog(
     The state as of ``upto`` is materialized (all rows as ``insert`` —
     exactly what an initial-load commit looks like), atomically swapped
     in as ``commit=upto``, and the earlier commit dirs are removed.
+    (Unrelated to the totals tombstones of :func:`apply_cdf_delta`.)
     Reads at or after ``upto`` are unaffected (asserted in tests); reads
     BEFORE the checkpoint are no longer possible — the retention
     trade-off every log-structured system makes."""
@@ -538,6 +539,100 @@ def incremental_events_stream(
     return writer.start()
 
 
+def apply_cdf_delta(
+    batch_df: DataFrame,
+    target_path: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+) -> None:
+    """Apply one batch of change rows to the grouped totals target —
+    the delta arithmetic of :func:`incremental_cdf_aggregate_stream`,
+    exposed for direct (batch) use and for the property tests that feed
+    commits in arbitrary order (deltas are commutative sums, so any
+    interleaving must converge to the same totals).
+
+    Groups whose row count reaches zero are KEPT as explicit zero rows
+    (tombstones, bounded by distinct groups ever seen): under
+    out-of-order application a group can be TRANSIENTLY zero or negative
+    (a preimage arriving before its matching insert), and dropping it
+    would lose the partial sum — the bug the property test found when
+    this filtered ``n_rows > 0``. Out-of-order is not hypothetical: a
+    file-source drain lists ``commit=10`` before ``commit=2``. Read live
+    groups with :func:`read_cdf_totals`, which filters the tombstones."""
+    group_cols = list(group_cols)
+    sum_cols = list(sum_cols)
+    if batch_df.isEmpty():
+        return
+    sign = F.when(
+        F.col("_op").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        batch_df.withColumn("_sign", sign)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_sign").alias("_dn"),
+            *[
+                F.sum(F.col("_sign") * F.col(c)).alias(f"_d_{c}")
+                for c in sum_cols
+            ],
+        )
+    ).localCheckpoint(eager=True)
+    sess = batch_df.sparkSession
+    if os.path.isdir(target_path):
+        meta = _read_meta(target_path)
+        nb = int(meta["num_buckets"])
+        buckets = sorted(
+            {
+                r[0]
+                for r in delta.select(_key_bucket(group_cols, nb).alias("b"))
+                .distinct()
+                .collect()
+            }
+        )
+        current = (
+            sess.read.parquet(target_path)
+            .filter(F.col(BUCKET_COL).isin(buckets))
+            .drop(BUCKET_COL)
+            .join(F.broadcast(delta.select(*group_cols)), group_cols, "left_semi")
+        )
+    else:
+        current = sess.createDataFrame(
+            [],
+            ", ".join(
+                [f"{c} {t}" for c, t in delta.select(*group_cols).dtypes]
+                + ["n_rows long"]
+                + [f"sum_{c} double" for c in sum_cols]
+            ),
+        )
+    joined = current.join(delta, group_cols, "full_outer")
+    new = joined.select(
+        *group_cols,
+        (F.coalesce("n_rows", F.lit(0)) + F.coalesce("_dn", F.lit(0))).alias(
+            "n_rows"
+        ),
+        *[
+            (
+                F.coalesce(f"sum_{c}", F.lit(0.0))
+                + F.coalesce(f"_d_{c}", F.lit(0.0))
+            ).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+    merge_upsert(
+        sess,
+        new,
+        target_path,
+        keys=group_cols,
+        scope=delta.select(*group_cols),
+    )
+
+
+def read_cdf_totals(spark: SparkSession, target_path: str) -> DataFrame:
+    """The live groups of a CDC totals target (tombstoned zero-count
+    groups excluded)."""
+    return read_merge_target(spark, target_path).filter(F.col("n_rows") > 0)
+
+
 def incremental_cdf_aggregate_stream(
     spark: SparkSession,
     changelog_dir: str,
@@ -555,9 +650,10 @@ def incremental_cdf_aggregate_stream(
     Each micro-batch of change rows reduces to one signed delta per
     group (a map-side-combined aggregate over the batch only); current
     totals for the affected groups are read bucket-pruned from the totals
-    target and scope-replaced. Groups whose row count reaches zero are
-    dropped (scope-replacement with no new image). Deltas are commutative
-    sums, so commit files may arrive in any order. At 100 TB this is the
+    target and scope-replaced. Deltas are commutative sums, so commit
+    files may arrive in any order; emptied groups persist as zero-count
+    tombstones (see :func:`apply_cdf_delta`) and are excluded by
+    :func:`read_cdf_totals`. At 100 TB this is the
     difference between O(changes) and O(affected partitions) per refresh:
     even the partition-restricted re-aggregate needs to rescan affected
     partitions; the CDC consumer touches only the change rows."""
@@ -571,72 +667,7 @@ def incremental_cdf_aggregate_stream(
     )
 
     def _apply(batch_df: DataFrame, _batch_no: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sign = F.when(
-            F.col("_op").isin("insert", "update_postimage"), F.lit(1)
-        ).otherwise(F.lit(-1))
-        delta = (
-            batch_df.withColumn("_sign", sign)
-            .groupBy(*group_cols)
-            .agg(
-                F.sum("_sign").alias("_dn"),
-                *[
-                    F.sum(F.col("_sign") * F.col(c)).alias(f"_d_{c}")
-                    for c in sum_cols
-                ],
-            )
-        ).localCheckpoint(eager=True)
-        sess = batch_df.sparkSession
-        if os.path.isdir(target_path):
-            meta = _read_meta(target_path)
-            nb = int(meta["num_buckets"])
-            buckets = sorted(
-                {
-                    r[0]
-                    for r in delta.select(
-                        _key_bucket(group_cols, nb).alias("b")
-                    )
-                    .distinct()
-                    .collect()
-                }
-            )
-            current = (
-                sess.read.parquet(target_path)
-                .filter(F.col(BUCKET_COL).isin(buckets))
-                .drop(BUCKET_COL)
-                .join(F.broadcast(delta.select(*group_cols)), group_cols, "left_semi")
-            )
-        else:
-            current = sess.createDataFrame(
-                [],
-                ", ".join(
-                    [f"{c} {t}" for c, t in delta.select(*group_cols).dtypes]
-                    + ["n_rows long"]
-                    + [f"sum_{c} double" for c in sum_cols]
-                ),
-            )
-        joined = current.join(delta, group_cols, "full_outer")
-        new = joined.select(
-            *group_cols,
-            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("_dn", F.lit(0))).alias(
-                "n_rows"
-            ),
-            *[
-                (
-                    F.coalesce(f"sum_{c}", F.lit(0.0))
-                    + F.coalesce(f"_d_{c}", F.lit(0.0))
-                ).alias(f"sum_{c}")
-                for c in sum_cols
-            ],
-        )
-        merge_upsert(
-            sess,
-            new.filter(F.col("n_rows") > 0),
-            target_path,
-            keys=group_cols,
-            scope=delta.select(*group_cols),
-        )
+        apply_cdf_delta(batch_df, target_path, group_cols, sum_cols)
 
     writer = (
         stream.writeStream.foreachBatch(_apply)

@@ -692,9 +692,11 @@ def test_cdf_aggregate_stream_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
 
+    from databricks_incremental_lakehouse_spark.streaming import read_cdf_totals
+
     got = {
         r.m: (r.n_rows, r.sum_v)
-        for r in read_merge_target(spark, totals).collect()
+        for r in read_cdf_totals(spark, totals).collect()
     }
     expect = {
         r.m: (r.n, r.s)
@@ -704,7 +706,9 @@ def test_cdf_aggregate_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expect
-    assert 3 not in got  # emptied group dropped, not left at zero
+    assert 3 not in got  # emptied group tombstoned, excluded from live reads
+    stored = {r.m: r.n_rows for r in read_merge_target(spark, totals).collect()}
+    assert stored[3] == 0  # ...but its tombstone persists for commutativity
 
 
 def test_minhash_registry_stream_matches_batch_candidates(spark, sf_correct, tmp_path):
@@ -860,3 +864,80 @@ def test_checkpoint_changelog_preserves_later_reads(spark, tmp_path):
     )
     head = {r.id: r.v for r in read_as_of(spark, cdf, ["id"], 4).collect()}
     assert head == {r.id: r.v for r in read_merge_target(spark, target).collect()}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),   # id
+                st.integers(min_value=0, max_value=3),   # group
+                st.integers(min_value=0, max_value=50),  # value
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    order=st.randoms(),
+)
+def test_cdf_delta_property(spark, tmp_path_factory, batches, order):
+    """Random upsert batches through a changelogged merge target, the
+    change feed's commits applied to the totals in a RANDOM order — the
+    totals must equal a batch groupBy of the final target (commutative
+    deltas; keys moving groups exercise the preimage arithmetic)."""
+    from databricks_incremental_lakehouse_spark.streaming import (
+        apply_cdf_delta,
+        read_changelog,
+    )
+
+    root = str(tmp_path_factory.mktemp("cdf_prop"))
+    target = os.path.join(root, "t")
+    cdf = os.path.join(root, "cdf")
+    totals = os.path.join(root, "totals")
+    for rows in batches:
+        dedup = {}
+        for i, g, v in rows:
+            dedup[i] = (g, float(v))
+        merge_upsert(
+            spark,
+            spark.createDataFrame(
+                [(i, g, v) for i, (g, v) in sorted(dedup.items())],
+                "id long, g int, v double",
+            ),
+            target,
+            keys=["id"],
+            changelog_dir=cdf,
+        )
+
+    log = read_changelog(spark, cdf)
+    commits = [r.commit for r in log.select("commit").distinct().collect()]
+    order.shuffle(commits)
+    for c in commits:
+        apply_cdf_delta(
+            log.filter(F.col("commit") == c).drop("commit"),
+            totals,
+            ["g"],
+            ["v"],
+        )
+
+    from databricks_incremental_lakehouse_spark.streaming import read_cdf_totals
+
+    got = {
+        r.g: (r.n_rows, r.sum_v)
+        for r in read_cdf_totals(spark, totals).collect()
+    }
+    expect = {
+        r.g: (r.n, r.s)
+        for r in read_merge_target(spark, target)
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == expect, (got, expect)
