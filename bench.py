@@ -1,8 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+The LAST stdout line is ONE compact JSON object:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``queries`` holds only the headline components (pipelines + 4 BI queries),
+so the line stays well under any tail-buffer limit — round 3 lost its
+BENCH record because the full ~60-key per-query dict pushed the leading
+fields out of the driver's tail window. The complete per-query timing dict
+is printed on an EARLIER stdout line (``bench_detail``) and written to
+``BENCH_DETAIL.json`` next to this script.
 
 Workload (BASELINE.md plan): the full sales + supplier pipelines (bronze x8,
 silver x3, gold x4 materialized through the warehouse, QC suite) — i.e. the
@@ -181,18 +188,29 @@ def main() -> None:
     total = timings["pipeline_sales"] + timings["pipeline_supplier"] + sum(
         timings[n] for n in bi
     )
-    print(
-        json.dumps(
-            {
-                "metric": "full_pipeline_plus_bi_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    # Full per-query detail: side file + an early stdout line. Neither is the
+    # driver's parse target, so their size is unconstrained.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump({"sf": sf, "queries": timings}, fh, indent=1, sort_keys=True)
+    print(json.dumps({"bench_detail": timings, "sf": sf}))
+    sys.stdout.flush()
     spark.stop()
+
+    headline = {
+        "metric": "full_pipeline_plus_bi_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {
+            k: timings[k]
+            for k in ("pipeline_sales", "pipeline_supplier", *bi)
+        },
+        "sf": sf,
+    }
+    # LAST stdout line, compact (~300 bytes): the driver's parse target.
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

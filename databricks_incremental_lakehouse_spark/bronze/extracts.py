@@ -40,6 +40,7 @@ from ..constants import (
     SUPPLY_COST_FACTOR,
 )
 from ..operators import dedup_latest, round_dbl, with_audit_columns
+from ..oracle_util import replace_cast
 from ..tables import load_table
 
 _AUDIT_ORACLE = (
@@ -474,6 +475,25 @@ def BRONZE_ORACLE_CTES(batch_id: str = FIXED_BATCH_ID) -> dict[str, str]:
     }
 
 
+# Money columns are DECIMAL(15,2) inside the CTEs (reference DDL fidelity,
+# create_extract_schemas.py:28, :74-77); the driver-facing SELECT casts them
+# to DOUBLE so the cross-engine value hash is stable (oracle_util.replace_cast).
+_BRONZE_DOUBLE_COLS: dict[str, list[str]] = {
+    "orders": ["o_totalprice"],
+    "customers": ["c_acctbal"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "suppliers": ["s_acctbal"],
+    "parts": ["p_retailprice"],
+    "partsupp": ["ps_supplycost"],
+}
+
+
+def _bronze_select(table: str) -> str:
+    cols = _BRONZE_DOUBLE_COLS.get(table)
+    star = replace_cast({c: "DOUBLE" for c in cols}) if cols else "*"
+    return f"SELECT {star} FROM b_{table}"
+
+
 def bronze_oracle_sql(table: str, batch_id: str = FIXED_BATCH_ID) -> str:
     """Standalone DuckDB query for one bronze table (composes dependencies)."""
     ctes = BRONZE_ORACLE_CTES(batch_id)
@@ -482,5 +502,5 @@ def bronze_oracle_sql(table: str, batch_id: str = FIXED_BATCH_ID) -> str:
         body = ",\n".join(
             f"{n} AS ({ctes[n]})" for n in ("b_lineitem", "b_parts", "b_partsupp")
         )
-        return f"WITH {body}\nSELECT * FROM b_partsupp"
-    return f"WITH {name} AS ({ctes[name]})\nSELECT * FROM {name}"
+        return f"WITH {body}\n{_bronze_select(table)}"
+    return f"WITH {name} AS ({ctes[name]})\n{_bronze_select(table)}"

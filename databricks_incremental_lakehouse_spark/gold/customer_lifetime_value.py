@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..constants import AS_OF_DATE, FIXED_BATCH_ID
 from ..operators import round_dbl
-from ..oracle_util import with_clause
+from ..oracle_util import replace_cast, with_clause
 from ..silver.customer_orders import silver_customer_orders, silver_customer_orders_oracle_ctes
 from ..silver.order_details import silver_order_details, silver_order_details_oracle_ctes
 
@@ -204,4 +204,9 @@ def vw_customer_lifetime_value_oracle_sql(
     ctes = silver_order_details_oracle_ctes(batch_id)
     ctes.update(silver_customer_orders_oracle_ctes(batch_id, as_of_date))
     ctes["g_customer_lifetime_value"] = _GOLD_CLV_CTE
-    return with_clause(ctes, "SELECT * FROM g_customer_lifetime_value")
+    return with_clause(
+        ctes,
+        "SELECT "
+        + replace_cast({"account_balance": "DOUBLE"})
+        + " FROM g_customer_lifetime_value",
+    )

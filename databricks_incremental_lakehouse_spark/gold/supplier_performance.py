@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..constants import FIXED_BATCH_ID
 from ..operators import round_dbl
-from ..oracle_util import with_clause
+from ..oracle_util import replace_cast, with_clause
 from ..silver.order_details import silver_order_details, silver_order_details_oracle_ctes
 from ..silver.supplier_parts import silver_supplier_parts, silver_supplier_parts_oracle_ctes
 
@@ -185,4 +185,9 @@ def vw_supplier_performance_oracle_sql(batch_id: str = FIXED_BATCH_ID) -> str:
     ctes = silver_supplier_parts_oracle_ctes(batch_id)
     ctes.update(silver_order_details_oracle_ctes(batch_id))
     ctes["g_supplier_performance"] = _GOLD_SPF_CTE
-    return with_clause(ctes, "SELECT * FROM g_supplier_performance")
+    return with_clause(
+        ctes,
+        "SELECT "
+        + replace_cast({"supplier_acct_balance": "DOUBLE"})
+        + " FROM g_supplier_performance",
+    )

@@ -131,7 +131,7 @@ cum AS (
         SUM(c) OVER (PARTITION BY lang) AS n
     FROM counts
 )
-SELECT lang, MAX(n) AS n_docs, MIN(len) AS min_len,
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs, MIN(len) AS min_len,
     {_QCOLS_SQL},
     MAX(len) AS max_len
 FROM cum GROUP BY lang"""

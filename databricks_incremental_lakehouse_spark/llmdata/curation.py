@@ -331,11 +331,11 @@ c AS (
     FROM t
 )
 SELECT doc_id, n_tokens,
-       end_tok - n_tokens AS start_tok,
-       (end_tok - n_tokens) // {CONTEXT_LEN} AS first_bin,
-       (end_tok - 1) // {CONTEXT_LEN} AS last_bin,
-       (end_tok - 1) // {CONTEXT_LEN} - (end_tok - n_tokens) // {CONTEXT_LEN} + 1
-           AS n_bins
+       CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+       CAST((end_tok - n_tokens) // {CONTEXT_LEN} AS BIGINT) AS first_bin,
+       CAST((end_tok - 1) // {CONTEXT_LEN} AS BIGINT) AS last_bin,
+       CAST((end_tok - 1) // {CONTEXT_LEN} - (end_tok - n_tokens) // {CONTEXT_LEN} + 1
+           AS BIGINT) AS n_bins
 FROM c"""
 
 

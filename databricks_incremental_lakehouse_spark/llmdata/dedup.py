@@ -572,6 +572,75 @@ FROM pairs
 WHERE {_COS_EXPR} >= {COSINE_DUP_THRESHOLD}"""
 
 
+def dedup_embedding_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-duplicate audit: every vector's single nearest neighbor by
+    cosine. Non-vacuous companion to :func:`dedup_embedding_cosine` — the
+    0.95-threshold pair query matches zero pairs on the driver corpora
+    (max pairwise cosine 0.513 at sf0.01), so its green CORRECTNESS row
+    proves nothing (the ``bi_strategic_suppliers`` lesson, registry.py).
+    This variant emits one row per vector at every SF.
+
+    Plan shape: the N^2 score join feeds a per-vector max-struct
+    aggregation (map-side partial, no per-group window sort). Quadratic by
+    construction like the brute-force baseline; the scale paths are
+    similarity.sim_ivf_topk / sim_hyperplane_lsh. Ties at the rounded
+    cosine break toward the smaller neighbor id on both engines.
+    Output: (vec_id, nn_vec_id, nn_cosine)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.select("vec_id", F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("other_id"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_a = F.sqrt(
+        F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    norm_b = F.sqrt(
+        F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    scored = (
+        a.join(b, F.col("vec_id") != F.col("other_id"))
+        .select(
+            "vec_id",
+            "other_id",
+            round_dbl(dot / F.nullif(norm_a * norm_b, F.lit(0.0)), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("cosine")).alias("neg_cos"), F.col("other_id").alias("nn")
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.nn").alias("nn_vec_id"),
+        (-F.col("b.neg_cos")).alias("nn_cosine"),
+    )
+
+
+DEDUP_EMB_COS_KNN_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+scored AS (
+    SELECT a.vec_id, b.vec_id AS other_id, {_COS_EXPR.replace("va", "a.v").replace("vb", "b.v")} AS cosine
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, other_id AS nn_vec_id, cosine AS nn_cosine
+FROM (
+    SELECT vec_id, other_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY cosine DESC, other_id ASC) AS rn
+    FROM scored WHERE cosine IS NOT NULL
+) WHERE rn = 1"""
+
+
 # --- substring-span dedup (Lee et al. 2022) -------------------------------
 
 SPAN_WINDOW = 5  # tokens per rolling window
@@ -672,7 +741,7 @@ islands AS (
         )
     )
 )
-SELECT doc_id, span_id, MIN(pos) AS start_pos,
+SELECT doc_id, CAST(span_id AS BIGINT) AS span_id, MIN(pos) AS start_pos,
     MAX(pos) + {SPAN_WINDOW} AS end_pos, COUNT(*) AS n_windows
 FROM islands GROUP BY doc_id, span_id"""
 
@@ -785,7 +854,7 @@ tagged AS (
 SELECT doc_id,
     COALESCE(array_to_string(list(token ORDER BY p) FILTER (WHERE NOT covered), ' '), '')
         AS clean_text,
-    COALESCE(SUM(CASE WHEN covered THEN 1 END), 0) AS n_tokens_removed
+    CAST(COALESCE(SUM(CASE WHEN covered THEN 1 END), 0) AS BIGINT) AS n_tokens_removed
 FROM tagged GROUP BY doc_id"""
 
 
@@ -801,5 +870,10 @@ def register_all(register) -> None:
     register("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE)
     register("dedup_simhash_pairs", dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_ORACLE)
     register("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_COS_ORACLE)
+    register(
+        "dedup_embedding_cosine_knn",
+        dedup_embedding_cosine_knn,
+        DEDUP_EMB_COS_KNN_ORACLE,
+    )
     register("dedup_substring_spans", dedup_substring_spans, DEDUP_SUBSTRING_ORACLE)
     register("dedup_substring_clean", dedup_substring_clean, DEDUP_SUBSTRING_CLEAN_ORACLE)

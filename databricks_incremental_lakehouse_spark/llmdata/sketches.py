@@ -421,8 +421,9 @@ exact AS (
     {_HQ_EXACT_SQL}
     FROM vcum GROUP BY event_type
 )
-SELECT est.event_type, n_events,
-    est_p50, est_p90, est_p99, exact_p50, exact_p90, exact_p99
+SELECT est.event_type, CAST(n_events AS BIGINT) AS n_events,
+    CAST(est_p50 AS DOUBLE) AS est_p50, CAST(est_p90 AS DOUBLE) AS est_p90,
+    CAST(est_p99 AS DOUBLE) AS est_p99, exact_p50, exact_p90, exact_p99
 FROM est JOIN exact ON est.event_type = exact.event_type"""
 
 

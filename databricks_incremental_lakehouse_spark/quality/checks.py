@@ -471,7 +471,7 @@ def qc_revenue_anomaly_oracle_sql() -> str:
     ctes = silver_order_details_oracle_ctes()
     return with_clause(
         ctes,
-        f"""SELECT order_date, daily_revenue, z_score,
+        f"""SELECT order_date, CAST(daily_revenue AS DOUBLE) AS daily_revenue, z_score,
                    abs(z_score) > {ANOMALY_Z} AS is_anomaly
             FROM (
                 SELECT order_date, daily_revenue,

@@ -76,6 +76,9 @@ def build_spark(
         # Arrow for the (few) Pandas-UDF paths in llmdata.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Keep stdout clean: bench.py's machine-readable tail line must not
+        # compete with progress-bar redraws in the consumer's buffer.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)

@@ -2,6 +2,8 @@ from .customer_orders import (
     silver_customer_orders,
     silver_customer_orders_oracle_ctes,
     silver_customer_orders_oracle_sql,
+    silver_customer_orders_rfm_scoped,
+    silver_customer_orders_rfm_scoped_oracle_sql,
 )
 from .order_details import (
     silver_order_details,
@@ -21,6 +23,8 @@ __all__ = [
     "silver_customer_orders",
     "silver_customer_orders_oracle_ctes",
     "silver_customer_orders_oracle_sql",
+    "silver_customer_orders_rfm_scoped",
+    "silver_customer_orders_rfm_scoped_oracle_sql",
     "silver_supplier_parts",
     "silver_supplier_parts_oracle_ctes",
     "silver_supplier_parts_oracle_sql",

@@ -18,8 +18,13 @@ Scale notes: the geo joins broadcast nation (25 rows) and region (5 rows);
 the orders aggregation is a single hash-partition shuffle on customer_key
 with map-side partial aggregation. The unpartitioned NTILE windows force a
 single-partition exchange — over *customer-grain aggregated* rows (SF1:
-150K rows), the same designed trade-off the reference makes (SURVEY.md §4);
-at larger customer counts these would become partitioned percentiles.
+150K rows), the same designed trade-off the reference makes (SURVEY.md §4).
+For larger customer counts :func:`rfm_segmentation` takes ``scoped_by``
+(e.g. ``"region_name"``): the quintile windows then partition by the scope
+column, so every exchange is a hash shuffle and no single task ever sorts
+the full customer set. The scoped variant is registered and oracle-checked
+as ``silver_customer_orders_rfm_scoped``; the global version stays the
+reference-parity default.
 """
 
 from __future__ import annotations
@@ -36,7 +41,7 @@ from ..bronze import (
 )
 from ..constants import AS_OF_DATE, AUDIT_REFINED_AT, FIXED_BATCH_ID
 from ..operators import round_dbl
-from ..oracle_util import with_clause
+from ..oracle_util import replace_cast, with_clause
 
 
 def customer_orders_base(
@@ -147,19 +152,31 @@ def customer_orders_base(
     return agg
 
 
-def rfm_segmentation(agg: DataFrame, batch_id: str = FIXED_BATCH_ID) -> DataFrame:
+def rfm_segmentation(
+    agg: DataFrame,
+    batch_id: str = FIXED_BATCH_ID,
+    scoped_by: str | None = None,
+) -> DataFrame:
     """RFM quintiles + segmentation over the customer-grain base
-    (refined_customer_orders.py:90-145)."""
+    (refined_customer_orders.py:90-145).
+
+    ``scoped_by``: optional column to partition the quintile windows by
+    (e.g. ``"region_name"``). ``None`` reproduces the reference's global
+    quintiles (single-partition exchange over customer-grain rows); a scope
+    turns each window into a hash-partitioned exchange — the 100x-customers
+    scale path (module docstring). On a corpus with one scope value the two
+    variants agree exactly (tests/test_silver.py)."""
     # Stage 3 — RFM quintiles over customers with orders (:90-101);
     # customer_key appended for tie determinism (module docstring).
     with_orders = agg.filter(F.col("total_orders") > 0)
-    w_recency = Window.orderBy(
+    part = [F.col(scoped_by)] if scoped_by else []
+    w_recency = Window.partitionBy(*part).orderBy(
         F.col("days_since_last_order").asc(), F.col("customer_key").asc()
     )
-    w_frequency = Window.orderBy(
+    w_frequency = Window.partitionBy(*part).orderBy(
         F.col("total_orders").desc(), F.col("customer_key").asc()
     )
-    w_monetary = Window.orderBy(
+    w_monetary = Window.partitionBy(*part).orderBy(
         F.col("total_revenue").desc(), F.col("customer_key").asc()
     )
     rfm = with_orders.withColumns(
@@ -244,6 +261,28 @@ def silver_customer_orders(
     )
 
 
+def silver_customer_orders_rfm_scoped(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_id: str = FIXED_BATCH_ID,
+    as_of_date: str = AS_OF_DATE,
+) -> DataFrame:
+    """Region-scoped RFM: quintiles computed WITHIN region_name — the
+    partitioned-percentile scale variant (module docstring). Same schema as
+    :func:`silver_customer_orders`; scores mean "quintile within region"."""
+    return rfm_segmentation(
+        customer_orders_base(
+            bronze_customers(spark, sf_dir, batch_id),
+            bronze_orders(spark, sf_dir, batch_id),
+            bronze_nation(spark, sf_dir, batch_id),
+            bronze_region(spark, sf_dir, batch_id),
+            as_of_date,
+        ),
+        batch_id,
+        scoped_by="region_name",
+    )
+
+
 _SILVER_CO_CTE = """
     SELECT
         customer_key, customer_name, market_segment, nation_name, region_name,
@@ -271,9 +310,9 @@ _SILVER_CO_CTE = """
         '{batch_id}' AS _batch_id
     FROM (
         SELECT *,
-            CAST(NTILE(5) OVER (ORDER BY days_since_last_order ASC, customer_key ASC) AS INT) AS rfm_recency_score,
-            CAST(NTILE(5) OVER (ORDER BY total_orders DESC, customer_key ASC) AS INT) AS rfm_frequency_score,
-            CAST(NTILE(5) OVER (ORDER BY total_revenue DESC, customer_key ASC) AS INT) AS rfm_monetary_score
+            CAST(NTILE(5) OVER ({rfm_part}ORDER BY days_since_last_order ASC, customer_key ASC) AS INT) AS rfm_recency_score,
+            CAST(NTILE(5) OVER ({rfm_part}ORDER BY total_orders DESC, customer_key ASC) AS INT) AS rfm_frequency_score,
+            CAST(NTILE(5) OVER ({rfm_part}ORDER BY total_revenue DESC, customer_key ASC) AS INT) AS rfm_monetary_score
         FROM (
             SELECT
                 cg.customer_key,
@@ -323,15 +362,24 @@ _SILVER_CO_CTE = """
 
 
 def silver_customer_orders_oracle_ctes(
-    batch_id: str = FIXED_BATCH_ID, as_of_date: str = AS_OF_DATE
+    batch_id: str = FIXED_BATCH_ID,
+    as_of_date: str = AS_OF_DATE,
+    rfm_part: str = "",
 ) -> dict[str, str]:
+    """``rfm_part``: SQL fragment partitioning the RFM quintile windows
+    ("" = reference-global; "PARTITION BY region_name " = scoped variant)."""
     bronze = BRONZE_ORACLE_CTES(batch_id)
     return {
         "b_customers": bronze["b_customers"],
         "b_orders": bronze["b_orders"],
         "b_nation": bronze["b_nation"],
         "b_region": bronze["b_region"],
-        "s_customer_orders": _SILVER_CO_CTE.format(batch_id=batch_id, as_of=as_of_date, refined_at=AUDIT_REFINED_AT),
+        "s_customer_orders": _SILVER_CO_CTE.format(
+            batch_id=batch_id,
+            as_of=as_of_date,
+            refined_at=AUDIT_REFINED_AT,
+            rfm_part=rfm_part,
+        ),
     }
 
 
@@ -340,5 +388,16 @@ def silver_customer_orders_oracle_sql(
 ) -> str:
     return with_clause(
         silver_customer_orders_oracle_ctes(batch_id, as_of_date),
-        "SELECT * FROM s_customer_orders",
+        "SELECT " + replace_cast({"account_balance": "DOUBLE"}) + " FROM s_customer_orders",
+    )
+
+
+def silver_customer_orders_rfm_scoped_oracle_sql(
+    batch_id: str = FIXED_BATCH_ID, as_of_date: str = AS_OF_DATE
+) -> str:
+    return with_clause(
+        silver_customer_orders_oracle_ctes(
+            batch_id, as_of_date, rfm_part="PARTITION BY region_name "
+        ),
+        "SELECT " + replace_cast({"account_balance": "DOUBLE"}) + " FROM s_customer_orders",
     )

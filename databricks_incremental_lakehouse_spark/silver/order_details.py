@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..bronze import BRONZE_ORACLE_CTES, bronze_lineitem, bronze_orders, bronze_parts
 from ..constants import AUDIT_REFINED_AT, FIXED_BATCH_ID, LATE_SHIP_DAYS
 from ..operators import round_dbl
-from ..oracle_util import with_clause
+from ..oracle_util import replace_cast, with_clause
 
 
 def silver_order_details(
@@ -225,5 +225,10 @@ def silver_order_details_oracle_ctes(batch_id: str = FIXED_BATCH_ID) -> dict[str
 
 def silver_order_details_oracle_sql(batch_id: str = FIXED_BATCH_ID) -> str:
     return with_clause(
-        silver_order_details_oracle_ctes(batch_id), "SELECT * FROM s_order_details"
+        silver_order_details_oracle_ctes(batch_id),
+        "SELECT "
+        + replace_cast(
+            {c: "DOUBLE" for c in ("quantity", "extended_price", "discount_pct", "tax_pct")}
+        )
+        + " FROM s_order_details",
     )

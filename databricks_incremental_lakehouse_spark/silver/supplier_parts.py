@@ -33,7 +33,7 @@ from ..bronze import (
 )
 from ..constants import AUDIT_REFINED_AT, FIXED_BATCH_ID
 from ..operators import round_dbl
-from ..oracle_util import with_clause
+from ..oracle_util import replace_cast, with_clause
 
 
 def silver_supplier_parts(
@@ -234,5 +234,10 @@ def silver_supplier_parts_oracle_ctes(batch_id: str = FIXED_BATCH_ID) -> dict[st
 
 def silver_supplier_parts_oracle_sql(batch_id: str = FIXED_BATCH_ID) -> str:
     return with_clause(
-        silver_supplier_parts_oracle_ctes(batch_id), "SELECT * FROM s_supplier_parts"
+        silver_supplier_parts_oracle_ctes(batch_id),
+        "SELECT "
+        + replace_cast(
+            {c: "DOUBLE" for c in ("supplier_acct_balance", "retail_price", "supply_cost")}
+        )
+        + " FROM s_supplier_parts",
     )
