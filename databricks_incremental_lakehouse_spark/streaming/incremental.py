@@ -52,6 +52,18 @@ def _key_bucket(keys: Sequence[str], num_buckets: int):
     )
 
 
+def _ns_cond(left: DataFrame, right: DataFrame, cols: Sequence[str]):
+    """Null-safe equi-join condition on ``cols``. Merge/CDC key columns may
+    legitimately hold NULL (e.g. a CDC totals target grouped by a nullable
+    column); plain ``=`` never matches NULL, so a plain-equality semi/anti
+    join silently drops or duplicates the NULL-keyed group. ``eqNullSafe``
+    stays a hash-joinable equi-predicate, so plan shape is unchanged."""
+    cond = left[cols[0]].eqNullSafe(right[cols[0]])
+    for c in cols[1:]:
+        cond = cond & left[c].eqNullSafe(right[c])
+    return cond
+
+
 # sidecar recording the physical layout of a merge target; lives inside the
 # target dir. The leading '_' with no '=' keeps Spark's file listing from
 # treating it as data (HadoopFSUtils.shouldFilterOutPathName).
@@ -163,8 +175,31 @@ def read_merge_target(spark: SparkSession, target_path: str) -> DataFrame:
     return spark.read.parquet(target_path).drop(BUCKET_COL)
 
 
+def _recover_changelog(changelog_dir: str) -> None:
+    """Finish a checkpoint swap interrupted between its two renames: a
+    ``.commit=N.old`` backup whose ``commit=N`` is missing is the only
+    surviving copy of that commit — restore it (mirror of
+    :func:`_recover_swaps` for the feed). Stale ``.commit=*._staging``
+    dirs are left alone: dot-prefixed, they are invisible to every read
+    path, and the writer that owns the slot clears them before writing."""
+    if not os.path.isdir(changelog_dir):
+        return
+    for name in os.listdir(changelog_dir):
+        if name.startswith(".commit=") and name.endswith(".old"):
+            dst = os.path.join(changelog_dir, name[1:-4])
+            old = os.path.join(changelog_dir, name)
+            if os.path.isdir(dst):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, dst)
+
+
 def _next_commit(changelog_dir: str) -> int:
+    # counts EVERY commit=* dir, committed or not: a partial dir from a
+    # pre-staging crash must keep its sequence number squatted so the next
+    # staged commit cannot collide with it on publish
     os.makedirs(changelog_dir, exist_ok=True)
+    _recover_changelog(changelog_dir)
     seqs = [
         int(os.path.basename(p).split("=", 1)[1])
         for p in glob.glob(os.path.join(changelog_dir, "commit=*"))
@@ -173,11 +208,47 @@ def _next_commit(changelog_dir: str) -> int:
     return max(seqs, default=-1) + 1
 
 
+def _committed_dirs(changelog_dir: str) -> list[str]:
+    """Commit dirs carrying a ``_SUCCESS`` marker, in sequence order. A dir
+    without the marker is a torn write (crash mid-write before the staging
+    rename existed, pre-fix feeds) and must not be read as committed."""
+    return sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(changelog_dir, "commit=*"))
+            if os.path.isdir(p) and os.path.isfile(os.path.join(p, "_SUCCESS"))
+        ),
+        key=lambda p: int(os.path.basename(p).split("=", 1)[1]),
+    )
+
+
+def _publish_commit(staging: str, final: str) -> None:
+    """Atomically promote a fully-written staged commit dir into the feed.
+    A squatting partial dir (no ``_SUCCESS``) is garbage from a torn
+    pre-fix write — replaced; a committed dir at the same slot means a
+    second writer raced this one, which the single-writer contract forbids."""
+    if os.path.isdir(final):
+        if os.path.isfile(os.path.join(final, "_SUCCESS")):
+            raise RuntimeError(
+                f"changelog commit {final!r} already exists — concurrent "
+                "writers on one merge target are not supported"
+            )
+        shutil.rmtree(final)
+    os.rename(staging, final)
+
+
 def read_changelog(spark: SparkSession, changelog_dir: str) -> DataFrame:
     """Read a merge target's change data feed: the payload columns plus
     ``_op`` (insert | update | delete) and the partition-discovered
-    ``commit`` sequence number."""
-    return spark.read.parquet(changelog_dir)
+    ``commit`` sequence number. Only commits with a ``_SUCCESS`` marker
+    are read — a torn commit dir is invisible, never half-applied."""
+    _recover_changelog(changelog_dir)
+    dirs = _committed_dirs(changelog_dir)
+    if not dirs:
+        # no committed commits: defer to the plain read so the caller sees
+        # the standard empty-/missing-path analysis error
+        return spark.read.parquet(changelog_dir)
+    return spark.read.option("basePath", changelog_dir).parquet(*dirs)
 
 
 def read_as_of(
@@ -218,21 +289,38 @@ def checkpoint_changelog(
 
     The state as of ``upto`` is materialized (all rows as ``insert`` —
     exactly what an initial-load commit looks like), atomically swapped
-    in as ``commit=upto``, and the earlier commit dirs are removed.
+    in as ``commit=upto``, and only then are the earlier commit dirs
+    removed. The ordering makes every crash point safe: until the swap
+    completes nothing has been deleted (full history intact); after it,
+    the snapshot at ``upto`` supersedes every older commit per key, so a
+    partially-finished deletion pass changes no ``read_as_of(>= upto)``
+    result. An interrupted swap itself is finished by
+    :func:`_recover_changelog` on the next read/write.
     (Unrelated to the totals tombstones of :func:`apply_cdf_delta`.)
     Reads at or after ``upto`` are unaffected (asserted in tests); reads
     BEFORE the checkpoint are no longer possible — the retention
-    trade-off every log-structured system makes."""
+    trade-off every log-structured system makes.
+
+    MUST NOT run while (or before) a file-source streaming consumer of
+    this feed (:func:`incremental_cdf_aggregate_stream`) holds a
+    checkpoint on it: the squashed snapshot's files are NEW paths, so such
+    a consumer re-applies the full state as fresh inserts on top of totals
+    it already holds — double counting. Checkpoint a feed only when its
+    streaming consumers are reset (fresh checkpoint dir) or retired; the
+    docstring of :func:`incremental_cdf_aggregate_stream` states the same
+    contract from the consumer side."""
+    _recover_changelog(changelog_dir)
     state = read_as_of(spark, changelog_dir, keys, upto).withColumn(
         "_op", F.lit("insert")
     )
     staging = os.path.join(changelog_dir, f".commit={upto}._staging")
     shutil.rmtree(staging, ignore_errors=True)
-    state.write.parquet(staging)
+    state.write.parquet(staging)  # materialized BEFORE any dir is touched
+    final = os.path.join(changelog_dir, f"commit={upto}")
+    _swap_dir(staging, final)
     for p in glob.glob(os.path.join(changelog_dir, "commit=*")):
-        if os.path.isdir(p) and int(os.path.basename(p).split("=", 1)[1]) <= upto:
+        if os.path.isdir(p) and int(os.path.basename(p).split("=", 1)[1]) < upto:
             shutil.rmtree(p)
-    os.rename(staging, os.path.join(changelog_dir, f"commit={upto}"))
 
 
 def merge_upsert(
@@ -358,6 +446,7 @@ def merge_upsert(
     shutil.rmtree(staging, ignore_errors=True)
     levels = len(partition_cols) + 1
 
+    pending_changelog: tuple[str, str] | None = None
     if initial:
         merged = updates
         touched: set[int] = set()
@@ -380,53 +469,82 @@ def merge_upsert(
         if partition_scope:
             for col, vals in partition_scope.items():
                 current = current.filter(F.col(col).isin(list(vals)))
+        # every key-matching join below is null-safe (_ns_cond): a NULL in a
+        # merge key (legal for e.g. CDC totals grouped on a nullable column)
+        # must match its stored NULL row, or the merge both keeps the stale
+        # row and inserts the new one
         if on_match == "keep":
             # insert-only: stored rows win; only genuinely new keys land
-            new_rows = updates.join(current.select(*keys), list(keys), "left_anti")
+            ck = current.select(*keys)
+            new_rows = updates.join(ck, _ns_cond(updates, ck, keys), "left_anti")
             merged = current.unionByName(new_rows)
         else:
             if scope is None:
-                kept = current.join(updates.select(*keys), list(keys), "left_anti")
+                uk = updates.select(*keys)
+                kept = current.join(uk, _ns_cond(current, uk, keys), "left_anti")
             else:
+                sk = scope.select(*bucket_keys)
                 kept = current.join(
-                    scope.select(*bucket_keys), bucket_keys, "left_anti"
+                    sk, _ns_cond(current, sk, bucket_keys), "left_anti"
                 )
             if deletes is not None:
-                kept = kept.join(deletes.select(*keys), list(keys), "left_anti")
+                dk = deletes.select(*keys)
+                kept = kept.join(dk, _ns_cond(kept, dk, keys), "left_anti")
             merged = kept.unionByName(updates)
 
         if changelog_dir is not None:
-            # computed (and written) BEFORE the swap: `current` reads the
-            # pre-merge bucket files. Costs one extra pass over the same
-            # touched buckets the merge already reads.
+            # computed (and physically written) BEFORE the swap: `current`
+            # reads the pre-merge bucket files. Costs one extra pass over
+            # the same touched buckets the merge already reads. The write
+            # lands in a hidden staging dir, published into the feed only
+            # AFTER the target swap succeeds — so the feed can never hold a
+            # commit the table did not apply, and a torn write is invisible
+            # (no rename, and reads require _SUCCESS). The residual window
+            # is the inverse: a crash between the final bucket swap and the
+            # publish loses the feed's copy of an applied commit.
             payload = [c for c in updates.columns if c != BUCKET_COL]
             cur_keys = current.select(*keys)
-            ins = updates.join(cur_keys, list(keys), "left_anti")
+            ins = updates.join(
+                cur_keys, _ns_cond(updates, cur_keys, keys), "left_anti"
+            )
             pieces = [ins.select(*payload).withColumn("_op", F.lit("insert"))]
             if on_match != "keep":
-                pre = current.join(updates.select(*keys), list(keys), "left_semi")
+                uk = updates.select(*keys)
+                pre = current.join(uk, _ns_cond(current, uk, keys), "left_semi")
                 pieces.append(
                     pre.select(*payload).withColumn(
                         "_op", F.lit("update_preimage")
                     )
                 )
-                upd = updates.join(cur_keys, list(keys), "left_semi")
+                upd = updates.join(
+                    cur_keys, _ns_cond(updates, cur_keys, keys), "left_semi"
+                )
                 pieces.append(
                     upd.select(*payload).withColumn(
                         "_op", F.lit("update_postimage")
                     )
                 )
                 if scope is not None:
-                    gone = current.join(
-                        scope.select(*bucket_keys), bucket_keys, "left_semi"
-                    ).join(updates.select(*keys), list(keys), "left_anti")
+                    sk = scope.select(*bucket_keys)
+                    in_scope = current.join(
+                        sk, _ns_cond(current, sk, bucket_keys), "left_semi"
+                    )
+                    uk2 = updates.select(*keys)
+                    gone = in_scope.join(
+                        uk2, _ns_cond(in_scope, uk2, keys), "left_anti"
+                    )
                     pieces.append(
                         gone.select(*payload).withColumn("_op", F.lit("delete"))
                     )
                 if deletes is not None:
-                    dropped = current.join(
-                        deletes.select(*keys), list(keys), "left_semi"
-                    ).join(updates.select(*keys), list(keys), "left_anti")
+                    dk = deletes.select(*keys)
+                    hit = current.join(
+                        dk, _ns_cond(current, dk, keys), "left_semi"
+                    )
+                    uk3 = updates.select(*keys)
+                    dropped = hit.join(
+                        uk3, _ns_cond(hit, uk3, keys), "left_anti"
+                    )
                     pieces.append(
                         dropped.select(*payload).withColumn(
                             "_op", F.lit("delete")
@@ -435,10 +553,15 @@ def merge_upsert(
             changes = pieces[0]
             for p in pieces[1:]:
                 changes = changes.unionByName(p)
-            changes.write.parquet(
-                os.path.join(
-                    changelog_dir, f"commit={_next_commit(changelog_dir)}"
-                )
+            commit_no = _next_commit(changelog_dir)
+            cl_staging = os.path.join(
+                changelog_dir, f".commit={commit_no}._staging"
+            )
+            shutil.rmtree(cl_staging, ignore_errors=True)
+            changes.write.parquet(cl_staging)
+            pending_changelog = (
+                cl_staging,
+                os.path.join(changelog_dir, f"commit={commit_no}"),
             )
 
     # cluster rows by their destination dir before the write: each
@@ -460,12 +583,16 @@ def merge_upsert(
         _swap_dir(staging, target_path)
         _write_meta(target_path, keys, num_buckets, bucket_keys, partition_cols)
         if changelog_dir is not None:  # initial load: everything is an insert
+            commit_no = _next_commit(changelog_dir)
+            cl_staging = os.path.join(
+                changelog_dir, f".commit={commit_no}._staging"
+            )
+            shutil.rmtree(cl_staging, ignore_errors=True)
             updates.drop(BUCKET_COL).withColumn(
                 "_op", F.lit("insert")
-            ).write.parquet(
-                os.path.join(
-                    changelog_dir, f"commit={_next_commit(changelog_dir)}"
-                )
+            ).write.parquet(cl_staging)
+            _publish_commit(
+                cl_staging, os.path.join(changelog_dir, f"commit={commit_no}")
             )
         return
     for rel in sorted(staged):
@@ -482,6 +609,21 @@ def merge_upsert(
     for rel in sorted(stale):
         shutil.rmtree(os.path.join(target_path, rel))
     shutil.rmtree(staging, ignore_errors=True)
+    if not _leaf_dirs(target_path, levels):
+        # a delete/scoped merge removed the LAST row: materialize the empty
+        # state as one zero-row, schema-bearing file so the target stays
+        # readable (a dir with only _merge_meta.json fails schema inference).
+        # Placeholder partition values ("0") carry zero rows, so they never
+        # surface in results; numeric/string partition cols both parse.
+        leaf = os.path.join(
+            target_path, *[f"{c}=0" for c in partition_cols], f"{BUCKET_COL}=0"
+        )
+        merged.drop(*partition_cols, BUCKET_COL).limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(leaf)
+    if pending_changelog is not None:
+        # the table now fully holds this merge — publish its change commit
+        _publish_commit(*pending_changelog)
 
 
 def incremental_events_stream(
@@ -589,11 +731,16 @@ def apply_cdf_delta(
                 .collect()
             }
         )
-        current = (
+        cur0 = (
             sess.read.parquet(target_path)
             .filter(F.col(BUCKET_COL).isin(buckets))
             .drop(BUCKET_COL)
-            .join(F.broadcast(delta.select(*group_cols)), group_cols, "left_semi")
+        )
+        # null-safe: a NULL-valued group's stored totals must join its delta
+        # (plain = would drop the stored side and corrupt the running sum)
+        dk = delta.select(*group_cols)
+        current = cur0.join(
+            F.broadcast(dk), _ns_cond(cur0, dk, group_cols), "left_semi"
         )
     else:
         current = sess.createDataFrame(
@@ -604,16 +751,33 @@ def apply_cdf_delta(
                 + [f"sum_{c} double" for c in sum_cols]
             ),
         )
-    joined = current.join(delta, group_cols, "full_outer")
+    # delta's columns are renamed before the outer join: `current` already
+    # carries delta in its lineage (the pruning semi-join above), so
+    # dataset-qualified refs would be ambiguous; unique names need none.
+    # The join itself is null-safe — a NULL-valued group must pair its
+    # stored totals with its delta or the running sum silently forks.
+    delta_r = delta.select(
+        *[F.col(c).alias(f"_g_{c}") for c in group_cols],
+        "_dn",
+        *[f"_d_{c}" for c in sum_cols],
+    )
+    cond = F.col(group_cols[0]).eqNullSafe(F.col(f"_g_{group_cols[0]}"))
+    for c in group_cols[1:]:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_g_{c}"))
+    joined = current.join(delta_r, cond, "full_outer")
     new = joined.select(
-        *group_cols,
-        (F.coalesce("n_rows", F.lit(0)) + F.coalesce("_dn", F.lit(0))).alias(
-            "n_rows"
-        ),
+        *[
+            F.coalesce(F.col(c), F.col(f"_g_{c}")).alias(c)
+            for c in group_cols
+        ],
+        (
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).alias("n_rows"),
         *[
             (
-                F.coalesce(f"sum_{c}", F.lit(0.0))
-                + F.coalesce(f"_d_{c}", F.lit(0.0))
+                F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
+                + F.coalesce(F.col(f"_d_{c}"), F.lit(0.0))
             ).alias(f"sum_{c}")
             for c in sum_cols
         ],
@@ -656,7 +820,14 @@ def incremental_cdf_aggregate_stream(
     :func:`read_cdf_totals`. At 100 TB this is the
     difference between O(changes) and O(affected partitions) per refresh:
     even the partition-restricted re-aggregate needs to rescan affected
-    partitions; the CDC consumer touches only the change rows."""
+    partitions; the CDC consumer touches only the change rows.
+
+    Contract with :func:`checkpoint_changelog`: the feed must NOT be
+    checkpointed while this consumer's streaming checkpoint references it —
+    the squashed snapshot arrives as new files and would be re-applied as
+    fresh inserts on top of totals already held (double counting). After a
+    feed checkpoint, restart consumers with a FRESH checkpoint dir and an
+    empty totals target so they rebuild from the snapshot commit."""
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
     static = spark.read.parquet(changelog_dir)

@@ -941,3 +941,106 @@ def test_cdf_delta_property(spark, tmp_path_factory, batches, order):
         .collect()
     }
     assert got == expect, (got, expect)
+
+
+def test_cdf_delta_null_group(spark, tmp_path):
+    """A NULL-valued group column must accumulate like any other group:
+    the totals join and the merge's key joins are null-safe, so the stored
+    NULL-group row pairs with its delta instead of forking into two
+    partial rows (one silently dropped by plain equality)."""
+    from databricks_incremental_lakehouse_spark.streaming import (
+        apply_cdf_delta,
+        read_cdf_totals,
+    )
+
+    totals = str(tmp_path / "totals")
+    b1 = spark.createDataFrame(
+        [(None, 1.0, "insert"), ("a", 2.0, "insert")],
+        "g string, v double, _op string",
+    )
+    apply_cdf_delta(b1, totals, ["g"], ["v"])
+    b2 = spark.createDataFrame(
+        [(None, 10.0, "insert"), (None, 1.0, "update_preimage"),
+         (None, 5.0, "update_postimage")],
+        "g string, v double, _op string",
+    )
+    apply_cdf_delta(b2, totals, ["g"], ["v"])
+    got = {r.g: (r.n_rows, r.sum_v) for r in read_cdf_totals(spark, totals).collect()}
+    # NULL group: +1 (insert v=1) +1 (insert v=10) -1+1 (update 1->5) = 2 rows, 15.0
+    assert got == {None: (2, 15.0), "a": (1, 2.0)}
+
+
+def test_changelog_commit_published_after_swap(spark, tmp_path):
+    """Crash-safety contract of the feed: a torn commit dir (no _SUCCESS)
+    is invisible to read_changelog, its slot is not reused, and a stranded
+    checkpoint-swap backup is recovered on the next read."""
+    import shutil
+
+    from databricks_incremental_lakehouse_spark.streaming import read_changelog
+    from databricks_incremental_lakehouse_spark.streaming.incremental import (
+        _next_commit,
+    )
+
+    target = str(tmp_path / "t")
+    cdf = str(tmp_path / "cdf")
+    df1 = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    merge_upsert(spark, df1, target, keys=["id"], changelog_dir=cdf)
+    df2 = spark.createDataFrame([(1, 11.0), (2, 20.0)], "id long, v double")
+    merge_upsert(spark, df2, target, keys=["id"], changelog_dir=cdf)
+    assert sorted(
+        {r.commit for r in read_changelog(spark, cdf).select("commit").collect()}
+    ) == [0, 1]
+
+    # simulate a torn write: a commit dir without _SUCCESS
+    torn = os.path.join(cdf, "commit=2")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-garbage.parquet"), "wb") as fh:
+        fh.write(b"\x00not parquet")
+    assert sorted(
+        {r.commit for r in read_changelog(spark, cdf).select("commit").collect()}
+    ) == [0, 1], "torn commit must be invisible"
+    assert _next_commit(cdf) == 3, "torn commit must keep its slot squatted"
+
+    # a merge over the torn slot... next merge publishes at commit=3
+    df3 = spark.createDataFrame([(3, 30.0)], "id long, v double")
+    merge_upsert(spark, df3, target, keys=["id"], changelog_dir=cdf)
+    assert sorted(
+        {r.commit for r in read_changelog(spark, cdf).select("commit").collect()}
+    ) == [0, 1, 3]
+
+    # stranded checkpoint-swap backup: commit dir moved aside, no new image
+    shutil.rmtree(torn)
+    os.rename(os.path.join(cdf, "commit=3"), os.path.join(cdf, ".commit=3.old"))
+    assert sorted(
+        {r.commit for r in read_changelog(spark, cdf).select("commit").collect()}
+    ) == [0, 1, 3], "recovery must restore the stranded backup"
+
+
+def test_checkpoint_changelog_crash_ordering(spark, tmp_path):
+    """checkpoint_changelog deletes older commits only AFTER the snapshot
+    swap: mid-sequence states (snapshot landed, older commits partially
+    present) must read identically at/after the checkpoint commit."""
+    from databricks_incremental_lakehouse_spark.streaming import (
+        checkpoint_changelog,
+        read_as_of,
+        read_changelog,
+    )
+
+    target = str(tmp_path / "t")
+    cdf = str(tmp_path / "cdf")
+    for i, rows in enumerate([[(1, 1.0)], [(1, 2.0), (2, 5.0)], [(3, 7.0)]]):
+        merge_upsert(
+            spark,
+            spark.createDataFrame(rows, "id long, v double"),
+            target,
+            keys=["id"],
+            changelog_dir=cdf,
+        )
+    checkpoint_changelog(spark, cdf, ["id"], upto=1)
+    # snapshot present at commit=1; commit=0 removed, commit=2 untouched
+    commits = sorted(
+        {r.commit for r in read_changelog(spark, cdf).select("commit").collect()}
+    )
+    assert commits == [1, 2]
+    state = {r.id: r.v for r in read_as_of(spark, cdf, ["id"], 2).collect()}
+    assert state == {1: 2.0, 2: 5.0, 3: 7.0}
