@@ -160,7 +160,15 @@ def _kmeans_cells(emb: DataFrame):
     iterations from the deterministic ``vec_id % N_LIST`` partition init)
     and assign every vector to its final cell. Returns ``(cent_rows,
     cells)`` — the nlist driver-side centroid rows and the (vec_id, v, cl)
-    assignment DataFrame. Shared by the IVF index and semantic dedup."""
+    assignment DataFrame. Shared by the IVF index and semantic dedup.
+
+    The source vectors are persisted for the duration of training: each
+    Lloyd iteration ends in an nlist-row centroid collect, and without the
+    cache every collect replays the parquet scan + vector cast — training
+    cost was (iters+2) full scans instead of one. At 100 TB the equivalent
+    is training on a persisted *sample* (k-means needs only a representative
+    subset) while the final cell assignment streams over the full table."""
+    emb = emb.persist()  # stays referenced by the returned plan; LRU-evicted
     assigned = emb.select(
         "vec_id", "v", (F.col("vec_id") % N_LIST).cast("int").alias("cl")
     )

@@ -321,6 +321,7 @@ _CHECK_PRIORITY: list[str] = [
     # -- new this round (non-vacuous variants / scale paths) ----------------
     "dedup_embedding_cosine_knn",
     "silver_customer_orders_rfm_scoped",
+    "sample_temperature_rates",  # never green (registered r3, past the cap)
     # -- (3) regression picket of green carriers ----------------------------
     "gold_monthly_sales_trends",
     "gold_revenue_by_region",
@@ -329,7 +330,6 @@ _CHECK_PRIORITY: list[str] = [
     "bi_top_suppliers_by_score",
     "qc_referential_integrity",
     "dedup_minhash_lsh",
-    "dedup_clusters",
 ]
 
 

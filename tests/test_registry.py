@@ -1,11 +1,48 @@
 """Full driver-contract simulation: every queries() entry vs its oracle."""
 
+import glob
+import json
+import os
+
 import pytest
 
 import __spark_entry__ as entry_mod
 from tests.parity import compare
 
 NAMES = sorted(entry_mod.queries())
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER_WINDOW = 50  # the driver oracle-checks only the first 50 registered
+
+
+def test_every_query_has_an_oracle():
+    oracles = entry_mod.oracle_sql()
+    missing = [n for n in entry_mod.queries() if n not in oracles]
+    assert not missing, f"queries without an oracle_sql entry: {missing}"
+
+
+def test_window_covers_never_verified_queries():
+    """The r2->r3 lesson as CI: surface growth must not push a query that
+    has never passed the driver's full check (rows+schema+hash green in
+    some CORRECTNESS_r*.json) outside the 50-query window the driver
+    actually verifies."""
+    ever_green = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            rows = json.load(f)
+        for name, rec in rows.items():
+            if (
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+            ):
+                ever_green.add(name)
+    registered = list(entry_mod.queries())
+    outside = [n for n in registered[DRIVER_WINDOW:] if n not in ever_green]
+    assert not outside, (
+        "never-driver-verified queries registered outside the checked "
+        f"window (reorder registry registration): {outside}"
+    )
 
 
 def test_entry_smoke(spark):
