@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import round_dbl
+from ..operators import round_dbl, round_dbl_sql
 from ..tables import load_table
 from .texthash import TOKENIZE_SQL, tokenize
 
@@ -272,8 +272,125 @@ SELECT doc_id, avg_logprob,
 FROM lp CROSS JOIN b"""
 
 
+PMI_TOP_K = 20
+PMI_MIN_PAIR = 5  # drop noise bigrams below this support
+
+
+def vocab_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``PMI_TOP_K`` bigram collocations by pointwise mutual
+    information — the classic phrase/merge-candidate miner for tokenizer
+    induction and stop-phrase detection (Church & Hanks 1990).
+
+    Reported as the PMI *lift* ``p(xy) / (p(x)·p(y))`` rather than its
+    log: the lift is an exact rational of integer counts evaluated in
+    IEEE double (deterministic in both engines), while ``ln`` could
+    differ in the last ulp between libms and flip a rounding boundary.
+    Ranking is identical either way (log is monotone).
+
+    Shuffle profile: bigrams form shuffle-free on the codegen path
+    (per-row ``transform`` over the token array — no lead-window, no
+    per-doc exchange), then two vocabulary-bounded aggregations; unigram
+    counts broadcast back onto the bigram table (the vocabulary, never
+    the corpus, crosses an exchange) and the scalar totals ride a
+    broadcast cross join. Top-k plans as TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    uni = tok.select(F.explode("t").alias("token"))
+    ucnt = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = ucnt.agg(F.sum("c").cast("long").alias("n"))
+
+    bg = (
+        tok.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("s")
+        )
+        .select("s.w1", "s.w2")
+    )
+    bcnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    btot = bcnt.agg(F.sum("c_pair").cast("long").alias("m"))
+
+    scored = (
+        bcnt.filter(F.col("c_pair") >= PMI_MIN_PAIR)
+        .join(F.broadcast(ucnt.select(F.col("token").alias("w1"), F.col("c").alias("c_x"))), "w1")
+        .join(F.broadcast(ucnt.select(F.col("token").alias("w2"), F.col("c").alias("c_y"))), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_pair").cast("long").alias("c_pair"),
+            round_dbl(
+                (
+                    F.col("c_pair").cast("double")
+                    * F.col("n").cast("double")
+                    * F.col("n").cast("double")
+                )
+                / (
+                    F.col("m").cast("double")
+                    * F.col("c_x").cast("double")
+                    * F.col("c_y").cast("double")
+                ),
+                6,
+            ).alias("pmi_lift"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi_lift").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(PMI_TOP_K)
+    w = Window.orderBy(F.col("pmi_lift").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"), "w1", "w2", "c_pair", "pmi_lift"
+    )
+
+
+VOCAB_PMI_TOPK_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, {TOKENIZE_SQL.format(c="text")} AS t
+    FROM documents WHERE text IS NOT NULL
+),
+ucnt AS (
+    SELECT token, COUNT(*) AS c
+    FROM (SELECT unnest(t) AS token FROM tok) GROUP BY token
+),
+totals AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ucnt),
+bg AS (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS s
+    FROM tok WHERE len(t) >= 2
+),
+bcnt AS (
+    SELECT s.w1 AS w1, s.w2 AS w2, COUNT(*) AS c_pair FROM bg GROUP BY 1, 2
+),
+btot AS (SELECT CAST(SUM(c_pair) AS BIGINT) AS m FROM bcnt),
+scored AS (
+    SELECT w1, w2, CAST(c_pair AS BIGINT) AS c_pair,
+        {round_dbl_sql(
+            "(CAST(c_pair AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+            " / (CAST(m AS DOUBLE) * CAST(cx.c AS DOUBLE) * CAST(cy.c AS DOUBLE))",
+            6,
+        )} AS pmi_lift
+    FROM bcnt
+    JOIN ucnt cx ON cx.token = bcnt.w1
+    JOIN ucnt cy ON cy.token = bcnt.w2
+    CROSS JOIN totals CROSS JOIN btot
+    WHERE c_pair >= {PMI_MIN_PAIR}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi_lift DESC, w1 ASC, w2 ASC) AS INT)
+        AS rank,
+    w1, w2, c_pair, pmi_lift
+FROM scored
+ORDER BY pmi_lift DESC, w1 ASC, w2 ASC
+LIMIT {PMI_TOP_K}"""
+
+
 def register_all(register) -> None:
     register("vocab_topk", vocab_topk, VOCAB_TOPK_ORACLE)
+    register("vocab_pmi_topk", vocab_pmi_topk, VOCAB_PMI_TOPK_ORACLE)
     register(
         "text_length_quantiles",
         text_length_quantiles,

@@ -339,6 +339,78 @@ SELECT doc_id, n_tokens,
 FROM c"""
 
 
+# --- text_chunk_overlap ---------------------------------------------------
+
+CHUNK_TOKENS = 32  # context-window chunk size
+CHUNK_STRIDE = 24  # window step (CHUNK_TOKENS - CHUNK_STRIDE tokens overlap)
+
+
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking: split every document into
+    ``CHUNK_TOKENS``-token windows stepping by ``CHUNK_STRIDE`` (8-token
+    overlap), the standard RAG/pretraining chunker when documents must not
+    be split mid-context (contrast ``pack_sequences``, which concatenates
+    across document boundaries).
+
+    Pure 1:N row expansion on the codegen path — ``sequence`` generates
+    the window starts per row and ``explode`` fans them out; no shuffle at
+    all, so the operator is embarrassingly parallel at any scale (each
+    input split expands independently; Spark's AQE handles the ~n/stride
+    output-size growth when a downstream exchange follows).
+
+    Window k (start ``k*stride``) is emitted only if window k-1 did not
+    already reach the document end (``(k-1)*stride + chunk < n``) —
+    matching HF ``return_overflowing_tokens``: only the final window may
+    be short, and no window is fully contained in its predecessor. That
+    bounds the start values by ``n - chunk + stride - 1``."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    last_start = F.greatest(
+        F.col("n") - CHUNK_TOKENS + CHUNK_STRIDE - 1, F.lit(0)
+    )
+    ch = tok.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), last_start, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    return ch.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.col("start").cast("int").alias("chunk_start"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start"))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice("toks", F.col("start") + 1, F.lit(CHUNK_TOKENS)), " "
+        ).alias("chunk_text"),
+    )
+
+
+TEXT_CHUNK_OVERLAP_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, {TOKENIZE_SQL.format(c="text")} AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+st AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           unnest(range(0, GREATEST(len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE}, 1),
+                  {CHUNK_STRIDE})) AS start
+    FROM tok WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_id,
+       CAST(start AS INT) AS chunk_start,
+       CAST(LEAST({CHUNK_TOKENS}, n - start) AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start + 1, start + {CHUNK_TOKENS}), ' ')
+           AS chunk_text
+FROM st"""
+
+
 # --- corpus_curate --------------------------------------------------------
 
 QUALITY_MIN = 0.4  # drops the worst ~10% at sf0.01; binds at every SF
@@ -581,6 +653,7 @@ def register_all(register) -> None:
         SAMPLE_STRATIFIED_COUNTS_ORACLE,
     )
     register("pack_sequences", pack_sequences, PACK_SEQUENCES_ORACLE)
+    register("text_chunk_overlap", text_chunk_overlap, TEXT_CHUNK_OVERLAP_ORACLE)
     register("corpus_curate", corpus_curate, _corpus_curate_oracle())
     register("sample_temperature", sample_temperature, SAMPLE_TEMPERATURE_ORACLE)
     register(

@@ -322,6 +322,8 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_embedding_cosine_knn",
     "silver_customer_orders_rfm_scoped",
     "sample_temperature_rates",  # never green (registered r3, past the cap)
+    "text_chunk_overlap",  # new round 4
+    "vocab_pmi_topk",  # new round 4
     # -- (3) regression picket of green carriers ----------------------------
     "gold_monthly_sales_trends",
     "gold_revenue_by_region",
@@ -329,7 +331,6 @@ _CHECK_PRIORITY: list[str] = [
     "bi_top_platinum_clv",
     "bi_top_suppliers_by_score",
     "qc_referential_integrity",
-    "dedup_minhash_lsh",
 ]
 
 

@@ -219,3 +219,41 @@ def test_corpus_curation_pipeline(spark, sf_correct, tmp_path):
     assert packed.count() == len(kept_ids)  # one packing row per kept doc
     # bins are contiguous from 0: packing ran over the kept corpus only
     assert packed.agg(SF.min("first_bin")).first()[0] == 0
+
+
+def test_text_chunk_overlap_reconstructs(spark, sf_correct):
+    """Chunks must tile every document with the declared stride/size and
+    reconstruct the token stream: chunk_start = chunk_id * stride, the
+    final chunk is the only one allowed to be short, and de-overlapping
+    consecutive chunks rebuilds the tokenized document exactly."""
+    from databricks_incremental_lakehouse_spark.llmdata.curation import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        text_chunk_overlap,
+    )
+
+    docs = {
+        r.doc_id: r.text.strip().lower().split()
+        for r in load_table(spark, sf_correct, "documents").collect()
+        if r.text is not None
+    }
+    by_doc = {}
+    for r in text_chunk_overlap(spark, sf_correct).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, t in docs.items() if t}
+    multi = 0
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        toks = docs[doc_id]
+        rebuilt = []
+        for i, c in enumerate(chunks):
+            assert c.chunk_start == c.chunk_id * CHUNK_STRIDE
+            expect = toks[c.chunk_start : c.chunk_start + CHUNK_TOKENS]
+            assert c.chunk_text.split() == expect
+            assert c.n_chunk_tokens == len(expect)
+            if i < len(chunks) - 1:
+                assert c.n_chunk_tokens == CHUNK_TOKENS
+            rebuilt.extend(expect[: CHUNK_STRIDE] if i < len(chunks) - 1 else expect)
+        assert rebuilt == toks
+        multi += len(chunks) > 1
+    assert multi > 0, "no document produced >1 chunk — overlap path untested"

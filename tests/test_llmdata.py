@@ -590,3 +590,35 @@ def test_frame_sample_cardinality_and_values(spark, sf_correct):
             assert abs(r.frame_byte_mean - sum(fb) / len(fb)) < 1e-9
     # the 1:N expansion actually happened
     assert len(rows) > len(docs)
+
+
+def test_vocab_pmi_topk_reference_model(spark, sf_correct):
+    """PMI lift must match an independent Python count model, descend with
+    rank, and respect the minimum pair support."""
+    from collections import Counter
+
+    from databricks_incremental_lakehouse_spark.llmdata.corpusstats import (
+        PMI_MIN_PAIR,
+        PMI_TOP_K,
+        vocab_pmi_topk,
+    )
+
+    uni, pairs = Counter(), Counter()
+    for r in load_table(spark, sf_correct, "documents").collect():
+        if r.text is None:
+            continue
+        toks = r.text.strip().lower().split()
+        uni.update(toks)
+        pairs.update(zip(toks, toks[1:]))
+    n, m = sum(uni.values()), sum(pairs.values())
+
+    rows = vocab_pmi_topk(spark, sf_correct).collect()
+    assert 0 < len(rows) <= PMI_TOP_K
+    prev = None
+    for r in sorted(rows, key=lambda r: r.rank):
+        c_pair = pairs[(r.w1, r.w2)]
+        assert c_pair == r.c_pair and c_pair >= PMI_MIN_PAIR
+        expect = (c_pair * n * n) / (m * uni[r.w1] * uni[r.w2])
+        assert abs(r.pmi_lift - expect) < 1e-4
+        assert prev is None or r.pmi_lift <= prev + 1e-9
+        prev = r.pmi_lift
