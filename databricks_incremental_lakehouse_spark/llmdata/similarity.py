@@ -127,30 +127,46 @@ def _assign_to(emb: DataFrame, cent_rows: list[tuple[int, list[float]]]) -> Data
     assignment is scale-invariant in the centroid, so the unnormalized
     mean is a valid spherical-k-means centroid.
 
-    The centroids are driver-side rows (nlist of them, never data-sized),
-    so assignment is a pure shuffle-free projection: each centroid becomes
-    a literal array, ``norm(v)`` is computed once per row (not once per
-    centroid pair), centroid norms are precomputed in Python (same
-    left-to-right summation as the engines, so bit-identical), and the
-    argmax is ``array_max`` over (cdist, -cl) structs — max cosine with
-    min-cl tiebreak, no crossJoin and no ranking window. This replaced a
-    crossJoin + row_number plan that shuffled every (vector, centroid)
-    pair per Lloyd iteration."""
+    The centroids are driver-side rows (nlist of them, never data-sized)
+    and ride along as ONE broadcast auxiliary row — (cls, cvs, cnorms)
+    parallel arrays — consumed by a single ``transform`` lambda, so the
+    assignment expression tree is constant-size in nlist and identical
+    across Lloyd iterations (an earlier cut inlined each centroid as its
+    own literal zip_with/aggregate chain: 8 copies of the decimal-rounding
+    subtree re-analyzed per iteration dominated the runtime at bench SF).
+    ``norm(v)`` is computed once per row; centroid norms are precomputed
+    in Python (same left-to-right summation as the engines, so
+    bit-identical); the argmax is ``array_max`` over (cdist, -cl) structs —
+    max cosine with min-cl tiebreak. Still no data-sized crossJoin and no
+    ranking window: the broadcast side is exactly one row."""
     import math
 
+    rows = sorted(cent_rows)
+    cls = [int(c) for c, _ in rows]
+    cvs = [[float(x) for x in v] for _, v in rows]
+    cnorms = [math.sqrt(sum(x * x for x in v)) for v in cvs]
+    aux = emb.sparkSession.createDataFrame(
+        [(cls, cvs, cnorms)],
+        "cls array<int>, cvs array<array<double>>, cnorms array<double>",
+    )
     nv = _norm("v")
-    entries = []
-    for cl, cv in cent_rows:
-        cnorm = math.sqrt(sum(x * x for x in cv))
-        dot = F.aggregate(
-            F.zip_with("v", F.array(*[F.lit(x) for x in cv]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cdist = round_dbl(dot / F.nullif(nv * F.lit(cnorm), F.lit(0.0)), 6)
-        entries.append(F.struct(cdist.alias("d"), F.lit(-cl).alias("negcl")))
-    best = F.array_max(F.array(*entries))
-    return emb.select(
+    scored = F.transform(
+        F.col("cvs"),
+        lambda cv, i: F.struct(
+            round_dbl(
+                F.aggregate(
+                    F.zip_with("v", cv, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.nullif(nv * F.element_at("cnorms", i + 1), F.lit(0.0)),
+                6,
+            ).alias("d"),
+            (-F.element_at("cls", i + 1)).alias("negcl"),
+        ),
+    )
+    best = F.array_max(scored)
+    return emb.crossJoin(F.broadcast(aux)).select(
         "vec_id", "v", (-best["negcl"]).cast("int").alias("cl")
     )
 
