@@ -261,8 +261,6 @@ def run_sales_analytics(
         )
         write_table(_stamp(df, "_ingested_at"), cfg.table_path("extract", "partsupp"))
 
-    _run_stage(results, "ext_partsupp", _partsupp, retries, delay)
-
     def _od():
         df = silver_order_details(
             spark,
@@ -291,13 +289,26 @@ def run_sales_analytics(
         )
         write_table(_stamp(df, "_refined_at"), cfg.table_path("refined", "customer_orders"))
 
+    # ext_partsupp derives from the lineitem/parts bronze tables gated
+    # above; nothing in the refined group reads it (order_details joins
+    # orders+lineitem+parts, customer_orders joins customers+orders+geo),
+    # so it runs concurrently with the refined models — its own gate is
+    # the QC stage below and the supplier DAG.
     _run_stages_parallel(
         results,
-        {"ref_order_details": _od, "ref_customer_orders": _co},
+        {
+            "ext_partsupp": _partsupp,
+            "ref_order_details": _od,
+            "ref_customer_orders": _co,
+        },
         retries,
         delay,
     )
-    _gate(results, ["ref_order_details", "ref_customer_orders"], "refined models")
+    _gate(
+        results,
+        ["ext_partsupp", "ref_order_details", "ref_customer_orders"],
+        "refined models",
+    )
 
     od = _read(spark, cfg, "refined", "order_details")
     co = _read(spark, cfg, "refined", "customer_orders")
