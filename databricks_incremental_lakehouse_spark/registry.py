@@ -301,6 +301,7 @@ _CHECK_PRIORITY: list[str] = [
     "events_retention",
     "incr_monthly_trends_refresh",
     "incr_customer_orders_refresh",
+    "stream_user_totals",  # new round 4: applyInPandasWithState, driver-checked
     # -- (2) r3 hash-artifact reds, fixed this round ------------------------
     "bronze_orders",
     "bronze_customers",
@@ -329,7 +330,6 @@ _CHECK_PRIORITY: list[str] = [
     "gold_revenue_by_region",
     "bi_regional_revenue_1998",
     "bi_top_platinum_clv",
-    "bi_top_suppliers_by_score",
     "qc_referential_integrity",
 ]
 

@@ -55,3 +55,6 @@ def register_all(register) -> None:
     _register_windows(register)
     _register_temporal(register)
     _register_refresh(register)
+    from .stateful import STREAM_USER_TOTALS_ORACLE, stream_user_totals
+
+    register("stream_user_totals", stream_user_totals, STREAM_USER_TOTALS_ORACLE)

@@ -104,3 +104,59 @@ def stateful_user_totals_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# session-scoped memo: one drained stream per sf_dir (the driver and the
+# parametrized registry test both call the query twice)
+_STREAM_TARGETS: dict[str, str] = {}
+
+
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: drain the stateful running-totals stream over the
+    ``events`` table (availableNow) and return the merged per-user target.
+
+    After the stream drains, the explicit-state fold must equal the batch
+    ``groupBy(user_id)`` aggregate — exactly what the DuckDB oracle
+    computes, making the custom-stateful path driver-checkable rather than
+    pytest-only. ``total_value`` is rounded through the portable decimal
+    grid at the boundary: the stream accumulates each user's sum in
+    per-batch pandas folds whose addition order differs from a SQL
+    aggregate's (same tolerance the stream-vs-batch test uses)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators import round_dbl
+    from .incremental import read_merge_target
+
+    target = _STREAM_TARGETS.get(sf_dir)
+    if target is None:
+        root = tempfile.mkdtemp(prefix="stateful_q_")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        q = stateful_user_totals_stream(
+            spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
+        )
+        q.awaitTermination(300)
+        target = os.path.join(root, "target")
+        _STREAM_TARGETS[sf_dir] = target
+    return read_merge_target(spark, target).select(
+        "user_id",
+        "event_count",
+        round_dbl(F.col("total_value"), 6).alias("total_value"),
+        "last_ts",
+    )
+
+
+STREAM_USER_TOTALS_ORACLE = """
+SELECT user_id, COUNT(*) AS event_count,
+    CAST(ROUND(CAST(SUM(value) AS DECIMAL(38,10)), 6) AS DOUBLE) AS total_value,
+    MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id"""
