@@ -1,0 +1,120 @@
+"""Physical-plan audits: CI-lock the plan properties the 100-TB design
+depends on, so a refactor that silently reintroduces a scan-wide read, a
+lost broadcast, or a stray shuffle fails here rather than in a bench
+regression three rounds later.
+
+Each assertion states the scale property it guards; the queries come from
+the registry surface so the locked plan is exactly what the driver runs.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_incremental_lakehouse_spark.registry import QUERIES
+from databricks_incremental_lakehouse_spark.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_bronze_scan_prunes_columns(spark, sf_correct):
+    """Column pruning must reach the parquet scan: a 2-column projection
+    over lineitem (16 source columns) reads 2 columns, not 16."""
+    df = load_table(spark, sf_correct, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "l_orderkey" in scan and "l_quantity" in scan
+    assert "l_comment" not in scan and "l_extendedprice" not in scan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_correct):
+    """A literal predicate must appear in PushedFilters, not only in a
+    post-scan Filter node — at 100 TB this is the difference between
+    reading one row group and reading the table."""
+    df = load_table(spark, sf_correct, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan or "o_orderstatus" in plan.split(
+        "PushedFilters:"
+    )[1].split("]")[0]
+
+
+def test_silver_customer_orders_broadcasts_dims(spark, sf_correct):
+    """nation/region (25 / 5 rows at any SF) must broadcast; a sort-merge
+    join on a dimension would shuffle the fact table for nothing."""
+    plan = _plan(QUERIES["silver_customer_orders"](spark, sf_correct))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_top_k_plans_as_take_ordered(spark, sf_correct):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    k-heaps merged on the driver), never a global Sort materializing the
+    full ordering."""
+    plan = _plan(QUERIES["vocab_topk"](spark, sf_correct))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_chunker_is_shuffle_free(spark, sf_correct):
+    """text_chunk_overlap is a pure 1:N row expansion — any Exchange in
+    its plan means a refactor broke the embarrassingly-parallel shape."""
+    plan = _plan(QUERIES["text_chunk_overlap"](spark, sf_correct))
+    assert "Exchange" not in plan
+
+
+def test_gold_year_filter_prunes_partitions(spark, sf_correct, tmp_path):
+    """The silver fact is written partitionBy(order_year) so gold-year
+    predicates prune files: the scan over a year-filtered read must carry
+    the partition filter, and the unfiltered partition count must exceed
+    the filtered one."""
+    silver = QUERIES["silver_order_details"](spark, sf_correct)
+    out = str(tmp_path / "od")
+    silver.write.partitionBy("order_year").parquet(out)
+    pruned = spark.read.parquet(out).filter(F.col("order_year") == 1995)
+    plan = _plan(pruned)
+    assert "PartitionFilters: [" in plan
+    assert "order_year" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_events_windows_two_phase_distinct(spark, sf_correct):
+    """Tumbling-window aggregation with COUNT(DISTINCT user_id) plans as
+    Spark's two-phase distinct: one exchange on (window, keys, user_id)
+    for the dedup phase, one on (window, keys) for the final merge — and
+    nothing beyond those two. Every phase must keep a partial (map-side)
+    HashAggregate so the shuffles carry combined rows, not raw events."""
+    plan = _plan(QUERIES["events_tumbling_hourly"](spark, sf_correct))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_pmi_joins_broadcast_vocabulary(spark, sf_correct):
+    """vocab_pmi_topk joins bigram counts to unigram counts twice — both
+    joins must broadcast the vocabulary side, never shuffle the corpus."""
+    plan = _plan(QUERIES["vocab_pmi_topk"](spark, sf_correct))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_cartesian_in_core_surface(spark, sf_correct):
+    """No core pipeline query may plan a non-broadcast nested-loop or
+    cartesian product: at scale that is quadratic."""
+    for name in (
+        "silver_order_details",
+        "silver_customer_orders",
+        "silver_supplier_parts",
+        "gold_revenue_by_region",
+        "gold_customer_lifetime_value",
+        "gold_supplier_performance",
+        "gold_monthly_sales_trends",
+    ):
+        plan = _plan(QUERIES[name](spark, sf_correct))
+        assert "CartesianProduct" not in plan, name
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                pytest.fail(f"{name}: BroadcastNestedLoopJoin in plan")
