@@ -157,6 +157,9 @@ def main() -> None:
         "text_ccnet_buckets",
         "embedding_quantize",
         "pack_sequences",
+        "text_chunk_overlap",
+        "vocab_pmi_topk",
+        "stream_user_totals",
         "qc_revenue_anomaly",
         "incr_monthly_trends_refresh",
         "incr_customer_orders_refresh",

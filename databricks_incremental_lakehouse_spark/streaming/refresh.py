@@ -235,26 +235,29 @@ def init_incremental_warehouse(
             num_buckets=2,
         ),
     )
-    od = silver_order_details(
-        spark,
-        sf_dir,
-        batch_id,
-        orders=read_merge_target(spark, wh.bronze("orders")),
-        lineitem=read_merge_target(spark, wh.bronze("lineitem")),
-        parts=read_merge_target(spark, wh.bronze("parts")),
-    )
-    merge_upsert(
-        spark,
-        od,
-        wh.silver_order_details,
-        keys=["order_key", "line_number"],
-        bucket_keys=["order_key"],
-        partition_cols=["order_year"],
-        num_buckets=num_buckets,
-    )
-    # the month-grain gold chain and the customer-grain chain only share
-    # already-materialized inputs — build them concurrently
+    # Past the bronze barrier the two grain chains are fully independent:
+    # the month-grain chain owns silver order_details (its only reader
+    # here), the customer-grain chain reads only bronze targets — so the
+    # silver merge itself runs concurrently with the customer chain
+    # rather than serializing ahead of both.
     def _monthly_chain() -> None:
+        od = silver_order_details(
+            spark,
+            sf_dir,
+            batch_id,
+            orders=read_merge_target(spark, wh.bronze("orders")),
+            lineitem=read_merge_target(spark, wh.bronze("lineitem")),
+            parts=read_merge_target(spark, wh.bronze("parts")),
+        )
+        merge_upsert(
+            spark,
+            od,
+            wh.silver_order_details,
+            keys=["order_key", "line_number"],
+            bucket_keys=["order_key"],
+            partition_cols=["order_year"],
+            num_buckets=num_buckets,
+        )
         base = monthly_sales_base(
             read_merge_target(spark, wh.silver_order_details)
         )
