@@ -217,6 +217,19 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized."""
     emb = _emb(spark, sf_dir)
     cent_rows, cells = _kmeans_cells(emb)
+    return _ivf_search(spark, sf_dir, cent_rows, cells)
+
+
+def _ivf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    cent_rows: list[tuple[int, list[float]]],
+    cells: DataFrame,
+) -> DataFrame:
+    """The probe phase shared by the from-scratch and indexed IVF queries:
+    each query ranks the nlist (broadcast) centroids, keeps its N_PROBE
+    nearest cells, and searches only those cells' vectors."""
+    emb = _emb(spark, sf_dir)
     cent_df = spark.createDataFrame(cent_rows, "cl int, cv array<double>")
 
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -264,6 +277,45 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "probe_cell", "neighbor_id", "cosine", "rank")
     )
+
+
+# session-scoped memo: one materialized IVF index per sf_dir
+_IVF_INDEXES: dict[str, tuple[list[tuple[int, list[float]]], str]] = {}
+
+
+def _ivf_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, list[float]]], str]:
+    """Train the coarse quantizer once per sf_dir and materialize the cell
+    assignment as parquet ``partitionBy(cl)`` — each IVF cell is its own
+    partition directory, so a probe touching N_PROBE cells scans only
+    those cells' files (partition pruning is the inverted-list seek of a
+    classical IVF index). Centroids stay as driver-side rows (nlist of
+    them)."""
+    got = _IVF_INDEXES.get(sf_dir)
+    if got is None:
+        import os
+        import tempfile
+
+        cent_rows, cells = _kmeans_cells(_emb(spark, sf_dir))
+        path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "cells")
+        cells.write.partitionBy("cl").parquet(path)
+        got = (cent_rows, path)
+        _IVF_INDEXES[sf_dir] = got
+    return got
+
+
+def sim_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-only IVF top-5 against the materialized index — identical
+    results (and oracle) to :func:`sim_ivf_topk`, but the k-means training
+    cost is paid once at index-build time, the way a production ANN system
+    amortizes it: ``sim_ivf_topk`` benches build+search, this query benches
+    the steady-state search path over the cl-partitioned cell store."""
+    cent_rows, path = _ivf_index(spark, sf_dir)
+    cells = spark.read.parquet(path).select(
+        "vec_id", "v", F.col("cl").cast("int").alias("cl")
+    )
+    return _ivf_search(spark, sf_dir, cent_rows, cells)
 
 
 _CCOS_V = """CAST(ROUND(CAST(
@@ -796,6 +848,7 @@ FROM err"""
 def register_all(register) -> None:
     register("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE)
     register("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE)
+    register("sim_ivf_topk_indexed", sim_ivf_topk_indexed, SIM_IVF_ORACLE)
     register("sim_hyperplane_lsh", sim_hyperplane_lsh, SIM_LSH_ORACLE)
     # same result contract as the JVM baseline -> same oracle
     register("sim_topk_vectorized", sim_topk_vectorized, SIM_TOPK_ORACLE)

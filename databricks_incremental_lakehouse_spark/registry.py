@@ -280,6 +280,7 @@ _CHECK_PRIORITY: list[str] = [
     "sim_topk_bruteforce",
     "sim_topk_vectorized",
     "sim_ivf_topk",
+    "sim_ivf_topk_indexed",
     "sim_hyperplane_lsh",
     "dedup_semantic",
     "embedding_quantize",
@@ -328,7 +329,6 @@ _CHECK_PRIORITY: list[str] = [
     # -- (3) regression picket of green carriers ----------------------------
     "gold_monthly_sales_trends",
     "gold_revenue_by_region",
-    "bi_regional_revenue_1998",
     "bi_top_platinum_clv",
     "qc_referential_integrity",
 ]

@@ -622,3 +622,22 @@ def test_vocab_pmi_topk_reference_model(spark, sf_correct):
         assert abs(r.pmi_lift - expect) < 1e-4
         assert prev is None or r.pmi_lift <= prev + 1e-9
         prev = r.pmi_lift
+
+
+def test_sim_ivf_indexed_matches_from_scratch(spark, sf_correct):
+    """The materialized-index search must return exactly the from-scratch
+    IVF results (same centroids, same probes), and the per-sf_dir index
+    memo must serve the second call without retraining."""
+    from databricks_incremental_lakehouse_spark.llmdata.similarity import (
+        _IVF_INDEXES,
+        sim_ivf_topk,
+        sim_ivf_topk_indexed,
+    )
+
+    fresh = {tuple(r) for r in sim_ivf_topk(spark, sf_correct).collect()}
+    got = {tuple(r) for r in sim_ivf_topk_indexed(spark, sf_correct).collect()}
+    assert got == fresh and len(got) > 0
+    path_before = _IVF_INDEXES[sf_correct][1]
+    again = {tuple(r) for r in sim_ivf_topk_indexed(spark, sf_correct).collect()}
+    assert again == fresh
+    assert _IVF_INDEXES[sf_correct][1] == path_before
