@@ -51,9 +51,16 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # JVM/session warmup outside any stage timing, so the first pipeline
-    # stage measures its own work rather than executor startup
+    # stage measures its own work rather than executor startup. The
+    # range-summary warms codegen; the 5-row parquet round-trip warms the
+    # parquet reader/writer + committer classes, which otherwise cost the
+    # first extract stage ~5s of one-time class loading at any data size.
     t0 = time.time()
     spark.range(1_000_000).select("id").summary("count").collect()
+    with tempfile.TemporaryDirectory() as warm:
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(warm, "w"))
     timings["session_warmup"] = round(time.time() - t0, 3)
 
     with tempfile.TemporaryDirectory() as tmp:
