@@ -345,7 +345,9 @@ CHUNK_TOKENS = 32  # context-window chunk size
 CHUNK_STRIDE = 24  # window step (CHUNK_TOKENS - CHUNK_STRIDE tokens overlap)
 
 
-def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_chunk_overlap(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Sliding-window token chunking: split every document into
     ``CHUNK_TOKENS``-token windows stepping by ``CHUNK_STRIDE`` (8-token
     overlap), the standard RAG/pretraining chunker when documents must not
@@ -363,7 +365,9 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching HF ``return_overflowing_tokens``: only the final window may
     be short, and no window is fully contained in its predecessor. That
     bounds the start values by ``n - chunk + stride - 1``."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.filter(F.col("text").isNotNull())
     tok = docs.select(
         "doc_id", tokenize(F.col("text")).alias("toks")
     ).withColumn("n", F.size("toks")).filter(F.col("n") > 0)

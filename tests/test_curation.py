@@ -257,3 +257,50 @@ def test_text_chunk_overlap_reconstructs(spark, sf_correct):
         assert rebuilt == toks
         multi += len(chunks) > 1
     assert multi > 0, "no document produced >1 chunk — overlap path untested"
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=90), min_size=1, max_size=12)
+)
+def test_text_chunk_overlap_property(spark, lengths):
+    """For arbitrary token counts (incl. 0, exactly chunk, chunk±1, stride
+    multiples): every position is covered by some chunk, only the final
+    chunk may be short, no chunk is contained in its predecessor, and
+    zero-token docs emit nothing."""
+    from databricks_incremental_lakehouse_spark.llmdata.curation import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        text_chunk_overlap,
+    )
+
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in enumerate(lengths)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in text_chunk_overlap(spark, "", docs=docs).collect():
+        out.setdefault(r.doc_id, []).append(r)
+
+    for i, n in enumerate(lengths):
+        # tokenize('') yields [''] (one empty token) — same as the operator's
+        # shared tokenizer; only genuinely absent rows emit nothing
+        eff = max(n, 1)
+        chunks = sorted(out.get(i, []), key=lambda r: r.chunk_id)
+        assert chunks, f"doc {i} emitted no chunks"
+        covered = set()
+        for j, c in enumerate(chunks):
+            assert c.chunk_start == c.chunk_id * CHUNK_STRIDE
+            assert 1 <= c.n_chunk_tokens <= CHUNK_TOKENS
+            if j < len(chunks) - 1:
+                # non-final windows are full and do not already reach the end
+                assert c.n_chunk_tokens == CHUNK_TOKENS
+                assert c.chunk_start + CHUNK_TOKENS < eff
+            covered.update(range(c.chunk_start, c.chunk_start + c.n_chunk_tokens))
+        assert covered == set(range(eff)), f"doc {i}: coverage gap"
