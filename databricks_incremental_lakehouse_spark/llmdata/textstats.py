@@ -207,25 +207,38 @@ FROM s"""
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: exact (md5 of normalized text), 60-bit integer
     form, and a min-shingle-hash (3-token shingles — MinHash k=1) that is
-    stable under small edits."""
+    stable under small edits.
+
+    The shingle min rides dedup's codegen shingle path (posexplode +
+    window lead) and a per-doc ``min`` aggregate: an earlier cut hashed a
+    per-row higher-order ``transform`` over the shingle array, and Spark
+    evaluates HOF lambdas interpreted per element — md5 + base-16 conv per
+    shingle was the whole runtime (4.7s -> 39s at a 10x corpus, vs
+    1.3 -> 7.5 on this form; min over DISTINCT shingles equals min over
+    all, so ``_exploded_shingles``'s dedup is free candidate pruning)."""
+    from .dedup import _exploded_shingles
+
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.lower(F.col("text")))
-    tokens = tokenize(F.col("text"))
-    n = F.size(tokens)
-    shingles = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, 3)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", tokens)))
-    return docs.select(
-        "doc_id",
-        F.md5(norm).alias("content_md5"),
-        hash60(norm).alias("content_hash60"),
-        F.array_min(
-            F.transform(shingles, lambda s: hash60(s))
-        ).alias("min_shingle_hash"),
+    minsh = (
+        _exploded_shingles(docs)
+        .select("doc_id", hash60(F.col("shingle")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("min_shingle_hash"))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(norm).alias("content_md5"),
+            hash60(norm).alias("content_hash60"),
+        )
+        .join(minsh, "doc_id", "left")
+        # NULL/absent text yields no shingle rows; pin the empty-shingle
+        # hash the inline form produced for that edge
+        .withColumn(
+            "min_shingle_hash",
+            F.coalesce(F.col("min_shingle_hash"), hash60(F.lit(""))),
+        )
     )
 
 
