@@ -580,32 +580,82 @@ def dedup_embedding_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves nothing (the ``bi_strategic_suppliers`` lesson, registry.py).
     This variant emits one row per vector at every SF.
 
-    Plan shape: the N^2 score join feeds a per-vector max-struct
-    aggregation (map-side partial, no per-group window sort). Quadratic by
-    construction like the brute-force baseline; the scale paths are
+    Plan shape: per Arrow batch, ONE numpy matmul scores the batch against
+    the full vector matrix (closure-shipped — the quadratic baseline is
+    honest about needing every pair), then the per-vector max-struct
+    aggregation runs JVM-side with map-side partial combine. An earlier
+    cut scored the N^2 join with per-pair ``zip_with``/``aggregate`` HOFs
+    — interpreted per element, 16M lambda evals at sf0.01 made this the
+    slowest query in the driver window (15s for 500 vectors; BLAS form:
+    <2s). Cosines leave the kernel RAW and round through the portable
+    grid JVM-side — the ``sim_topk_vectorized`` discipline: np.round is
+    half-even, the grid is half-up, and the 6-dp grid absorbs BLAS-vs-
+    sequential ulp drift. Quadratic by construction; the scale paths are
     similarity.sim_ivf_topk / sim_hyperplane_lsh. Ties at the rounded
     cosine break toward the smaller neighbor id on both engines.
     Output: (vec_id, nn_vec_id, nn_cosine)."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    a = emb.select("vec_id", F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("other_id"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm_a = F.sqrt(
-        F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    norm_b = F.sqrt(
-        F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
+    all_rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    all_mat = np.array([r.v for r in all_rows], dtype=np.float64)
+    all_ids = np.array([r.vec_id for r in all_rows])
+    all_norm = np.linalg.norm(all_mat, axis=1)
+
+    # Candidates per row kept in the kernel: any neighbor that can TIE the
+    # raw best at the 6-dp grid lies within 1e-6 of it, so it is inside
+    # the raw top-TOPC unless >TOPC near-exact ties exist; emitting TOPC
+    # candidates instead of the full row keeps kernel output O(N x TOPC),
+    # not O(N^2) — the difference between 160K and 400M rows at the 10x
+    # corpus. The grid round + smaller-id tie-break stay JVM-side.
+    TOPC = 8
+
+    # rows scored per BLAS call: bounds the |chunk| x N cosine matrix (and
+    # its argpartition scratch) to ~350 MB at 20K vectors — an unchunked
+    # 10K-row Arrow batch allocates multiple |batch| x N float64 copies
+    # and thrashes (measured 96s vs ~8s chunked at the 10x corpus)
+    CHUNK_ROWS = 2048
+
+    def _score(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), CHUNK_ROWS):
+                sub = pdf.iloc[lo : lo + CHUNK_ROWS]
+                m = np.array(sub["v"].tolist(), dtype=np.float64)
+                norms = np.linalg.norm(m, axis=1)
+                denom = np.outer(norms, all_norm)
+                denom[denom == 0.0] = np.nan
+                cos = (m @ all_mat.T) / denom  # |chunk| x N in one BLAS call
+                ids = sub["vec_id"].values
+                cos[np.isnan(cos)] = -np.inf
+                cos[all_ids[None, :] == ids[:, None]] = -np.inf  # mask self
+                k = min(TOPC, cos.shape[1])
+                idx = np.argpartition(-cos, k - 1, axis=1)[:, :k]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids, k),
+                        "other_id": all_ids[idx].ravel(),
+                        # raw value; -inf sentinels become NULL at the JVM
+                        # grid cast and are filtered like the join form did
+                        "cosine_raw": np.take_along_axis(cos, idx, axis=1).ravel(),
+                    }
+                )
+
     scored = (
-        a.join(b, F.col("vec_id") != F.col("other_id"))
+        # NOT repartitioned before the kernel: locally the embeddings
+        # parquet is one split and OpenBLAS already threads the matmul
+        # across cores (fanning out to 32 tasks x 32 BLAS threads measured
+        # 1.5x SLOWER from oversubscription); on a cluster the table
+        # arrives in many splits and each executor's kernel runs its own
+        # BLAS pool — the parallelism follows the data layout either way
+        emb.mapInPandas(
+            _score, schema="vec_id long, other_id long, cosine_raw double"
+        )
+        .filter(F.col("vec_id") != F.col("other_id"))
         .select(
-            "vec_id",
-            "other_id",
-            round_dbl(dot / F.nullif(norm_a * norm_b, F.lit(0.0)), 6).alias("cosine"),
+            "vec_id", "other_id", round_dbl(F.col("cosine_raw"), 6).alias("cosine")
         )
         .filter(F.col("cosine").isNotNull())
     )
