@@ -168,6 +168,9 @@ def main() -> None:
         "text_chunk_overlap",
         "vocab_pmi_topk",
         "stream_user_totals",
+        "bi_tpch_q1",
+        "bi_tpch_q3",
+        "bi_tpch_q5",
         "qc_revenue_anomaly",
         "incr_monthly_trends_refresh",
         "incr_customer_orders_refresh",

@@ -245,6 +245,12 @@ register(
 )
 
 
+# --- classic TPC-H analyst queries (analytics.py) -------------------------
+from . import analytics as _analytics
+
+_analytics.register_all(register)
+
+
 def _register_extensions() -> None:
     """Extension modules contribute their own queries via ``register_all``;
     a missing/broken extension must not take down the core surface."""
@@ -326,10 +332,13 @@ _CHECK_PRIORITY: list[str] = [
     "sample_temperature_rates",  # never green (registered r3, past the cap)
     "text_chunk_overlap",  # new round 4
     "vocab_pmi_topk",  # new round 4
-    # -- (3) regression picket of green carriers ----------------------------
-    "gold_monthly_sales_trends",
-    "gold_revenue_by_region",
-    "bi_top_platinum_clv",
+    "bi_tpch_q1",  # new round 4: classic analyst suite
+    "bi_tpch_q3",
+    "bi_tpch_q5",
+    # -- (3) regression picket: qc_referential_integrity is J9's only
+    # direct carrier; the other former pickets (gold_monthly_sales_trends,
+    # gold_revenue_by_region, bi_top_platinum_clv — green in r1-r3) rotated
+    # out to fund the TPC-H additions, per the VERDICT r3 rotation policy
     "qc_referential_integrity",
 ]
 
