@@ -118,3 +118,26 @@ def test_no_cartesian_in_core_surface(spark, sf_correct):
         for line in plan.splitlines():
             if "BroadcastNestedLoopJoin" in line:
                 pytest.fail(f"{name}: BroadcastNestedLoopJoin in plan")
+
+
+def test_tpch_q3_take_ordered(spark, sf_correct):
+    """Q3's top-10 must plan as TakeOrderedAndProject, not a global sort."""
+    plan = _plan(QUERIES["bi_tpch_q3"](spark, sf_correct))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf_correct):
+    """Q5's star join must broadcast the geo dimensions and never plan a
+    cartesian/nested-loop join."""
+    plan = _plan(QUERIES["bi_tpch_q5"](spark, sf_correct))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q1_partial_aggregation(spark, sf_correct):
+    """Q1's aggregate battery must keep a map-side partial HashAggregate so
+    the shuffle carries 2x2 combined groups, not raw lineitems."""
+    plan = _plan(QUERIES["bi_tpch_q1"](spark, sf_correct))
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
