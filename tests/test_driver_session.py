@@ -50,3 +50,17 @@ def test_contract_under_bare_session():
     )
     assert proc.returncode == 0, f"stderr tail:\n{proc.stderr[-3000:]}"
     assert "BARE_SESSION_OK" in proc.stdout
+
+
+def test_clean_error_on_missing_sf_dir(spark):
+    """A nonexistent sf_dir must surface as a clean AnalysisException (the
+    driver's UX probe in .claude/skills/verify), not a hang or an opaque
+    Py4J stack."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    import __spark_entry__ as e
+
+    for name in ("bronze_orders", "text_stats", "events_tumbling_hourly"):
+        with pytest.raises(AnalysisException):
+            e.queries()[name](spark, "/root/testdata/no_such_sf").collect()
