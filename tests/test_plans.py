@@ -141,3 +141,15 @@ def test_tpch_q1_partial_aggregation(spark, sf_correct):
     plan = _plan(QUERIES["bi_tpch_q1"](spark, sf_correct))
     assert "partial_sum" in plan or "partial_count" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_ivf_index_probe_prunes_cells(spark, sf_correct):
+    """The indexed IVF search must reach the cl-partitioned cell store with
+    dynamic partition pruning on the probe join — that pruning IS the
+    inverted-list seek; without it every probe scans all cells."""
+    from databricks_incremental_lakehouse_spark.llmdata.similarity import (
+        sim_ivf_topk_indexed,
+    )
+
+    plan = _plan(sim_ivf_topk_indexed(spark, sf_correct))
+    assert "dynamicpruning" in plan.lower()
