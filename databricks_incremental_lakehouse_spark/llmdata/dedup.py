@@ -528,27 +528,57 @@ def dedup_embedding_cosine(
     scale paths are similarity.dedup_semantic (k-means cells bound the
     pairwise work, SemDeDup shape) and similarity.sim_hyperplane_lsh
     (sign-LSH banding).
+
+    Scored like the knn audit: chunked per-kernel BLAS matmuls against the
+    closure-shipped matrix (the pair-join + per-pair interpreted
+    zip_with/aggregate form took 130s at sf0.1's 2M pairs; this form ~2s).
+    The kernel keeps only upper-triangle pairs with RAW cosine >=
+    threshold - 1e-6: a pair whose GRID-rounded cosine meets the threshold
+    has raw within 5e-7 of it, so nothing the JVM-side exact filter would
+    accept is dropped; the grid round and the exact >= threshold predicate
+    stay JVM-side as before.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm_a = F.sqrt(
-        F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    norm_b = F.sqrt(
-        F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    pairs = (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", round_dbl(dot / F.nullif(norm_a * norm_b, F.lit(0.0)), 6))
+    all_rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    all_mat = np.array([r.v for r in all_rows], dtype=np.float64)
+    all_ids = np.array([r.vec_id for r in all_rows])
+    all_norm = np.linalg.norm(all_mat, axis=1)
+    margin = threshold - 1e-6
+    chunk_rows = 2048  # bounds the |chunk| x N scratch (knn audit note)
+
+    def _score(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk_rows):
+                sub = pdf.iloc[lo : lo + chunk_rows]
+                m = np.array(sub["v"].tolist(), dtype=np.float64)
+                norms = np.linalg.norm(m, axis=1)
+                denom = np.outer(norms, all_norm)
+                denom[denom == 0.0] = np.nan
+                cos = (m @ all_mat.T) / denom
+                ids = sub["vec_id"].values
+                keep = (cos >= margin) & (all_ids[None, :] > ids[:, None])
+                r, c = np.nonzero(keep)  # NaN fails >= margin: dropped,
+                # matching the old NULL-cosine filter
+                yield pd.DataFrame(
+                    {
+                        "vec_a": ids[r],
+                        "vec_b": all_ids[c],
+                        "cosine_raw": cos[r, c],
+                    }
+                )
+
+    return (
+        emb.mapInPandas(_score, schema="vec_a long, vec_b long, cosine_raw double")
+        .select(
+            "vec_a", "vec_b", round_dbl(F.col("cosine_raw"), 6).alias("cosine")
+        )
         .filter(F.col("cosine") >= threshold)
     )
-    return pairs.select("vec_a", "vec_b", "cosine")
 
 
 _COS_EXPR = """CAST(ROUND(CAST(

@@ -641,3 +641,36 @@ def test_sim_ivf_indexed_matches_from_scratch(spark, sf_correct):
     again = {tuple(r) for r in sim_ivf_topk_indexed(spark, sf_correct).collect()}
     assert again == fresh
     assert _IVF_INDEXES[sf_correct][1] == path_before
+
+
+def test_dedup_embedding_cosine_threshold_matches_numpy(spark, sf_correct):
+    """At a threshold below the corpus max cosine the pair query must be
+    non-vacuous and agree exactly with a numpy reference (the registered
+    0.95 threshold matches nothing at test SF, so this guards the kernel's
+    margin/filter logic where the driver row cannot)."""
+    import numpy as np
+
+    from databricks_incremental_lakehouse_spark.llmdata.dedup import (
+        dedup_embedding_cosine,
+    )
+
+    rows = sorted(
+        load_table(spark, sf_correct, "embeddings").collect(), key=lambda r: r.vec_id
+    )
+    m = np.array([[float(x) for x in r.embedding] for r in rows])
+    ids = [r.vec_id for r in rows]
+    norms = np.linalg.norm(m, axis=1)
+    cos = (m @ m.T) / np.outer(norms, norms)
+    thr = 0.45
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            c = round(cos[i, j], 6)
+            if c >= thr:
+                want.add((ids[i], ids[j], c))
+    got = {
+        (r.vec_a, r.vec_b, round(r.cosine, 6))
+        for r in dedup_embedding_cosine(spark, sf_correct, threshold=thr).collect()
+    }
+    assert len(got) > 0, "threshold produced no pairs — test is vacuous"
+    assert got == want
