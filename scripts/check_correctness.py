@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 import traceback
@@ -27,7 +28,7 @@ from pyspark.sql import types as T  # noqa: E402
 import __spark_entry__ as entry  # noqa: E402
 from tests.parity import _rows_to_tokens, duck_connection  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CC_SF_DIR", "/root/testdata/sf0.01")
 
 UNSTABLE_DUCK = ("DECIMAL", "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
 
