@@ -35,7 +35,14 @@ from pyspark.sql import functions as F
 
 from ..operators import round_dbl
 from ..tables import load_table
-from .texthash import TOKENIZE_SQL, hash60, hash60_sql, seeded_hash60_sql, tokenize
+from .texthash import (
+    TOKENIZE_SQL,
+    hash60,
+    hash60_sql,
+    seeded_hash60,
+    seeded_hash60_sql,
+    tokenize,
+)
 
 JACCARD_THRESHOLD = 0.8
 MINHASH_SEEDS = 16
@@ -293,15 +300,7 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     inv = _exploded_shingles(docs)
     sig = inv.groupBy("doc_id").agg(
         *[
-            F.min(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{s}#"), F.col("shingle"))), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-            ).alias(f"mh{s}")
+            F.min(seeded_hash60(F.col("shingle"), s)).alias(f"mh{s}")
             for s in range(MINHASH_SEEDS)
         ]
     )
@@ -413,7 +412,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
     ).withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+        "h", hash60(F.col("token"))
     )
     votes = tok.groupBy("doc_id").agg(
         *[

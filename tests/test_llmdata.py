@@ -674,3 +674,43 @@ def test_dedup_embedding_cosine_threshold_matches_numpy(spark, sf_correct):
     }
     assert len(got) > 0, "threshold produced no pairs — test is vacuous"
     assert got == want
+
+
+def test_fast_hash_mode(spark, sf_correct):
+    """SPARK_GRAFT_FAST_HASH swaps the md5 family for xxhash64: the LSH
+    plan must contain xxhash64 (and no md5), a PLANTED exact duplicate must
+    share every band key with its original (identical shingles collide
+    under ANY hash family), and the exact-dedup canonical count must be
+    unchanged (content identity is hash-agnostic). The corpus has no
+    natural exact dups at this SF, so the duplicate is planted."""
+    from databricks_incremental_lakehouse_spark.llmdata import texthash
+    from databricks_incremental_lakehouse_spark.llmdata.dedup import (
+        dedup_exact,
+        minhash_bands,
+    )
+
+    docs = load_table(spark, sf_correct, "documents").select("doc_id", "text")
+    src = docs.limit(3).collect()
+    planted = spark.createDataFrame(
+        [(1_000_000 + r.doc_id, r.text) for r in src], "doc_id long, text string"
+    )
+    corpus = docs.unionByName(planted)
+    portable_canon = dedup_exact(spark, sf_correct).count()
+
+    texthash.set_fast_hash(True)
+    try:
+        bands = minhash_bands(corpus)
+        plan = bands._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" in plan
+        assert "md5" not in plan
+        keys = {}
+        for r in bands.collect():
+            keys.setdefault(r.doc_id, set()).add((r.band, r.band_key))
+        for r in src:
+            assert keys[r.doc_id] == keys[1_000_000 + r.doc_id], (
+                "planted exact duplicate does not share its original's "
+                "band keys under fast hash"
+            )
+        assert dedup_exact(spark, sf_correct).count() == portable_canon
+    finally:
+        texthash.set_fast_hash(False)
