@@ -774,7 +774,15 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure per-row expression work (transform/aggregate over the array —
     no shuffle, no Python); rounding goes through the portable decimal
     grid so the DuckDB oracle reproduces every code exactly. A zero
-    vector quantizes to all-zero codes with scale 0."""
+    vector quantizes to all-zero codes with scale 0.
+
+    The ``codes`` column crosses the driver check boundary as a
+    comma-joined STRING, not ``ARRAY<INT>``: the driver canonicalizes
+    results through pandas ``sort_values``, which raises ``TypeError:
+    unhashable type: 'list'`` on array cells (CORRECTNESS_r04 — the one
+    red row of 84). Same rule as DECIMAL: no hash-unstable type may
+    reach the registry surface (``scripts/check_correctness.py`` lints
+    Array/Map/Struct alongside Decimal)."""
     emb = _emb(spark, sf_dir)
     scale = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(
         127.0
@@ -805,7 +813,9 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id",
         "scale",
-        "codes",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias(
+            "codes"
+        ),
         round_dbl(F.sqrt(sq / F.size("v")), 6).alias("rms_err"),
         round_dbl(
             F.array_max(F.transform(err, lambda d: F.abs(d))), 6
@@ -837,7 +847,8 @@ err AS (
         len(v) AS dim
     FROM q
 )
-SELECT vec_id, scale, codes,
+SELECT vec_id, scale,
+    array_to_string(codes, ',') AS codes,
     CAST(ROUND(CAST(sqrt(list_sum(list_transform(d, x -> x * x)) / dim)
          AS DECIMAL(38,10)), 6) AS DOUBLE) AS rms_err,
     CAST(ROUND(CAST(list_max(list_transform(d, x -> abs(x)))

@@ -34,21 +34,29 @@ UNSTABLE_DUCK = ("DECIMAL", "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBI
 
 
 def unstable_spark_types(df):
+    """Types the driver's pandas canonicalizer cannot hash or hashes
+    engine-dependently: DECIMAL (r3, 16 value-identical red rows) and
+    ARRAY/MAP/STRUCT (r4, ``embedding_quantize`` — pandas ``sort_values``
+    raises ``unhashable type: 'list'`` on array cells). Serialize such
+    columns (array_join / to_json) before the registry boundary."""
     bad = []
     for f in df.schema.fields:
         t = f.dataType
-        if isinstance(t, T.DecimalType):
+        if isinstance(t, (T.DecimalType, T.ArrayType, T.MapType, T.StructType)):
             bad.append(f"{f.name}:{t.simpleString()}")
     return bad
 
 
 def unstable_duck_types(con, sql):
     rel = con.sql(sql)
-    return [
-        f"{n}:{t}"
-        for n, t in zip(rel.columns, [str(x) for x in rel.types])
-        if any(u in str(t).upper() for u in UNSTABLE_DUCK)
-    ]
+    bad = []
+    for n, t in zip(rel.columns, [str(x) for x in rel.types]):
+        ts = str(t).upper()
+        if any(u in ts for u in UNSTABLE_DUCK) or "[]" in ts or ts.startswith(
+            ("STRUCT", "MAP(", "LIST", "UNION")
+        ):
+            bad.append(f"{n}:{t}")
+    return bad
 
 
 def main():
@@ -79,7 +87,7 @@ def main():
     if args.limit:
         names = names[: args.limit]
 
-    summary = {"pass": 0, "fail": 0, "type_warn": 0}
+    summary = {"pass": 0, "fail": 0, "no_oracle": 0, "type_warn": 0}
     failures = []
     for i, name in enumerate(names):
         t0 = time.time()
@@ -129,6 +137,10 @@ def main():
         rec["sec"] = round(time.time() - t0, 2)
         if rec["status"] == "pass":
             summary["pass"] += 1
+        elif rec["status"] == "no_oracle":
+            # rows-only coverage by design (driver does the same) — not a
+            # mismatch; keep it out of fail/failures (ADVICE r4).
+            summary["no_oracle"] += 1
         else:
             summary["fail"] += 1
             failures.append(name)

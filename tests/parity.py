@@ -54,8 +54,30 @@ def _rows_to_tokens(columns, rows):
     return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
+def assert_hash_stable_schema(spark_df, name: str = "query") -> None:
+    """Reject output types the driver's pandas canonicalizer can't hash
+    (ARRAY/MAP/STRUCT -> ``unhashable type: 'list'``, CORRECTNESS_r04) or
+    hashes engine-dependently (DECIMAL, CORRECTNESS_r03). Local tuple
+    comparison would silently accept these — this lint is what keeps the
+    local gate honest about the driver contract."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in spark_df.schema.fields
+        if isinstance(
+            f.dataType, (T.DecimalType, T.ArrayType, T.MapType, T.StructType)
+        )
+    ]
+    assert not bad, (
+        f"[{name}] hash-unstable output columns at the registry boundary "
+        f"(serialize via array_join/to_json or cast to double): {bad}"
+    )
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str, name: str = "query") -> None:
     """Assert spark_df matches the oracle; raises AssertionError with detail."""
+    assert_hash_stable_schema(spark_df, name)
     con = duck_connection(sf_dir)
     cur = con.execute(oracle_sql)
     o_cols = [d[0] for d in cur.description]

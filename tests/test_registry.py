@@ -7,7 +7,7 @@ import os
 import pytest
 
 import __spark_entry__ as entry_mod
-from tests.parity import compare
+from tests.parity import assert_hash_stable_schema, compare
 
 NAMES = sorted(entry_mod.queries())
 
@@ -58,6 +58,7 @@ def test_query_oracle_parity(spark, sf_correct, name):
     df = q(spark, sf_correct)
     if oracle is None:
         # driver falls back to a rows-only check for non-SQL-expressible ops
+        assert_hash_stable_schema(df, name)
         assert df.count() >= 0
     else:
         compare(df, oracle, sf_correct, name=name)
