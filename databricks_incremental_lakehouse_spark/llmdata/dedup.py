@@ -30,6 +30,8 @@ candidate blowup, the standard trick for head-heavy shingle distributions.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -59,6 +61,49 @@ COSINE_DUP_THRESHOLD = 0.95
 # (sf0.01 max df = 7), exercising the guard for real; production uses a
 # corpus fraction (e.g. 1e-4 of doc count).
 MAX_SHINGLE_DF = 5
+
+# Hard ceiling on the corpus size the two quadratic verification baselines
+# (dedup_embedding_cosine / dedup_embedding_cosine_knn) will accept. Above
+# this, their O(N^2) scoring — and the driver-side materialization of the
+# full matrix — is the wrong tool by design; the guard raises with a
+# pointer to the bounded-work scale paths instead of OOM-ing the driver.
+BASELINE_MAX_ROWS = 50_000
+
+
+def _broadcast_embedding_matrix(spark: SparkSession, emb: DataFrame):
+    """Materialize the (sorted-by-vec_id) embedding matrix once and ship it
+    via ``SparkContext.broadcast`` — one torrent transfer per EXECUTOR,
+    instead of re-serializing a task-closure-captured matrix with every
+    task batch (the r4 VERDICT scale defect). The driver-side collect that
+    builds the broadcast value is bounded by :data:`BASELINE_MAX_ROWS`;
+    beyond that the quadratic baselines refuse to run.
+
+    Returns ``(broadcast, n_rows)`` where ``broadcast.value`` is a dict of
+    ``mat`` (N x d float64), ``ids`` (N int64, ascending), ``norm`` (N)."""
+    import numpy as np
+
+    n = emb.count()
+    limit = int(os.environ.get("SPARK_GRAFT_BASELINE_MAX_ROWS", BASELINE_MAX_ROWS))
+    if n > limit:
+        raise ValueError(
+            f"{n} embeddings exceed the quadratic-baseline ceiling ({limit}). "
+            "These queries are O(N^2) verification baselines; at this scale "
+            "use the bounded-work paths instead: sim_ivf_topk / "
+            "sim_ivf_topk_indexed (IVF ANN), sim_hyperplane_lsh (sign-LSH "
+            "banding), or dedup_semantic (SemDeDup k-means cells)."
+        )
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    mat = np.array([r.v for r in rows], dtype=np.float64)
+    return (
+        spark.sparkContext.broadcast(
+            {
+                "mat": mat,
+                "ids": np.array([r.vec_id for r in rows]),
+                "norm": np.linalg.norm(mat, axis=1),
+            }
+        ),
+        n,
+    )
 
 
 def _exploded_shingles(docs: DataFrame) -> DataFrame:
@@ -529,8 +574,12 @@ def dedup_embedding_cosine(
     (sign-LSH banding).
 
     Scored like the knn audit: chunked per-kernel BLAS matmuls against the
-    closure-shipped matrix (the pair-join + per-pair interpreted
+    matrix shipped via ``SparkContext.broadcast`` (one transfer per
+    executor; the earlier closure-captured form re-serialized the matrix
+    per task batch, and before that the pair-join + per-pair interpreted
     zip_with/aggregate form took 130s at sf0.1's 2M pairs; this form ~2s).
+    The driver-side materialization is bounded by
+    :func:`_broadcast_embedding_matrix`'s row guard.
     The kernel keeps only upper-triangle pairs with RAW cosine >=
     threshold - 1e-6: a pair whose GRID-rounded cosine meets the threshold
     has raw within 5e-7 of it, so nothing the JVM-side exact filter would
@@ -543,14 +592,14 @@ def dedup_embedding_cosine(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    all_rows = sorted(emb.collect(), key=lambda r: r.vec_id)
-    all_mat = np.array([r.v for r in all_rows], dtype=np.float64)
-    all_ids = np.array([r.vec_id for r in all_rows])
-    all_norm = np.linalg.norm(all_mat, axis=1)
+    bc, _ = _broadcast_embedding_matrix(spark, emb)
     margin = threshold - 1e-6
     chunk_rows = 2048  # bounds the |chunk| x N scratch (knn audit note)
 
     def _score(batches):
+        all_mat = bc.value["mat"]
+        all_ids = bc.value["ids"]
+        all_norm = bc.value["norm"]
         for pdf in batches:
             for lo in range(0, len(pdf), chunk_rows):
                 sub = pdf.iloc[lo : lo + chunk_rows]
@@ -610,8 +659,9 @@ def dedup_embedding_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     This variant emits one row per vector at every SF.
 
     Plan shape: per Arrow batch, ONE numpy matmul scores the batch against
-    the full vector matrix (closure-shipped — the quadratic baseline is
-    honest about needing every pair), then the per-vector max-struct
+    the full vector matrix (``SparkContext.broadcast`` — one transfer per
+    executor, row-guarded; the quadratic baseline is honest about needing
+    every pair), then the per-vector max-struct
     aggregation runs JVM-side with map-side partial combine. An earlier
     cut scored the N^2 join with per-pair ``zip_with``/``aggregate`` HOFs
     — interpreted per element, 16M lambda evals at sf0.01 made this the
@@ -629,17 +679,19 @@ def dedup_embedding_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    all_rows = sorted(emb.collect(), key=lambda r: r.vec_id)
-    all_mat = np.array([r.v for r in all_rows], dtype=np.float64)
-    all_ids = np.array([r.vec_id for r in all_rows])
-    all_norm = np.linalg.norm(all_mat, axis=1)
+    bc, _ = _broadcast_embedding_matrix(spark, emb)
 
     # Candidates per row kept in the kernel: any neighbor that can TIE the
     # raw best at the 6-dp grid lies within 1e-6 of it, so it is inside
     # the raw top-TOPC unless >TOPC near-exact ties exist; emitting TOPC
     # candidates instead of the full row keeps kernel output O(N x TOPC),
     # not O(N^2) — the difference between 160K and 400M rows at the 10x
-    # corpus. The grid round + smaller-id tie-break stay JVM-side.
+    # corpus. Rows where MORE than TOPC candidates sit within 1e-6 of the
+    # raw best (9+ near-exact duplicates — exactly the workload an
+    # embedding-dedup corpus targets) additionally emit EVERY tied
+    # candidate, so the smallest-id tie can never be argpartition-truncated
+    # away (ADVICE r4). The grid round + smaller-id tie-break stay
+    # JVM-side.
     TOPC = 8
 
     # rows scored per BLAS call: bounds the |chunk| x N cosine matrix (and
@@ -649,6 +701,9 @@ def dedup_embedding_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     CHUNK_ROWS = 2048
 
     def _score(batches):
+        all_mat = bc.value["mat"]
+        all_ids = bc.value["ids"]
+        all_norm = bc.value["norm"]
         for pdf in batches:
             for lo in range(0, len(pdf), CHUNK_ROWS):
                 sub = pdf.iloc[lo : lo + CHUNK_ROWS]
@@ -662,13 +717,27 @@ def dedup_embedding_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cos[all_ids[None, :] == ids[:, None]] = -np.inf  # mask self
                 k = min(TOPC, cos.shape[1])
                 idx = np.argpartition(-cos, k - 1, axis=1)[:, :k]
+                out_ids = np.repeat(ids, k)
+                out_other = all_ids[idx].ravel()
+                # raw value; -inf sentinels become NULL at the JVM grid
+                # cast and are filtered like the join form did
+                out_cos = np.take_along_axis(cos, idx, axis=1).ravel()
+                # tie-saturation guard: if > k candidates lie within 1e-6
+                # of the row's raw best, argpartition may have dropped the
+                # smallest-id tie — emit the full tied set for those rows
+                best = cos.max(axis=1)
+                tie = np.isfinite(best)[:, None] & (cos >= best[:, None] - 1e-6)
+                sat = tie.sum(axis=1) > k
+                if sat.any():
+                    r, c = np.nonzero(tie[sat])
+                    out_ids = np.concatenate([out_ids, ids[sat][r]])
+                    out_other = np.concatenate([out_other, all_ids[c]])
+                    out_cos = np.concatenate([out_cos, cos[sat][r, c]])
                 yield pd.DataFrame(
                     {
-                        "vec_id": np.repeat(ids, k),
-                        "other_id": all_ids[idx].ravel(),
-                        # raw value; -inf sentinels become NULL at the JVM
-                        # grid cast and are filtered like the join form did
-                        "cosine_raw": np.take_along_axis(cos, idx, axis=1).ravel(),
+                        "vec_id": out_ids,
+                        "other_id": out_other,
+                        "cosine_raw": out_cos,
                     }
                 )
 

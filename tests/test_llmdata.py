@@ -678,6 +678,49 @@ def test_dedup_embedding_cosine_threshold_matches_numpy(spark, sf_correct):
     assert got == want
 
 
+def test_knn_tie_saturation_emits_smallest_id(spark, tmp_path):
+    """ADVICE r4: with more near-exact ties than the kernel's TOPC=8
+    candidate budget (here 12 identical vectors), argpartition alone may
+    truncate the smallest-id tie; the saturation guard must emit the full
+    tied set so every duplicate's nearest neighbor is the SMALLEST other
+    duplicate id — the cross-engine tie-break contract."""
+    import numpy as np
+
+    from databricks_incremental_lakehouse_spark.llmdata.dedup import (
+        dedup_embedding_cosine_knn,
+    )
+
+    rng = np.random.default_rng(7)
+    dup = rng.normal(size=8).tolist()
+    rows = [(100 + i, [float(x) for x in dup]) for i in range(12)]
+    rows += [
+        (200 + i, [float(x) for x in rng.normal(size=8)]) for i in range(5)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    nn = {r.vec_id: r.nn_vec_id for r in dedup_embedding_cosine_knn(spark, sf).collect()}
+    for i in range(12):
+        expect = 100 if 100 + i != 100 else 101
+        assert nn[100 + i] == expect, (100 + i, nn[100 + i])
+
+
+def test_quadratic_baseline_row_guard(spark, sf_correct, monkeypatch):
+    """Above the configurable ceiling the quadratic baselines must refuse
+    to materialize the matrix and point at the bounded-work scale paths."""
+    import pytest
+
+    from databricks_incremental_lakehouse_spark.llmdata.dedup import (
+        dedup_embedding_cosine_knn,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_BASELINE_MAX_ROWS", "10")
+    with pytest.raises(ValueError, match="sim_ivf_topk"):
+        dedup_embedding_cosine_knn(spark, sf_correct)
+
+
 def test_fast_hash_mode(spark, sf_correct):
     """SPARK_GRAFT_FAST_HASH swaps the md5 family for xxhash64: the LSH
     plan must contain xxhash64 (and no md5), a PLANTED exact duplicate must
