@@ -1,6 +1,7 @@
 from .customer_lifetime_value import (
     vw_customer_lifetime_value,
     vw_customer_lifetime_value_oracle_sql,
+    vw_customer_lifetime_value_tiers_scoped,
 )
 from .monthly_sales_trends import (
     vw_monthly_sales_trends,
@@ -17,6 +18,7 @@ __all__ = [
     "vw_revenue_by_region_oracle_sql",
     "vw_customer_lifetime_value",
     "vw_customer_lifetime_value_oracle_sql",
+    "vw_customer_lifetime_value_tiers_scoped",
     "vw_supplier_performance",
     "vw_supplier_performance_oracle_sql",
     "vw_monthly_sales_trends",

@@ -34,7 +34,16 @@ def vw_customer_lifetime_value(
     batch_id: str = FIXED_BATCH_ID,
     order_details: DataFrame | None = None,
     customer_orders: DataFrame | None = None,
+    pct_scope: str | None = None,
 ) -> DataFrame:
+    """``pct_scope``: optional column partitioning the two PERCENT_RANK
+    windows and the derived tier CASE (e.g. ``"region_name"``). ``None``
+    reproduces the reference's global percentiles (single-partition
+    exchange, module docstring); a scope turns each window into a
+    hash-partitioned exchange — the 100x-customers scale path, same
+    pattern as :func:`..silver.customer_orders.rfm_segmentation`. On a
+    corpus with one scope value the variants agree exactly
+    (tests/test_gold.py)."""
     if order_details is None:
         order_details = silver_order_details(spark, sf_dir, batch_id)
     if customer_orders is None:
@@ -81,8 +90,9 @@ def vw_customer_lifetime_value(
         .alias("revenue_per_tenure_day"),
     )
 
-    w_rev = Window.orderBy("total_revenue")
-    w_ord = Window.orderBy("total_orders")
+    part = [F.col(pct_scope)] if pct_scope else []
+    w_rev = Window.partitionBy(*part).orderBy("total_revenue")
+    w_ord = Window.partitionBy(*part).orderBy("total_orders")
     rev_pct = F.percent_rank().over(w_rev)
     joined = (
         customer_orders.select(
@@ -125,6 +135,21 @@ def vw_customer_lifetime_value(
     return joined
 
 
+def vw_customer_lifetime_value_tiers_scoped(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_id: str = FIXED_BATCH_ID,
+) -> DataFrame:
+    """Region-scoped value tiers: the three PERCENT_RANK windows computed
+    WITHIN ``region_name`` — the partitioned-percentile scale variant of
+    :func:`vw_customer_lifetime_value` (r4 VERDICT item 3; the NTILE RFM
+    layer got the same treatment in round 4). Same schema; percentiles
+    and Platinum/Gold/Silver/Bronze tiers mean "within region"."""
+    return vw_customer_lifetime_value(
+        spark, sf_dir, batch_id, pct_scope="region_name"
+    )
+
+
 _GOLD_CLV_CTE = """
     SELECT
         co.customer_key,
@@ -158,12 +183,12 @@ _GOLD_CLV_CTE = """
         ca.acquisition_cohort,
         ca.estimated_3yr_clv,
         ca.revenue_per_tenure_day,
-        PERCENT_RANK() OVER (ORDER BY co.total_revenue) AS revenue_percentile,
-        PERCENT_RANK() OVER (ORDER BY co.total_orders) AS order_frequency_percentile,
+        PERCENT_RANK() OVER ({pct_part}ORDER BY co.total_revenue) AS revenue_percentile,
+        PERCENT_RANK() OVER ({pct_part}ORDER BY co.total_orders) AS order_frequency_percentile,
         CASE
-            WHEN PERCENT_RANK() OVER (ORDER BY co.total_revenue) >= 0.9 THEN 'Platinum'
-            WHEN PERCENT_RANK() OVER (ORDER BY co.total_revenue) >= 0.7 THEN 'Gold'
-            WHEN PERCENT_RANK() OVER (ORDER BY co.total_revenue) >= 0.4 THEN 'Silver'
+            WHEN PERCENT_RANK() OVER ({pct_part}ORDER BY co.total_revenue) >= 0.9 THEN 'Platinum'
+            WHEN PERCENT_RANK() OVER ({pct_part}ORDER BY co.total_revenue) >= 0.7 THEN 'Gold'
+            WHEN PERCENT_RANK() OVER ({pct_part}ORDER BY co.total_revenue) >= 0.4 THEN 'Silver'
             ELSE 'Bronze'
         END AS value_tier
     FROM s_customer_orders co
@@ -199,11 +224,15 @@ _GOLD_CLV_CTE = """
 
 
 def vw_customer_lifetime_value_oracle_sql(
-    batch_id: str = FIXED_BATCH_ID, as_of_date: str = AS_OF_DATE
+    batch_id: str = FIXED_BATCH_ID,
+    as_of_date: str = AS_OF_DATE,
+    pct_scope: str | None = None,
 ) -> str:
     ctes = silver_order_details_oracle_ctes(batch_id)
     ctes.update(silver_customer_orders_oracle_ctes(batch_id, as_of_date))
-    ctes["g_customer_lifetime_value"] = _GOLD_CLV_CTE
+    ctes["g_customer_lifetime_value"] = _GOLD_CLV_CTE.format(
+        pct_part=f"PARTITION BY co.{pct_scope} " if pct_scope else ""
+    )
     return with_clause(
         ctes,
         "SELECT "

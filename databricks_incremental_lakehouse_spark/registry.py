@@ -23,6 +23,7 @@ from .bronze import BRONZE_BUILDERS, bronze_oracle_sql
 from .gold import (
     vw_customer_lifetime_value,
     vw_customer_lifetime_value_oracle_sql,
+    vw_customer_lifetime_value_tiers_scoped,
     vw_monthly_sales_trends,
     vw_monthly_sales_trends_oracle_sql,
     vw_revenue_by_region,
@@ -116,6 +117,11 @@ register(
     "gold_supplier_performance",
     vw_supplier_performance,
     vw_supplier_performance_oracle_sql(),
+)
+register(
+    "gold_customer_lifetime_value_tiers_scoped",
+    vw_customer_lifetime_value_tiers_scoped,
+    vw_customer_lifetime_value_oracle_sql(pct_scope="region_name"),
 )
 register(
     "gold_monthly_sales_trends",
@@ -282,64 +288,61 @@ _register_extensions()
 CHECK_WINDOW_SIZE = 50
 
 _CHECK_PRIORITY: list[str] = [
-    # -- (1) never verified in any round ------------------------------------
-    "sim_topk_bruteforce",
-    "sim_topk_vectorized",
-    "sim_ivf_topk",
-    "sim_ivf_topk_indexed",
-    "sim_hyperplane_lsh",
-    "dedup_semantic",
-    "embedding_quantize",
-    "multimodal_features",
-    "multimodal_feature_stats",
-    "multimodal_frame_sample",
-    "sketch_hll_distinct",
-    "sketch_cms_heavy_hitters",
-    "sketch_histogram_quantiles",
-    "events_tumbling_hourly",
-    "events_sliding_windows",
-    "events_session_windows",
-    "events_deduped",
-    "events_json_props",
-    "events_asof_join",
-    "events_rolling_5min",
-    "events_in_error_windows",
-    "events_funnel",
-    "events_retention",
-    "incr_monthly_trends_refresh",
-    "incr_customer_orders_refresh",
-    "stream_user_totals",  # new round 4: applyInPandasWithState, driver-checked
-    # -- (2) r3 hash-artifact reds, fixed this round ------------------------
-    "bronze_orders",
-    "bronze_customers",
-    "bronze_lineitem",
-    "bronze_suppliers",
-    "bronze_parts",
-    "bronze_partsupp",
-    "silver_order_details",
-    "silver_customer_orders",
-    "silver_supplier_parts",
-    "gold_customer_lifetime_value",
-    "gold_supplier_performance",
-    "qc_revenue_anomaly",
-    "text_length_quantiles",
-    "dedup_substring_spans",
-    "dedup_substring_clean",
-    "pack_sequences",
-    # -- new this round (non-vacuous variants / scale paths) ----------------
-    "dedup_embedding_cosine_knn",
-    "silver_customer_orders_rfm_scoped",
-    "sample_temperature_rates",  # never green (registered r3, past the cap)
-    "text_chunk_overlap",  # new round 4
-    "vocab_pmi_topk",  # new round 4
-    "bi_tpch_q1",  # new round 4: classic analyst suite
+    # -- (1) never verified in any round + new this round -------------------
+    "embedding_quantize",  # r4's one red row: codes now a hash-stable string
+    "gold_customer_lifetime_value_tiers_scoped",  # new r5: scoped PERCENT_RANK
+    "bi_tpch_q6",  # new r5: classic analyst suite widening
+    "bi_tpch_q10",
+    "bi_tpch_q12",
+    "bi_tpch_q14",
+    # -- (2) carriers whose code changed this round (green r4, recheck) -----
+    "dedup_embedding_cosine_knn",  # broadcast matrix + tie-saturation guard
+    "gold_customer_lifetime_value",  # pct_scope parameterization
+    "bi_tpch_q1",  # analytics.py module extended
     "bi_tpch_q3",
     "bi_tpch_q5",
-    # -- (3) regression picket: qc_referential_integrity is J9's only
-    # direct carrier; the other former pickets (gold_monthly_sales_trends,
-    # gold_revenue_by_region, bi_top_platinum_clv — green in r1-r3) rotated
-    # out to fund the TPC-H additions, per the VERDICT r3 rotation policy
+    "silver_customer_orders",  # CLV upstream picket
+    "silver_order_details",
+    "silver_supplier_parts",
+    "incr_monthly_trends_refresh",  # bench key split this round
+    "stream_user_totals",  # awaitTermination timeout fix (ADVICE r4)
+    # -- (3) rotation: every query whose latest green row is r3 — the r4
+    # window marked its residents ever-green, freeing these slots per the
+    # VERDICT r3 rotation policy (oldest-verified first)
     "qc_referential_integrity",
+    "bronze_nation",
+    "bronze_region",
+    "gold_revenue_by_region",
+    "gold_monthly_sales_trends",
+    "bi_regional_revenue_1998",
+    "bi_top_platinum_clv",
+    "bi_strategic_suppliers",
+    "bi_top_suppliers_by_score",
+    "bi_monthly_trend_series",
+    "qc_row_counts",
+    "qc_null_checks",
+    "qc_business_rules",
+    "qc_freshness",
+    "text_stats",
+    "text_langid",
+    "text_fingerprint",
+    "text_quality_gopher",
+    "vocab_topk",
+    "text_unigram_logprob",
+    "text_ccnet_buckets",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",  # also changed this round (broadcast)
+    "dedup_clusters",
+    "text_decontamination",
+    "sample_stratified",
+    "sample_stratified_counts",
+    "corpus_curate",
+    "sample_temperature",
 ]
 
 

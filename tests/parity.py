@@ -55,23 +55,23 @@ def _rows_to_tokens(columns, rows):
 
 
 def assert_hash_stable_schema(spark_df, name: str = "query") -> None:
-    """Reject output types the driver's pandas canonicalizer can't hash
-    (ARRAY/MAP/STRUCT -> ``unhashable type: 'list'``, CORRECTNESS_r04) or
-    hashes engine-dependently (DECIMAL, CORRECTNESS_r03). Local tuple
-    comparison would silently accept these — this lint is what keeps the
-    local gate honest about the driver contract."""
+    """Reject output types the driver's pandas canonicalizer can't hash:
+    ARRAY/MAP/STRUCT cells raise ``unhashable type: 'list'``
+    (CORRECTNESS_r04, ``embedding_quantize``). Local tuple comparison
+    would silently accept these — this lint keeps the local gate honest
+    about the driver contract. DECIMAL (the other unstable type,
+    CORRECTNESS_r03) is NOT linted here: the registry's ``_hash_stable``
+    wrapper casts it centrally, so raw view functions may return it."""
     from pyspark.sql import types as T
 
     bad = [
         f"{f.name}:{f.dataType.simpleString()}"
         for f in spark_df.schema.fields
-        if isinstance(
-            f.dataType, (T.DecimalType, T.ArrayType, T.MapType, T.StructType)
-        )
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
     ]
     assert not bad, (
         f"[{name}] hash-unstable output columns at the registry boundary "
-        f"(serialize via array_join/to_json or cast to double): {bad}"
+        f"(serialize via array_join/to_json): {bad}"
     )
 
 
