@@ -4,12 +4,21 @@
 The LAST stdout line is ONE compact JSON object:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``queries`` holds only the headline components (pipelines + 4 BI queries),
-so the line stays well under any tail-buffer limit — round 3 lost its
-BENCH record because the full ~60-key per-query dict pushed the leading
-fields out of the driver's tail window. The complete per-query timing dict
-is printed on an EARLIER stdout line (``bench_detail``) and written to
-``BENCH_DETAIL.json`` next to this script.
+``queries`` holds only the headline components (pipelines + 4 BI queries +
+the split incremental-refresh keys), so the line stays well under any
+tail-buffer limit — round 3 lost its BENCH record because the full ~60-key
+per-query dict pushed the leading fields out of the driver's tail window.
+The complete per-query timing dict is printed on an EARLIER stdout line
+(``bench_detail``) and written to ``BENCH_DETAIL.json`` next to this script.
+
+Noise discipline (r4 VERDICT item 5): every repeatable unit runs
+``SPARK_GRAFT_BENCH_REPS`` times (default 3) in ONE session and reports the
+MEDIAN; the headline also reports ``noise_band`` = (max-min)/median of the
+per-rep headline totals, so a regression signal can be told from host-load
+drift (r4's ±30-40% band swallowed 25 spurious "regressions"). One-time
+costs (warehouse init, IVF index build, stream drain) are timed ONCE under
+explicit ``*_init``/build keys and excluded from the repeated medians —
+conflating them was r4 VERDICT item 6.
 
 Workload (BASELINE.md plan): the full sales + supplier pipelines (bronze x8,
 silver x3, gold x4 materialized through the warehouse, QC suite) — i.e. the
@@ -23,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import tempfile
 import time
@@ -36,6 +46,8 @@ from databricks_incremental_lakehouse_spark.pipelines import (  # noqa: E402
 )
 from databricks_incremental_lakehouse_spark.session import build_spark  # noqa: E402
 
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
 
 def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -48,7 +60,12 @@ def main() -> None:
 
     spark = build_spark(app_name="dbx-lakehouse-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    timings: dict[str, float] = {}
+    # samples[key] -> list of per-rep seconds; medians reported at the end
+    samples: dict[str, list[float]] = {}
+    once: dict[str, float] = {}  # one-time costs (init/build/drain keys)
+
+    def record(key: str, sec: float) -> None:
+        samples.setdefault(key, []).append(round(sec, 3))
 
     # JVM/session warmup outside any stage timing, so the first pipeline
     # stage measures its own work rather than executor startup. The
@@ -61,68 +78,95 @@ def main() -> None:
         spark.read.parquet(os.path.join(sf_dir, "region.parquet")).write.mode(
             "overwrite"
         ).parquet(os.path.join(warm, "w"))
-    timings["session_warmup"] = round(time.time() - t0, 3)
+    once["session_warmup"] = round(time.time() - t0, 3)
 
-    with tempfile.TemporaryDirectory() as tmp:
-        cfg = LakehouseConfig.from_env_file(
-            sf_dir=sf_dir, warehouse_dir=os.path.join(tmp, "warehouse")
-        )
+    from pyspark.sql import functions as F
 
-        t0 = time.time()
-        sales = run_sales_analytics(spark, cfg)
-        timings["pipeline_sales"] = round(time.time() - t0, 3)
-        for stage, res in sales.items():
-            timings[f"sales.{stage}"] = round(res["elapsed"], 3)
+    # Rep 0 is an UNTIMED warm-up: the first execution of each pipeline
+    # plan pays one-time query compilation/codegen caching (measured 1.5x
+    # slower than steady state at sf0.01), which is neither host noise nor
+    # steady-state cost — including it would structurally inflate
+    # noise_band past the <=15% regression bar it exists to enforce.
+    headline_totals: list[float] = []
+    for _rep in range(REPS + 1):
+        warm = _rep == 0
+        rep_total = 0.0
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg = LakehouseConfig.from_env_file(
+                sf_dir=sf_dir, warehouse_dir=os.path.join(tmp, "warehouse")
+            )
 
-        t0 = time.time()
-        supplier = run_supplier_analytics(spark, cfg)
-        timings["pipeline_supplier"] = round(time.time() - t0, 3)
-        for stage, res in supplier.items():
-            timings[f"supplier.{stage}"] = round(res["elapsed"], 3)
-
-        # README BI queries over the materialized gold views
-        from pyspark.sql import functions as F
-
-        clv = spark.read.parquet(cfg.table_path("views", "vw_customer_lifetime_value"))
-        rbr = spark.read.parquet(cfg.table_path("views", "vw_revenue_by_region"))
-        spf = spark.read.parquet(cfg.table_path("views", "vw_supplier_performance"))
-        mst = spark.read.parquet(cfg.table_path("views", "vw_monthly_sales_trends"))
-        bi = {
-            "bi_regional_revenue_1998": lambda: _noop(
-                rbr.filter(F.col("order_year") == 1998)
-            ),
-            "bi_top_platinum_clv": lambda: _noop(
-                clv.filter(F.col("value_tier") == "Platinum")
-                .select("customer_name", "estimated_3yr_clv", "customer_segment")
-                .orderBy(F.col("estimated_3yr_clv").desc())
-                .limit(20)
-            ),
-            "bi_strategic_suppliers": lambda: _noop(
-                spf.filter(F.col("supplier_tier") == "Tier 1 - Strategic").select(
-                    "supplier_name",
-                    "supplier_region",
-                    "performance_score",
-                    "on_time_delivery_rate",
-                )
-            ),
-            "bi_monthly_trend_series": lambda: _noop(
-                mst.select(
-                    "order_year",
-                    "order_month",
-                    "total_revenue",
-                    "revenue_3mo_moving_avg",
-                    "mom_revenue_growth_pct",
-                )
-            ),
-        }
-        for name, fn in bi.items():
             t0 = time.time()
-            fn()
-            timings[name] = round(time.time() - t0, 3)
+            sales = run_sales_analytics(spark, cfg)
+            sec = time.time() - t0
+            if not warm:
+                record("pipeline_sales", sec)
+                rep_total += sec
+                for stage, res in sales.items():
+                    record(f"sales.{stage}", res["elapsed"])
+
+            t0 = time.time()
+            supplier = run_supplier_analytics(spark, cfg)
+            sec = time.time() - t0
+            if not warm:
+                record("pipeline_supplier", sec)
+                rep_total += sec
+                for stage, res in supplier.items():
+                    record(f"supplier.{stage}", res["elapsed"])
+
+            # README BI queries over the materialized gold views
+            clv = spark.read.parquet(
+                cfg.table_path("views", "vw_customer_lifetime_value")
+            )
+            rbr = spark.read.parquet(cfg.table_path("views", "vw_revenue_by_region"))
+            spf = spark.read.parquet(
+                cfg.table_path("views", "vw_supplier_performance")
+            )
+            mst = spark.read.parquet(
+                cfg.table_path("views", "vw_monthly_sales_trends")
+            )
+            bi = {
+                "bi_regional_revenue_1998": lambda: _noop(
+                    rbr.filter(F.col("order_year") == 1998)
+                ),
+                "bi_top_platinum_clv": lambda: _noop(
+                    clv.filter(F.col("value_tier") == "Platinum")
+                    .select("customer_name", "estimated_3yr_clv", "customer_segment")
+                    .orderBy(F.col("estimated_3yr_clv").desc())
+                    .limit(20)
+                ),
+                "bi_strategic_suppliers": lambda: _noop(
+                    spf.filter(F.col("supplier_tier") == "Tier 1 - Strategic").select(
+                        "supplier_name",
+                        "supplier_region",
+                        "performance_score",
+                        "on_time_delivery_rate",
+                    )
+                ),
+                "bi_monthly_trend_series": lambda: _noop(
+                    mst.select(
+                        "order_year",
+                        "order_month",
+                        "total_revenue",
+                        "revenue_3mo_moving_avg",
+                        "mom_revenue_growth_pct",
+                    )
+                ),
+            }
+            for name, fn in bi.items():
+                t0 = time.time()
+                fn()
+                sec = time.time() - t0
+                if not warm:
+                    record(name, sec)
+                    rep_total += sec
+        if not warm:
+            headline_totals.append(round(rep_total, 3))
 
     # Extension operators (LLM-data + streaming-batch) — timed for the
     # record but kept out of the headline total so `value` stays comparable
-    # across rounds (BASELINE.md).
+    # across rounds (BASELINE.md). Median of REPS runs each; queries with
+    # one-time init/build memoization are timed separately below.
     from databricks_incremental_lakehouse_spark.registry import QUERIES
 
     ext = [
@@ -134,7 +178,6 @@ def main() -> None:
         "sim_topk_bruteforce",
         "sim_topk_vectorized",
         "sim_ivf_topk",
-        "sim_ivf_topk_indexed",
         "sim_hyperplane_lsh",
         "text_stats",
         "text_langid",
@@ -167,70 +210,124 @@ def main() -> None:
         "pack_sequences",
         "text_chunk_overlap",
         "vocab_pmi_topk",
-        "stream_user_totals",
         "bi_tpch_q1",
         "bi_tpch_q3",
         "bi_tpch_q5",
+        "bi_tpch_q6",
+        "bi_tpch_q10",
+        "bi_tpch_q12",
+        "bi_tpch_q14",
         "qc_revenue_anomaly",
-        "incr_monthly_trends_refresh",
-        "incr_customer_orders_refresh",
     ]
     for name in ext:
+        for _rep in range(REPS):
+            t0 = time.time()
+            _noop(QUERIES[name](spark, sf_dir))
+            record(f"ext.{name}", time.time() - t0)
+
+    # One-time costs, explicitly keyed (r4 VERDICT item 6: do not conflate
+    # warehouse/index/stream init with the steady state the operator
+    # exists for):
+    # - incr_*_refresh_init: first-ever call pays the full warehouse build
+    #   (measured-by-design) — timed ONCE.
+    # - incr_*_update_only: every later call re-applies the 50-order update
+    #   micro-batch against the cached warehouse — the steady-state number,
+    #   median of REPS.
+    t0 = time.time()
+    _noop(QUERIES["incr_monthly_trends_refresh"](spark, sf_dir))
+    once["ext.incr_monthly_trends_refresh_init"] = round(time.time() - t0, 3)
+    for _rep in range(REPS):
         t0 = time.time()
-        _noop(QUERIES[name](spark, sf_dir))
-        timings[f"ext.{name}"] = round(time.time() - t0, 3)
+        _noop(QUERIES["incr_monthly_trends_refresh"](spark, sf_dir))
+        record("ext.incr_monthly_trends_update_only", time.time() - t0)
+
+    t0 = time.time()
+    _noop(QUERIES["incr_customer_orders_refresh"](spark, sf_dir))
+    once["ext.incr_customer_orders_refresh_init"] = round(time.time() - t0, 3)
+    for _rep in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["incr_customer_orders_refresh"](spark, sf_dir))
+        record("ext.incr_customer_orders_update_only", time.time() - t0)
+
+    # Same isolation for the ANN index: first call builds + persists the
+    # cl-partitioned cell store; later calls are the steady-state
+    # search-only cost.
+    t0 = time.time()
+    _noop(QUERIES["sim_ivf_topk_indexed"](spark, sf_dir))
+    once["ext.sim_ivf_topk_indexed"] = round(time.time() - t0, 3)
+    for _rep in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["sim_ivf_topk_indexed"](spark, sf_dir))
+        record("ext.sim_ivf_search_only", time.time() - t0)
+
+    # stream drain is memoized per sf_dir: the first call IS the drain;
+    # repeating would time a memoized parquet read, not the operator.
+    t0 = time.time()
+    _noop(QUERIES["stream_user_totals"](spark, sf_dir))
+    once["ext.stream_user_totals"] = round(time.time() - t0, 3)
 
     # the operated curation DAG (flags -> corpus || report -> packing)
     from databricks_incremental_lakehouse_spark.llmdata.pipeline import (
         run_corpus_curation,
     )
 
-    with tempfile.TemporaryDirectory() as tmp:
-        t0 = time.time()
-        run_corpus_curation(spark, sf_dir, os.path.join(tmp, "curated"))
-        timings["ext.pipeline_curation"] = round(time.time() - t0, 3)
+    for _rep in range(REPS):
+        with tempfile.TemporaryDirectory() as tmp:
+            t0 = time.time()
+            run_corpus_curation(spark, sf_dir, os.path.join(tmp, "curated"))
+            record("ext.pipeline_curation", time.time() - t0)
 
-    # steady-state refresh cost: the first incr_* call above paid the full
-    # warehouse init; the warehouse is cached per sf_dir and every call
-    # re-applies the 50-order update batch, so a second timed call isolates
-    # the per-micro-batch cost — the number that matters for the
-    # incremental-vs-daily-rebuild comparison.
-    t0 = time.time()
-    _noop(QUERIES["incr_monthly_trends_refresh"](spark, sf_dir))
-    timings["ext.incr_monthly_trends_update_only"] = round(time.time() - t0, 3)
-
-    # same isolation for the ANN index: the first sim_ivf_topk_indexed call
-    # above built + persisted the index; a second timed call is the
-    # steady-state search-only cost over the cl-partitioned cell store.
-    t0 = time.time()
-    _noop(QUERIES["sim_ivf_topk_indexed"](spark, sf_dir))
-    timings["ext.sim_ivf_search_only"] = round(time.time() - t0, 3)
-
-    total = timings["pipeline_sales"] + timings["pipeline_supplier"] + sum(
-        timings[n] for n in bi
+    timings = {k: round(statistics.median(v), 3) for k, v in samples.items()}
+    timings.update(once)
+    value = round(statistics.median(headline_totals), 3)
+    noise_band = (
+        round((max(headline_totals) - min(headline_totals)) / value, 3)
+        if value > 0
+        else None
     )
+
     # Full per-query detail: side file + an early stdout line. Neither is the
     # driver's parse target, so their size is unconstrained.
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as fh:
-        json.dump({"sf": sf, "queries": timings}, fh, indent=1, sort_keys=True)
+        json.dump(
+            {
+                "sf": sf,
+                "reps": REPS,
+                "queries": timings,
+                "samples": samples,
+                "headline_totals": headline_totals,
+                "noise_band": noise_band,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
     print(json.dumps({"bench_detail": timings, "sf": sf}))
     sys.stdout.flush()
     spark.stop()
 
     headline = {
         "metric": "full_pipeline_plus_bi_sec",
-        "value": round(total, 3),
+        "value": value,
         "unit": "sec",
         "queries": {
-            k: timings[k]
-            for k in ("pipeline_sales", "pipeline_supplier", *bi)
+            "pipeline_sales": timings["pipeline_sales"],
+            "pipeline_supplier": timings["pipeline_supplier"],
+            "bi_regional_revenue_1998": timings["bi_regional_revenue_1998"],
+            "bi_top_platinum_clv": timings["bi_top_platinum_clv"],
+            "bi_strategic_suppliers": timings["bi_strategic_suppliers"],
+            "bi_monthly_trend_series": timings["bi_monthly_trend_series"],
+            "incr_refresh_init": once["ext.incr_monthly_trends_refresh_init"],
+            "incr_update_only": timings["ext.incr_monthly_trends_update_only"],
         },
+        "reps": REPS,
+        "noise_band": noise_band,
         "sf": sf,
     }
-    # LAST stdout line, compact (~300 bytes): the driver's parse target.
+    # LAST stdout line, compact (~400 bytes): the driver's parse target.
     print(json.dumps(headline))
 
 

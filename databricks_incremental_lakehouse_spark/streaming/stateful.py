@@ -143,7 +143,16 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = stateful_user_totals_stream(
             spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
         )
-        q.awaitTermination(300)
+        # ADVICE r4: a timed-out (still-running) drain would read a partial
+        # merge target AND memoize its path, silently serving wrong results
+        # for the rest of the session — raise instead, and memoize only
+        # after a confirmed drain.
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stateful_user_totals_stream did not drain within 300s; "
+                "refusing to read a partial merge target"
+            )
         target = os.path.join(root, "target")
         _STREAM_TARGETS[sf_dir] = target
     return read_merge_target(spark, target).select(

@@ -1044,3 +1044,198 @@ def test_checkpoint_changelog_crash_ordering(spark, tmp_path):
     assert commits == [1, 2]
     state = {r.id: r.v for r in read_as_of(spark, cdf, ["id"], 2).collect()}
     assert state == {1: 2.0, 2: 5.0, 3: 7.0}
+
+
+# --- crash-injected recovery properties (r4 VERDICT item 8) ---------------
+
+
+class _Boom(RuntimeError):
+    """Injected crash marker."""
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),  # key
+                st.integers(min_value=0, max_value=99),  # payload
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=2,
+        max_size=4,
+    ),
+    crash_at=st.integers(min_value=0, max_value=3),
+    crash_site=st.sampled_from(["publish", "pre_swap", "mid_swap"]),
+)
+def test_changelog_crash_recovery_property(
+    spark, tmp_path_factory, batches, crash_at, crash_site
+):
+    """Crash-inject one merge of a random upsert sequence at each distinct
+    fault point of the two-phase commit, redeliver the same batch (the
+    at-least-once recovery every file-based streaming source performs),
+    and assert full convergence: table == model, changelog replay == model
+    (so any CDC aggregate over the feed converges too), time travel at the
+    head commit == model, and no backup/committed-marker debris remains.
+
+    Fault points:
+    - ``publish``  — after every bucket swap, before the changelog commit
+      rename: the table holds the merge, the feed does not (the documented
+      residual window; redelivery re-emits the images as updates).
+    - ``pre_swap`` — after the changelog staging write, before ANY bucket
+      swap: nothing applied anywhere.
+    - ``mid_swap`` — inside ``_swap_dir`` between its two renames: the old
+      bucket image moved aside, the new one never landed; ``_recover_swaps``
+      must restore the backup before the retry merges.
+    """
+    import shutil
+
+    import databricks_incremental_lakehouse_spark.streaming.incremental as inc
+    from databricks_incremental_lakehouse_spark.streaming import (
+        read_as_of,
+        read_changelog,
+    )
+
+    root = str(tmp_path_factory.mktemp("crash_prop"))
+    target = os.path.join(root, "t")
+    cdf = os.path.join(root, "cdf")
+    crash_idx = min(crash_at, len(batches) - 1)
+
+    def run(df):
+        merge_upsert(
+            spark, df, target, keys=["k"], num_buckets=4, changelog_dir=cdf
+        )
+
+    real_publish, real_swap = inc._publish_commit, inc._swap_dir
+
+    def crash_publish(staging, final):
+        raise _Boom(f"publish({staging})")
+
+    def crash_pre_swap(src, dst):
+        raise _Boom(f"pre_swap({dst})")
+
+    def crash_mid_swap(src, dst):
+        old = inc._backup_path(dst)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(dst):
+            os.rename(dst, old)
+        raise _Boom(f"mid_swap({dst})")
+
+    model: dict = {}
+    for bi, rows in enumerate(batches):
+        batch = dict(rows)  # unique keys; later tuples win like the merge
+        df = spark.createDataFrame(
+            sorted(batch.items()), "k int, payload int"
+        )
+        if bi == crash_idx:
+            try:
+                if crash_site == "publish":
+                    inc._publish_commit = crash_publish
+                elif crash_site == "pre_swap":
+                    inc._swap_dir = crash_pre_swap
+                else:
+                    inc._swap_dir = crash_mid_swap
+                with pytest.raises(_Boom):
+                    run(df)
+            finally:
+                inc._publish_commit, inc._swap_dir = real_publish, real_swap
+            run(df)  # redelivery of the same batch
+        else:
+            run(df)
+        model.update(batch)
+        got = {
+            (r.k): r.payload for r in read_merge_target(spark, target).collect()
+        }
+        assert got == model, f"batch {bi} ({crash_site}): {got} != {model}"
+
+    # feed replay == model (inserts/postimages applied in commit order)
+    log = read_changelog(spark, cdf).collect()
+    replay: dict = {}
+    for r in sorted(log, key=lambda r: r.commit):
+        if r._op == "delete":
+            replay.pop(r.k, None)
+        elif r._op != "update_preimage":
+            replay[r.k] = r.payload
+    assert replay == model, f"replay diverged after {crash_site} crash"
+
+    # time travel at the head commit == model
+    head = max(r.commit for r in log)
+    asof = {r.k: r.payload for r in read_as_of(spark, cdf, ["k"], head).collect()}
+    assert asof == model
+
+    # no recovery debris: every commit dir committed, no .old backups
+    for name in os.listdir(cdf):
+        if name.startswith("commit="):
+            assert os.path.isfile(os.path.join(cdf, name, "_SUCCESS")), name
+        assert not name.endswith(".old"), name
+    for dirpath, dirs, _files in os.walk(target):
+        for d in dirs:
+            assert not d.endswith(".old"), os.path.join(dirpath, d)
+
+
+def test_checkpoint_changelog_swap_crash_recovers(spark, tmp_path):
+    """A crash inside checkpoint_changelog's snapshot swap (backup rename
+    done, snapshot rename not) leaves ``commit=N`` missing with
+    ``.commit=N.old`` as the only copy — the next read must restore it
+    (full history intact, nothing deleted), and re-running the checkpoint
+    must then complete normally."""
+    import shutil
+
+    import databricks_incremental_lakehouse_spark.streaming.incremental as inc
+    from databricks_incremental_lakehouse_spark.streaming import (
+        checkpoint_changelog,
+        read_as_of,
+        read_changelog,
+    )
+
+    target = str(tmp_path / "t")
+    cdf = str(tmp_path / "cdf")
+    for rows in [[(1, 1.0)], [(1, 2.0), (2, 5.0)], [(3, 7.0)]]:
+        merge_upsert(
+            spark,
+            spark.createDataFrame(rows, "id long, v double"),
+            target,
+            keys=["id"],
+            changelog_dir=cdf,
+        )
+
+    real_swap = inc._swap_dir
+
+    def crash_mid_swap(src, dst):
+        old = inc._backup_path(dst)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(dst):
+            os.rename(dst, old)
+        raise _Boom(f"mid_swap({dst})")
+
+    inc._swap_dir = crash_mid_swap
+    try:
+        with pytest.raises(_Boom):
+            checkpoint_changelog(spark, cdf, ["id"], upto=1)
+    finally:
+        inc._swap_dir = real_swap
+
+    # nothing deleted, interrupted swap finished on read: all three commits
+    commits = sorted(
+        {r.commit for r in read_changelog(spark, cdf).select("commit").collect()}
+    )
+    assert commits == [0, 1, 2]
+    state = {r.id: r.v for r in read_as_of(spark, cdf, ["id"], 2).collect()}
+    assert state == {1: 2.0, 2: 5.0, 3: 7.0}
+
+    # the retried checkpoint completes and preserves reads at/after upto
+    checkpoint_changelog(spark, cdf, ["id"], upto=1)
+    commits = sorted(
+        {r.commit for r in read_changelog(spark, cdf).select("commit").collect()}
+    )
+    assert commits == [1, 2]
+    state = {r.id: r.v for r in read_as_of(spark, cdf, ["id"], 2).collect()}
+    assert state == {1: 2.0, 2: 5.0, 3: 7.0}
