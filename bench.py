@@ -217,6 +217,10 @@ def main() -> None:
         "bi_tpch_q10",
         "bi_tpch_q12",
         "bi_tpch_q14",
+        "bi_tpch_q4",
+        "bi_tpch_q13",
+        "bi_tpch_q15",
+        "bi_tpch_q18",
         "qc_revenue_anomaly",
     ]
     for name in ext:

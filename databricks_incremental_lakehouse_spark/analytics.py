@@ -1,20 +1,25 @@
-"""Classic TPC-H analyst queries (Q1, Q3, Q5, Q6, Q10, Q12, Q14) over the
-raw tables.
+"""Classic TPC-H analyst queries (Q1, Q3, Q4, Q5, Q6, Q10, Q12, Q13, Q14,
+Q15, Q18) over the raw tables.
 
 Beyond the reference's own four BI queries: the warehouse should answer the
-standard analyst suite unchanged, so seven canonical TPC-H shapes are
+standard analyst suite unchanged, so eleven canonical TPC-H shapes are
 registered as first-class oracle-checked queries — Q1 (scan-heavy grouped
-aggregate battery), Q3 (selective 3-way join + top-k), Q5 (6-way
-star join with a cross-dimension equality), Q6 (pure scan-filter
-single-row aggregate), Q10 (returned-item top-k over a 4-way join),
-Q12 (conditional two-way priority counts), Q14 (promo revenue ratio).
+aggregate battery), Q3 (selective 3-way join + top-k), Q4 (EXISTS
+semi-join + priority counts), Q5 (6-way star join with a cross-dimension
+equality), Q6 (pure scan-filter single-row aggregate), Q10 (returned-item
+top-k over a 4-way join), Q12 (conditional two-way priority counts), Q13
+(left-outer double aggregation / order-count distribution), Q14 (promo
+revenue ratio), Q15 (top supplier via exact-decimal global max), Q18
+(large-volume customers: HAVING semi-join + top-100).
 Adaptations to the driver corpus, FIXTURES.md-style: the date domain is
 1995-2001 (cutoffs shifted accordingly), ``orders`` carries
 ``o_orderpriority`` instead of TPC-H's ``o_shippriority``, customer has
-no address/phone/comment (Q10 drops them), and lineitem has no
+no address/phone/comment (Q10 drops them; Q13's comment exclusion becomes
+a priority exclusion), and lineitem has no
 ``l_shipmode``/``l_commitdate``/``l_receiptdate`` — Q12 groups by
-``l_linestatus`` with the date predicate on ``l_shipdate`` instead,
-keeping the join + conditional-aggregation shape.
+``l_linestatus`` with the date predicate on ``l_shipdate`` instead, and
+Q4's "problem line" becomes shipped >90 days after the order date —
+keeping each query's join/aggregation shape.
 
 Parity discipline: SUM over raw DOUBLE columns is addition-order-dependent
 and therefore NOT portable across engines; every summed measure is cast
@@ -404,6 +409,178 @@ SELECT {round_dbl_sql("CAST(100.0 AS DOUBLE) * promo / total", 6)} AS promo_reve
 FROM agg"""
 
 
+Q4_LO, Q4_HI = "1997-07-01", "1997-10-01"  # classic: 1993-07 quarter
+Q4_LATE_DAYS = 90  # adapted lateness predicate (no commit/receipt dates)
+Q13_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"  # stands in for the comment filter
+Q15_LO, Q15_HI = "1997-10-01", "1998-01-01"  # classic: 1996-01 quarter
+Q18_QTY = 300.0  # classic threshold; non-vacuous at every driver SF
+
+
+def bi_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: order-priority checking — orders in one quarter having at
+    least one problem line, counted by priority. Adaptation (module
+    docstring): the corpus has no ``l_commitdate``/``l_receiptdate``, so
+    the EXISTS predicate is "a line shipped more than 90 days after the
+    order date" — same shape: quarter-pruned orders scan, EXISTS as a
+    LEFT SEMI join with a cross-table inequality, 5-group integer counts
+    (fully portable, no float surface)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q4_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_HI).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), Q4_LATE_DAYS)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+TPCH_Q4_ORACLE = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{Q4_LO}' AND o_orderdate < TIMESTAMP '{Q4_HI}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+  )
+GROUP BY 1
+ORDER BY 1"""
+
+
+def bi_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution — LEFT OUTER join with
+    an ON-clause filter (customers with zero qualifying orders must appear
+    as c_count=0), then a second aggregation over the first. Adaptation:
+    the excluded-comment predicate becomes "priority <> '4-NOT
+    SPECIFIED'" (no o_comment in the corpus). Integer outputs only."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+TPCH_Q13_ORACLE = f"""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+        AND o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""
+
+
+def bi_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier — quarter revenue per supplier, keep the
+    supplier(s) achieving the global maximum. The max is computed on the
+    EXACT decimal sum (bit-identical across engines) and joined back as a
+    broadcast single row — no single-partition window over the supplier
+    aggregate. Revenue rounds to cents only at the output boundary."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_HI).cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_disc_price().cast(_DEC)).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q15_ORACLE = f"""
+WITH rev AS (
+    SELECT l_suppkey, SUM(CAST({_DISC_SQL} AS DECIMAL(38,10))) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q15_LO}' AND l_shipdate < TIMESTAMP '{Q15_HI}'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name,
+    CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
+FROM rev
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey"""
+
+
+def bi_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume customers — orders whose total quantity
+    exceeds 300, with customer context, top-100 by order value. The
+    IN-subquery-with-HAVING is one aggregate + semi join; quantities are
+    integral doubles, so their sums are exact in ANY addition order (no
+    decimal grid needed; asserted against the corpus). Top-k plans as
+    TakeOrderedAndProject with (o_totalprice desc, o_orderdate,
+    o_orderkey) a deterministic total order."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+TPCH_Q18_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+    CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+FROM (
+    SELECT l_orderkey, SUM(l_quantity) AS total_qty
+    FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > {Q18_QTY}
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100"""
+
+
 def register_all(register) -> None:
     register("bi_tpch_q1", bi_tpch_q1, TPCH_Q1_ORACLE)
     register("bi_tpch_q3", bi_tpch_q3, TPCH_Q3_ORACLE)
@@ -412,3 +589,7 @@ def register_all(register) -> None:
     register("bi_tpch_q10", bi_tpch_q10, TPCH_Q10_ORACLE)
     register("bi_tpch_q12", bi_tpch_q12, TPCH_Q12_ORACLE)
     register("bi_tpch_q14", bi_tpch_q14, TPCH_Q14_ORACLE)
+    register("bi_tpch_q4", bi_tpch_q4, TPCH_Q4_ORACLE)
+    register("bi_tpch_q13", bi_tpch_q13, TPCH_Q13_ORACLE)
+    register("bi_tpch_q15", bi_tpch_q15, TPCH_Q15_ORACLE)
+    register("bi_tpch_q18", bi_tpch_q18, TPCH_Q18_ORACLE)

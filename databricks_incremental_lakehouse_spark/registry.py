@@ -295,6 +295,10 @@ _CHECK_PRIORITY: list[str] = [
     "bi_tpch_q10",
     "bi_tpch_q12",
     "bi_tpch_q14",
+    "bi_tpch_q4",
+    "bi_tpch_q13",
+    "bi_tpch_q15",
+    "bi_tpch_q18",
     # -- (2) carriers whose code changed this round (green r4, recheck) -----
     "dedup_embedding_cosine_knn",  # broadcast matrix + tie-saturation guard
     "gold_customer_lifetime_value",  # pct_scope parameterization
@@ -339,10 +343,9 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_embedding_cosine",  # also changed this round (broadcast)
     "dedup_clusters",
     "text_decontamination",
-    "sample_stratified",
-    "sample_stratified_counts",
-    "corpus_curate",
-    "sample_temperature",
+    # (sample_stratified/_counts, corpus_curate, sample_temperature — all
+    # ever-green r3 — ceded their rotation slots to the four new TPC-H
+    # queries, which as never-green MUST sit inside the window)
 ]
 
 

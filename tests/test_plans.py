@@ -207,6 +207,34 @@ def test_clv_scoped_windows_hash_partition(spark, sf_correct):
     )
 
 
+def test_tpch_q4_exists_as_semi_join(spark, sf_correct):
+    """Q4's EXISTS must plan as a semi join over the quarter-pruned orders
+    (never a full join + dedup), with the quarter predicate pushed to the
+    orders scan."""
+    plan = _plan(QUERIES["bi_tpch_q4"](spark, sf_correct))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "o_orderdate" in pushed
+
+
+def test_tpch_q15_broadcasts_global_max(spark, sf_correct):
+    """Q15's global-max filter must join the 1-row max as a broadcast —
+    not a single-partition window over the supplier aggregate."""
+    plan = _plan(QUERIES["bi_tpch_q15"](spark, sf_correct))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan.split("Sort")[0]
+
+
+def test_tpch_q18_take_ordered(spark, sf_correct):
+    """Q18's top-100 must plan as TakeOrderedAndProject, and the HAVING
+    subquery as one aggregate feeding a join (single lineitem scan for
+    the quantity sums)."""
+    plan = _plan(QUERIES["bi_tpch_q18"](spark, sf_correct))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ivf_index_probe_prunes_cells(spark, sf_correct):
     """The indexed IVF search must reach the cl-partitioned cell store with
     dynamic partition pruning on the probe join — that pruning IS the
