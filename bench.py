@@ -177,6 +177,7 @@ def main() -> None:
         "dedup_simhash_pairs",
         "sim_topk_bruteforce",
         "sim_topk_vectorized",
+        "sim_topk_quantized",
         "sim_ivf_topk",
         "sim_hyperplane_lsh",
         "text_stats",

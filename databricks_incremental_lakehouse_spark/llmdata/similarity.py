@@ -856,6 +856,122 @@ SELECT vec_id, scale,
 FROM err"""
 
 
+QUANT_CAND_K = 20  # candidates kept from the quantized pass (4x TOP_K)
+
+
+def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SQ8 serving search — the production pattern
+    :func:`embedding_quantize` exists for: stage 1 scores every query
+    (full precision) against the RECONSTRUCTED int8 vectors
+    (``code * scale`` — asymmetric distance computation, 4x less vector
+    bandwidth than the float table) and keeps the top
+    :data:`QUANT_CAND_K` candidates per query; stage 2 re-ranks only
+    those candidates with exact full-precision cosine. Same output
+    contract as :func:`sim_topk_bruteforce`; recall vs the exact
+    baseline is asserted in tests (the approximation can only lose a
+    true neighbor if quantization error reorders it out of the
+    candidate set).
+
+    Portability: reconstruction is one exact IEEE multiply per
+    component (INT code x 9-dp scale), and both cosine passes use the
+    same mirrored-evaluation-order HOF sum + 6-dp grid as the
+    brute-force baseline, so the DuckDB oracle replays both stages
+    bit-for-bit. Plan shape: queries broadcast over the quantized scan;
+    the 200-row candidate set broadcasts back onto the float table —
+    no shuffle larger than the candidates anywhere."""
+    emb = _emb(spark, sf_dir)
+    scale = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(127.0)
+    q = emb.select("vec_id", "v", F.round(scale, 9).alias("scale"))
+    code = lambda x: F.coalesce(  # noqa: E731 — same grid as embedding_quantize
+        F.round(
+            (x / F.nullif(F.col("scale"), F.lit(0.0))).cast("decimal(38,10)"), 0
+        ).cast("int"),
+        F.lit(0),
+    )
+    recon = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform(
+            F.col("v"), lambda x: code(x).cast("double") * F.col("scale")
+        ).alias("vq"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored_q = (
+        F.broadcast(queries)
+        .join(recon, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_q",
+            round_dbl(
+                _dot("qv", "vq") / F.nullif(_norm("qv") * _norm("vq"), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored_q.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= QUANT_CAND_K)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    rerank = F.broadcast(cand).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id"
+    )
+    scored = rerank.withColumn(
+        "cosine",
+        round_dbl(_dot("qv", "v") / F.nullif(_norm("qv") * _norm("v"), F.lit(0.0)), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+_COSQ = _COS.replace("* v[i]", "* vq[i]").replace("list_transform(v,", "list_transform(vq,")
+
+SIM_TOPK_QUANTIZED_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, v,
+        ROUND(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) AS scale
+    FROM e
+),
+recon AS (
+    SELECT vec_id AS neighbor_id,
+        list_transform(v, x -> CAST(COALESCE(
+            CAST(ROUND(CAST(x / NULLIF(scale, 0) AS DECIMAL(38,10)), 0) AS INT),
+            0) AS DOUBLE) * scale) AS vq
+    FROM s
+),
+qry AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+cand AS (
+    SELECT query_id, qv, neighbor_id FROM (
+        SELECT q.query_id, q.qv, r.neighbor_id,
+            ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY {_COSQ} DESC, r.neighbor_id ASC
+            ) AS crank
+        FROM qry q JOIN recon r ON q.query_id <> r.neighbor_id
+    ) WHERE crank <= {QUANT_CAND_K}
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT c.query_id, c.neighbor_id, {_COS} AS cosine,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY c.query_id ORDER BY {_COS} DESC, c.neighbor_id ASC
+        ) AS INT) AS rank
+    FROM cand c JOIN e n ON c.neighbor_id = n.vec_id
+) WHERE rank <= {TOP_K}"""
+
+
 def register_all(register) -> None:
     register("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE)
     register("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE)
@@ -863,5 +979,6 @@ def register_all(register) -> None:
     register("sim_hyperplane_lsh", sim_hyperplane_lsh, SIM_LSH_ORACLE)
     # same result contract as the JVM baseline -> same oracle
     register("sim_topk_vectorized", sim_topk_vectorized, SIM_TOPK_ORACLE)
+    register("sim_topk_quantized", sim_topk_quantized, SIM_TOPK_QUANTIZED_ORACLE)
     register("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_ORACLE)
     register("embedding_quantize", embedding_quantize, EMBEDDING_QUANTIZE_ORACLE)

@@ -299,6 +299,7 @@ _CHECK_PRIORITY: list[str] = [
     "bi_tpch_q13",
     "bi_tpch_q15",
     "bi_tpch_q18",
+    "sim_topk_quantized",  # new r5: SQ8 candidate scoring + exact re-rank
     # -- (2) carriers whose code changed this round (green r4, recheck) -----
     "dedup_embedding_cosine_knn",  # broadcast matrix + tie-saturation guard
     "gold_customer_lifetime_value",  # pct_scope parameterization
@@ -314,7 +315,8 @@ _CHECK_PRIORITY: list[str] = [
     # window marked its residents ever-green, freeing these slots per the
     # VERDICT r3 rotation policy (oldest-verified first)
     "qc_referential_integrity",
-    "bronze_nation",
+    # (bronze_nation — ever-green r1-r3, 25-row trivial extract — ceded its
+    # slot to sim_topk_quantized)
     "bronze_region",
     "gold_revenue_by_region",
     "gold_monthly_sales_trends",

