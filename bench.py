@@ -221,6 +221,7 @@ def main() -> None:
         "bi_tpch_q4",
         "bi_tpch_q13",
         "bi_tpch_q15",
+        "bi_tpch_q17",
         "bi_tpch_q18",
         "qc_revenue_anomaly",
     ]

@@ -1,15 +1,16 @@
 """Classic TPC-H analyst queries (Q1, Q3, Q4, Q5, Q6, Q10, Q12, Q13, Q14,
-Q15, Q18) over the raw tables.
+Q15, Q17, Q18) over the raw tables.
 
 Beyond the reference's own four BI queries: the warehouse should answer the
-standard analyst suite unchanged, so eleven canonical TPC-H shapes are
+standard analyst suite unchanged, so twelve canonical TPC-H shapes are
 registered as first-class oracle-checked queries — Q1 (scan-heavy grouped
 aggregate battery), Q3 (selective 3-way join + top-k), Q4 (EXISTS
 semi-join + priority counts), Q5 (6-way star join with a cross-dimension
 equality), Q6 (pure scan-filter single-row aggregate), Q10 (returned-item
 top-k over a 4-way join), Q12 (conditional two-way priority counts), Q13
 (left-outer double aggregation / order-count distribution), Q14 (promo
-revenue ratio), Q15 (top supplier via exact-decimal global max), Q18
+revenue ratio), Q15 (top supplier via exact-decimal global max), Q17
+(correlated per-part average as aggregate + join), Q18
 (large-volume customers: HAVING semi-join + top-100).
 Adaptations to the driver corpus, FIXTURES.md-style: the date domain is
 1995-2001 (cutoffs shifted accordingly), ``orders`` carries
@@ -581,6 +582,60 @@ ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
 LIMIT 100"""
 
 
+Q17_BRAND = "Brand#4"  # classic Brand#23 + MED BOX container (no container col)
+
+
+def bi_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity-order revenue — average yearly revenue
+    lost if small orders (below 20% of a part's average order quantity)
+    were not filled. The correlated scalar subquery becomes a per-part
+    aggregate joined back to the brand-filtered lines. Adaptation: no
+    ``p_container`` in the corpus, so the brand predicate alone selects
+    the part population. Portability: quantities are integral doubles, so
+    the per-part threshold ``0.2 * (sum/count)`` is bit-exact in any
+    addition order on both engines; revenue sums on the decimal grid.
+
+    At 100 TB: the per-part average aggregates the FULL lineitem (the
+    classic query's semantics), one map-side-combined shuffle on
+    l_partkey; the brand side prunes to ~1/25 of parts before the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND)
+    thr = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2) * (F.sum("l_quantity") / F.count("l_quantity"))
+        ).alias("qty_thr")
+    )
+    picked = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+    )
+    total = picked.agg(
+        F.round(F.sum(F.col("l_extendedprice").cast(_DEC)), 2)
+        .cast("double")
+        .alias("t")
+    )
+    return total.select(
+        round_dbl(F.col("t") / F.lit(7.0), 6).alias("avg_yearly")
+    )
+
+
+TPCH_Q17_ORACLE = f"""
+WITH thr AS (
+    SELECT l_partkey, 0.2 * (SUM(l_quantity) / COUNT(l_quantity)) AS qty_thr
+    FROM lineitem GROUP BY 1
+),
+total AS (
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,10))), 2)
+           AS DOUBLE) AS t
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN thr a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = '{Q17_BRAND}' AND l.l_quantity < a.qty_thr
+)
+SELECT {round_dbl_sql("t / CAST(7.0 AS DOUBLE)", 6)} AS avg_yearly FROM total"""
+
+
 def register_all(register) -> None:
     register("bi_tpch_q1", bi_tpch_q1, TPCH_Q1_ORACLE)
     register("bi_tpch_q3", bi_tpch_q3, TPCH_Q3_ORACLE)
@@ -592,4 +647,5 @@ def register_all(register) -> None:
     register("bi_tpch_q4", bi_tpch_q4, TPCH_Q4_ORACLE)
     register("bi_tpch_q13", bi_tpch_q13, TPCH_Q13_ORACLE)
     register("bi_tpch_q15", bi_tpch_q15, TPCH_Q15_ORACLE)
+    register("bi_tpch_q17", bi_tpch_q17, TPCH_Q17_ORACLE)
     register("bi_tpch_q18", bi_tpch_q18, TPCH_Q18_ORACLE)

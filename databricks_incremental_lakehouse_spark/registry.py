@@ -300,6 +300,7 @@ _CHECK_PRIORITY: list[str] = [
     "bi_tpch_q15",
     "bi_tpch_q18",
     "sim_topk_quantized",  # new r5: SQ8 candidate scoring + exact re-rank
+    "bi_tpch_q17",
     # -- (2) carriers whose code changed this round (green r4, recheck) -----
     "dedup_embedding_cosine_knn",  # broadcast matrix + tie-saturation guard
     "gold_customer_lifetime_value",  # pct_scope parameterization
@@ -315,9 +316,8 @@ _CHECK_PRIORITY: list[str] = [
     # window marked its residents ever-green, freeing these slots per the
     # VERDICT r3 rotation policy (oldest-verified first)
     "qc_referential_integrity",
-    # (bronze_nation — ever-green r1-r3, 25-row trivial extract — ceded its
-    # slot to sim_topk_quantized)
-    "bronze_region",
+    # (bronze_nation / bronze_region — ever-green r1-r3, 25/5-row trivial
+    # extracts — ceded their slots to sim_topk_quantized and bi_tpch_q17)
     "gold_revenue_by_region",
     "gold_monthly_sales_trends",
     "bi_regional_revenue_1998",
