@@ -184,6 +184,7 @@ def main() -> None:
         "text_langid",
         "sketch_hll_distinct",
         "sketch_cms_heavy_hitters",
+        "sketch_bloom_membership",
         "multimodal_feature_stats",
         "multimodal_frame_sample",
         "events_tumbling_hourly",

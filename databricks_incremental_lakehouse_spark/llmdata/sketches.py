@@ -436,7 +436,120 @@ SELECT est.event_type, CAST(n_events AS BIGINT) AS n_events,
 FROM est JOIN exact ON est.event_type = exact.event_type"""
 
 
+# --- Bloom filter ---------------------------------------------------------
+
+BLOOM_M = 1024  # filter bits
+BLOOM_WORD = 32  # bits packed per BIGINT word (1<<31 stays positive signed)
+BLOOM_K = 4  # hash functions (seed-prefixed portable family)
+BLOOM_PROBES = 20  # doc_id < 20 are the membership probe set
+
+
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-``source`` Bloom filters over document text + membership probes
+    — the third mergeable-summary family (HLL counts distincts, CMS counts
+    frequencies, Bloom answers set membership, e.g. "has this benchmark
+    document been ingested from that source?").
+
+    Build: each doc sets ``BLOOM_K`` seed-hashed bit positions in its
+    source's ``BLOOM_M``-bit filter, materialized as 32 BIGINT words via a
+    ``bit_or`` aggregate — map-side partial OR, so the shuffle carries at
+    most ``sources x words`` rows regardless of corpus size, and filters
+    merge associatively across any partitioning (the streaming/union
+    property). Probe: the first ``BLOOM_PROBES`` docs test against EVERY
+    source's filter; ``present`` requires all k bits set — Bloom's
+    guarantee of no false negatives for the doc's own source, and the
+    observed false-positive rate across other sources exhibits the
+    m/k/n trade-off in the output (asserted in tests).
+
+    All bit arithmetic is integer (portable); the only hashes are the
+    seed-prefixed ``hash60`` family DuckDB replays exactly."""
+    from .texthash import seeded_hash60
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pos = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    (seeded_hash60(F.col("text"), s) % BLOOM_M).cast("int")
+                    for s in range(BLOOM_K)
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(f"pos div {BLOOM_WORD}").alias("word"),
+        F.expr(f"shiftleft(1L, pos % {BLOOM_WORD})").alias("mask"),
+    )
+    filt = pos.groupBy("source", "word").agg(F.bit_or("mask").alias("bits"))
+    probes = pos.filter(F.col("doc_id") < BLOOM_PROBES).select(
+        F.col("doc_id").alias("probe_doc_id"), "word", "mask"
+    )
+    sources = docs.select("source").distinct()
+    tested = (
+        probes.crossJoin(F.broadcast(sources))
+        .join(
+            F.broadcast(filt).withColumnRenamed("source", "f_source"),
+            (F.col("f_source") == F.col("source"))
+            & (filt["word"] == probes["word"]),
+            "left",
+        )
+        .select(
+            "probe_doc_id",
+            "source",
+            F.when(
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                != 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    return tested.groupBy("probe_doc_id", "source").agg(
+        F.sum("hit").cast("int").alias("n_hits"),
+        (F.sum("hit") == F.lit(BLOOM_K)).alias("present"),
+    )
+
+
+SKETCH_BLOOM_ORACLE = f"""
+WITH d AS (SELECT doc_id, source, text FROM documents),
+pos AS (
+    SELECT doc_id, source,
+        CAST({seeded_hash60_sql("text", "seed")} % {BLOOM_M} AS INT) AS pos
+    FROM d CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS seed)
+),
+bits AS (
+    SELECT doc_id, source, pos // {BLOOM_WORD} AS word,
+        CAST(1 AS BIGINT) << (pos % {BLOOM_WORD}) AS mask
+    FROM pos
+),
+filt AS (
+    SELECT source, word, bit_or(mask) AS bits
+    FROM bits GROUP BY 1, 2
+),
+probe AS (
+    SELECT doc_id AS probe_doc_id, word, mask FROM bits
+    WHERE doc_id < {BLOOM_PROBES}
+),
+src AS (SELECT DISTINCT source FROM d)
+SELECT probe_doc_id, s.source,
+    CAST(SUM(CASE WHEN (COALESCE(f.bits, 0) & p.mask) <> 0 THEN 1 ELSE 0 END)
+         AS INT) AS n_hits,
+    SUM(CASE WHEN (COALESCE(f.bits, 0) & p.mask) <> 0 THEN 1 ELSE 0 END)
+        = {BLOOM_K} AS present
+FROM probe p
+CROSS JOIN src s
+LEFT JOIN filt f ON f.source = s.source AND f.word = p.word
+GROUP BY 1, 2"""
+
+
 def register_all(register) -> None:
+    register(
+        "sketch_bloom_membership", sketch_bloom_membership, SKETCH_BLOOM_ORACLE
+    )
     register("sketch_hll_distinct", sketch_hll_distinct, SKETCH_HLL_ORACLE)
     register("sketch_cms_heavy_hitters", sketch_cms_heavy_hitters, SKETCH_CMS_ORACLE)
     register(

@@ -301,6 +301,7 @@ _CHECK_PRIORITY: list[str] = [
     "bi_tpch_q18",
     "sim_topk_quantized",  # new r5: SQ8 candidate scoring + exact re-rank
     "bi_tpch_q17",
+    "sketch_bloom_membership",  # new r5: third mergeable-summary family
     # -- (2) carriers whose code changed this round (green r4, recheck) -----
     "dedup_embedding_cosine_knn",  # broadcast matrix + tie-saturation guard
     "gold_customer_lifetime_value",  # pct_scope parameterization
@@ -320,7 +321,9 @@ _CHECK_PRIORITY: list[str] = [
     # extracts — ceded their slots to sim_topk_quantized and bi_tpch_q17)
     "gold_revenue_by_region",
     "gold_monthly_sales_trends",
-    "bi_regional_revenue_1998",
+    # (bi_regional_revenue_1998 — ever-green r1-r3, thin filter over
+    # gold_revenue_by_region which stays in the window — ceded its slot
+    # to sketch_bloom_membership)
     "bi_top_platinum_clv",
     "bi_strategic_suppliers",
     "bi_top_suppliers_by_score",

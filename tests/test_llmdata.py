@@ -678,7 +678,32 @@ def test_dedup_embedding_cosine_threshold_matches_numpy(spark, sf_correct):
     assert got == want
 
 
-def test_quantized_topk_recall_vs_exact(spark, sf_correct):
+def test_bloom_membership_guarantees(spark, sf_correct):
+    """Bloom's contract: NO false negatives (every probe is present in its
+    own source's filter) and a small false-positive rate elsewhere (m=1024,
+    k=4 over ~tens of docs per source => expected FP well under 5%)."""
+    from databricks_incremental_lakehouse_spark.llmdata.sketches import (
+        BLOOM_K,
+        sketch_bloom_membership,
+    )
+
+    own = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_correct, "documents")
+        .select("doc_id", "source")
+        .filter(F.col("doc_id") < 20)
+        .collect()
+    }
+    rows = sketch_bloom_membership(spark, sf_correct).collect()
+    others = hits = 0
+    for r in rows:
+        assert 0 <= r.n_hits <= BLOOM_K
+        if own[r.probe_doc_id] == r.source:
+            assert r.present, f"false negative: {r.probe_doc_id} in {r.source}"
+        else:
+            others += 1
+            hits += int(r.present)
+    assert others > 0 and hits / others < 0.05
     """The SQ8 two-stage search must (a) agree with the exact baseline's
     cosine value on every pair it returns (re-rank IS full precision) and
     (b) recover nearly all true top-5 neighbors — int8 reconstruction
