@@ -185,6 +185,7 @@ def main() -> None:
         "sketch_hll_distinct",
         "sketch_cms_heavy_hitters",
         "sketch_bloom_membership",
+        "sketch_kmv_overlap",
         "multimodal_feature_stats",
         "multimodal_frame_sample",
         "events_tumbling_hourly",

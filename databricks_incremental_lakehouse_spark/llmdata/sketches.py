@@ -38,7 +38,7 @@ way the streaming module extends §2.9.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import round_dbl
@@ -436,6 +436,166 @@ SELECT est.event_type, CAST(n_events AS BIGINT) AS n_events,
 FROM est JOIN exact ON est.event_type = exact.event_type"""
 
 
+# --- KMV (k minimum values) -----------------------------------------------
+
+KMV_K = 64  # sketch size per group
+KMV_DOMAIN = float(1 << 60)  # hash60 domain, exact as a double
+
+
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between every pair of event types via KMV
+    (k-minimum-values / bottom-k) sketches — the mergeable set-operation
+    summary HLL lacks: two KMVs union by keeping the k smallest of the
+    merged hash sets (associative, order-independent — which is why this
+    sketch IS oracle-replayable while e.g. space-saving top-k, whose
+    state depends on arrival order, is not).
+
+    Estimators (Beyer et al. 2007): with ``m = min(k, |union|)`` kept
+    values and ``h_m`` the largest kept hash, the union's distinct count
+    is ``(m-1) * 2^60 / h_m``; Jaccard is the fraction of kept values
+    present in both sides; the intersection estimate is their product.
+    Exact counterparts ride along so the error is visible.
+
+    Scale: the per-type sketch is ``groupBy(type).top-k(hash)`` — the
+    shuffle after map-side partial aggregation carries at most
+    ``types x k`` rows; pair scoring touches only the tiny sketch table.
+    The one O(data) shuffle is the exact-comparison column, as in the
+    other sketches. Int64 -> double conversion of the same value rounds
+    identically on both engines (IEEE round-to-nearest), so the
+    estimator divisions are bit-portable."""
+    events = load_table(spark, sf_dir, "events")
+    uh = (
+        events.select(
+            "event_type", hash60(F.col("user_id").cast("string")).alias("h")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmv = uh.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    types = kmv.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(
+            types.select(F.col("event_type").alias("tb")),
+            F.col("ta") < F.col("tb"),
+        )
+    )
+    ka = kmv.select(F.col("event_type").alias("ta"), "h")
+    kb = kmv.select(F.col("event_type").alias("tb"), "h")
+    merged = (
+        pairs.join(ka, "ta")
+        .select("ta", "tb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(kb, "tb").select(
+                "ta", "tb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+        .groupBy("ta", "tb", "h")
+        .agg(F.max("in_a").alias("a"), F.max("in_b").alias("b"))
+    )
+    wm = Window.partitionBy("ta", "tb").orderBy("h")
+    kept = merged.withColumn("rn", F.row_number().over(wm)).filter(
+        F.col("rn") <= KMV_K
+    )
+    est = kept.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("a") * F.col("b")).alias("common"),
+        F.max("h").alias("h_m"),
+    )
+    j = round_dbl(F.col("common").cast("double") / F.col("m").cast("double"), 6)
+    u = round_dbl(
+        (F.col("m") - F.lit(1)).cast("double")
+        * F.lit(KMV_DOMAIN)
+        / F.col("h_m").cast("double"),
+        0,
+    ).cast("bigint")
+    est = est.select(
+        "ta",
+        "tb",
+        j.alias("est_jaccard"),
+        u.alias("est_union"),
+        round_dbl(j * u.cast("double"), 0).cast("bigint").alias("est_common"),
+    )
+    du = events.select("event_type", "user_id").distinct()
+    exact = (
+        du.select(F.col("event_type").alias("ta"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("tb"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("exact_common"))
+    )
+    return est.join(exact, ["ta", "tb"], "left").select(
+        "ta",
+        "tb",
+        "est_jaccard",
+        "est_union",
+        "est_common",
+        F.coalesce(F.col("exact_common"), F.lit(0))
+        .cast("bigint")
+        .alias("exact_common"),
+    )
+
+
+SKETCH_KMV_ORACLE = f"""
+WITH uh AS (
+    SELECT DISTINCT event_type, {hash60_sql("CAST(user_id AS VARCHAR)")} AS h
+    FROM events
+),
+kmv AS (
+    SELECT event_type, h FROM (
+        SELECT event_type, h,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM uh
+    ) WHERE rn <= {KMV_K}
+),
+pairs AS (
+    SELECT x.event_type AS ta, y.event_type AS tb
+    FROM (SELECT DISTINCT event_type FROM kmv) x
+    JOIN (SELECT DISTINCT event_type FROM kmv) y ON x.event_type < y.event_type
+),
+merged AS (
+    SELECT ta, tb, h, MAX(in_a) AS a, MAX(in_b) AS b FROM (
+        SELECT p.ta, p.tb, k.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN kmv k ON k.event_type = p.ta
+        UNION ALL
+        SELECT p.ta, p.tb, k.h, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN kmv k ON k.event_type = p.tb
+    ) GROUP BY 1, 2, 3
+),
+kept AS (
+    SELECT ta, tb, h, a, b FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+        FROM merged
+    ) WHERE rn <= {KMV_K}
+),
+est AS (
+    SELECT ta, tb,
+        {round_dbl_sql("CAST(SUM(a * b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)}
+            AS est_jaccard,
+        CAST({round_dbl_sql(
+            "CAST(COUNT(*) - 1 AS DOUBLE) * " + repr(KMV_DOMAIN)
+            + " / CAST(MAX(h) AS DOUBLE)", 0)} AS BIGINT) AS est_union
+    FROM kept GROUP BY 1, 2
+),
+exact AS (
+    SELECT x.ta, y.tb, COUNT(*) AS exact_common FROM
+        (SELECT DISTINCT event_type AS ta, user_id FROM events) x
+    JOIN (SELECT DISTINCT event_type AS tb, user_id FROM events) y
+      ON x.user_id = y.user_id AND x.ta < y.tb
+    GROUP BY 1, 2
+)
+SELECT e.ta, e.tb, e.est_jaccard, e.est_union,
+    CAST({round_dbl_sql("e.est_jaccard * CAST(e.est_union AS DOUBLE)", 0)}
+         AS BIGINT) AS est_common,
+    CAST(COALESCE(x.exact_common, 0) AS BIGINT) AS exact_common
+FROM est e LEFT JOIN exact x ON e.ta = x.ta AND e.tb = x.tb"""
+
+
 # --- Bloom filter ---------------------------------------------------------
 
 BLOOM_M = 1024  # filter bits
@@ -550,6 +710,7 @@ def register_all(register) -> None:
     register(
         "sketch_bloom_membership", sketch_bloom_membership, SKETCH_BLOOM_ORACLE
     )
+    register("sketch_kmv_overlap", sketch_kmv_overlap, SKETCH_KMV_ORACLE)
     register("sketch_hll_distinct", sketch_hll_distinct, SKETCH_HLL_ORACLE)
     register("sketch_cms_heavy_hitters", sketch_cms_heavy_hitters, SKETCH_CMS_ORACLE)
     register(

@@ -302,6 +302,7 @@ _CHECK_PRIORITY: list[str] = [
     "sim_topk_quantized",  # new r5: SQ8 candidate scoring + exact re-rank
     "bi_tpch_q17",
     "sketch_bloom_membership",  # new r5: third mergeable-summary family
+    "sketch_kmv_overlap",  # new r5: bottom-k set-operation sketch
     # -- (2) carriers whose code changed this round (green r4, recheck) -----
     "dedup_embedding_cosine_knn",  # broadcast matrix + tie-saturation guard
     "gold_customer_lifetime_value",  # pct_scope parameterization
@@ -327,7 +328,9 @@ _CHECK_PRIORITY: list[str] = [
     "bi_top_platinum_clv",
     "bi_strategic_suppliers",
     "bi_top_suppliers_by_score",
-    "bi_monthly_trend_series",
+    # (bi_monthly_trend_series — ever-green r1-r3, thin projection of
+    # gold_monthly_sales_trends which stays in the window — ceded its
+    # slot to sketch_kmv_overlap)
     "qc_row_counts",
     "qc_null_checks",
     "qc_business_rules",

@@ -678,6 +678,31 @@ def test_dedup_embedding_cosine_threshold_matches_numpy(spark, sf_correct):
     assert got == want
 
 
+def test_kmv_overlap_estimates_partial_jaccard(spark, tmp_path):
+    """The driver corpus is degenerate for KMV (every event type covers
+    all 150 users -> Jaccard 1.0 everywhere), so the estimator's actual
+    job — partial overlap — is exercised on a planted corpus: X = users
+    0..999, Y = 500..1499, true Jaccard 1/3, union 1500. With k=64 the
+    relative error is ~1/sqrt(k) = 12.5%; assert inside 3 sigma, plus the
+    exact columns are exactly right."""
+    from databricks_incremental_lakehouse_spark.llmdata.sketches import (
+        sketch_kmv_overlap,
+    )
+
+    rows = [("X", u) for u in range(1000)] + [("Y", u) for u in range(500, 1500)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_type string, user_id long"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    [r] = sketch_kmv_overlap(spark, sf).collect()
+    assert (r.ta, r.tb) == ("X", "Y")
+    assert r.exact_common == 500
+    assert abs(r.est_jaccard - 1 / 3) < 0.15
+    assert abs(r.est_union - 1500) / 1500 < 0.4
+    assert abs(r.est_common - 500) / 500 < 0.5
+
+
 def test_bloom_membership_guarantees(spark, sf_correct):
     """Bloom's contract: NO false negatives (every probe is present in its
     own source's filter) and a small false-positive rate elsewhere (m=1024,
