@@ -206,6 +206,7 @@ def main() -> None:
         "sample_stratified",
         "sample_temperature",
         "vocab_topk",
+        "text_tfidf_topterms",
         "text_length_quantiles",
         "text_unigram_logprob",
         "text_ccnet_buckets",

@@ -77,6 +77,79 @@ ORDER BY n_occurrences DESC, token ASC
 LIMIT {VOCAB_TOP_K}"""
 
 
+TFIDF_TOP_TERMS = 3
+
+
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top characteristic terms per document by TF-IDF — the classic
+    keyword/topic surface a curation pipeline uses for corpus browsing
+    and near-topic grouping.
+
+    Portability: the textbook ``tf * log(N/df)`` ranks identically to
+    ``tf * N / df`` for fixed N (log is monotone), so the score is the
+    LOG-FREE rational ``tf * N / df`` — an exact integer numerator
+    (< 2^53) over one IEEE division, bit-identical across engines, where
+    a libm ``ln`` would be a standing last-ulp risk. Ties break on the
+    token string.
+
+    Scale: tf is a (doc, token) aggregate with map-side combine; df is
+    vocabulary-sized and BROADCAST onto it; the per-doc top-k window
+    partitions by doc_id — no global sort, no single-partition stage.
+    Output is O(docs x k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_lift",
+            round_dbl(
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double"),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_lift").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "term_rank", "token", "tf", "df", "tfidf_lift")
+    )
+
+
+TEXT_TFIDF_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKENIZE_SQL.format(c="text")}) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+),
+df AS (
+    SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        {round_dbl_sql(
+            "CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)", 6
+        )} AS tfidf_lift
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT doc_id, term_rank, token, tf, df, tfidf_lift FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf_lift DESC, token ASC
+    ) AS INT) AS term_rank
+    FROM scored
+) WHERE term_rank <= {TFIDF_TOP_TERMS}"""
+
+
 def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language length quantiles from cumulative value counts."""
     docs = load_table(spark, sf_dir, "documents")
@@ -390,6 +463,7 @@ LIMIT {PMI_TOP_K}"""
 
 def register_all(register) -> None:
     register("vocab_topk", vocab_topk, VOCAB_TOPK_ORACLE)
+    register("text_tfidf_topterms", text_tfidf_topterms, TEXT_TFIDF_ORACLE)
     register("vocab_pmi_topk", vocab_pmi_topk, VOCAB_PMI_TOPK_ORACLE)
     register(
         "text_length_quantiles",

@@ -303,6 +303,7 @@ _CHECK_PRIORITY: list[str] = [
     "bi_tpch_q17",
     "sketch_bloom_membership",  # new r5: third mergeable-summary family
     "sketch_kmv_overlap",  # new r5: bottom-k set-operation sketch
+    "text_tfidf_topterms",  # new r5: log-free TF-IDF keyword surface
     # -- (2) carriers whose code changed this round (green r4, recheck) -----
     "dedup_embedding_cosine_knn",  # broadcast matrix + tie-saturation guard
     "gold_customer_lifetime_value",  # pct_scope parameterization
@@ -334,7 +335,8 @@ _CHECK_PRIORITY: list[str] = [
     "qc_row_counts",
     "qc_null_checks",
     "qc_business_rules",
-    "qc_freshness",
+    # (qc_freshness — ever-green r1-r3, wall-clock family also covered by
+    # pytest — ceded its slot to text_tfidf_topterms)
     "text_stats",
     "text_langid",
     "text_fingerprint",

@@ -678,6 +678,40 @@ def test_dedup_embedding_cosine_threshold_matches_numpy(spark, sf_correct):
     assert got == want
 
 
+def test_tfidf_topterms_matches_counter_reference(spark, sf_correct):
+    """Per-doc top terms must match a python Counter reference computing
+    tf * N / df with the same (score desc, token asc) tie-break."""
+    from collections import Counter
+
+    from databricks_incremental_lakehouse_spark.llmdata.corpusstats import (
+        TFIDF_TOP_TERMS,
+        text_tfidf_topterms,
+    )
+
+    docs = {
+        r.doc_id: r.text.lower().split()
+        for r in load_table(spark, sf_correct, "documents").collect()
+    }
+    n = len(docs)
+    df = Counter()
+    for toks in docs.values():
+        df.update(set(toks))
+    want = {}
+    for did, toks in docs.items():
+        tf = Counter(toks)
+        scored = sorted(
+            ((-(t * n) / df[tok], tok) for tok, t in tf.items())
+        )[:TFIDF_TOP_TERMS]
+        want[did] = [tok for _s, tok in scored]
+    got = {}
+    for r in text_tfidf_topterms(spark, sf_correct).collect():
+        got.setdefault(r.doc_id, {})[r.term_rank] = r.token
+        assert r.df == df[r.token] and r.tf > 0
+    assert set(got) == set(want)
+    for did, ranks in got.items():
+        assert [ranks[i] for i in sorted(ranks)] == want[did], did
+
+
 def test_kmv_overlap_estimates_partial_jaccard(spark, tmp_path):
     """The driver corpus is degenerate for KMV (every event type covers
     all 150 users -> Jaccard 1.0 everywhere), so the estimator's actual
