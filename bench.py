@@ -198,6 +198,7 @@ def main() -> None:
         "events_retention",
         "sketch_histogram_quantiles",
         "dedup_clusters",
+        "graph_pagerank",
         "dedup_semantic",
         "dedup_substring_spans",
         "dedup_substring_clean",

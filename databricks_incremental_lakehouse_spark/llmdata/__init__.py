@@ -4,7 +4,8 @@ Modules: text analysis (textstats), deduplication (dedup), corpus curation
 (curation: dup clustering, decontamination, sampling, sequence packing),
 similarity search (similarity), multimodal column plumbing (multimodal),
 sketch aggregates (sketches: HyperLogLog distinct, count-min heavy
-hitters). Each operator is registered as an oracle-checked query where
+hitters, Bloom membership, KMV overlap), graph analytics over the
+near-dup graph (graph: fixed-point PageRank). Each operator is registered as an oracle-checked query where
 SQL-expressible.
 """
 
@@ -13,6 +14,7 @@ from . import (
     curation,
     dedup,
     docquality,
+    graph,
     multimodal,
     similarity,
     sketches,
@@ -29,3 +31,4 @@ def register_all(register) -> None:
     similarity.register_all(register)
     multimodal.register_all(register)
     sketches.register_all(register)
+    graph.register_all(register)

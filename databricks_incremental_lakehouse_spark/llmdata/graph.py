@@ -1,0 +1,137 @@
+"""Graph analytics over the near-duplicate graph.
+
+``dedup_clusters`` (curation.py) gives connected components — the
+membership view of the dup graph. ``graph_pagerank`` adds the CENTRALITY
+view: which documents sit at the hubs of near-duplication (canonical-copy
+selection prefers the highest-centrality member of a dup cluster; a hub
+shared by many templates is a stronger "boilerplate source" signal than
+any pairwise score).
+
+Portability is the interesting design point: floating-point PageRank is
+NOT oracle-checkable — each iteration sums neighbor contributions, double
+addition is order-sensitive, and Spark's partition order differs from
+DuckDB's, so ulp drift compounds per iteration. The whole computation
+therefore runs in FIXED-POINT INTEGER arithmetic: ranks are scaled by
+10^12, contributions use integer division (``pr div deg``), and the
+damping update is ``(15 * (SCALE div n)) div 100 + (85 * sum) div 100``.
+Integer sums are exact in any order, so both engines produce the SAME
+bigint rank at every iteration — bit-portable by construction, the same
+trick the HLL register sums use (sketches.py). Deterministic truncation
+error ~1e-12 per op is irrelevant at ranking granularity.
+
+Scale: each iteration is one join of the rank vector with the edge list
+(shuffles on src) plus one ``groupBy(dst).sum`` with map-side partial
+aggregation — the standard distributed PageRank shape; ITERS is fixed, so
+the plan is a statically unrolled chain (no driver loop over actions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import DEDUP_NGRAM_ORACLE, dedup_ngram_jaccard
+
+PR_SCALE = 10**12
+PR_ITERS = 5
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the exact near-dup graph (undirected
+    edges = verified Jaccard>=0.8 pairs), 5 damped iterations, output
+    ranked by scaled integer score. Nodes are the documents that appear
+    in at least one near-dup pair (deg >= 1, so no dangling-mass term)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # pin the edge list once: the degree aggregate, the node set, and
+    # every unrolled iteration all join against it, and without the
+    # checkpoint each reuse would re-execute the whole shingle/verify
+    # pair pipeline — the same localCheckpoint discipline as
+    # dedup_clusters' iteration
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_d = edges.join(deg, "src")
+    nodes = deg.select(F.col("src").alias("doc_id"))
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = nodes.crossJoin(F.broadcast(nn))
+    pr = base.select(
+        "doc_id", "n", F.expr(f"{PR_SCALE} div n").cast("long").alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            pr.join(edges_d, pr["doc_id"] == edges_d["src"])
+            .select(F.col("dst").alias("doc_id"), F.expr("pr div deg").alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            base.join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n",
+                F.expr(
+                    f"(15 * ({PR_SCALE} div n)) div 100"
+                    " + (85 * coalesce(s, 0L)) div 100"
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+    w = Window.orderBy(F.col("pr").desc(), F.col("doc_id").asc())
+    return pr.select(
+        "doc_id",
+        F.col("pr").alias("pr_scaled"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    scale = PR_SCALE
+    ctes = [
+        f"pairs AS (SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_ORACLE}))",
+        """edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs)""",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1)",
+        "nodes AS (SELECT src AS doc_id FROM deg)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"""pr0 AS (
+            SELECT doc_id, CAST({scale} // n AS BIGINT) AS pr
+            FROM nodes CROSS JOIN nn)""",
+    ]
+    for i in range(PR_ITERS):
+        ctes.append(f"""pr{i + 1} AS (
+            SELECT nodes.doc_id,
+                CAST((15 * ({scale} // n)) // 100
+                     + (85 * COALESCE(t.s, 0)) // 100 AS BIGINT) AS pr
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.dst AS doc_id, SUM(p.pr // d.deg) AS s
+                FROM pr{i} p
+                JOIN edges e ON p.doc_id = e.src
+                JOIN deg d ON d.src = e.src
+                GROUP BY 1
+            ) t ON nodes.doc_id = t.doc_id)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, pr AS pr_scaled,
+    CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, doc_id ASC) AS INT) AS rank
+FROM pr{PR_ITERS}"""
+    )
+
+
+GRAPH_PAGERANK_ORACLE = _pagerank_oracle()
+
+
+def register_all(register) -> None:
+    register("graph_pagerank", graph_pagerank, GRAPH_PAGERANK_ORACLE)

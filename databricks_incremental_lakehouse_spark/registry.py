@@ -304,6 +304,7 @@ _CHECK_PRIORITY: list[str] = [
     "sketch_bloom_membership",  # new r5: third mergeable-summary family
     "sketch_kmv_overlap",  # new r5: bottom-k set-operation sketch
     "text_tfidf_topterms",  # new r5: log-free TF-IDF keyword surface
+    "graph_pagerank",  # new r5: fixed-point centrality over the dup graph
     # -- (2) carriers whose code changed this round (green r4, recheck) -----
     "dedup_embedding_cosine_knn",  # broadcast matrix + tie-saturation guard
     "gold_customer_lifetime_value",  # pct_scope parameterization
@@ -342,7 +343,8 @@ _CHECK_PRIORITY: list[str] = [
     "text_fingerprint",
     "text_quality_gopher",
     "vocab_topk",
-    "text_unigram_logprob",
+    # (text_unigram_logprob — ever-green r3 — ceded its slot to
+    # graph_pagerank)
     "text_ccnet_buckets",
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -678,7 +678,37 @@ def test_dedup_embedding_cosine_threshold_matches_numpy(spark, sf_correct):
     assert got == want
 
 
-def test_tfidf_topterms_matches_counter_reference(spark, sf_correct):
+def test_pagerank_matches_integer_reference(spark, sf_correct):
+    """The distributed fixed-point PageRank must equal, to the exact
+    integer, an independent python reimplementation of the recurrence
+    over the same (separately oracle-verified) edge list — integer
+    arithmetic makes bit-equality a fair ask where float PageRank could
+    only be compared within a tolerance."""
+    from databricks_incremental_lakehouse_spark.llmdata.graph import (
+        PR_ITERS,
+        PR_SCALE,
+        graph_pagerank,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_correct).collect()
+    ]
+    assert pairs, "corpus has no near-dup pairs — test is vacuous"
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    pr = {v: PR_SCALE // n for v in adj}
+    for _ in range(PR_ITERS):
+        nxt = {}
+        for v in adj:
+            s = sum(pr[u] // len(adj[u]) for u in adj[v])
+            nxt[v] = (15 * (PR_SCALE // n)) // 100 + (85 * s) // 100
+        pr = nxt
+    got = {r.doc_id: r.pr_scaled for r in graph_pagerank(spark, sf_correct).collect()}
+    assert got == pr
     """Per-doc top terms must match a python Counter reference computing
     tf * N / df with the same (score desc, token asc) tie-break."""
     from collections import Counter
