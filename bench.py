@@ -199,6 +199,7 @@ def main() -> None:
         "sketch_histogram_quantiles",
         "dedup_clusters",
         "graph_pagerank",
+        "dedup_canonical_selection",
         "dedup_semantic",
         "dedup_substring_spans",
         "dedup_substring_clean",

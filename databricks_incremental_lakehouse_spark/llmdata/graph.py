@@ -133,5 +133,74 @@ FROM pr{PR_ITERS}"""
 GRAPH_PAGERANK_ORACLE = _pagerank_oracle()
 
 
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality-aware canonical-copy selection — the query the two graph
+    views exist to answer together: every document mapped to its dup
+    cluster (connected components, curation.dedup_clusters) and to the
+    cluster member chosen as the canonical copy by HIGHEST PageRank
+    (smallest doc_id on ties; singletons are their own canonical). A
+    curation pipeline keeps ``is_canonical`` rows and drops the rest —
+    preferring the hub copy over the arbitrary min-id copy the plain
+    components view would keep.
+
+    The LSH cluster edges are a subset of the exact-Jaccard pagerank
+    edges (verification only removes pairs), so every non-singleton
+    cluster member has a rank; the window partitions by cluster (dup
+    groups are small by nature), no global stage anywhere."""
+    from .curation import dedup_clusters
+
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "canonical_id")
+    pr = graph_pagerank(spark, sf_dir).select("doc_id", "pr_scaled")
+    j = cl.join(pr, "doc_id", "left").select(
+        "doc_id",
+        F.col("canonical_id").alias("cluster_id"),
+        F.coalesce("pr_scaled", F.lit(-1)).alias("prs"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("prs").desc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        F.first("doc_id").over(w).alias("canonical_doc_id"),
+    ).withColumn(
+        "is_canonical", F.col("doc_id") == F.col("canonical_doc_id")
+    )
+
+
+DEDUP_CANONICAL_ORACLE = f"""
+WITH cl AS (
+    SELECT doc_id, canonical_id FROM ({{clusters}})
+),
+pr AS (
+    SELECT doc_id, pr_scaled FROM ({{pagerank}})
+),
+j AS (
+    SELECT cl.doc_id, cl.canonical_id AS cluster_id,
+        COALESCE(pr.pr_scaled, -1) AS prs
+    FROM cl LEFT JOIN pr ON cl.doc_id = pr.doc_id
+)
+SELECT doc_id, cluster_id, canonical_doc_id,
+    doc_id = canonical_doc_id AS is_canonical
+FROM (
+    SELECT doc_id, cluster_id,
+        FIRST_VALUE(doc_id) OVER (
+            PARTITION BY cluster_id ORDER BY prs DESC, doc_id ASC
+        ) AS canonical_doc_id
+    FROM j
+)"""
+
+
+def _canonical_oracle() -> str:
+    from .curation import DEDUP_CLUSTERS_ORACLE
+
+    return DEDUP_CANONICAL_ORACLE.format(
+        clusters=DEDUP_CLUSTERS_ORACLE, pagerank=GRAPH_PAGERANK_ORACLE
+    )
+
+
 def register_all(register) -> None:
     register("graph_pagerank", graph_pagerank, GRAPH_PAGERANK_ORACLE)
+    register(
+        "dedup_canonical_selection", dedup_canonical_selection, _canonical_oracle()
+    )

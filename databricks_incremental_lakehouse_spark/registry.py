@@ -305,6 +305,7 @@ _CHECK_PRIORITY: list[str] = [
     "sketch_kmv_overlap",  # new r5: bottom-k set-operation sketch
     "text_tfidf_topterms",  # new r5: log-free TF-IDF keyword surface
     "graph_pagerank",  # new r5: fixed-point centrality over the dup graph
+    "dedup_canonical_selection",  # new r5: clusters x centrality composition
     # -- (2) carriers whose code changed this round (green r4, recheck) -----
     "dedup_embedding_cosine_knn",  # broadcast matrix + tie-saturation guard
     "gold_customer_lifetime_value",  # pct_scope parameterization
@@ -343,9 +344,8 @@ _CHECK_PRIORITY: list[str] = [
     "text_fingerprint",
     "text_quality_gopher",
     "vocab_topk",
-    # (text_unigram_logprob — ever-green r3 — ceded its slot to
-    # graph_pagerank)
-    "text_ccnet_buckets",
+    # (text_unigram_logprob, text_ccnet_buckets — ever-green r3 — ceded
+    # their slots to graph_pagerank and dedup_canonical_selection)
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",

@@ -709,6 +709,37 @@ def test_pagerank_matches_integer_reference(spark, sf_correct):
         pr = nxt
     got = {r.doc_id: r.pr_scaled for r in graph_pagerank(spark, sf_correct).collect()}
     assert got == pr
+
+
+def test_canonical_selection_picks_cluster_hub(spark, sf_correct):
+    """Every cluster member must share one canonical doc, the canonical
+    must be the member with the highest PageRank (min doc_id on ties),
+    and singleton docs must be their own canonical."""
+    from databricks_incremental_lakehouse_spark.llmdata.graph import (
+        dedup_canonical_selection,
+        graph_pagerank,
+    )
+
+    pr = {r.doc_id: r.pr_scaled for r in graph_pagerank(spark, sf_correct).collect()}
+    rows = dedup_canonical_selection(spark, sf_correct).collect()
+    clusters: dict = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    multi = 0
+    for members in clusters.values():
+        canon = {r.canonical_doc_id for r in members}
+        assert len(canon) == 1
+        best = sorted(members, key=lambda r: (-pr.get(r.doc_id, -1), r.doc_id))[0]
+        assert canon == {best.doc_id}
+        assert sum(r.is_canonical for r in members) == 1
+        if len(members) > 1:
+            multi += 1
+        else:
+            assert members[0].doc_id == members[0].canonical_doc_id
+    assert multi > 0, "no multi-member clusters — test is vacuous"
+
+
+def test_tfidf_topterms_matches_counter_reference(spark, sf_correct):
     """Per-doc top terms must match a python Counter reference computing
     tf * N / df with the same (score desc, token asc) tie-break."""
     from collections import Counter
