@@ -46,7 +46,88 @@ from databricks_incremental_lakehouse_spark.pipelines import (  # noqa: E402
 )
 from databricks_incremental_lakehouse_spark.session import build_spark  # noqa: E402
 
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+# clamp: REPS=0 would run the whole warm-up then crash on median([]) at
+# the very end with no tail line at all
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+# Registry queries timed under ext.* keys — module-level so
+# scripts/latency_audit.py can import the ACTUAL benched set instead of
+# grepping quoted strings out of this file.
+EXT_QUERIES = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "sim_topk_bruteforce",
+    "sim_topk_vectorized",
+    "sim_topk_quantized",
+    "sim_ivf_topk",
+    "sim_hyperplane_lsh",
+    "text_stats",
+    "text_langid",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_membership",
+    "sketch_kmv_overlap",
+    "multimodal_feature_stats",
+    "multimodal_frame_sample",
+    "events_tumbling_hourly",
+    "events_sliding_windows",
+    "events_session_windows",
+    "events_deduped",
+    "events_asof_join",
+    "events_rolling_5min",
+    "events_funnel",
+    "events_retention",
+    "sketch_histogram_quantiles",
+    "dedup_clusters",
+    "graph_pagerank",
+    "dedup_canonical_selection",
+    "dedup_semantic",
+    "dedup_substring_spans",
+    "dedup_substring_clean",
+    "text_decontamination",
+    "text_quality_gopher",
+    "sample_stratified",
+    "sample_temperature",
+    "vocab_topk",
+    "text_tfidf_topterms",
+    "text_length_quantiles",
+    "text_unigram_logprob",
+    "text_ccnet_buckets",
+    "embedding_quantize",
+    "pack_sequences",
+    "text_chunk_overlap",
+    "vocab_pmi_topk",
+    "bi_tpch_q1",
+    "bi_tpch_q3",
+    "bi_tpch_q5",
+    "bi_tpch_q6",
+    "bi_tpch_q10",
+    "bi_tpch_q12",
+    "bi_tpch_q14",
+    "bi_tpch_q4",
+    "bi_tpch_q13",
+    "bi_tpch_q15",
+    "bi_tpch_q17",
+    "bi_tpch_q18",
+    "qc_revenue_anomaly",
+]
+
+# registry queries timed OUTSIDE the ext loop: the four README BI keys
+# (headline section, against materialized views) and the queries with
+# one-time init/build memoization (dedicated *_init / steady-state keys)
+OTHER_TIMED_QUERIES = [
+    "bi_regional_revenue_1998",
+    "bi_top_platinum_clv",
+    "bi_strategic_suppliers",
+    "bi_monthly_trend_series",
+    "incr_monthly_trends_refresh",
+    "incr_customer_orders_refresh",
+    "sim_ivf_topk_indexed",
+    "stream_user_totals",
+]
 
 
 def _noop(df) -> None:
@@ -169,67 +250,7 @@ def main() -> None:
     # one-time init/build memoization are timed separately below.
     from databricks_incremental_lakehouse_spark.registry import QUERIES
 
-    ext = [
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_ngram_jaccard_capped",
-        "dedup_minhash_lsh",
-        "dedup_simhash_pairs",
-        "sim_topk_bruteforce",
-        "sim_topk_vectorized",
-        "sim_topk_quantized",
-        "sim_ivf_topk",
-        "sim_hyperplane_lsh",
-        "text_stats",
-        "text_langid",
-        "sketch_hll_distinct",
-        "sketch_cms_heavy_hitters",
-        "sketch_bloom_membership",
-        "sketch_kmv_overlap",
-        "multimodal_feature_stats",
-        "multimodal_frame_sample",
-        "events_tumbling_hourly",
-        "events_sliding_windows",
-        "events_session_windows",
-        "events_deduped",
-        "events_asof_join",
-        "events_rolling_5min",
-        "events_funnel",
-        "events_retention",
-        "sketch_histogram_quantiles",
-        "dedup_clusters",
-        "graph_pagerank",
-        "dedup_canonical_selection",
-        "dedup_semantic",
-        "dedup_substring_spans",
-        "dedup_substring_clean",
-        "text_decontamination",
-        "text_quality_gopher",
-        "sample_stratified",
-        "sample_temperature",
-        "vocab_topk",
-        "text_tfidf_topterms",
-        "text_length_quantiles",
-        "text_unigram_logprob",
-        "text_ccnet_buckets",
-        "embedding_quantize",
-        "pack_sequences",
-        "text_chunk_overlap",
-        "vocab_pmi_topk",
-        "bi_tpch_q1",
-        "bi_tpch_q3",
-        "bi_tpch_q5",
-        "bi_tpch_q6",
-        "bi_tpch_q10",
-        "bi_tpch_q12",
-        "bi_tpch_q14",
-        "bi_tpch_q4",
-        "bi_tpch_q13",
-        "bi_tpch_q15",
-        "bi_tpch_q17",
-        "bi_tpch_q18",
-        "qc_revenue_anomaly",
-    ]
+    ext = EXT_QUERIES
     for name in ext:
         for _rep in range(REPS):
             t0 = time.time()

@@ -450,7 +450,10 @@ WHERE o_orderdate >= TIMESTAMP '{Q4_LO}' AND o_orderdate < TIMESTAMP '{Q4_HI}'
   AND EXISTS (
     SELECT 1 FROM lineitem l
     WHERE l.l_orderkey = o.o_orderkey
-      AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+      -- date-cast mirrors Spark's date_add (which truncates a timestamp
+      -- to its date before adding days); without it a time-of-day
+      -- component would shift the boundary on one engine only
+      AND l.l_shipdate > CAST(o.o_orderdate AS DATE) + INTERVAL {Q4_LATE_DAYS} DAY
   )
 GROUP BY 1
 ORDER BY 1"""

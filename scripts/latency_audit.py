@@ -15,29 +15,20 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from bench import EXT_QUERIES, OTHER_TIMED_QUERIES  # noqa: E402
 from databricks_incremental_lakehouse_spark.registry import QUERIES  # noqa: E402
 from databricks_incremental_lakehouse_spark.session import build_spark  # noqa: E402
-
-# keys bench.py times (headline components, ext list, split keys)
-BENCH_COVERED_PREFIXES = ("incr_", "sim_ivf_topk_indexed", "stream_user_totals")
-
-
-def bench_listed() -> set[str]:
-    import re
-
-    src = open("/root/repo/bench.py").read()
-    return set(re.findall(r'"(\w+)"', src))
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     thresh = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
-    listed = bench_listed()
-    unlisted = [
-        n
-        for n in QUERIES
-        if n not in listed and not n.startswith(BENCH_COVERED_PREFIXES)
-    ]
+    # the ACTUAL benched sets, imported from bench.py — an earlier cut
+    # grepped quoted strings out of the bench source, which would have
+    # silently excluded any future query whose name collided with any
+    # quoted literal (the exact blind spot this audit exists to close)
+    listed = set(EXT_QUERIES) | set(OTHER_TIMED_QUERIES)
+    unlisted = [n for n in QUERIES if n not in listed]
     spark = build_spark(app_name="latency-audit")
     spark.sparkContext.setLogLevel("ERROR")
     out = {}

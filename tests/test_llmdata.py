@@ -824,6 +824,9 @@ def test_bloom_membership_guarantees(spark, sf_correct):
             others += 1
             hits += int(r.present)
     assert others > 0 and hits / others < 0.05
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_correct):
     """The SQ8 two-stage search must (a) agree with the exact baseline's
     cosine value on every pair it returns (re-rank IS full precision) and
     (b) recover nearly all true top-5 neighbors — int8 reconstruction

@@ -220,10 +220,13 @@ def test_tpch_q4_exists_as_semi_join(spark, sf_correct):
 
 def test_tpch_q15_broadcasts_global_max(spark, sf_correct):
     """Q15's global-max filter must join the 1-row max as a broadcast —
-    not a single-partition window over the supplier aggregate."""
+    not a window over the supplier aggregate (ANY Window node in this
+    plan would mean the max regressed to a single-partition ranking;
+    the earlier split-on-"Sort" form of this assertion was vacuous
+    because Sort is the plan root)."""
     plan = _plan(QUERIES["bi_tpch_q15"](spark, sf_correct))
     assert "BroadcastHashJoin" in plan
-    assert "Exchange SinglePartition" not in plan.split("Sort")[0]
+    assert "Window" not in plan
 
 
 def test_tpch_q18_take_ordered(spark, sf_correct):
