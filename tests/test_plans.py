@@ -238,6 +238,14 @@ def test_tpch_q18_take_ordered(spark, sf_correct):
     assert "CartesianProduct" not in plan
 
 
+def test_bloom_filter_partial_bit_or(spark, sf_correct):
+    """The Bloom build's mergeability claim depends on the bit_or
+    aggregate combining MAP-SIDE, so the shuffle carries sources x words
+    pre-OR'd rows instead of one row per document x hash."""
+    plan = _plan(QUERIES["sketch_bloom_membership"](spark, sf_correct))
+    assert "partial_bit_or" in plan
+
+
 def test_ivf_index_probe_prunes_cells(spark, sf_correct):
     """The indexed IVF search must reach the cl-partitioned cell store with
     dynamic partition pruning on the probe join — that pruning IS the
