@@ -126,6 +126,7 @@ OTHER_TIMED_QUERIES = [
     "incr_monthly_trends_refresh",
     "incr_customer_orders_refresh",
     "sim_ivf_topk_indexed",
+    "sim_ivf_topk_quantized",
     "stream_user_totals",
 ]
 
@@ -252,22 +253,32 @@ def main() -> None:
 
     ext = EXT_QUERIES
     for name in ext:
+        # one untimed warm-up per query, matching the headline loop's
+        # convention (ADVICE r5: first execution pays ~1.5x one-time query
+        # compile/codegen caching; without this, REPS=1 runs were pure
+        # cold numbers inconsistent with the stated noise discipline)
+        _noop(QUERIES[name](spark, sf_dir))
         for _rep in range(REPS):
             t0 = time.time()
             _noop(QUERIES[name](spark, sf_dir))
             record(f"ext.{name}", time.time() - t0)
 
-    # One-time costs, explicitly keyed (r4 VERDICT item 6: do not conflate
-    # warehouse/index/stream init with the steady state the operator
-    # exists for):
-    # - incr_*_refresh_init: first-ever call pays the full warehouse build
-    #   (measured-by-design) — timed ONCE.
-    # - incr_*_update_only: every later call re-applies the 50-order update
-    #   micro-batch against the cached warehouse — the steady-state number,
-    #   median of REPS.
+    # One-time costs, explicitly keyed under the ``once.`` prefix (r4
+    # VERDICT item 6: do not conflate warehouse/index/stream init with the
+    # steady state the operator exists for; r5 VERDICT item 4/task 5: the
+    # prefix — plus the ``one_time`` list in BENCH_DETAIL — lets a
+    # round-over-round diff exclude setup-dominated keys mechanically
+    # instead of misreading a key reclassification as a regression):
+    # - once.incr_*_refresh_init: first-ever call pays the full warehouse
+    #   build + replay-batch selection (measured-by-design) — timed ONCE.
+    # - ext.incr_*_update_only: every later call re-applies the pinned
+    #   50-order micro-batch against the cached warehouse — the
+    #   steady-state number, median of REPS. (The batch is selected once
+    #   and localCheckpoint-pinned in refresh._replay_batch, so these reps
+    #   no longer carry the harness's two source scans.)
     t0 = time.time()
     _noop(QUERIES["incr_monthly_trends_refresh"](spark, sf_dir))
-    once["ext.incr_monthly_trends_refresh_init"] = round(time.time() - t0, 3)
+    once["once.incr_monthly_trends_refresh_init"] = round(time.time() - t0, 3)
     for _rep in range(REPS):
         t0 = time.time()
         _noop(QUERIES["incr_monthly_trends_refresh"](spark, sf_dir))
@@ -275,28 +286,33 @@ def main() -> None:
 
     t0 = time.time()
     _noop(QUERIES["incr_customer_orders_refresh"](spark, sf_dir))
-    once["ext.incr_customer_orders_refresh_init"] = round(time.time() - t0, 3)
+    once["once.incr_customer_orders_refresh_init"] = round(time.time() - t0, 3)
     for _rep in range(REPS):
         t0 = time.time()
         _noop(QUERIES["incr_customer_orders_refresh"](spark, sf_dir))
         record("ext.incr_customer_orders_update_only", time.time() - t0)
 
     # Same isolation for the ANN index: first call builds + persists the
-    # cl-partitioned cell store; later calls are the steady-state
-    # search-only cost.
+    # cl-partitioned cell store (shared by the plain and quantized
+    # searches); later calls are the steady-state search-only cost.
     t0 = time.time()
     _noop(QUERIES["sim_ivf_topk_indexed"](spark, sf_dir))
-    once["ext.sim_ivf_topk_indexed"] = round(time.time() - t0, 3)
+    once["once.sim_ivf_index_build_and_search"] = round(time.time() - t0, 3)
     for _rep in range(REPS):
         t0 = time.time()
         _noop(QUERIES["sim_ivf_topk_indexed"](spark, sf_dir))
         record("ext.sim_ivf_search_only", time.time() - t0)
+    _noop(QUERIES["sim_ivf_topk_quantized"](spark, sf_dir))  # warm-up
+    for _rep in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["sim_ivf_topk_quantized"](spark, sf_dir))
+        record("ext.sim_ivf_quantized_search_only", time.time() - t0)
 
     # stream drain is memoized per sf_dir: the first call IS the drain;
     # repeating would time a memoized parquet read, not the operator.
     t0 = time.time()
     _noop(QUERIES["stream_user_totals"](spark, sf_dir))
-    once["ext.stream_user_totals"] = round(time.time() - t0, 3)
+    once["once.stream_user_totals_drain"] = round(time.time() - t0, 3)
 
     # the operated curation DAG (flags -> corpus || report -> packing)
     from databricks_incremental_lakehouse_spark.llmdata.pipeline import (
@@ -332,6 +348,8 @@ def main() -> None:
                 "samples": samples,
                 "headline_totals": headline_totals,
                 "noise_band": noise_band,
+                # setup-dominated keys a round-over-round diff must skip
+                "one_time": sorted(once),
             },
             fh,
             indent=1,
@@ -352,7 +370,7 @@ def main() -> None:
             "bi_top_platinum_clv": timings["bi_top_platinum_clv"],
             "bi_strategic_suppliers": timings["bi_strategic_suppliers"],
             "bi_monthly_trend_series": timings["bi_monthly_trend_series"],
-            "incr_refresh_init": once["ext.incr_monthly_trends_refresh_init"],
+            "incr_refresh_init": once["once.incr_monthly_trends_refresh_init"],
             "incr_update_only": timings["ext.incr_monthly_trends_update_only"],
         },
         "reps": REPS,

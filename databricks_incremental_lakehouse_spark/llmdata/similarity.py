@@ -220,23 +220,20 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(spark, sf_dir, cent_rows, cells)
 
 
-def _ivf_search(
+def _probe_cells(
     spark: SparkSession,
-    sf_dir: str,
+    emb: DataFrame,
     cent_rows: list[tuple[int, list[float]]],
-    cells: DataFrame,
 ) -> DataFrame:
-    """The probe phase shared by the from-scratch and indexed IVF queries:
-    each query ranks the nlist (broadcast) centroids, keeps its N_PROBE
-    nearest cells, and searches only those cells' vectors."""
-    emb = _emb(spark, sf_dir)
+    """(query_id, qv, probe_cell) — each query's ``N_PROBE`` nearest cells
+    by grid-rounded centroid cosine (cl-asc tiebreak). Shared by the plain
+    and SQ8-quantized probe paths; nlist is small, so both sides of the
+    ranking crossJoin broadcast."""
     cent_df = spark.createDataFrame(cent_rows, "cl int, cv array<double>")
-
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    # nearest N_PROBE centroids per query (nlist is small: centroids broadcast)
-    q2c = (
+    return (
         F.broadcast(queries)
         .crossJoin(F.broadcast(cent_df))
         .withColumn(
@@ -256,6 +253,19 @@ def _ivf_search(
         .filter(F.col("crank") <= N_PROBE)
         .select("query_id", "qv", F.col("cl").alias("probe_cell"))
     )
+
+
+def _ivf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    cent_rows: list[tuple[int, list[float]]],
+    cells: DataFrame,
+) -> DataFrame:
+    """The probe phase shared by the from-scratch and indexed IVF queries:
+    each query ranks the nlist (broadcast) centroids, keeps its N_PROBE
+    nearest cells, and searches only those cells' vectors."""
+    emb = _emb(spark, sf_dir)
+    q2c = _probe_cells(spark, emb, cent_rows)
     scored = (
         q2c.join(
             cells.select(F.col("vec_id").alias("neighbor_id"), "cl", "v"),
@@ -283,6 +293,32 @@ def _ivf_search(
 _IVF_INDEXES: dict[str, tuple[list[tuple[int, list[float]]], str]] = {}
 
 
+def _sq8_scale(vcol: str = "v"):
+    """Per-vector SQ8 scale, on the same 9-dp grid as
+    :func:`embedding_quantize` (the two must agree: the index stores what
+    the quantize operator defines)."""
+    return F.round(
+        F.array_max(F.transform(F.col(vcol), lambda x: F.abs(x))) / F.lit(127.0), 9
+    )
+
+
+def _sq8_codes(vcol: str = "v", scale_col: str = "scale"):
+    """int8 code array for a vector column given its scale column —
+    identical decimal-grid rounding to :func:`embedding_quantize`, stored
+    as TINYINT (codes are in [-127, 127]) so the cell store's code column
+    really is the 4x-smaller payload SQ8 promises."""
+    def code(x):
+        return F.coalesce(
+            F.round(
+                (x / F.nullif(F.col(scale_col), F.lit(0.0))).cast("decimal(38,10)"),
+                0,
+            ).cast("int"),
+            F.lit(0),
+        ).cast("tinyint")
+
+    return F.transform(F.col(vcol), code)
+
+
 def _ivf_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[tuple[int, list[float]]], str]:
@@ -291,7 +327,14 @@ def _ivf_index(
     partition directory, so a probe touching N_PROBE cells scans only
     those cells' files (partition pruning is the inverted-list seek of a
     classical IVF index). Centroids stay as driver-side rows (nlist of
-    them)."""
+    them).
+
+    Each stored row carries BOTH representations of its vector: the full
+    ``v`` (read by the exact search and the re-rank) and the SQ8
+    ``(scale, codes)`` pair (read by the quantized candidate pass —
+    tinyint codes, 4x less scan bandwidth). Parquet is columnar, so each
+    search path pays only for the columns it reads; a production layout
+    splitting them into two files changes nothing semantically."""
     got = _IVF_INDEXES.get(sf_dir)
     if got is None:
         import os
@@ -299,7 +342,12 @@ def _ivf_index(
 
         cent_rows, cells = _kmeans_cells(_emb(spark, sf_dir))
         path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "cells")
-        cells.write.partitionBy("cl").parquet(path)
+        (
+            cells.withColumn("scale", _sq8_scale("v"))
+            .withColumn("codes", _sq8_codes("v", "scale"))
+            .write.partitionBy("cl")
+            .parquet(path)
+        )
         got = (cent_rows, path)
         _IVF_INDEXES[sf_dir] = got
     return got
@@ -972,6 +1020,122 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ) WHERE rank <= {TOP_K}"""
 
 
+def sim_ivf_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ8 serving search — the production ANN shape at 100 TB,
+    composing the round-5 pieces that each solved half the problem
+    (VERDICT r5 task 1): :func:`sim_topk_quantized` had the right
+    asymmetric-distance kernel but scanned ALL N codes per query (O(N·Q));
+    :func:`sim_ivf_topk_indexed` had the partition-pruned cell probe but
+    read full float vectors. Here the probe prunes WHICH cells are read
+    (dynamic partition pruning on the cl-partitioned store — the
+    inverted-list seek) and SQ8 prunes HOW MUCH is read per cell (tinyint
+    codes + one scale, ~4x less bandwidth than ``v``); stage 2 re-ranks
+    only the :data:`QUANT_CAND_K` survivors against exact full-precision
+    vectors. This is the FAISS ``IVF,SQ8`` layout re-expressed as
+    DataFrame ops over a partitioned parquet cell store.
+
+    Portability: the probe is byte-identical to the plain IVF probe
+    (shared :func:`_probe_cells`); reconstruction is one exact IEEE
+    multiply per component (INT code x 9-dp scale, the
+    :func:`embedding_quantize` grid); both cosine passes use the mirrored
+    HOF fold + 6-dp grid, so the DuckDB oracle replays every stage.
+    Candidate volume is bounded by the probed cells (~N_PROBE/N_LIST of
+    the corpus), and the re-rank join broadcasts the candidate set — the
+    only data-sized work is the pruned quantized scan."""
+    cent_rows, path = _ivf_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    q2c = _probe_cells(spark, emb, cent_rows)
+    # column pruning does the 4x: this scan reads (vec_id, scale, codes, cl)
+    # — never the full float vector column (plan-locked in tests)
+    codes = spark.read.parquet(path).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cl").cast("int").alias("cl"),
+        F.transform(
+            "codes", lambda c: c.cast("double") * F.col("scale")
+        ).alias("vq"),
+    )
+    scored_q = (
+        q2c.join(
+            codes,
+            (F.col("probe_cell") == F.col("cl"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn(
+            "cosine_q",
+            round_dbl(
+                _dot("qv", "vq") / F.nullif(_norm("qv") * _norm("vq"), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored_q.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= QUANT_CAND_K)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    rerank = F.broadcast(cand).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id"
+    )
+    scored = rerank.withColumn(
+        "cosine",
+        round_dbl(_dot("qv", "v") / F.nullif(_norm("qv") * _norm("v"), F.lit(0.0)), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+SIM_IVF_QUANTIZED_ORACLE = f"""{_KMEANS_CELLS_WITH},
+sq AS (
+    SELECT vec_id, cl,
+        list_transform(v, x -> CAST(COALESCE(
+            CAST(ROUND(CAST(x / NULLIF(scale, 0) AS DECIMAL(38,10)), 0) AS INT),
+            0) AS DOUBLE) * scale) AS vq
+    FROM (
+        SELECT vec_id, cl, v,
+            ROUND(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) AS scale
+        FROM cells
+    )
+),
+q2c AS (
+    SELECT query_id, qv, cl AS probe_cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cl,
+            ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY {_CCOS_Q} DESC, c.cl ASC
+            ) AS crank
+        FROM (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN cent c
+    ) WHERE crank <= {N_PROBE}
+),
+cand AS (
+    SELECT query_id, qv, neighbor_id FROM (
+        SELECT q.query_id, q.qv, r.vec_id AS neighbor_id,
+            ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY {_COSQ} DESC, r.vec_id ASC
+            ) AS crank
+        FROM q2c q JOIN sq r
+          ON r.cl = q.probe_cell AND r.vec_id <> q.query_id
+    ) WHERE crank <= {QUANT_CAND_K}
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT c.query_id, c.neighbor_id, {_COS} AS cosine,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY c.query_id ORDER BY {_COS} DESC, c.neighbor_id ASC
+        ) AS INT) AS rank
+    FROM cand c JOIN e n ON c.neighbor_id = n.vec_id
+) WHERE rank <= {TOP_K}"""
+
+
 def register_all(register) -> None:
     register("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE)
     register("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE)
@@ -980,5 +1144,6 @@ def register_all(register) -> None:
     # same result contract as the JVM baseline -> same oracle
     register("sim_topk_vectorized", sim_topk_vectorized, SIM_TOPK_ORACLE)
     register("sim_topk_quantized", sim_topk_quantized, SIM_TOPK_QUANTIZED_ORACLE)
+    register("sim_ivf_topk_quantized", sim_ivf_topk_quantized, SIM_IVF_QUANTIZED_ORACLE)
     register("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_ORACLE)
     register("embedding_quantize", embedding_quantize, EMBEDDING_QUANTIZE_ORACLE)

@@ -454,6 +454,10 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     values and ``h_m`` the largest kept hash, the union's distinct count
     is ``(m-1) * 2^60 / h_m``; Jaccard is the fraction of kept values
     present in both sides; the intersection estimate is their product.
+    When ``m < k`` the sketch is NOT full — it holds the entire union, so
+    ``m`` IS the exact distinct count and the tail estimator would bias
+    low (degenerate at m=1: est_union=0 even with est_jaccard=1.0); per
+    Beyer et al. the unfull sketch reports the exact count (ADVICE r5).
     Exact counterparts ride along so the error is visible.
 
     Scale: the per-type sketch is ``groupBy(type).top-k(hash)`` — the
@@ -505,12 +509,14 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h").alias("h_m"),
     )
     j = round_dbl(F.col("common").cast("double") / F.col("m").cast("double"), 6)
-    u = round_dbl(
-        (F.col("m") - F.lit(1)).cast("double")
-        * F.lit(KMV_DOMAIN)
-        / F.col("h_m").cast("double"),
-        0,
-    ).cast("bigint")
+    u = F.when(F.col("m") < F.lit(KMV_K), F.col("m").cast("bigint")).otherwise(
+        round_dbl(
+            (F.col("m") - F.lit(1)).cast("double")
+            * F.lit(KMV_DOMAIN)
+            / F.col("h_m").cast("double"),
+            0,
+        ).cast("bigint")
+    )
     est = est.select(
         "ta",
         "tb",
@@ -577,9 +583,11 @@ est AS (
     SELECT ta, tb,
         {round_dbl_sql("CAST(SUM(a * b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)}
             AS est_jaccard,
-        CAST({round_dbl_sql(
-            "CAST(COUNT(*) - 1 AS DOUBLE) * " + repr(KMV_DOMAIN)
-            + " / CAST(MAX(h) AS DOUBLE)", 0)} AS BIGINT) AS est_union
+        CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS BIGINT)
+             ELSE CAST({round_dbl_sql(
+                 "CAST(COUNT(*) - 1 AS DOUBLE) * " + repr(KMV_DOMAIN)
+                 + " / CAST(MAX(h) AS DOUBLE)", 0)} AS BIGINT)
+        END AS est_union
     FROM kept GROUP BY 1, 2
 ),
 exact AS (

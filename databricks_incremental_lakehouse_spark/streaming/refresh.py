@@ -601,6 +601,32 @@ def incremental_sales_stream(
 # each query may re-apply it independently)
 _WAREHOUSES: dict[str, str] = {}
 
+# session-scoped memo of the pinned replay micro-batch per sf_dir. Selecting
+# the batch (a groupBy over all orders + a semi-join back) costs two full
+# source scans — harness bookkeeping, not refresh work. In production the
+# micro-batch ARRIVES (files/CDC feed); re-deriving it per call inflated the
+# steady-state ext.incr_*_update_only numbers by those two scans (VERDICT r5
+# item 4 / r6 task 5), so it is selected once and pinned via localCheckpoint.
+_REPLAY_BATCHES: dict[str, DataFrame] = {}
+
+
+def _replay_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    upd = _REPLAY_BATCHES.get(sf_dir)
+    if upd is None:
+        raw = load_table(spark, sf_dir, "orders")
+        keys50 = (
+            raw.groupBy("o_orderkey")
+            .agg(F.max("o_orderdate").alias("d"))
+            .orderBy(F.desc("d"), F.desc("o_orderkey"))
+            .limit(50)
+            .select("o_orderkey")
+        )
+        upd = raw.join(F.broadcast(keys50), "o_orderkey", "left_semi").localCheckpoint(
+            eager=True
+        )
+        _REPLAY_BATCHES[sf_dir] = upd
+    return upd
+
 
 def _refreshed_warehouse(spark: SparkSession, sf_dir: str) -> IncrementalWarehouse:
     """Build (once per sf_dir) the incremental warehouse and push the
@@ -621,16 +647,9 @@ def _refreshed_warehouse(spark: SparkSession, sf_dir: str) -> IncrementalWarehou
         root = tempfile.mkdtemp(prefix="incr_wh_")
         init_incremental_warehouse(spark, sf_dir, root)
         _WAREHOUSES[sf_dir] = root
-    raw = load_table(spark, sf_dir, "orders")
-    keys50 = (
-        raw.groupBy("o_orderkey")
-        .agg(F.max("o_orderdate").alias("d"))
-        .orderBy(F.desc("d"), F.desc("o_orderkey"))
-        .limit(50)
-        .select("o_orderkey")
+    return apply_order_updates(
+        spark, root, orders_updates=_replay_batch(spark, sf_dir)
     )
-    upd = raw.join(F.broadcast(keys50), "o_orderkey", "left_semi")
-    return apply_order_updates(spark, root, orders_updates=upd)
 
 
 def _query_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -798,6 +798,29 @@ def test_kmv_overlap_estimates_partial_jaccard(spark, tmp_path):
     assert abs(r.est_common - 500) / 500 < 0.5
 
 
+def test_kmv_unfull_sketch_is_exact(spark, tmp_path):
+    """When the merged union has fewer than KMV_K distinct hashes the
+    sketch holds the ENTIRE union, so every output column must be exact
+    (ADVICE r5: the tail estimator biased low in this regime — degenerate
+    at m=1 it reported est_union=0 alongside est_jaccard=1.0)."""
+    from databricks_incremental_lakehouse_spark.llmdata.sketches import (
+        KMV_K,
+        sketch_kmv_overlap,
+    )
+
+    rows = [("X", u) for u in range(30)] + [("Y", u) for u in range(10, 40)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_type string, user_id long"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    [r] = sketch_kmv_overlap(spark, sf).collect()
+    assert 40 < KMV_K  # the regime under test: union smaller than the sketch
+    assert r.est_union == 40
+    assert r.est_jaccard == 0.5
+    assert r.est_common == 20 == r.exact_common
+
+
 def test_bloom_membership_guarantees(spark, sf_correct):
     """Bloom's contract: NO false negatives (every probe is present in its
     own source's filter) and a small false-positive rate elsewhere (m=1024,
@@ -851,6 +874,44 @@ def test_quantized_topk_recall_vs_exact(spark, sf_correct):
     assert len(common) / len(exact) >= 0.9
     for k in common:
         assert exact[k] == quant[k], k
+
+
+def test_ivf_quantized_recall_and_exact_rerank(spark, sf_correct):
+    """The composed IVF+SQ8 search must (a) recover >=90% of what the
+    UNQUANTIZED search over the same probed cells returns (isolating the
+    SQ8 candidate pass — probe recall is the same index, so it cancels),
+    (b) agree with the plain IVF search's exact cosine on every common
+    pair (the re-rank is full precision), and (c) lose nothing vs brute
+    force BEYOND what the probe itself loses: recall(quantized vs exact)
+    must match recall(plain IVF vs exact). (The probe's own recall on
+    this synthetic near-random corpus is ~50% at nprobe=2/8 — true
+    neighbors scatter across cells when there is no cluster structure;
+    that is the plain IVF trade, not a quantization loss.)"""
+    from databricks_incremental_lakehouse_spark.llmdata.similarity import (
+        sim_ivf_topk_indexed,
+        sim_ivf_topk_quantized,
+    )
+
+    ivf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in sim_ivf_topk_indexed(spark, sf_correct).collect()
+    }
+    ivf_q = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in sim_ivf_topk_quantized(spark, sf_correct).collect()
+    }
+    assert len(ivf_q) == len(ivf) > 0
+    common = set(ivf) & set(ivf_q)
+    assert len(common) / len(ivf) >= 0.9
+    for k in common:
+        assert ivf[k] == ivf_q[k], k
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_topk_bruteforce(spark, sf_correct).collect()
+    }
+    recall_plain = len(set(ivf) & exact) / len(exact)
+    recall_quant = len(set(ivf_q) & exact) / len(exact)
+    assert recall_quant >= recall_plain - 0.05
 
 
 def test_knn_tie_saturation_emits_smallest_id(spark, tmp_path):

@@ -256,3 +256,26 @@ def test_ivf_index_probe_prunes_cells(spark, sf_correct):
 
     plan = _plan(sim_ivf_topk_indexed(spark, sf_correct))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_ivf_quantized_prunes_cells_and_reads_codes_only(spark, sf_correct):
+    """The IVF+SQ8 search retires sim_topk_quantized's O(N*Q) full-codes
+    scan (VERDICT r5 task 1): the candidate pass must (a) reach the
+    cl-partitioned cell store with dynamic partition pruning — only the
+    probed cells' files are read — and (b) read ONLY the tinyint codes +
+    scale from that store, never the full float vector column (the 4x
+    bandwidth claim is column pruning; the full vectors are read solely
+    from the embeddings table for queries + the broadcast re-rank)."""
+    from databricks_incremental_lakehouse_spark.llmdata.similarity import (
+        sim_ivf_topk_quantized,
+    )
+
+    plan = _plan(sim_ivf_topk_quantized(spark, sf_correct))
+    assert "dynamicpruning" in plan.lower()
+    store_scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "codes#" in l
+    ]
+    assert store_scans, "cell-store scan not found in plan"
+    for line in store_scans:
+        assert "scale#" in line
+        assert " v#" not in line and "[v#" not in line and ",v#" not in line, line
