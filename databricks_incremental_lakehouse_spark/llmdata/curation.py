@@ -35,10 +35,14 @@ from .texthash import TOKENIZE_SQL, hash60, hash60_sql, tokenize
 MAX_CC_ITERS = 20  # safety bound; real runs converge in O(cluster diameter)
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, shingles_ex: DataFrame | None = None
+) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup pairs: every doc
     mapped to its cluster's canonical id (the minimum doc_id reachable
-    through dup edges); singletons map to themselves.
+    through dup edges); singletons map to themselves. ``shingles_ex``
+    optionally supplies a precomputed exploded-shingle stage shared with
+    another consumer (see graph.dedup_canonical_selection).
 
     Algorithm: iterative min-label propagation (hash-to-min). Each round a
     node's label becomes min(own label, neighbors' labels) — one equi-join
@@ -51,16 +55,41 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-skew graphs would swap in the large-star/small-star variant
     (Kiveris et al.), which this loop structure accommodates.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dedup_minhash_lsh(spark, sf_dir, shingles_ex=shingles_ex).select(
+        "doc_a", "doc_b"
+    )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = connected_components(docs, pairs)
+    return labels.select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_kept"),
+    )
+
+
+def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id) labels of the undirected pair graph — the
+    min-label-propagation loop of :func:`dedup_clusters`, factored over an
+    arbitrary (doc_a, doc_b) edge set so composite queries can run it on
+    edges they already hold (graph.dedup_canonical_selection).
+
+    The iteration runs ONLY over edge-incident nodes: a node with no dup
+    edge keeps its own label forever, so singletons — the overwhelming
+    majority of any deduplicated corpus — are joined back once at the
+    end instead of riding through every round's shuffle + checkpoint.
+    At 100 TB that makes per-round cost proportional to the near-dup
+    subgraph, not the corpus."""
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")
-        .localCheckpoint(eager=True)  # materialize the LSH pipeline once
+        .localCheckpoint(eager=True)  # materialize the pair pipeline once
     )
-    labels = docs.select(
-        "doc_id", F.col("doc_id").alias("canonical_id")
-    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("canonical_id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(MAX_CC_ITERS):
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -88,10 +117,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
+    return docs.join(labels, "doc_id", "left").select(
         "doc_id",
-        "canonical_id",
-        (F.col("doc_id") == F.col("canonical_id")).alias("is_kept"),
+        F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
     )
 
 

@@ -196,15 +196,27 @@ GROUP BY 1"""
 
 
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    shingles_ex: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard, candidates via the shingle
     inverted index (pairs must share >= 1 shingle — no O(n^2) join).
 
     The explicit repartition on the join key makes both self-join sides
     end in an identical exchange, so AQE's ReusedExchange computes the
-    shingle index once instead of once per side (measured 2.6x)."""
-    sh = _shingles(load_table(spark, sf_dir, "documents")).repartition("shingle")
+    shingle index once instead of once per side (measured 2.6x).
+
+    ``shingles_ex`` optionally supplies a precomputed (doc_id, shingle)
+    exploded-shingle frame (e.g. a checkpointed stage shared with another
+    consumer — see graph.dedup_canonical_selection); semantics are
+    identical to deriving it here."""
+    if shingles_ex is None:
+        shingles_ex = _exploded_shingles(load_table(spark, sf_dir, "documents"))
+    sh = shingles_ex.withColumn(
+        "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ).repartition("shingle")
     a = sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingle"),
@@ -328,10 +340,13 @@ WHERE CAST(ROUND(CAST(CAST(n_common AS DOUBLE) / CAST(size_a + size_b - n_common
       AS DECIMAL(38,10)), 6) AS DOUBLE) >= {JACCARD_THRESHOLD}"""
 
 
-def minhash_bands(docs: DataFrame) -> DataFrame:
+def minhash_bands(
+    docs: DataFrame, shingles_ex: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, band, band_key) LSH band rows for any (doc_id, text)
     DataFrame — the registrable signature unit shared by the batch LSH
-    dedup and the streaming near-dup registry.
+    dedup and the streaming near-dup registry. ``shingles_ex`` optionally
+    supplies the exploded shingles (see :func:`dedup_ngram_jaccard`).
 
     Signature via ONE codegen'd wide aggregate: explode shingles once,
     then 16 min() aggregates (one per seed) in a single groupBy(doc_id) —
@@ -342,7 +357,7 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     codegen.) Band keys come straight off the 16 signature columns — no
     second shuffle."""
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
-    inv = _exploded_shingles(docs)
+    inv = shingles_ex if shingles_ex is not None else _exploded_shingles(docs)
     sig = inv.groupBy("doc_id").agg(
         *[
             F.min(seeded_hash60(F.col("shingle"), s)).alias(f"mh{s}")
@@ -364,22 +379,20 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.posexplode(band_arr).alias("band", "band_key"))
 
 
-def dedup_minhash_lsh(
-    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+def lsh_band_candidates(
+    docs: DataFrame, shingles_ex: DataFrame | None = None
 ) -> DataFrame:
-    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
-
-    Signature: 16 seeded portable min-hashes per doc; band key = 4
-    consecutive signature values; docs sharing any band key become
-    candidates; candidates are verified with true shingle Jaccard. With
-    s=0.8, P[band match] = 1-(1-0.8^4)^4 ≈ 0.93 — the standard S-curve.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    ds = _doc_shingles(docs)
-    bands = minhash_bands(docs).repartition(
+    """(doc_a, doc_b) distinct candidate pairs sharing at least one LSH
+    band key — the banded candidate generator of the MinHash pipeline,
+    exposed separately so a composite query that already holds the exact
+    near-dup pair set can reconstruct the LSH-verified edges by
+    semi-join instead of re-running the ``array_intersect`` verify (see
+    graph.dedup_canonical_selection). The explicit repartition makes both
+    self-join sides end in an identical exchange (AQE ReusedExchange)."""
+    bands = minhash_bands(docs, shingles_ex=shingles_ex).repartition(
         "band", "band_key"
-    )  # identical exchange both sides -> reused
-    cand = (
+    )
+    return (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_key"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -388,6 +401,30 @@ def dedup_minhash_lsh(
         )
         .distinct()
     )
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    shingles_ex: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+
+    Signature: 16 seeded portable min-hashes per doc; band key = 4
+    consecutive signature values; docs sharing any band key become
+    candidates; candidates are verified with true shingle Jaccard. With
+    s=0.8, P[band match] = 1-(1-0.8^4)^4 ≈ 0.93 — the standard S-curve.
+    ``shingles_ex`` optionally supplies the precomputed exploded shingles
+    (see :func:`dedup_ngram_jaccard`).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    if shingles_ex is None:
+        shingles_ex = _exploded_shingles(docs)
+    ds = shingles_ex.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shingles")
+    )
+    cand = lsh_band_candidates(docs, shingles_ex=shingles_ex)
     # exact-Jaccard verify: join the tiny candidate set back to the shingle
     # arrays; |A ∩ B| via array_intersect (arrays are distinct by
     # construction) — no inverted-index self-join needed
