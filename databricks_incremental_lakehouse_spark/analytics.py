@@ -639,6 +639,178 @@ total AS (
 SELECT {round_dbl_sql("t / CAST(7.0 AS DOUBLE)", 6)} AS avg_yearly FROM total"""
 
 
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+Q7_LO, Q7_HI = "1997-01-01", "1998-12-31"  # classic: 1995-01-01..1996-12-31
+Q8_REGION = "AMERICA"  # r_regionkey 1 -> customer nations 1,6,11,16,21
+Q8_NATION = "NATION_1"  # the market-share (supplier) nation; classic: BRAZIL
+Q8_TYPE = "ECONOMY"  # corpus p_type domain is 6 plain values, no trigraphs
+Q8_LO, Q8_HI = "1997-01-01", "1998-12-31"  # classic: 1995..1996
+
+
+def bi_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: volume shipping between two nations — the one join shape
+    the suite lacked: TWO independent nation dimensions (supplier's and
+    customer's) with a cross-pair disjunction. Each nation dim broadcasts
+    pre-filtered to the two names, so the disjunction filters a 2x2
+    post-join space — never a cartesian; the fact-side work is the usual
+    lineitem⋈orders⋈customer chain with the ship-date window pushed to
+    the scan. Revenue sums on the exact decimal grid per the module
+    parity discipline."""
+    both = [Q7_NATION_A, Q7_NATION_B]
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q7_LO).cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit(Q7_HI).cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.filter(F.col("n_name").isin(both)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(both)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    shipped = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == Q7_NATION_A)
+                & (F.col("cust_nation") == Q7_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == Q7_NATION_B)
+                & (F.col("cust_nation") == Q7_NATION_A)
+            )
+        )
+    )
+    agg = shipped.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.round(F.sum(_disc_price().cast(_DEC)), 2).cast("double").alias("revenue"))
+    return agg.orderBy("supp_nation", "cust_nation", "l_year").select(
+        "supp_nation", "cust_nation", "l_year", "revenue"
+    )
+
+
+TPCH_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+    CAST(ROUND(SUM(CAST(volume AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(YEAR(l_shipdate) AS INT) AS l_year, {_DISC_SQL} AS volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+        OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+      AND l_shipdate >= TIMESTAMP '{Q7_LO}'
+      AND l_shipdate <= TIMESTAMP '{Q7_HI}'
+)
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""
+
+
+def bi_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — of all ECONOMY-part revenue sold
+    into the AMERICA region's customers over two years, the fraction
+    supplied by one nation, per order year. The 8-way join keeps every
+    dimension broadcast (part is pre-filtered to 1/6 of the type domain
+    and only p_partkey survives the projection; both nation copies and
+    region are tiny); the share divides two cent-rounded decimal sums
+    with mirrored operand order (the Q14 ratio discipline), so the 6-dp
+    result is bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q8_LO).cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit(Q8_HI).cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE)
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _disc_price().alias("volume"),
+            "supp_nation",
+        )
+    )
+    agg = vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == Q8_NATION, F.col("volume"))
+                .otherwise(F.lit(0.0))
+                .cast(_DEC)
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("nation_volume"),
+        F.round(F.sum(F.col("volume").cast(_DEC)), 2)
+        .cast("double")
+        .alias("total_volume"),
+    )
+    return agg.orderBy("o_year").select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        round_dbl(F.col("nation_volume") / F.col("total_volume"), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
+TPCH_Q8_ORACLE = f"""
+WITH vol AS (
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        {_DISC_SQL} AS volume, n2.n_name AS supp_nation
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+      AND o_orderdate >= TIMESTAMP '{Q8_LO}'
+      AND o_orderdate <= TIMESTAMP '{Q8_HI}'
+),
+agg AS (
+    SELECT o_year,
+        CAST(ROUND(SUM(CAST(CASE WHEN supp_nation = '{Q8_NATION}' THEN volume
+                            ELSE 0.0 END AS DECIMAL(38,10))), 2) AS DOUBLE)
+            AS nation_volume,
+        CAST(ROUND(SUM(CAST(volume AS DECIMAL(38,10))), 2) AS DOUBLE)
+            AS total_volume
+    FROM vol GROUP BY 1
+)
+SELECT o_year, nation_volume, total_volume,
+    {round_dbl_sql("nation_volume / total_volume", 6)} AS mkt_share
+FROM agg ORDER BY o_year"""
+
+
 def register_all(register) -> None:
     register("bi_tpch_q1", bi_tpch_q1, TPCH_Q1_ORACLE)
     register("bi_tpch_q3", bi_tpch_q3, TPCH_Q3_ORACLE)
@@ -652,3 +824,5 @@ def register_all(register) -> None:
     register("bi_tpch_q15", bi_tpch_q15, TPCH_Q15_ORACLE)
     register("bi_tpch_q17", bi_tpch_q17, TPCH_Q17_ORACLE)
     register("bi_tpch_q18", bi_tpch_q18, TPCH_Q18_ORACLE)
+    register("bi_tpch_q7", bi_tpch_q7, TPCH_Q7_ORACLE)
+    register("bi_tpch_q8", bi_tpch_q8, TPCH_Q8_ORACLE)

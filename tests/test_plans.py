@@ -238,6 +238,31 @@ def test_tpch_q18_take_ordered(spark, sf_correct):
     assert "CartesianProduct" not in plan
 
 
+def test_tpch_q7_broadcasts_both_nation_dims(spark, sf_correct):
+    """Q7's cross-pair nation disjunction must resolve as TWO broadcast
+    joins of the pre-filtered nation dim plus a post-join filter over the
+    2x2 name space — never a cartesian/nested-loop join, and no sort-merge
+    shuffle for a 25-row dimension."""
+    plan = _plan(QUERIES["bi_tpch_q7"](spark, sf_correct))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q8_star_broadcasts_all_dims(spark, sf_correct):
+    """Q8's 8-way star must broadcast every dimension side (filtered part,
+    both nation copies, region) so the only shuffles are the fact-side
+    joins, with the date window pushed to the orders scan."""
+    plan = _plan(QUERIES["bi_tpch_q8"](spark, sf_correct))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed_segments = [
+        seg.split("]")[0] for seg in plan.split("PushedFilters:")[1:]
+    ]
+    assert any("o_orderdate" in seg for seg in pushed_segments)
+
+
 def test_bloom_filter_partial_bit_or(spark, sf_correct):
     """The Bloom build's mergeability claim depends on the bit_or
     aggregate combining MAP-SIDE, so the shuffle carries sources x words
