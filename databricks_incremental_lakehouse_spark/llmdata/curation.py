@@ -448,7 +448,9 @@ FROM st"""
 QUALITY_MIN = 0.4  # drops the worst ~10% at sf0.01; binds at every SF
 
 
-def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_curate(
+    spark: SparkSession, sf_dir: str, canonical: bool = False
+) -> DataFrame:
     """The full curation funnel as one auditable query: every document with
     a boolean per gate —
 
@@ -465,7 +467,15 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit requirement for curated-data releases). Each gate reuses the
     standalone operator; all joins are on doc_id, so at scale they
     co-partition into one shuffle stage over the (tiny) per-doc flag
-    frames rather than re-shuffling document text."""
+    frames rather than re-shuffling document text.
+
+    With ``canonical=True`` the near-dup gate keeps each cluster's
+    HIGHEST-PageRank member (graph.dedup_canonical_selection) instead of
+    the arbitrary min-id survivor — the centrality-aware selection exists
+    precisely to replace the min-id default in this funnel. On the driver
+    corpus every dup cluster is symmetric (PageRank ties resolve to the
+    min id), so the two variants coincide there; the planted-hub test in
+    tests/test_curation.py carries the behavioral difference."""
     from .textstats import text_stats
 
     docs = load_table(spark, sf_dir, "documents")
@@ -479,9 +489,16 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pass_exact", F.col("doc_id") == F.min("doc_id").over(w))
         .drop("content_md5")
     )
-    clusters = dedup_clusters(spark, sf_dir).select(
-        "doc_id", F.col("is_kept").alias("pass_neardup")
-    )
+    if canonical:
+        from .graph import dedup_canonical_selection
+
+        clusters = dedup_canonical_selection(spark, sf_dir).select(
+            "doc_id", F.col("is_canonical").alias("pass_neardup")
+        )
+    else:
+        clusters = dedup_clusters(spark, sf_dir).select(
+            "doc_id", F.col("is_kept").alias("pass_neardup")
+        )
     decon = text_decontamination(spark, sf_dir).select("doc_id", "is_contaminated")
     quality = text_stats(spark, sf_dir).select("doc_id", "quality_score")
     is_benchmark = F.col("doc_id") % BENCH_MOD == 0
@@ -519,9 +536,15 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _corpus_curate_oracle() -> str:
+def _corpus_curate_oracle(canonical: bool = False) -> str:
     from .textstats import TEXT_STATS_ORACLE
 
+    if canonical:
+        from .graph import _canonical_oracle
+
+        cl_src = f"SELECT doc_id, is_canonical AS is_kept FROM ({_canonical_oracle()})"
+    else:
+        cl_src = f"SELECT doc_id, is_kept FROM ({DEDUP_CLUSTERS_ORACLE})"
     decontam_pred = (
         f"doc_id % {BENCH_MOD} <> 0 AND NOT COALESCE(dc.is_contaminated, FALSE)"
     )
@@ -534,7 +557,7 @@ WITH ex AS (
            ) AS pass_exact
     FROM documents
 ),
-cl AS (SELECT doc_id, is_kept FROM ({DEDUP_CLUSTERS_ORACLE})),
+cl AS ({cl_src}),
 dc AS (SELECT doc_id, is_contaminated FROM ({TEXT_DECONTAMINATION_ORACLE})),
 q AS (SELECT doc_id, quality_score FROM ({TEXT_STATS_ORACLE}))
 SELECT doc_id, d.lang,
@@ -687,6 +710,11 @@ def register_all(register) -> None:
     register("pack_sequences", pack_sequences, PACK_SEQUENCES_ORACLE)
     register("text_chunk_overlap", text_chunk_overlap, TEXT_CHUNK_OVERLAP_ORACLE)
     register("corpus_curate", corpus_curate, _corpus_curate_oracle())
+    register(
+        "corpus_curate_canonical",
+        lambda spark, sf_dir: corpus_curate(spark, sf_dir, canonical=True),
+        _corpus_curate_oracle(canonical=True),
+    )
     register("sample_temperature", sample_temperature, SAMPLE_TEMPERATURE_ORACLE)
     register(
         "sample_temperature_rates",

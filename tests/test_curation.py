@@ -139,6 +139,51 @@ def test_corpus_curate_gates_all_bind(spark, sf_correct):
     assert 0.05 < kept / len(rows) < 0.95
 
 
+def test_corpus_curate_canonical_prefers_hub(spark, tmp_path):
+    """The canonical-aware funnel must keep the HIGHEST-centrality member
+    of a dup cluster where the min-id funnel keeps the smallest id. The
+    driver corpus is degenerate here (every dup cluster is symmetric, so
+    PageRank ties resolve to the min id and the two variants coincide) —
+    this planted corpus carries the behavioral check: a 3-doc path
+    cluster A(10)–X(12)–B(11) whose hub X has the highest id. X shares
+    >=0.8 Jaccard with each end (3 of 40 shingles replaced per end), the
+    ends share only ~0.74 with each other, so the dup graph is a path
+    and PageRank ranks the degree-2 hub above both ends."""
+    from databricks_incremental_lakehouse_spark.llmdata.graph import (
+        dedup_canonical_selection,
+    )
+
+    toks = [f"w{i}" for i in range(42)]
+    x_text = " ".join(toks)
+    a_text = " ".join(["a1", "a2", "a3"] + toks[3:])
+    b_text = " ".join(toks[:-3] + ["b1", "b2", "b3"])
+    rows = [(10, a_text), (11, b_text), (12, x_text)] + [
+        (i, f"solo{i} " + " ".join(f"u{i}_{j}" for j in range(30)))
+        for i in range(1, 6)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(d, t, "en", "planted", len(t)) for d, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    sel = {r.doc_id: r for r in dedup_canonical_selection(spark, sf).collect()}
+    assert sel[10].cluster_id == sel[11].cluster_id == sel[12].cluster_id == 10
+    assert sel[12].is_canonical and not sel[10].is_canonical
+
+    base = {r.doc_id: r for r in corpus_curate(spark, sf).collect()}
+    can = {r.doc_id: r for r in corpus_curate(spark, sf, canonical=True).collect()}
+    assert set(base) == set(can)
+    diff = {d for d in base if base[d].pass_neardup != can[d].pass_neardup}
+    # exactly the min-id != max-centrality cluster flips, nothing else
+    assert diff == {10, 12}
+    assert base[10].pass_neardup and not can[10].pass_neardup
+    assert can[12].pass_neardup and not base[12].pass_neardup
+    for d in base:
+        for g in ("pass_exact", "pass_decontam", "pass_quality", "pass_sample"):
+            assert getattr(base[d], g) == getattr(can[d], g), (d, g)
+
+
 def test_pack_sequences_invariants(spark, sf_correct):
     """Packing must tile the concatenated token stream exactly: starts are
     the running sum in doc_id order, bins are contiguous, and some doc
