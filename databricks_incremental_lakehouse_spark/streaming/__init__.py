@@ -55,6 +55,8 @@ def register_all(register) -> None:
     _register_windows(register)
     _register_temporal(register)
     _register_refresh(register)
+    from .joins import register_joins
     from .stateful import STREAM_USER_TOTALS_ORACLE, stream_user_totals
 
     register("stream_user_totals", stream_user_totals, STREAM_USER_TOTALS_ORACLE)
+    register_joins(register)

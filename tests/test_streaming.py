@@ -1239,3 +1239,61 @@ def test_checkpoint_changelog_swap_crash_recovers(spark, tmp_path):
     assert commits == [1, 2]
     state = {r.id: r.v for r in read_as_of(spark, cdf, ["id"], 2).collect()}
     assert state == {1: 2.0, 2: 5.0, 3: 7.0}
+
+
+def test_stream_stream_join_equals_batch(spark, sf_correct, tmp_path):
+    """The watermarked stream-stream inner join must emit EXACTLY the
+    batch interval-join's pairs — same rows, same payloads, each exactly
+    once (Spark emits stream-stream inner matches eagerly; the watermark
+    only bounds state). Drains a private copy of the events source so the
+    registry memo is not involved."""
+    import os
+    import shutil
+
+    from databricks_incremental_lakehouse_spark.streaming.joins import (
+        events_view_purchase_join,
+        view_purchase_join_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(sf_correct, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    q = view_purchase_join_stream(
+        spark, src, str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(300), "stream-stream join did not drain"
+
+    def keyed(rows):
+        return {
+            (r.view_event_id, r.purchase_event_id): (
+                r.user_id, r.view_ts, r.purchase_ts, r.view_value,
+                r.purchase_value, r.delay_us,
+            )
+            for r in rows
+        }
+
+    streamed = spark.read.parquet(str(tmp_path / "tgt")).collect()
+    batch = events_view_purchase_join(spark, sf_correct).collect()
+    assert len(streamed) == len(batch) > 0  # no duplicate emissions
+    assert keyed(streamed) == keyed(batch)
+    # the interval bound binds: some same-user view/purchase pairs fall
+    # outside it (else the time condition is vacuous on this corpus)
+    from databricks_incremental_lakehouse_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_correct, "events")
+    all_pairs = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("user_id"), F.col("event_id").alias("v_id"))
+        .join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id"), F.col("event_id").alias("p_id")
+            ),
+            "user_id",
+        )
+        .count()
+    )
+    assert all_pairs > len(batch)
