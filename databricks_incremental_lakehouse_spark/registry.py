@@ -22,6 +22,7 @@ from pyspark.sql.types import DecimalType
 from .bronze import BRONZE_BUILDERS, bronze_oracle_sql
 from .gold import (
     vw_customer_lifetime_value,
+    vw_customer_lifetime_value_fully_scoped,
     vw_customer_lifetime_value_oracle_sql,
     vw_customer_lifetime_value_tiers_scoped,
     vw_monthly_sales_trends,
@@ -122,6 +123,13 @@ register(
     "gold_customer_lifetime_value_tiers_scoped",
     vw_customer_lifetime_value_tiers_scoped,
     vw_customer_lifetime_value_oracle_sql(pct_scope="region_name"),
+)
+register(
+    "gold_customer_lifetime_value_fully_scoped",
+    vw_customer_lifetime_value_fully_scoped,
+    vw_customer_lifetime_value_oracle_sql(
+        pct_scope="region_name", rfm_part="PARTITION BY region_name "
+    ),
 )
 register(
     "gold_monthly_sales_trends",

@@ -207,6 +207,31 @@ def test_clv_scoped_windows_hash_partition(spark, sf_correct):
     )
 
 
+def test_clv_fully_scoped_has_zero_single_partition_exchanges(spark, sf_correct):
+    """The fully-scoped chain (region-scoped RFM silver feeding
+    region-scoped PERCENT_RANK gold) exists to give a 100x-customer
+    deployment an end-to-end path with NO global window anywhere: its
+    whole plan must contain ZERO SinglePartition exchanges, and every
+    window spec must partition by the scope column. (The tiers-scoped
+    variant keeps exactly one — the global RFM layer upstream — which
+    test_clv_scoped_windows_hash_partition contrasts.)"""
+    from databricks_incremental_lakehouse_spark.gold import (
+        vw_customer_lifetime_value_fully_scoped,
+    )
+
+    plan = _plan(vw_customer_lifetime_value_fully_scoped(spark, sf_correct))
+    assert plan.count("Exchange SinglePartition") == 0
+    ranked = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line
+        and ("ntile" in line or "percent_rank" in line)
+    ]
+    assert ranked  # the ranking windows must be present to be scoped
+    for line in ranked:
+        assert "windowspecdefinition(region_name" in line, line
+
+
 def test_tpch_q4_exists_as_semi_join(spark, sf_correct):
     """Q4's EXISTS must plan as a semi join over the quarter-pruned orders
     (never a full join + dedup), with the quarter predicate pushed to the
