@@ -296,76 +296,64 @@ _register_extensions()
 CHECK_WINDOW_SIZE = 50
 
 _CHECK_PRIORITY: list[str] = [
-    # -- (1) never verified in any round + new this round -------------------
-    "embedding_quantize",  # r4's one red row: codes now a hash-stable string
-    "gold_customer_lifetime_value_tiers_scoped",  # new r5: scoped PERCENT_RANK
-    "bi_tpch_q6",  # new r5: classic analyst suite widening
-    "bi_tpch_q10",
-    "bi_tpch_q12",
-    "bi_tpch_q14",
-    "bi_tpch_q4",
-    "bi_tpch_q13",
-    "bi_tpch_q15",
-    "bi_tpch_q18",
-    "sim_topk_quantized",  # new r5: SQ8 candidate scoring + exact re-rank
-    "bi_tpch_q17",
-    "sketch_bloom_membership",  # new r5: third mergeable-summary family
-    "sketch_kmv_overlap",  # new r5: bottom-k set-operation sketch
-    "text_tfidf_topterms",  # new r5: log-free TF-IDF keyword surface
-    "graph_pagerank",  # new r5: fixed-point centrality over the dup graph
-    "dedup_canonical_selection",  # new r5: clusters x centrality composition
-    # -- (2) carriers whose code changed this round (green r4, recheck) -----
-    "dedup_embedding_cosine_knn",  # broadcast matrix + tie-saturation guard
-    "gold_customer_lifetime_value",  # pct_scope parameterization
-    "bi_tpch_q1",  # analytics.py module extended
+    # -- (1) never verified in any round: the 7 new r6 queries MUST sit
+    # inside the window (rotation gate tests/test_registry.py) -------------
+    "sim_ivf_topk_quantized",  # new r6: IVF probe x SQ8 codes composition
+    "bi_tpch_q7",  # new r6: two-nation cross-pair join shape
+    "bi_tpch_q8",  # new r6: national market share ratio
+    "corpus_curate_canonical",  # new r6: centrality-aware funnel kept-set
+    "events_view_purchase_join",  # new r6: interval-join batch twin
+    "stream_view_purchase_join",  # new r6: drained stream-stream join
+    "gold_customer_lifetime_value_fully_scoped",  # new r6: zero-global-window chain
+    # -- (2) carriers whose code changed this round (green r5, recheck) -----
+    "sim_ivf_topk_indexed",  # cell store now carries (scale, codes)
+    "sketch_kmv_overlap",  # unfull-sketch exact-count estimator (ADVICE r5)
+    "dedup_canonical_selection",  # shared shingle stage + semi-join LSH edges
+    "graph_pagerank",  # pagerank_from_pairs factoring
+    "dedup_clusters",  # connected_components factoring + edge-node iteration
+    "dedup_minhash_lsh",  # lsh_band_candidates factoring
+    "dedup_ngram_jaccard",  # shingles_ex parameterization
+    "corpus_curate",  # canonical flag parameterization
+    "silver_customer_orders_rfm_scoped",  # consumed by the fully-scoped chain
+    "gold_customer_lifetime_value_tiers_scoped",  # oracle builder rfm_part param
+    "incr_monthly_trends_refresh",  # replay batch now pinned (_replay_batch)
+    "incr_customer_orders_refresh",
+    # -- (3) regression pickets: ever-green, high-coverage carriers keep the
+    # remaining slots; the r5-green queries ceded this round (bi_tpch_q4/q6/
+    # q12/q13/q14/q15/q17/q18, sketch_bloom_membership, text_tfidf_topterms,
+    # embedding_quantize's round-4 classmates) stay registered and rotate
+    # back per the oldest-verified-first policy
+    "gold_customer_lifetime_value",
+    "bi_tpch_q1",
     "bi_tpch_q3",
     "bi_tpch_q5",
-    "silver_customer_orders",  # CLV upstream picket
+    "bi_tpch_q10",
+    "silver_customer_orders",
     "silver_order_details",
     "silver_supplier_parts",
-    "incr_monthly_trends_refresh",  # bench key split this round
-    "stream_user_totals",  # awaitTermination timeout fix (ADVICE r4)
-    # -- (3) rotation: every query whose latest green row is r3 — the r4
-    # window marked its residents ever-green, freeing these slots per the
-    # VERDICT r3 rotation policy (oldest-verified first)
+    "stream_user_totals",
     "qc_referential_integrity",
-    # (bronze_nation / bronze_region — ever-green r1-r3, 25/5-row trivial
-    # extracts — ceded their slots to sim_topk_quantized and bi_tpch_q17)
     "gold_revenue_by_region",
     "gold_monthly_sales_trends",
-    # (bi_regional_revenue_1998 — ever-green r1-r3, thin filter over
-    # gold_revenue_by_region which stays in the window — ceded its slot
-    # to sketch_bloom_membership)
     "bi_top_platinum_clv",
     "bi_strategic_suppliers",
     "bi_top_suppliers_by_score",
-    # (bi_monthly_trend_series — ever-green r1-r3, thin projection of
-    # gold_monthly_sales_trends which stays in the window — ceded its
-    # slot to sketch_kmv_overlap)
     "qc_row_counts",
     "qc_null_checks",
     "qc_business_rules",
-    # (qc_freshness — ever-green r1-r3, wall-clock family also covered by
-    # pytest — ceded its slot to text_tfidf_topterms)
     "text_stats",
     "text_langid",
     "text_fingerprint",
     "text_quality_gopher",
     "vocab_topk",
-    # (text_unigram_logprob, text_ccnet_buckets — ever-green r3 — ceded
-    # their slots to graph_pagerank and dedup_canonical_selection)
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "dedup_embedding_cosine",  # also changed this round (broadcast)
-    "dedup_clusters",
-    "text_decontamination",
-    # (sample_stratified/_counts, corpus_curate, sample_temperature — all
-    # ever-green r3 — ceded their rotation slots to the four new TPC-H
-    # queries, which as never-green MUST sit inside the window)
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_knn",
+    "sim_topk_quantized",
+    "embedding_quantize",
 ]
 
 
