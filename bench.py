@@ -113,6 +113,11 @@ EXT_QUERIES = [
     "bi_tpch_q15",
     "bi_tpch_q17",
     "bi_tpch_q18",
+    "bi_tpch_q7",
+    "bi_tpch_q8",
+    "bi_tpch_q9",
+    "bi_tpch_q19",
+    "bi_tpch_q22",
     "qc_revenue_anomaly",
 ]
 

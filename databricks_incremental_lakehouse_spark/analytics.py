@@ -811,6 +811,208 @@ SELECT o_year, nation_volume, total_volume,
 FROM agg ORDER BY o_year"""
 
 
+Q9_NAME_PART = "red"  # classic: '%green%'; this corpus's color vocabulary
+# ps_supplycost has no source table (FIXTURES.md:65-67); the declared cost
+# basis is bronze_partsupp's: round(p_retailprice * 0.6, 2) — constant per
+# part, which keeps Q9's profit SUM meaningful (unlike the min-cost queries
+# Q2/Q11/Q16/Q20, which stay out of scope as degenerate under a constant).
+Q9_COST_FRAC = 0.6
+
+
+def bi_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: product-type profit measure — the biggest join in the
+    classic suite: name-filtered part ⋈ lineitem ⋈ supplier ⋈ orders ⋈
+    nation, profit summed per supplier nation per order year. Adaptation:
+    ``ps_supplycost`` uses the declared derivation above (no partsupp
+    source). The filtered part dim and nation broadcast; profit terms
+    accumulate on the exact decimal grid (each term is a product of
+    grid-exact doubles, rounded per-row to the cent grid before the
+    decimal SUM so both engines add identical decimals)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(Q9_NAME_PART))
+        .select(
+            "p_partkey",
+            round_dbl(F.col("p_retailprice") * Q9_COST_FRAC, 2).alias(
+                "supply_cost"
+            ),
+        )
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation")
+    )
+    profit = round_dbl(
+        _disc_price() - F.col("supply_cost") * F.col("l_quantity"), 2
+    )
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(profit.cast(_DEC)), 2).cast("double").alias("sum_profit")
+        )
+    )
+    return agg.orderBy(F.col("nation").asc(), F.col("o_year").desc()).select(
+        "nation", "o_year", "sum_profit"
+    )
+
+
+TPCH_Q9_ORACLE = f"""
+SELECT nation, o_year,
+    CAST(ROUND(SUM(CAST(amount AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_profit
+FROM (
+    SELECT n.n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        {round_dbl_sql(
+            _DISC_SQL
+            + " - "
+            + round_dbl_sql("p.p_retailprice * " + repr(Q9_COST_FRAC), 2)
+            + " * l_quantity",
+            2,
+        )} AS amount
+    FROM lineitem
+    JOIN part p ON l_partkey = p.p_partkey
+    JOIN supplier s ON l_suppkey = s.s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%{Q9_NAME_PART}%'
+)
+GROUP BY 1, 2
+ORDER BY nation ASC, o_year DESC"""
+
+
+# Three (brand, quantity-band, size-band) disjuncts; classic Q19's
+# container/shipmode predicates are absent from the corpus, so p_size
+# carries the second per-branch dimension — same OR-of-ANDs shape.
+Q19_BRANCHES = (
+    ("Brand#1", 1.0, 11.0, 1, 15),
+    ("Brand#2", 10.0, 20.0, 1, 25),
+    ("Brand#3", 20.0, 30.0, 1, 35),
+)
+
+
+def bi_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: discounted revenue under a disjunction of conjunctive
+    branch predicates — the OR-of-ANDs pushdown shape: the part-side
+    brand/size disjunction prunes the broadcast dim, the lineitem
+    quantity bounds ride the join filter, and the whole thing is ONE
+    join + single-row aggregate (never three unioned scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    branch = None
+    for brand, qlo, qhi, slo, shi in Q19_BRANCHES:
+        cond = (
+            (F.col("p_brand") == brand)
+            & F.col("l_quantity").between(qlo, qhi)
+            & F.col("p_size").between(slo, shi)
+        )
+        branch = cond if branch is None else (branch | cond)
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            F.round(F.sum(_disc_price().cast(_DEC)), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return agg
+
+
+def _q19_branch_sql() -> str:
+    parts = [
+        f"(p_brand = '{b}' AND l_quantity BETWEEN {qlo} AND {qhi}"
+        f" AND p_size BETWEEN {slo} AND {shi})"
+        for b, qlo, qhi, slo, shi in Q19_BRANCHES
+    ]
+    return " OR ".join(parts)
+
+
+TPCH_Q19_ORACLE = f"""
+SELECT CAST(ROUND(SUM(CAST({_DISC_SQL} AS DECIMAL(38,10))), 2) AS DOUBLE)
+    AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_q19_branch_sql()}"""
+
+
+Q22_CUTOFF = "1999-01-01"  # "recent" orders start here; classic: 7-year window
+
+
+def bi_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: global sales opportunity — customers with
+    above-average positive account balance and NO recent orders, counted
+    per nation. Adaptation: the corpus has no ``c_phone``, so the
+    country-code grouping becomes the customer's nation (same shape: a
+    1-row scalar average broadcast into the filter, an anti-join against
+    recent orders, then a grouped count/sum). The scalar subquery
+    broadcasts; the anti-join is the NOT EXISTS shape Q4 covers as
+    EXISTS; balances sum on the exact decimal grid."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    # the scalar threshold goes through the exact decimal sum + portable
+    # grid (a raw double AVG is addition-order-dependent across engines,
+    # and a balance landing within an ulp of it would flip membership)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        round_dbl(
+            F.round(F.sum(F.col("c_acctbal").cast(_DEC)), 6).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_bal")
+    )
+    picked = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        picked.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast(_DEC)), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+TPCH_Q22_ORACLE = f"""
+SELECT n.n_name AS nation, COUNT(*) AS numcust,
+    CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(38,10))), 2) AS DOUBLE)
+        AS totacctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (
+        SELECT {round_dbl_sql(
+            "CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))), 6) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE)",
+            6,
+        )}
+        FROM customer WHERE c_acctbal > 0.0
+    )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF}'
+    )
+GROUP BY 1
+ORDER BY nation"""
+
+
 def register_all(register) -> None:
     register("bi_tpch_q1", bi_tpch_q1, TPCH_Q1_ORACLE)
     register("bi_tpch_q3", bi_tpch_q3, TPCH_Q3_ORACLE)
@@ -826,3 +1028,6 @@ def register_all(register) -> None:
     register("bi_tpch_q18", bi_tpch_q18, TPCH_Q18_ORACLE)
     register("bi_tpch_q7", bi_tpch_q7, TPCH_Q7_ORACLE)
     register("bi_tpch_q8", bi_tpch_q8, TPCH_Q8_ORACLE)
+    register("bi_tpch_q9", bi_tpch_q9, TPCH_Q9_ORACLE)
+    register("bi_tpch_q19", bi_tpch_q19, TPCH_Q19_ORACLE)
+    register("bi_tpch_q22", bi_tpch_q22, TPCH_Q22_ORACLE)

@@ -305,6 +305,9 @@ _CHECK_PRIORITY: list[str] = [
     "events_view_purchase_join",  # new r6: interval-join batch twin
     "stream_view_purchase_join",  # new r6: drained stream-stream join
     "gold_customer_lifetime_value_fully_scoped",  # new r6: zero-global-window chain
+    "bi_tpch_q9",  # new r6: product-type profit (derived supply cost)
+    "bi_tpch_q19",  # new r6: OR-of-ANDs disjunctive pushdown
+    "bi_tpch_q22",  # new r6: scalar-avg threshold + anti-join
     # -- (2) carriers whose code changed this round (green r5, recheck) -----
     "sim_ivf_topk_indexed",  # cell store now carries (scale, codes)
     "sketch_kmv_overlap",  # unfull-sketch exact-count estimator (ADVICE r5)
@@ -327,7 +330,6 @@ _CHECK_PRIORITY: list[str] = [
     "bi_tpch_q1",
     "bi_tpch_q3",
     "bi_tpch_q5",
-    "bi_tpch_q10",
     "silver_customer_orders",
     "silver_order_details",
     "silver_supplier_parts",
@@ -348,8 +350,6 @@ _CHECK_PRIORITY: list[str] = [
     "vocab_topk",
     "dedup_exact",
     "dedup_ngram_jaccard_capped",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_knn",
     "sim_topk_quantized",

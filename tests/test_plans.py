@@ -288,6 +288,34 @@ def test_tpch_q8_star_broadcasts_all_dims(spark, sf_correct):
     assert any("o_orderdate" in seg for seg in pushed_segments)
 
 
+def test_tpch_q9_broadcasts_part_and_nation(spark, sf_correct):
+    """Q9's 5-way profit join must broadcast the name-filtered part dim
+    and nation, with no cartesian/nested-loop anywhere."""
+    plan = _plan(QUERIES["bi_tpch_q9"](spark, sf_correct))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q19_single_join_no_union(spark, sf_correct):
+    """Q19's OR-of-ANDs must evaluate as ONE part join + filter, never
+    three unioned scans: at most one lineitem and one part FileScan, with
+    map-side partial aggregation for the single-row sum."""
+    plan = _plan(QUERIES["bi_tpch_q19"](spark, sf_correct))
+    assert plan.count("FileScan") <= 2
+    assert "partial_sum" in plan
+    assert "Union" not in plan
+
+
+def test_tpch_q22_anti_join_and_broadcast_scalar(spark, sf_correct):
+    """Q22's NOT EXISTS must plan as an anti join (never a full join +
+    filter), and the 1-row average-balance scalar must broadcast."""
+    plan = _plan(QUERIES["bi_tpch_q22"](spark, sf_correct))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bloom_filter_partial_bit_or(spark, sf_correct):
     """The Bloom build's mergeability claim depends on the bit_or
     aggregate combining MAP-SIDE, so the shuffle carries sources x words
