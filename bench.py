@@ -118,6 +118,11 @@ EXT_QUERIES = [
     "bi_tpch_q9",
     "bi_tpch_q19",
     "bi_tpch_q22",
+    "bi_tpch_q2",
+    "bi_tpch_q11",
+    "bi_tpch_q16",
+    "bi_tpch_q20",
+    "bi_tpch_q21",
     "qc_revenue_anomaly",
 ]
 

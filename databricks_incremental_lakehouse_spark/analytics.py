@@ -1013,6 +1013,399 @@ GROUP BY 1
 ORDER BY nation"""
 
 
+# --- the partsupp-backed queries (Q2 / Q11 / Q16 / Q20 / Q21) -------------
+#
+# There is no partsupp source table (FIXTURES.md:65-67); the engine's
+# declared derivation (constants.py:45-49, identical to bronze_partsupp) is
+# the bridge: distinct (l_partkey, l_suppkey) pairs observed in lineitem,
+#   ps_supplycost = round(p_retailprice * 0.6, 2)   [portable grid]
+#   ps_availqty   = (ps_partkey*7 + ps_suppkey*13) % 9901 + 50
+# Under this derivation Q11/Q16/Q20/Q21 are fully non-degenerate (cost
+# varies per part, availqty per pair). Q2's correlated MIN is degenerate BY
+# CONSTRUCTION — every supplier of a part shares the part's cost — so the
+# min-cost filter keeps the whole tie set; the query is still registered
+# because the SHAPE (per-group min broadcast back over the bridge) is real
+# and the deterministic ordering makes the tie set a well-defined answer.
+
+from .constants import AVAILQTY_BASE, AVAILQTY_MOD, SUPPLY_COST_FACTOR
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    return pairs.join(part, pairs.ps_partkey == F.col("p_partkey")).select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            (F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13) % AVAILQTY_MOD
+            + AVAILQTY_BASE
+        )
+        .cast("int")
+        .alias("ps_availqty"),
+        round_dbl(F.col("p_retailprice") * SUPPLY_COST_FACTOR, 2).alias(
+            "ps_supplycost"
+        ),
+    )
+
+
+_PS_CTE = f"""
+    SELECT ps_partkey, ps_suppkey,
+        CAST((ps_partkey * 7 + ps_suppkey * 13) % {AVAILQTY_MOD}
+             + {AVAILQTY_BASE} AS INT) AS ps_availqty,
+        {round_dbl_sql("p_retailprice * " + repr(SUPPLY_COST_FACTOR), 2)}
+            AS ps_supplycost
+    FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          FROM lineitem) pairs
+    JOIN part ON ps_partkey = p_partkey"""
+
+
+Q2_SIZE, Q2_TYPE, Q2_REGION = 10, "STANDARD", "EUROPE"
+
+
+def bi_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: minimum-cost supplier — the correlated per-part MIN
+    joined back over the supplier bridge. See the module note above: the
+    constant-per-part derived cost makes the MIN filter keep every
+    supplier of the part (the full tie set), which is exactly what the
+    derivation implies; the per-group-min shape and deterministic
+    ordering are what the query verifies."""
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == Q2_SIZE) & (F.col("p_type") == Q2_TYPE)
+    ).select("p_partkey", "p_name")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name")
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q2_REGION
+    )
+    eu = (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    min_cost = eu.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eu.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mk"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", F.col("ps_partkey").alias("p_partkey"),
+            "p_name", "ps_supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", F.col("p_partkey").asc()
+        )
+        .limit(100)
+    )
+
+
+TPCH_Q2_ORACLE = f"""
+WITH ps AS ({_PS_CTE}),
+eu AS (
+    SELECT ps.ps_partkey, ps.ps_supplycost, p.p_name,
+           s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+    FROM ps
+    JOIN part p ON ps.ps_partkey = p.p_partkey
+    JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{Q2_REGION}' AND p.p_size = {Q2_SIZE}
+      AND p.p_type = '{Q2_TYPE}'
+)
+SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_name, ps_supplycost
+FROM eu
+WHERE ps_supplycost = (
+    SELECT MIN(ps_supplycost) FROM eu e2 WHERE e2.ps_partkey = eu.ps_partkey
+)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey ASC
+LIMIT 100"""
+
+
+Q11_NATION, Q11_FRACTION = "NATION_3", 0.001
+
+
+def bi_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: important stock identification — per-part stock value
+    for one nation's suppliers, kept where the value exceeds a fraction
+    of the nation's total. The scalar total broadcasts back over the
+    per-part aggregate; each product ``supplycost x availqty`` is an
+    exact IEEE multiply (2-dp double x int), summed on the decimal
+    grid."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == Q11_NATION
+    )
+    scoped = (
+        ps.join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    value = scoped.groupBy("ps_partkey").agg(
+        F.round(
+            F.sum((F.col("ps_supplycost") * F.col("ps_availqty")).cast(_DEC)), 2
+        )
+        .cast("double")
+        .alias("value")
+    )
+    total = value.agg(
+        round_dbl(
+            F.round(F.sum(F.col("value").cast(_DEC)), 2).cast("double")
+            * F.lit(Q11_FRACTION),
+            6,
+        ).alias("threshold")
+    )
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .orderBy(F.col("value").desc(), F.col("ps_partkey").asc())
+        .select("ps_partkey", "value")
+    )
+
+
+TPCH_Q11_ORACLE = f"""
+WITH ps AS ({_PS_CTE}),
+value AS (
+    SELECT ps_partkey,
+        CAST(ROUND(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,10))), 2)
+             AS DOUBLE) AS value
+    FROM ps
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = '{Q11_NATION}'
+    GROUP BY 1
+)
+SELECT ps_partkey, value FROM value
+WHERE value > (
+    SELECT {round_dbl_sql(
+        "CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) * "
+        + repr(Q11_FRACTION), 6)}
+    FROM value
+)
+ORDER BY value DESC, ps_partkey ASC"""
+
+
+Q16_EXCL_BRAND, Q16_EXCL_TYPE = "Brand#5", "PROMO"
+Q16_SIZES = (1, 5, 10, 15, 20, 25)
+
+
+def bi_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: parts/supplier relationship — distinct supplier count
+    per (brand, type, size) over the bridge, excluding one brand, one
+    type, and suppliers with a negative account balance (the corpus has
+    no s_comment, so the classic complaints filter becomes the balance
+    predicate — same anti-join shape). The filtered part dim broadcasts;
+    the exclusion list is a broadcast anti-join."""
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCL_BRAND)
+        & (F.col("p_type") != Q16_EXCL_TYPE)
+        & F.col("p_size").isin(*Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", F.col("p_size").asc()
+        )
+    )
+
+
+TPCH_Q16_ORACLE = f"""
+WITH ps AS ({_PS_CTE})
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}' AND p_type <> '{Q16_EXCL_TYPE}'
+  AND p_size IN {Q16_SIZES}
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size ASC"""
+
+
+Q20_NATION, Q20_NAME_PREFIX = "NATION_4", "red"
+Q20_LO, Q20_HI = "1997-01-01", "1998-01-01"
+
+
+def bi_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: potential part promotion — suppliers in one nation
+    holding excess stock (availqty > half the quantity they shipped of
+    that part in the year) of name-prefixed parts. The nested IN
+    subqueries become semi-joins; half-quantities are exact (integral
+    doubles x 0.5). Classic NULL semantics kept: a pair that shipped
+    nothing in the window has no half-qty row and is excluded (inner
+    join), exactly as ``> NULL`` excludes in SQL."""
+    ps = _partsupp(spark, sf_dir)
+    red_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(Q20_NAME_PREFIX)
+    ).select("p_partkey")
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q20_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q20_HI).cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("sp_partkey"),
+            F.col("l_suppkey").alias("sp_suppkey"),
+        )
+        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty"))
+    )
+    excess = (
+        ps.join(F.broadcast(red_parts), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("sp_partkey"))
+            & (F.col("ps_suppkey") == F.col("sp_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == Q20_NATION
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        supp.join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+TPCH_Q20_ORACLE = f"""
+WITH ps AS ({_PS_CTE})
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{Q20_NATION}'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM ps
+    WHERE ps_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_NAME_PREFIX}%'
+    )
+    AND ps_availqty > (
+        SELECT 0.5 * SUM(l_quantity) FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '{Q20_LO}'
+          AND l_shipdate < TIMESTAMP '{Q20_HI}'
+    )
+  )
+ORDER BY s_name"""
+
+
+Q21_NATION = "NATION_5"
+
+
+def bi_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who kept orders waiting — late lines (shipped
+    > 90 days after the order date, the Q4 lateness adaptation) in
+    multi-supplier 'F' orders where NO other supplier was late. The
+    classic EXISTS + NOT-EXISTS pair over the same fact becomes two
+    per-order aggregates joined back (distinct-supplier count and the
+    late-supplier set size) — the aggregate rewrite every engine's
+    optimizer aims for, here stated directly; the DuckDB oracle runs the
+    textbook correlated form, making this a cross-implementation
+    semantics check like the AS-OF join. ``numwait`` counts qualifying
+    late LINES per supplier (classic COUNT(*) grain)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lines_f = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = lines_f.filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), Q4_LATE_DAYS)
+    )
+    n_supp = lines_f.groupBy(F.col("l_orderkey").alias("ok1")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    late_supp = late.groupBy(F.col("l_orderkey").alias("ok2")).agg(
+        F.countDistinct("l_suppkey").alias("n_late_supp")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == Q21_NATION
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    waiting = (
+        late.join(n_supp, F.col("l_orderkey") == F.col("ok1"))
+        .join(late_supp, F.col("l_orderkey") == F.col("ok2"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+TPCH_Q21_ORACLE = f"""
+SELECT s_name, numwait FROM (
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = '{Q21_NATION}'
+      AND l1.l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+      )
+    GROUP BY s_name
+)
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100"""
+
+
 def register_all(register) -> None:
     register("bi_tpch_q1", bi_tpch_q1, TPCH_Q1_ORACLE)
     register("bi_tpch_q3", bi_tpch_q3, TPCH_Q3_ORACLE)
@@ -1031,3 +1424,8 @@ def register_all(register) -> None:
     register("bi_tpch_q9", bi_tpch_q9, TPCH_Q9_ORACLE)
     register("bi_tpch_q19", bi_tpch_q19, TPCH_Q19_ORACLE)
     register("bi_tpch_q22", bi_tpch_q22, TPCH_Q22_ORACLE)
+    register("bi_tpch_q2", bi_tpch_q2, TPCH_Q2_ORACLE)
+    register("bi_tpch_q11", bi_tpch_q11, TPCH_Q11_ORACLE)
+    register("bi_tpch_q16", bi_tpch_q16, TPCH_Q16_ORACLE)
+    register("bi_tpch_q20", bi_tpch_q20, TPCH_Q20_ORACLE)
+    register("bi_tpch_q21", bi_tpch_q21, TPCH_Q21_ORACLE)

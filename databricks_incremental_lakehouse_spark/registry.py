@@ -308,6 +308,11 @@ _CHECK_PRIORITY: list[str] = [
     "bi_tpch_q9",  # new r6: product-type profit (derived supply cost)
     "bi_tpch_q19",  # new r6: OR-of-ANDs disjunctive pushdown
     "bi_tpch_q22",  # new r6: scalar-avg threshold + anti-join
+    "bi_tpch_q2",  # new r6: per-group-min join-back (declared tie-set note)
+    "bi_tpch_q11",  # new r6: stock value vs scalar fraction threshold
+    "bi_tpch_q16",  # new r6: distinct supplier count + exclusion anti-join
+    "bi_tpch_q20",  # new r6: nested-IN semi-join chain
+    "bi_tpch_q21",  # new r6: EXISTS/NOT-EXISTS as per-order aggregates
     # -- (2) carriers whose code changed this round (green r5, recheck) -----
     "sim_ivf_topk_indexed",  # cell store now carries (scale, codes)
     "sketch_kmv_overlap",  # unfull-sketch exact-count estimator (ADVICE r5)
@@ -338,20 +343,15 @@ _CHECK_PRIORITY: list[str] = [
     "gold_revenue_by_region",
     "gold_monthly_sales_trends",
     "bi_top_platinum_clv",
-    "bi_strategic_suppliers",
     "bi_top_suppliers_by_score",
     "qc_row_counts",
     "qc_null_checks",
     "qc_business_rules",
     "text_stats",
-    "text_langid",
-    "text_fingerprint",
     "text_quality_gopher",
     "vocab_topk",
-    "dedup_exact",
     "dedup_ngram_jaccard_capped",
     "dedup_embedding_cosine",
-    "dedup_embedding_cosine_knn",
     "sim_topk_quantized",
     "embedding_quantize",
 ]

@@ -316,6 +316,52 @@ def test_tpch_q22_anti_join_and_broadcast_scalar(spark, sf_correct):
     assert "CartesianProduct" not in plan
 
 
+def test_tpch_q2_min_cost_no_cartesian(spark, sf_correct):
+    """Q2's correlated per-part MIN must join back as a hash join with
+    broadcast dims — never a cartesian/nested-loop over the bridge."""
+    plan = _plan(QUERIES["bi_tpch_q2"](spark, sf_correct))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q11_partial_agg_and_broadcast_threshold(spark, sf_correct):
+    """Q11's per-part value aggregate must partial-combine map-side, and
+    the scalar threshold must come back as a broadcast (1-row) side, not
+    a shuffle."""
+    plan = _plan(QUERIES["bi_tpch_q11"](spark, sf_correct))
+    assert "partial_sum" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q16_anti_join_exclusion(spark, sf_correct):
+    """Q16's supplier-exclusion must plan as a broadcast anti join and
+    the distinct supplier count as the two-phase distinct aggregate."""
+    plan = _plan(QUERIES["bi_tpch_q16"](spark, sf_correct))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q20_semi_join_chain(spark, sf_correct):
+    """Q20's nested INs must plan as semi joins (part prefix filter and
+    the qualified-supplier probe), never de-duplicated inner joins."""
+    plan = _plan(QUERIES["bi_tpch_q20"](spark, sf_correct))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_aggregate_rewrite_no_cartesian(spark, sf_correct):
+    """Q21's EXISTS / NOT-EXISTS pair is stated as two per-order
+    aggregates joined back — the plan must be hash joins + partial
+    distinct aggregates with the nation dim broadcast, no cartesian and
+    no nested-loop."""
+    plan = _plan(QUERIES["bi_tpch_q21"](spark, sf_correct))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bloom_filter_partial_bit_or(spark, sf_correct):
     """The Bloom build's mergeability claim depends on the bit_or
     aggregate combining MAP-SIDE, so the shuffle carries sources x words
