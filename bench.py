@@ -328,6 +328,9 @@ def main() -> None:
     t0 = time.time()
     _noop(QUERIES["stream_view_purchase_join"](spark, sf_dir))
     once["once.stream_view_purchase_join_drain"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _noop(QUERIES["stream_view_purchase_left_join"](spark, sf_dir))
+    once["once.stream_view_purchase_left_join_drain"] = round(time.time() - t0, 3)
 
     # the operated curation DAG (flags -> corpus || report -> packing)
     from databricks_incremental_lakehouse_spark.llmdata.pipeline import (

@@ -304,6 +304,7 @@ _CHECK_PRIORITY: list[str] = [
     "corpus_curate_canonical",  # new r6: centrality-aware funnel kept-set
     "events_view_purchase_join",  # new r6: interval-join batch twin
     "stream_view_purchase_join",  # new r6: drained stream-stream join
+    "stream_view_purchase_left_join",  # new r6: watermark-gated outer nulls
     "gold_customer_lifetime_value_fully_scoped",  # new r6: zero-global-window chain
     "bi_tpch_q9",  # new r6: product-type profit (derived supply cost)
     "bi_tpch_q19",  # new r6: OR-of-ANDs disjunctive pushdown
@@ -345,7 +346,6 @@ _CHECK_PRIORITY: list[str] = [
     "bi_top_platinum_clv",
     "bi_top_suppliers_by_score",
     "qc_row_counts",
-    "qc_null_checks",
     "qc_business_rules",
     "text_stats",
     "text_quality_gopher",

@@ -105,25 +105,36 @@ FROM v JOIN p
  AND p.purchase_ts <= v.view_ts + INTERVAL {JOIN_BOUND_MIN} MINUTES"""
 
 
+WATERMARK_DELAY = "1 hour"
+
+
 def view_purchase_join_stream(
     spark: SparkSession,
     source_dir: str,
     target_dir: str,
     checkpoint_dir: str,
+    how: str = "inner",
 ):
     """The streaming form: two watermarked legs over the events source,
-    stream-stream inner join with the per-side time bound, appended to a
+    stream-stream join with the per-side time bound, appended to a
     parquet sink; ``availableNow`` drains the current source and stops.
 
-    The 1-hour watermark delay bounds state without affecting this
-    corpus's result (inner joins emit on match; the watermark only
-    governs state eviction and would drop only rows arriving later than
-    the delay out of order)."""
+    ``how="inner"``: matches emit eagerly; the watermark only governs
+    state eviction, so the drained output equals the batch join exactly.
+
+    ``how="left_outer"``: a view's NULL row can only emit once the
+    watermark proves no in-bound purchase can still arrive — i.e. when
+    ``view_ts + JOIN_BOUND < watermark``, watermark = min over both legs
+    of (max event time seen − delay). Views younger than that horizon at
+    end-of-stream stay in state, unemitted (they would emit on the next
+    trigger if more data arrived). This is the semantics the oracle
+    mirrors (see LEFT_ORACLE) — the watermark horizon is part of the
+    operator's CONTRACT, not an artifact."""
     static = spark.read.parquet(source_dir)
     stream = spark.readStream.schema(static.schema).parquet(source_dir)
-    views = _views(stream).withWatermark("view_ts", "1 hour")
-    purchases = _purchases(stream).withWatermark("purchase_ts", "1 hour")
-    joined = _project(views.join(purchases, F.expr(_JOIN_COND)))
+    views = _views(stream).withWatermark("view_ts", WATERMARK_DELAY)
+    purchases = _purchases(stream).withWatermark("purchase_ts", WATERMARK_DELAY)
+    joined = _project(views.join(purchases, F.expr(_JOIN_COND), how))
     return (
         joined.writeStream.format("parquet")
         .option("path", target_dir)
@@ -134,16 +145,15 @@ def view_purchase_join_stream(
     )
 
 
-# session-scoped memo: one drained join per sf_dir
-_JOIN_TARGETS: dict[str, str] = {}
+# session-scoped memo: one drained join per (sf_dir, how)
+_JOIN_TARGETS: dict[tuple[str, str], str] = {}
 
 
-def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query: drain the stream-stream join over the events table
-    and serve the appended sink — checked against the SAME oracle as the
-    batch twin (the stateful.stream_user_totals drain discipline: raise
-    on timeout, memoize only after a confirmed drain)."""
-    target = _JOIN_TARGETS.get(sf_dir)
+def _drained_join(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    """Drain the stream-stream join over the events table and serve the
+    appended sink (the stateful.stream_user_totals drain discipline:
+    raise on timeout, memoize only after a confirmed drain)."""
+    target = _JOIN_TARGETS.get((sf_dir, how))
     if target is None:
         root = tempfile.mkdtemp(prefix="ss_join_")
         src = os.path.join(root, "src")
@@ -153,7 +163,8 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(src, "events.parquet"),
         )
         q = view_purchase_join_stream(
-            spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
+            spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt"),
+            how=how,
         )
         if not q.awaitTermination(300):
             q.stop()
@@ -162,8 +173,62 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "refusing to read a partial sink"
             )
         target = os.path.join(root, "target")
-        _JOIN_TARGETS[sf_dir] = target
+        _JOIN_TARGETS[(sf_dir, how)] = target
     return spark.read.parquet(target)
+
+
+def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the drained INNER stream-stream join — checked
+    against the SAME oracle as the batch twin."""
+    return _drained_join(spark, sf_dir, "inner")
+
+
+def stream_view_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the drained LEFT OUTER stream-stream join. The
+    NULL rows are watermark-gated (see :func:`view_purchase_join_stream`),
+    so the oracle is batch-matches UNION unmatched views older than the
+    end-of-stream watermark horizon — the horizon is the contract."""
+    return _drained_join(spark, sf_dir, "left_outer")
+
+
+# The left-outer oracle mirrors Spark's eviction horizon: global watermark
+# = min over both legs of (ms-floored max event time − 1 hour delay); a
+# view's NULL row exists iff it is unmatched AND view_ts + 30 min < that
+# watermark. (Spark tracks event-time watermarks at millisecond grain —
+# hence the ms floor; the strict < matches observed behavior, and no corpus
+# timestamp lands exactly on the boundary.)
+STREAM_VIEW_PURCHASE_LEFT_ORACLE = f"""
+WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+                  value FROM events),
+v AS (SELECT event_id AS view_event_id, user_id, ts AS view_ts,
+             value AS view_value FROM e WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts,
+             value AS purchase_value FROM e WHERE event_type = 'purchase'),
+wm AS (
+    SELECT LEAST(
+        date_trunc('milliseconds', (SELECT max(view_ts) FROM v)),
+        date_trunc('milliseconds', (SELECT max(purchase_ts) FROM p))
+    ) - INTERVAL 1 HOUR AS wm
+)
+SELECT v.view_event_id, v.user_id, v.view_ts, v.view_value,
+       p.purchase_event_id, p.purchase_ts, p.purchase_value,
+       epoch_us(p.purchase_ts) - epoch_us(v.view_ts) AS delay_us
+FROM v JOIN p
+  ON v.user_id = p.user_id
+ AND p.purchase_ts >= v.view_ts
+ AND p.purchase_ts <= v.view_ts + INTERVAL {JOIN_BOUND_MIN} MINUTES
+UNION ALL
+SELECT v.view_event_id, v.user_id, v.view_ts, v.view_value,
+       CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT)
+FROM v, wm
+WHERE v.view_ts + INTERVAL {JOIN_BOUND_MIN} MINUTES < wm.wm
+  AND NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = v.user_id
+        AND p.purchase_ts >= v.view_ts
+        AND p.purchase_ts <= v.view_ts + INTERVAL {JOIN_BOUND_MIN} MINUTES
+  )"""
 
 
 def register_joins(register) -> None:
@@ -176,4 +241,9 @@ def register_joins(register) -> None:
         "stream_view_purchase_join",
         stream_view_purchase_join,
         EVENTS_VIEW_PURCHASE_ORACLE,
+    )
+    register(
+        "stream_view_purchase_left_join",
+        stream_view_purchase_left_join,
+        STREAM_VIEW_PURCHASE_LEFT_ORACLE,
     )

@@ -1297,3 +1297,74 @@ def test_stream_stream_join_equals_batch(spark, sf_correct, tmp_path):
         .count()
     )
     assert all_pairs > len(batch)
+
+
+def test_stream_stream_left_join_watermark_horizon(spark, sf_correct, tmp_path):
+    """The LEFT OUTER drain must emit (a) exactly the inner join's match
+    rows and (b) a NULL row for precisely the unmatched views older than
+    the end-of-stream watermark horizon (min over both legs of max event
+    time - delay); unmatched views younger than the horizon stay in
+    state, unemitted. The horizon must bind (some views unemitted) and
+    the null set must be non-trivial."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from databricks_incremental_lakehouse_spark.streaming.joins import (
+        JOIN_BOUND_MIN,
+        events_view_purchase_join,
+        view_purchase_join_stream,
+    )
+    from databricks_incremental_lakehouse_spark.tables import load_table
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(sf_correct, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    q = view_purchase_join_stream(
+        spark, src, str(tmp_path / "tgt"), str(tmp_path / "ckpt"),
+        how="left_outer",
+    )
+    assert q.awaitTermination(300), "left-outer stream join did not drain"
+    out = spark.read.parquet(str(tmp_path / "tgt"))
+
+    matches = {
+        (r.view_event_id, r.purchase_event_id)
+        for r in out.filter(F.col("purchase_event_id").isNotNull()).collect()
+    }
+    batch = {
+        (r.view_event_id, r.purchase_event_id)
+        for r in events_view_purchase_join(spark, sf_correct).collect()
+    }
+    assert matches == batch
+
+    ev = load_table(spark, sf_correct, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    wm_v, wm_p = (
+        views.agg(F.max("ts")).collect()[0][0],
+        purch.agg(F.max("ts")).collect()[0][0],
+    )
+    import datetime
+
+    horizon = min(wm_v, wm_p).replace(microsecond=0) + datetime.timedelta(
+        milliseconds=min(wm_v, wm_p).microsecond // 1000
+    ) - datetime.timedelta(hours=1)
+    matched_views = {v for v, _p in batch}
+    expect_nulls = {
+        r.event_id
+        for r in views.collect()
+        if r.event_id not in matched_views
+        and r.ts + datetime.timedelta(minutes=JOIN_BOUND_MIN) < horizon
+    }
+    got_nulls = {
+        r.view_event_id
+        for r in out.filter(F.col("purchase_event_id").isNull()).collect()
+    }
+    assert got_nulls == expect_nulls
+    assert expect_nulls  # the null path is exercised
+    n_views = views.count()
+    assert len(got_nulls) + len(matched_views) < n_views  # horizon binds
