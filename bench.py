@@ -140,6 +140,7 @@ OTHER_TIMED_QUERIES = [
     "sim_ivf_topk_quantized",
     "stream_user_totals",
     "stream_view_purchase_join",
+    "stream_view_purchase_left_join",
 ]
 
 

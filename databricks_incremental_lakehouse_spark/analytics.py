@@ -1016,8 +1016,13 @@ ORDER BY nation"""
 # --- the partsupp-backed queries (Q2 / Q11 / Q16 / Q20 / Q21) -------------
 #
 # There is no partsupp source table (FIXTURES.md:65-67); the engine's
-# declared derivation (constants.py:45-49, identical to bronze_partsupp) is
-# the bridge: distinct (l_partkey, l_suppkey) pairs observed in lineitem,
+# declared derivation (constants.py:45-49) is the bridge. bronze_partsupp
+# applies the SAME formulas to the CLEANED bronze lineitem for the pipeline
+# path; this module applies them to the RAW tables, because the analyst
+# suite — like every other TPC-H query here — reads raw sources. Both
+# implementations reference the constants; a derivation change must touch
+# constants.py, which is the single declared definition. The bridge:
+# distinct (l_partkey, l_suppkey) pairs observed in lineitem,
 #   ps_supplycost = round(p_retailprice * 0.6, 2)   [portable grid]
 #   ps_availqty   = (ps_partkey*7 + ps_suppkey*13) % 9901 + 50
 # Under this derivation Q11/Q16/Q20/Q21 are fully non-degenerate (cost

@@ -140,22 +140,30 @@ def _exploded_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def _doc_shingles(docs: DataFrame) -> DataFrame:
+def _doc_shingles(
+    docs: DataFrame | None = None, shingles_ex: DataFrame | None = None
+) -> DataFrame:
     """doc_id -> distinct 3-token shingle array (one row per doc), for the
     per-doc verification ops (``array_intersect``). Array element order is
     unspecified (collect_list after a shuffle) — every consumer treats the
-    array as a set."""
-    return (
-        _exploded_shingles(docs)
-        .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("shingles"))
+    array as a set. Give EITHER ``docs`` (derives the exploded shingles)
+    or ``shingles_ex`` (a precomputed/checkpointed exploded frame)."""
+    if shingles_ex is None:
+        shingles_ex = _exploded_shingles(docs)
+    return shingles_ex.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shingles")
     )
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
+def _shingles(
+    docs: DataFrame | None = None, shingles_ex: DataFrame | None = None
+) -> DataFrame:
     """Exploded inverted-index form: doc_id, shingle, per-doc shingle count
-    (a window count over the same doc_id partitioning)."""
-    return _exploded_shingles(docs).withColumn(
+    (a window count over the same doc_id partitioning). Source selection
+    as in :func:`_doc_shingles`."""
+    if shingles_ex is None:
+        shingles_ex = _exploded_shingles(docs)
+    return shingles_ex.withColumn(
         "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
 
@@ -214,9 +222,7 @@ def dedup_ngram_jaccard(
     identical to deriving it here."""
     if shingles_ex is None:
         shingles_ex = _exploded_shingles(load_table(spark, sf_dir, "documents"))
-    sh = shingles_ex.withColumn(
-        "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    ).repartition("shingle")
+    sh = _shingles(shingles_ex=shingles_ex).repartition("shingle")
     a = sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingle"),
@@ -341,12 +347,13 @@ WHERE CAST(ROUND(CAST(CAST(n_common AS DOUBLE) / CAST(size_a + size_b - n_common
 
 
 def minhash_bands(
-    docs: DataFrame, shingles_ex: DataFrame | None = None
+    docs: DataFrame | None = None, shingles_ex: DataFrame | None = None
 ) -> DataFrame:
     """(doc_id, band, band_key) LSH band rows for any (doc_id, text)
     DataFrame — the registrable signature unit shared by the batch LSH
     dedup and the streaming near-dup registry. ``shingles_ex`` optionally
-    supplies the exploded shingles (see :func:`dedup_ngram_jaccard`).
+    supplies the exploded shingles directly (``docs`` then unused — see
+    :func:`dedup_ngram_jaccard`).
 
     Signature via ONE codegen'd wide aggregate: explode shingles once,
     then 16 min() aggregates (one per seed) in a single groupBy(doc_id) —
@@ -380,15 +387,19 @@ def minhash_bands(
 
 
 def lsh_band_candidates(
-    docs: DataFrame, shingles_ex: DataFrame | None = None
+    docs: DataFrame | None = None, shingles_ex: DataFrame | None = None
 ) -> DataFrame:
     """(doc_a, doc_b) distinct candidate pairs sharing at least one LSH
     band key — the banded candidate generator of the MinHash pipeline,
     exposed separately so a composite query that already holds the exact
     near-dup pair set can reconstruct the LSH-verified edges by
     semi-join instead of re-running the ``array_intersect`` verify (see
-    graph.dedup_canonical_selection). The explicit repartition makes both
-    self-join sides end in an identical exchange (AQE ReusedExchange)."""
+    graph.dedup_canonical_selection). Source selection as in
+    :func:`_doc_shingles` — when ``shingles_ex`` is given it IS the
+    candidate population (``docs`` is not consulted), which is how the
+    canonical-selection path restricts signatures to paired docs. The
+    explicit repartition makes both self-join sides end in an identical
+    exchange (AQE ReusedExchange)."""
     bands = minhash_bands(docs, shingles_ex=shingles_ex).repartition(
         "band", "band_key"
     )
@@ -421,10 +432,8 @@ def dedup_minhash_lsh(
     docs = load_table(spark, sf_dir, "documents")
     if shingles_ex is None:
         shingles_ex = _exploded_shingles(docs)
-    ds = shingles_ex.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("shingles")
-    )
-    cand = lsh_band_candidates(docs, shingles_ex=shingles_ex)
+    ds = _doc_shingles(shingles_ex=shingles_ex)
+    cand = lsh_band_candidates(shingles_ex=shingles_ex)
     # exact-Jaccard verify: join the tiny candidate set back to the shingle
     # arrays; |A ∩ B| via array_intersect (arrays are distinct by
     # construction) — no inverted-index self-join needed

@@ -201,7 +201,7 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex_paired = ex.join(F.broadcast(paired_docs), "doc_id", "left_semi")
     lsh_pairs = exact_pairs.join(
-        lsh_band_candidates(docs, shingles_ex=ex_paired),
+        lsh_band_candidates(shingles_ex=ex_paired),
         ["doc_a", "doc_b"],
         "left_semi",
     )

@@ -294,26 +294,42 @@ _IVF_INDEXES: dict[str, tuple[list[tuple[int, list[float]]], str]] = {}
 
 
 def _sq8_scale(vcol: str = "v"):
-    """Per-vector SQ8 scale, on the same 9-dp grid as
-    :func:`embedding_quantize` (the two must agree: the index stores what
-    the quantize operator defines)."""
+    """Per-vector SQ8 scale on the 9-dp grid — the single definition,
+    shared by :func:`embedding_quantize` (audit surface) and the IVF cell
+    store (serving surface); the code paths differ only in the store's
+    int8 clamp (see :func:`_sq8_codes`)."""
     return F.round(
         F.array_max(F.transform(F.col(vcol), lambda x: F.abs(x))) / F.lit(127.0), 9
     )
 
 
 def _sq8_codes(vcol: str = "v", scale_col: str = "scale"):
-    """int8 code array for a vector column given its scale column —
-    identical decimal-grid rounding to :func:`embedding_quantize`, stored
-    as TINYINT (codes are in [-127, 127]) so the cell store's code column
-    really is the 4x-smaller payload SQ8 promises."""
+    """int8 code array for a vector column given its scale column — the
+    :func:`embedding_quantize` decimal-grid rounding, CLAMPED to
+    [-127, 127] and stored as TINYINT so the cell store's code column
+    really is the 4x-smaller payload SQ8 promises (FAISS SQ8 clamps the
+    same way). The clamp matters: the 9-dp rounding of ``scale`` can
+    shrink it just enough that ``round(x/scale)`` = 128 for a component
+    at max magnitude, and an unclamped TINYINT cast would WRAP to -128 on
+    the Spark side while the oracle's INT arithmetic kept +128 — the
+    oracle mirrors the clamp (LEAST/GREATEST). ``embedding_quantize``
+    itself deliberately does NOT clamp: it is the audit operator and
+    reports the raw INT codes."""
     def code(x):
-        return F.coalesce(
-            F.round(
-                (x / F.nullif(F.col(scale_col), F.lit(0.0))).cast("decimal(38,10)"),
-                0,
-            ).cast("int"),
-            F.lit(0),
+        return F.least(
+            F.greatest(
+                F.coalesce(
+                    F.round(
+                        (x / F.nullif(F.col(scale_col), F.lit(0.0))).cast(
+                            "decimal(38,10)"
+                        ),
+                        0,
+                    ).cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(-127),
+            ),
+            F.lit(127),
         ).cast("tinyint")
 
     return F.transform(F.col(vcol), code)
@@ -832,13 +848,10 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach the registry surface (``scripts/check_correctness.py`` lints
     Array/Map/Struct alongside Decimal)."""
     emb = _emb(spark, sf_dir)
-    scale = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(
-        127.0
-    )
     q = emb.select(
         "vec_id",
         "v",
-        F.round(scale, 9).alias("scale"),
+        _sq8_scale("v").alias("scale"),
     )
     code = lambda x: F.coalesce(  # noqa: E731
         F.round(
@@ -928,8 +941,7 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 200-row candidate set broadcasts back onto the float table —
     no shuffle larger than the candidates anywhere."""
     emb = _emb(spark, sf_dir)
-    scale = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(127.0)
-    q = emb.select("vec_id", "v", F.round(scale, 9).alias("scale"))
+    q = emb.select("vec_id", "v", _sq8_scale("v").alias("scale"))
     code = lambda x: F.coalesce(  # noqa: E731 — same grid as embedding_quantize
         F.round(
             (x / F.nullif(F.col("scale"), F.lit(0.0))).cast("decimal(38,10)"), 0
@@ -1096,9 +1108,9 @@ def sim_ivf_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIM_IVF_QUANTIZED_ORACLE = f"""{_KMEANS_CELLS_WITH},
 sq AS (
     SELECT vec_id, cl,
-        list_transform(v, x -> CAST(COALESCE(
+        list_transform(v, x -> CAST(LEAST(GREATEST(COALESCE(
             CAST(ROUND(CAST(x / NULLIF(scale, 0) AS DECIMAL(38,10)), 0) AS INT),
-            0) AS DOUBLE) * scale) AS vq
+            0), -127), 127) AS DOUBLE) * scale) AS vq
     FROM (
         SELECT vec_id, cl, v,
             ROUND(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) AS scale

@@ -296,7 +296,7 @@ _register_extensions()
 CHECK_WINDOW_SIZE = 50
 
 _CHECK_PRIORITY: list[str] = [
-    # -- (1) never verified in any round: the 7 new r6 queries MUST sit
+    # -- (1) never verified in any round: all 16 new r6 queries MUST sit
     # inside the window (rotation gate tests/test_registry.py) -------------
     "sim_ivf_topk_quantized",  # new r6: IVF probe x SQ8 codes composition
     "bi_tpch_q7",  # new r6: two-nation cross-pair join shape

@@ -208,7 +208,7 @@ wm AS (
     SELECT LEAST(
         date_trunc('milliseconds', (SELECT max(view_ts) FROM v)),
         date_trunc('milliseconds', (SELECT max(purchase_ts) FROM p))
-    ) - INTERVAL 1 HOUR AS wm
+    ) - INTERVAL '{WATERMARK_DELAY}' AS wm
 )
 SELECT v.view_event_id, v.user_id, v.view_ts, v.view_value,
        p.purchase_event_id, p.purchase_ts, p.purchase_value,
