@@ -1368,3 +1368,67 @@ def test_stream_stream_left_join_watermark_horizon(spark, sf_correct, tmp_path):
     assert expect_nulls  # the null path is exercised
     n_views = views.count()
     assert len(got_nulls) + len(matched_views) < n_views  # horizon binds
+
+
+def test_stream_stream_join_drops_late_data_across_drains(spark, tmp_path):
+    """Watermark semantics across restarts: after a first drain advances
+    the watermark (persisted in the checkpoint), a second drain must DROP
+    rows arriving with event times below it — a late view/purchase pair
+    that would match in batch never emits — while an on-time pair in the
+    same second batch emits normally. This is the behavior that bounds
+    state at 100 TB: accepting arbitrarily late rows would mean keeping
+    the whole history in the state store."""
+    import datetime
+    import os
+
+    from databricks_incremental_lakehouse_spark.streaming.joins import (
+        view_purchase_join_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(eid, ts, uid, etype):
+        return (eid, ts, uid, etype, 1.0, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # batch 1: one on-time pair + an anchor event 10 days ahead on BOTH
+    # legs, pushing each leg's watermark far past `base`
+    b1 = [
+        ev(1, base, 100, "view"),
+        ev(2, base + datetime.timedelta(minutes=5), 100, "purchase"),
+        ev(3, base + datetime.timedelta(days=10), 999, "view"),
+        ev(4, base + datetime.timedelta(days=10), 999, "purchase"),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    q = view_purchase_join_stream(
+        spark, src, str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(300)
+    first = {
+        (r.view_event_id, r.purchase_event_id)
+        for r in spark.read.parquet(str(tmp_path / "tgt")).collect()
+    }
+    assert (1, 2) in first
+
+    # batch 2: a LATE pair back at `base` (far below the restored
+    # watermark) and an ON-TIME pair near the anchor
+    near = base + datetime.timedelta(days=10, minutes=1)
+    b2 = [
+        ev(11, base + datetime.timedelta(minutes=1), 200, "view"),
+        ev(12, base + datetime.timedelta(minutes=6), 200, "purchase"),
+        ev(13, near, 300, "view"),
+        ev(14, near + datetime.timedelta(minutes=2), 300, "purchase"),
+    ]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    q2 = view_purchase_join_stream(
+        spark, src, str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    assert q2.awaitTermination(300)
+    after = {
+        (r.view_event_id, r.purchase_event_id)
+        for r in spark.read.parquet(str(tmp_path / "tgt")).collect()
+    }
+    assert (13, 14) in after  # on-time pair emitted
+    assert (11, 12) not in after  # late pair DROPPED by the watermark
