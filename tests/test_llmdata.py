@@ -995,3 +995,41 @@ def test_fast_hash_mode(spark, sf_correct):
         assert dedup_exact(spark, sf_correct).count() == portable_canon
     finally:
         texthash.set_fast_hash(False)
+
+
+def test_sq8_store_codes_clamp_to_int8(spark, tmp_path):
+    """The cell store's tinyint codes must CLAMP at +/-127 instead of
+    wrapping: scale's 9-dp rounding can shrink it enough that
+    round(x/scale) = 128 for a max-magnitude component (e.g. max|v| =
+    6.375e-7 -> true scale 5.019...e-9 rounds to 5e-9 -> 127.5 -> 128),
+    and Spark's non-ANSI tinyint cast would wrap that to -128 while the
+    DuckDB oracle's INT arithmetic kept +128 — flipping the
+    reconstructed cosine. Build the store over a planted corpus that hits
+    the boundary and assert every code is in [-127, 127] and the
+    boundary component clamps to exactly 127."""
+    import numpy as np
+
+    from databricks_incremental_lakehouse_spark.llmdata import similarity as S
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for vid in range(24):
+        v = (rng.normal(size=8) * 1e-7).tolist()
+        v[0] = 6.375e-7  # max component; scale rounds DOWN to 5e-9
+        rows.append((vid, [float(x) for x in v], "a"))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    _cent, path = S._ivf_index(spark, sf)
+    cells = spark.read.parquet(path).collect()
+    assert cells
+    hit_boundary = False
+    for r in cells:
+        for c, x in zip(r.codes, r.v):
+            assert -127 <= c <= 127, (r.vec_id, c)
+            if r.scale > 0 and round(abs(x) / r.scale) >= 128:
+                hit_boundary = True
+                assert abs(c) == 127
+    assert hit_boundary, "planted corpus failed to reach the 128 boundary"
