@@ -149,7 +149,9 @@ BENCH_MOD = 20
 CONTAMINATION_RATIO = 0.2
 
 
-def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_decontamination(
+    spark: SparkSession, sf_dir: str, shingles_ex: DataFrame | None = None
+) -> DataFrame:
     """Train/test contamination audit: for each non-benchmark document, the
     fraction of its 3-token shingles that also appear in the benchmark
     set, and a flag at the standard >= 20% overlap threshold.
@@ -160,8 +162,14 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-hash join + one groupBy(doc_id), no shuffle of the corpus
     text itself. Verification-grade exact overlap (no sketching): the
     candidate volume is bounded by the benchmark set size, not the corpus.
+    ``shingles_ex`` optionally supplies a precomputed exploded-shingle
+    stage shared with the other funnel gates (corpus_curate).
     """
-    ex = _exploded_shingles(load_table(spark, sf_dir, "documents"))
+    ex = (
+        shingles_ex
+        if shingles_ex is not None
+        else _exploded_shingles(load_table(spark, sf_dir, "documents"))
+    )
     bench = (
         ex.filter(F.col("doc_id") % BENCH_MOD == 0).select("shingle").distinct()
     )
@@ -479,6 +487,10 @@ def corpus_curate(
     from .textstats import text_stats
 
     docs = load_table(spark, sf_dir, "documents")
+    # ONE checkpointed shingle explode feeds every shingle-consuming gate
+    # (near-dup clusters / canonical selection AND decontamination) — the
+    # same shared-stage discipline as dedup_canonical_selection itself
+    ex = _exploded_shingles(docs).localCheckpoint(eager=True)
     w = Window.partitionBy("content_md5")
     base = (
         docs.select(
@@ -492,14 +504,16 @@ def corpus_curate(
     if canonical:
         from .graph import dedup_canonical_selection
 
-        clusters = dedup_canonical_selection(spark, sf_dir).select(
+        clusters = dedup_canonical_selection(spark, sf_dir, shingles_ex=ex).select(
             "doc_id", F.col("is_canonical").alias("pass_neardup")
         )
     else:
-        clusters = dedup_clusters(spark, sf_dir).select(
+        clusters = dedup_clusters(spark, sf_dir, shingles_ex=ex).select(
             "doc_id", F.col("is_kept").alias("pass_neardup")
         )
-    decon = text_decontamination(spark, sf_dir).select("doc_id", "is_contaminated")
+    decon = text_decontamination(spark, sf_dir, shingles_ex=ex).select(
+        "doc_id", "is_contaminated"
+    )
     quality = text_stats(spark, sf_dir).select("doc_id", "quality_score")
     is_benchmark = F.col("doc_id") % BENCH_MOD == 0
     h = hash60(F.concat(F.lit(_SAMPLE_KEY), F.col("doc_id").cast("string")))

@@ -147,7 +147,9 @@ FROM pr{PR_ITERS}"""
 GRAPH_PAGERANK_ORACLE = _pagerank_oracle()
 
 
-def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_canonical_selection(
+    spark: SparkSession, sf_dir: str, shingles_ex=None
+) -> DataFrame:
     """Centrality-aware canonical-copy selection — the query the two graph
     views exist to answer together: every document mapped to its dup
     cluster (connected components, curation.dedup_clusters) and to the
@@ -188,7 +190,11 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _exploded_shingles, lsh_band_candidates
 
     docs = load_table(spark, sf_dir, "documents")
-    ex = _exploded_shingles(docs).localCheckpoint(eager=True)
+    ex = (
+        shingles_ex
+        if shingles_ex is not None
+        else _exploded_shingles(docs).localCheckpoint(eager=True)
+    )
     exact_pairs = (
         dedup_ngram_jaccard(spark, sf_dir, shingles_ex=ex)
         .select("doc_a", "doc_b")
