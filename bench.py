@@ -100,6 +100,8 @@ EXT_QUERIES = [
     "embedding_quantize",
     "pack_sequences",
     "text_chunk_overlap",
+    "corpus_shard_assign",
+    "corpus_token_budget_select",
     "vocab_pmi_topk",
     "bi_tpch_q1",
     "bi_tpch_q3",

@@ -5,8 +5,9 @@ Modules: text analysis (textstats), deduplication (dedup), corpus curation
 similarity search (similarity), multimodal column plumbing (multimodal),
 sketch aggregates (sketches: HyperLogLog distinct, count-min heavy
 hitters, Bloom membership, KMV overlap), graph analytics over the
-near-dup graph (graph: fixed-point PageRank). Each operator is registered as an oracle-checked query where
-SQL-expressible.
+near-dup graph (graph: fixed-point PageRank), and training-shard
+assignment / token-budget selection (sharding). Each operator is
+registered as an oracle-checked query where SQL-expressible.
 """
 
 from . import (
@@ -16,6 +17,7 @@ from . import (
     docquality,
     graph,
     multimodal,
+    sharding,
     similarity,
     sketches,
     textstats,
@@ -32,3 +34,4 @@ def register_all(register) -> None:
     multimodal.register_all(register)
     sketches.register_all(register)
     graph.register_all(register)
+    sharding.register_all(register)

@@ -1,0 +1,148 @@
+"""Training-corpus sharding and budget selection — the last-mile steps
+between a curated corpus and a training run:
+
+- ``corpus_shard_assign``     : deterministic shard + within-shard order
+  for every document — the "global shuffle" a training job needs, with
+  ZERO global stages: shard = portable hash mod N (embarrassingly
+  parallel) and position = a row_number window PARTITIONED BY shard, so
+  every exchange is a hash shuffle. The hash order within a shard IS the
+  shuffled read order (hash-ordering a corpus is the standard
+  deterministic shuffle trick — no RNG state, replayable anywhere).
+- ``corpus_token_budget_select``: keep the highest-quality documents
+  until a token budget is exhausted — the "select top docs by quality
+  until N tokens" cut every data-mixture recipe needs. The naive form is
+  a GLOBAL cumulative sum over quality-ordered docs (a single-partition
+  window — the exact shape this repo's scoped variants exist to avoid).
+  Here the cut point is found on VALUE-DOMAIN-BOUNDED aggregates instead:
+  quality scores live on a 4-dp grid, so a groupBy(quality) token total
+  has at most ~10^4 rows at ANY corpus size; the driver walks those rows
+  to find the boundary quality value, and only the docs AT the boundary
+  value need a within-group cumulative window (partitioned by the quality
+  value — never global). The DuckDB oracle computes the straightforward
+  global-window cumsum, making the parity check a proof that the
+  binned-boundary algorithm equals the global-order definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .texthash import hash60, hash60_sql
+
+N_SHARDS = 8
+_SHARD_SEED = "shard#"
+
+
+def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, position): deterministic training-shard assignment
+    and shuffled within-shard order, from the portable hash family."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = hash60(F.concat(F.lit(_SHARD_SEED), F.col("doc_id").cast("string")))
+    df = docs.select(
+        "doc_id", h.alias("h"), (h % N_SHARDS).cast("int").alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return df.select(
+        "doc_id", "shard", F.row_number().over(w).alias("position")
+    )
+
+
+_H_SQL = hash60_sql(f"concat('{_SHARD_SEED}', CAST(doc_id AS VARCHAR))")
+
+CORPUS_SHARD_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, {_H_SQL} AS h,
+           CAST({_H_SQL} % {N_SHARDS} AS INT) AS shard
+    FROM documents
+)
+SELECT doc_id, shard,
+    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC)
+         AS INT) AS position
+FROM d"""
+
+
+# budget = total corpus tokens div TOKEN_BUDGET_DEN (integer-exact on both
+# engines); 2 keeps roughly the better half by quality — binds at every SF
+TOKEN_BUDGET_DEN = 2
+
+
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents in (quality DESC, doc_id ASC) order until the token
+    budget is exhausted (inclusive-cumulative <= budget), WITHOUT a
+    global window — see module docstring. The driver-side walk touches
+    one row per distinct 4-dp quality value (value-domain-bounded, never
+    data-sized); only boundary-quality docs run a window, partitioned by
+    their quality value."""
+    from .textstats import text_stats
+
+    ts = text_stats(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
+    qrows = sorted(
+        ts.groupBy("quality_score")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect(),
+        key=lambda r: -r.quality_score,
+    )
+    total = sum(r.t for r in qrows)
+    budget = total // TOKEN_BUDGET_DEN
+    prior = 0
+    boundary_q = None
+    for r in qrows:
+        if prior + r.t <= budget:
+            prior += r.t
+        else:
+            boundary_q = r.quality_score
+            break
+    if boundary_q is None:
+        # budget covers everything: selected = all (den=1 degenerate case)
+        return ts.select(
+            "doc_id", "n_tokens", "quality_score", F.lit(True).alias("selected")
+        )
+    w = (
+        Window.partitionBy("quality_score")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = F.sum("n_tokens").over(w)
+    selected = (
+        F.when(F.col("quality_score") > F.lit(boundary_q), F.lit(True))
+        .when(
+            (F.col("quality_score") == F.lit(boundary_q))
+            & (F.lit(prior) + within <= F.lit(budget)),
+            F.lit(True),
+        )
+        .otherwise(F.lit(False))
+    )
+    return ts.select(
+        "doc_id", "n_tokens", "quality_score", selected.alias("selected")
+    )
+
+
+def _budget_oracle() -> str:
+    from .textstats import TEXT_STATS_ORACLE
+
+    return f"""
+WITH ts AS (
+    SELECT doc_id, n_tokens, quality_score FROM ({TEXT_STATS_ORACLE})
+),
+c AS (
+    SELECT doc_id, n_tokens, quality_score,
+        SUM(n_tokens) OVER (
+            ORDER BY quality_score DESC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum
+    FROM ts
+)
+SELECT doc_id, n_tokens, quality_score,
+    cum <= (SELECT SUM(n_tokens) // {TOKEN_BUDGET_DEN} FROM ts) AS selected
+FROM c"""
+
+
+def register_all(register) -> None:
+    register("corpus_shard_assign", corpus_shard_assign, CORPUS_SHARD_ORACLE)
+    register(
+        "corpus_token_budget_select",
+        corpus_token_budget_select,
+        _budget_oracle(),
+    )

@@ -314,6 +314,8 @@ _CHECK_PRIORITY: list[str] = [
     "bi_tpch_q16",  # new r6: distinct supplier count + exclusion anti-join
     "bi_tpch_q20",  # new r6: nested-IN semi-join chain
     "bi_tpch_q21",  # new r6: EXISTS/NOT-EXISTS as per-order aggregates
+    "corpus_shard_assign",  # new r6: deterministic training shards
+    "corpus_token_budget_select",  # new r6: budget cut w/o global window
     # -- (2) carriers whose code changed this round (green r5, recheck) -----
     "sim_ivf_topk_indexed",  # cell store now carries (scale, codes)
     "sketch_kmv_overlap",  # unfull-sketch exact-count estimator (ADVICE r5)
@@ -345,11 +347,9 @@ _CHECK_PRIORITY: list[str] = [
     "gold_monthly_sales_trends",
     "bi_top_platinum_clv",
     "bi_top_suppliers_by_score",
-    "qc_row_counts",
     "qc_business_rules",
     "text_stats",
     "text_quality_gopher",
-    "vocab_topk",
     "dedup_ngram_jaccard_capped",
     "dedup_embedding_cosine",
     "sim_topk_quantized",

@@ -349,3 +349,67 @@ def test_text_chunk_overlap_property(spark, lengths):
                 assert c.chunk_start + CHUNK_TOKENS < eff
             covered.update(range(c.chunk_start, c.chunk_start + c.n_chunk_tokens))
         assert covered == set(range(eff)), f"doc {i}: coverage gap"
+
+
+def test_corpus_shard_assign_contract(spark, sf_correct):
+    """Shards must partition the corpus with contiguous 1..n positions per
+    shard, deterministic across calls, and roughly balanced (hash mod N
+    over 500 docs: no shard should be empty or hold more than 2x the
+    mean)."""
+    from databricks_incremental_lakehouse_spark.llmdata.sharding import (
+        N_SHARDS,
+        corpus_shard_assign,
+    )
+
+    rows = corpus_shard_assign(spark, sf_correct).collect()
+    n = len(rows)
+    assert n == 500
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.shard < N_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.position)
+    assert len(by_shard) == N_SHARDS
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+        assert len(ps) <= 2 * (n / N_SHARDS), (s, len(ps))
+    again = corpus_shard_assign(spark, sf_correct).collect()
+    assert {(r.doc_id, r.shard, r.position) for r in again} == {
+        (r.doc_id, r.shard, r.position) for r in rows
+    }
+
+
+def test_token_budget_select_is_greedy_maximal_and_scoped(spark, sf_correct):
+    """The selection must be exactly the greedy quality-ordered prefix:
+    selected tokens <= budget, and the FIRST unselected doc in (quality
+    DESC, doc_id ASC) order would overflow the budget. The boundary must
+    bind inside one quality group (some docs of the boundary quality
+    selected, some not — proving the within-group window does real work),
+    and the plan must contain ZERO SinglePartition exchanges — the
+    operator exists to avoid the global cumsum window."""
+    from databricks_incremental_lakehouse_spark.llmdata.sharding import (
+        TOKEN_BUDGET_DEN,
+        corpus_token_budget_select,
+    )
+
+    df = corpus_token_budget_select(spark, sf_correct)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") == 0
+
+    rows = sorted(
+        df.collect(), key=lambda r: (-r.quality_score, r.doc_id)
+    )
+    total = sum(r.n_tokens for r in rows)
+    budget = total // TOKEN_BUDGET_DEN
+    cum = 0
+    first_unselected_seen = False
+    for r in rows:
+        cum += r.n_tokens
+        if not first_unselected_seen and not r.selected:
+            first_unselected_seen = True
+            assert cum > budget  # greedy-maximal: this doc would overflow
+        assert r.selected == (cum <= budget), r.doc_id
+    sel_tokens = sum(r.n_tokens for r in rows if r.selected)
+    assert 0 < sel_tokens <= budget
+    boundary_q = next(r.quality_score for r in rows if not r.selected)
+    flags = {r.selected for r in rows if r.quality_score == boundary_q}
+    assert flags == {True, False}, "boundary must split a quality group"
