@@ -77,7 +77,16 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     their quality value."""
     from .textstats import text_stats
 
-    ts = text_stats(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
+    # pinned once: the boundary search (an action) and the returned plan
+    # both read the per-doc stats; without the checkpoint the second use
+    # re-runs the whole text_stats scan (measured 2x the linear cost at
+    # 10x docs). This 3-column doc-grain frame is exactly the stats table
+    # a production pipeline materializes anyway.
+    ts = (
+        text_stats(spark, sf_dir)
+        .select("doc_id", "n_tokens", "quality_score")
+        .localCheckpoint(eager=True)
+    )
     qrows = sorted(
         ts.groupBy("quality_score")
         .agg(F.sum("n_tokens").alias("t"))
