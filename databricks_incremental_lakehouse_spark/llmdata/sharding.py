@@ -82,9 +82,17 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-runs the whole text_stats scan (measured 2x the linear cost at
     # 10x docs). This 3-column doc-grain frame is exactly the stats table
     # a production pipeline materializes anyway.
+    # NULL contract (module convention — cf. text_chunk_overlap's
+    # isNotNull filter): a NULL-text document has NULL quality/token
+    # stats, cannot be ordered or budgeted, and is EXCLUDED from the
+    # output on both engines; without the filter the driver-side boundary
+    # sort would negate None and crash.
     ts = (
         text_stats(spark, sf_dir)
         .select("doc_id", "n_tokens", "quality_score")
+        .filter(
+            F.col("quality_score").isNotNull() & F.col("n_tokens").isNotNull()
+        )
         .localCheckpoint(eager=True)
     )
     qrows = sorted(
@@ -134,6 +142,7 @@ def _budget_oracle() -> str:
     return f"""
 WITH ts AS (
     SELECT doc_id, n_tokens, quality_score FROM ({TEXT_STATS_ORACLE})
+    WHERE quality_score IS NOT NULL AND n_tokens IS NOT NULL
 ),
 c AS (
     SELECT doc_id, n_tokens, quality_score,

@@ -413,3 +413,26 @@ def test_token_budget_select_is_greedy_maximal_and_scoped(spark, sf_correct):
     boundary_q = next(r.quality_score for r in rows if not r.selected)
     flags = {r.selected for r in rows if r.quality_score == boundary_q}
     assert flags == {True, False}, "boundary must split a quality group"
+
+
+def test_token_budget_select_tolerates_null_text(spark, tmp_path):
+    """A NULL-text document has NULL quality/token stats; the budget cut
+    must EXCLUDE it (on both engines) instead of crashing the driver-side
+    boundary sort on a None key — the module's NULL-text contract."""
+    from databricks_incremental_lakehouse_spark.llmdata.sharding import (
+        corpus_token_budget_select,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(20 + i)), "en", "t", 100)
+        for i in range(10)
+    ] + [(99, None, "en", "t", 0)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    out = corpus_token_budget_select(spark, sf).collect()
+    ids = {r.doc_id for r in out}
+    assert 99 not in ids and len(ids) == 10
+    assert any(r.selected for r in out) and any(not r.selected for r in out)
