@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import round_dbl
+from ..operators import round_dbl, round_dbl_sql
 from ..tables import load_table
 from .dedup import (
     DEDUP_MINHASH_ORACLE,
@@ -550,6 +550,63 @@ def corpus_curate(
     )
 
 
+def corpus_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) audit rollup of the curation funnel — the
+    release-notes table a curated-data drop ships: documents, per-gate
+    pass counts, kept count, and the kept-rate per cohort. Pure grouped
+    boolean aggregation over :func:`corpus_curate`'s flag frame (the
+    funnel's one corpus-sized output), joined back to the doc → source
+    mapping; group count is bounded by the source x lang domain."""
+    flags = corpus_curate(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    g = flags.join(src, "doc_id").groupBy("source", "lang")
+
+    def n(col: str):
+        return F.sum(F.when(F.col(col), 1).otherwise(0)).alias(f"n_{col}")
+
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n("pass_exact"),
+        n("pass_neardup"),
+        n("pass_decontam"),
+        n("pass_quality"),
+        n("pass_sample"),
+        n("is_kept"),
+    )
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_pass_exact",
+        "n_pass_neardup",
+        "n_pass_decontam",
+        "n_pass_quality",
+        "n_pass_sample",
+        F.col("n_is_kept").alias("n_kept"),
+        round_dbl(
+            F.col("n_is_kept").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("kept_rate"),
+    )
+
+
+def _corpus_curate_report_oracle() -> str:
+    return f"""
+WITH flags AS ({_corpus_curate_oracle()})
+SELECT d.source, f.lang,
+    COUNT(*) AS n_docs,
+    CAST(SUM(CASE WHEN f.pass_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_exact,
+    CAST(SUM(CASE WHEN f.pass_neardup THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_neardup,
+    CAST(SUM(CASE WHEN f.pass_decontam THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_decontam,
+    CAST(SUM(CASE WHEN f.pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
+    CAST(SUM(CASE WHEN f.pass_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_sample,
+    CAST(SUM(CASE WHEN f.is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    {round_dbl_sql(
+        "CAST(SUM(CASE WHEN f.is_kept THEN 1 ELSE 0 END) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE)", 6)} AS kept_rate
+FROM flags f JOIN documents d USING (doc_id)
+GROUP BY 1, 2"""
+
+
 def _corpus_curate_oracle(canonical: bool = False) -> str:
     from .textstats import TEXT_STATS_ORACLE
 
@@ -728,6 +785,11 @@ def register_all(register) -> None:
         "corpus_curate_canonical",
         lambda spark, sf_dir: corpus_curate(spark, sf_dir, canonical=True),
         _corpus_curate_oracle(canonical=True),
+    )
+    register(
+        "corpus_curate_report",
+        corpus_curate_report,
+        _corpus_curate_report_oracle(),
     )
     register("sample_temperature", sample_temperature, SAMPLE_TEMPERATURE_ORACLE)
     register(

@@ -316,6 +316,7 @@ _CHECK_PRIORITY: list[str] = [
     "bi_tpch_q21",  # new r6: EXISTS/NOT-EXISTS as per-order aggregates
     "corpus_shard_assign",  # new r6: deterministic training shards
     "corpus_token_budget_select",  # new r6: budget cut w/o global window
+    "corpus_curate_report",  # new r6: per-(source,lang) funnel audit rollup
     # -- (2) carriers whose code changed this round (green r5, recheck) -----
     "sim_ivf_topk_indexed",  # cell store now carries (scale, codes)
     "sketch_kmv_overlap",  # unfull-sketch exact-count estimator (ADVICE r5)
@@ -351,7 +352,6 @@ _CHECK_PRIORITY: list[str] = [
     "text_stats",
     "text_quality_gopher",
     "dedup_ngram_jaccard_capped",
-    "dedup_embedding_cosine",
     "sim_topk_quantized",
     "embedding_quantize",
 ]

@@ -362,6 +362,15 @@ def test_tpch_q21_aggregate_rewrite_no_cartesian(spark, sf_correct):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_shard_assign_has_no_global_stage(spark, sf_correct):
+    """corpus_shard_assign's whole point is a shuffled training order
+    with ZERO global stages: the position window partitions by shard, so
+    no SinglePartition exchange may appear anywhere in its plan."""
+    plan = _plan(QUERIES["corpus_shard_assign"](spark, sf_correct))
+    assert plan.count("Exchange SinglePartition") == 0
+    assert "Window" in plan  # the per-shard position ranking is real
+
+
 def test_bloom_filter_partial_bit_or(spark, sf_correct):
     """The Bloom build's mergeability claim depends on the bit_or
     aggregate combining MAP-SIDE, so the shuffle carries sources x words
