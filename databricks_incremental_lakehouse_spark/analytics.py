@@ -41,6 +41,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .constants import (
+    AVAILQTY_BASE,
+    AVAILQTY_MOD,
+    SUPPLY_COST_BASE_PCT,
+    SUPPLY_COST_PCT_MOD,
+    SUPPLY_COST_PCT_SQL,
+)
 from .operators import round_dbl, round_dbl_sql
 from .tables import load_table
 
@@ -813,10 +820,9 @@ FROM agg ORDER BY o_year"""
 
 Q9_NAME_PART = "red"  # classic: '%green%'; this corpus's color vocabulary
 # ps_supplycost has no source table (FIXTURES.md:65-67); the declared cost
-# basis is bronze_partsupp's: round(p_retailprice * 0.6, 2) — constant per
-# part, which keeps Q9's profit SUM meaningful (unlike the min-cost queries
-# Q2/Q11/Q16/Q20, which stay out of scope as degenerate under a constant).
-Q9_COST_FRAC = 0.6
+# basis is bronze_partsupp's per-(part, supplier) derivation (constants.py):
+# round(p_retailprice * ((pk*3 + sk*11) % 41 + 50) / 100, 2). lineitem
+# carries both keys, so Q9 computes the cost inline after the part join.
 
 
 def bi_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -834,19 +840,22 @@ def bi_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").contains(Q9_NAME_PART))
-        .select(
-            "p_partkey",
-            round_dbl(F.col("p_retailprice") * Q9_COST_FRAC, 2).alias(
-                "supply_cost"
-            ),
-        )
+        .select("p_partkey", "p_retailprice")
     )
     nation = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey"), F.col("n_name").alias("nation")
     )
-    profit = round_dbl(
-        _disc_price() - F.col("supply_cost") * F.col("l_quantity"), 2
+    supply_cost = round_dbl(
+        F.col("p_retailprice")
+        * (
+            (F.col("l_partkey") * 3 + F.col("l_suppkey") * 11)
+            % SUPPLY_COST_PCT_MOD
+            + SUPPLY_COST_BASE_PCT
+        ).cast("double")
+        / F.lit(100.0),
+        2,
     )
+    profit = round_dbl(_disc_price() - supply_cost * F.col("l_quantity"), 2)
     agg = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -870,7 +879,12 @@ FROM (
         {round_dbl_sql(
             _DISC_SQL
             + " - "
-            + round_dbl_sql("p.p_retailprice * " + repr(Q9_COST_FRAC), 2)
+            + round_dbl_sql(
+                "p.p_retailprice * CAST((l_partkey * 3 + l_suppkey * 11)"
+                f" % {SUPPLY_COST_PCT_MOD} + {SUPPLY_COST_BASE_PCT}"
+                " AS DOUBLE) / 100.0",
+                2,
+            )
             + " * l_quantity",
             2,
         )} AS amount
@@ -1023,16 +1037,15 @@ ORDER BY nation"""
 # implementations reference the constants; a derivation change must touch
 # constants.py, which is the single declared definition. The bridge:
 # distinct (l_partkey, l_suppkey) pairs observed in lineitem,
-#   ps_supplycost = round(p_retailprice * 0.6, 2)   [portable grid]
+#   cost_pct      = (ps_partkey*3 + ps_suppkey*11) % 41 + 50    [50..90]
+#   ps_supplycost = round(p_retailprice * cost_pct/100, 2)  [portable grid]
 #   ps_availqty   = (ps_partkey*7 + ps_suppkey*13) % 9901 + 50
-# Under this derivation Q11/Q16/Q20/Q21 are fully non-degenerate (cost
-# varies per part, availqty per pair). Q2's correlated MIN is degenerate BY
-# CONSTRUCTION — every supplier of a part shares the part's cost — so the
-# min-cost filter keeps the whole tie set; the query is still registered
-# because the SHAPE (per-group min broadcast back over the bridge) is real
-# and the deterministic ordering makes the tie set a well-defined answer.
-
-from .constants import AVAILQTY_BASE, AVAILQTY_MOD, SUPPLY_COST_FACTOR
+# Under this derivation Q2/Q11/Q16/Q20/Q21 are fully non-degenerate: the
+# cost varies per (part, supplier) — 11 is invertible mod 41, so two
+# suppliers of one part tie only when their keys differ by a multiple of
+# 41 — which makes Q2's correlated per-part MIN select a real minimum-cost
+# supplier (VERDICT r6 #3; before r7 the cost was constant per part and Q2
+# kept the whole tie set).
 
 
 def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1054,9 +1067,16 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("ps_availqty"),
-        round_dbl(F.col("p_retailprice") * SUPPLY_COST_FACTOR, 2).alias(
-            "ps_supplycost"
-        ),
+        round_dbl(
+            F.col("p_retailprice")
+            * (
+                (F.col("ps_partkey") * 3 + F.col("ps_suppkey") * 11)
+                % SUPPLY_COST_PCT_MOD
+                + SUPPLY_COST_BASE_PCT
+            ).cast("double")
+            / F.lit(100.0),
+            2,
+        ).alias("ps_supplycost"),
     )
 
 
@@ -1064,7 +1084,10 @@ _PS_CTE = f"""
     SELECT ps_partkey, ps_suppkey,
         CAST((ps_partkey * 7 + ps_suppkey * 13) % {AVAILQTY_MOD}
              + {AVAILQTY_BASE} AS INT) AS ps_availqty,
-        {round_dbl_sql("p_retailprice * " + repr(SUPPLY_COST_FACTOR), 2)}
+        {round_dbl_sql(
+            "p_retailprice * CAST(" + SUPPLY_COST_PCT_SQL + " AS DOUBLE) / 100.0",
+            2,
+        )}
             AS ps_supplycost
     FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
           FROM lineitem) pairs
@@ -1076,11 +1099,10 @@ Q2_SIZE, Q2_TYPE, Q2_REGION = 10, "STANDARD", "EUROPE"
 
 def bi_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2: minimum-cost supplier — the correlated per-part MIN
-    joined back over the supplier bridge. See the module note above: the
-    constant-per-part derived cost makes the MIN filter keep every
-    supplier of the part (the full tie set), which is exactly what the
-    derivation implies; the per-group-min shape and deterministic
-    ordering are what the query verifies."""
+    joined back over the supplier bridge. The per-(part, supplier) cost
+    derivation (module note above) makes the MIN select a real
+    minimum-cost supplier per part; residual ties (suppkeys congruent
+    mod 41) are resolved by the deterministic ordering."""
     ps = _partsupp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") == Q2_SIZE) & (F.col("p_type") == Q2_TYPE)

@@ -37,7 +37,9 @@ from ..constants import (
     AVAILQTY_BASE,
     AVAILQTY_MOD,
     FIXED_BATCH_ID,
-    SUPPLY_COST_FACTOR,
+    SUPPLY_COST_BASE_PCT,
+    SUPPLY_COST_PCT_MOD,
+    SUPPLY_COST_PCT_SQL,
 )
 from ..operators import dedup_latest, round_dbl, with_audit_columns
 from ..oracle_util import replace_cast
@@ -342,9 +344,10 @@ def bronze_partsupp(
     """Derived supplier-part bridge.
 
     Distinct (l_partkey, l_suppkey) pairs observed in cleaned lineitem,
-    joined to parts for the declared cost basis:
+    joined to parts for the declared cost basis (constants.py):
 
-        ps_supplycost = round(p_retailprice * 0.6, 2)
+        cost_pct      = (ps_partkey*3 + ps_suppkey*11) % 41 + 50
+        ps_supplycost = round(p_retailprice * cost_pct / 100, 2)
         ps_availqty   = (ps_partkey*7 + ps_suppkey*13) % 9901 + 50
 
     The reference dedups partsupp on the same composite key
@@ -383,7 +386,16 @@ def bronze_partsupp(
             )
             .cast("int")
             .alias("ps_availqty"),
-            round_dbl(F.col("p_retailprice").cast("double") * SUPPLY_COST_FACTOR, 2)
+            round_dbl(
+                F.col("p_retailprice").cast("double")
+                * (
+                    (F.col("ps_partkey") * 3 + F.col("ps_suppkey") * 11)
+                    % SUPPLY_COST_PCT_MOD
+                    + SUPPLY_COST_BASE_PCT
+                ).cast("double")
+                / F.lit(100.0),
+                2,
+            )
             .cast("decimal(15,2)")
             .alias("ps_supplycost"),
         )
@@ -395,7 +407,7 @@ def _partsupp_cte(batch_id: str) -> str:
     return f"""
     SELECT ps_partkey, ps_suppkey,
            CAST((ps_partkey * 7 + ps_suppkey * 13) % {AVAILQTY_MOD} + {AVAILQTY_BASE} AS INT) AS ps_availqty,
-           CAST(CAST(ROUND(CAST(p_retailprice * {SUPPLY_COST_FACTOR} AS DECIMAL(38,6)), 2) AS DOUBLE) AS DECIMAL(15,2)) AS ps_supplycost,
+           CAST(CAST(ROUND(CAST(CAST(p_retailprice AS DOUBLE) * CAST({SUPPLY_COST_PCT_SQL} AS DOUBLE) / 100.0 AS DECIMAL(38,6)), 2) AS DOUBLE) AS DECIMAL(15,2)) AS ps_supplycost,
            {_audit_cte_cols(batch_id)}
     FROM (
         SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey

@@ -42,11 +42,26 @@ LATE_SHIP_DAYS = 90
 
 # The test data has no partsupp table (FIXTURES.md); supplier-part pairs are
 # derived from lineitem with declared deterministic cost/qty functions:
-#   ps_supplycost = round(p_retailprice * SUPPLY_COST_FACTOR, 2)
+#   cost_pct      = (ps_partkey * 3 + ps_suppkey * 11) % 41 + 50   -> [50, 90]
+#   ps_supplycost = round(p_retailprice * cost_pct / 100, 2)
 #   ps_availqty   = (ps_partkey * 7 + ps_suppkey * 13) % 9901 + 50
-SUPPLY_COST_FACTOR = 0.6
+# The cost varies per (part, supplier) — not per part alone — so TPC-H Q2's
+# correlated per-part MIN selects a real minimum-cost supplier instead of a
+# degenerate whole-tie-set (VERDICT r6 #3; two suppliers of one part tie only
+# when their suppkeys differ by a multiple of 41, since 11 is invertible
+# mod 41). The pct is integer arithmetic and the cost an IEEE double
+# multiply-divide mirrored operation-for-operation in the DuckDB oracles,
+# so the derivation stays bit-identical across engines.
+SUPPLY_COST_BASE_PCT = 50
+SUPPLY_COST_PCT_MOD = 41
 AVAILQTY_MOD = 9901
 AVAILQTY_BASE = 50
+
+# The (part, supplier) -> cost-percent mix, rendered once for SQL oracles.
+SUPPLY_COST_PCT_SQL = (
+    f"(ps_partkey * 3 + ps_suppkey * 11) % {SUPPLY_COST_PCT_MOD}"
+    f" + {SUPPLY_COST_BASE_PCT}"
+)
 
 # Canonical table names present in every /root/testdata/sf*/ directory.
 SOURCE_TABLES = (
