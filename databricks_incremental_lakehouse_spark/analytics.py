@@ -1049,6 +1049,18 @@ ORDER BY nation"""
 
 
 def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived supplier-part bridge over raw tables; the distinct-pair
+    scan of lineitem is shared session-wide (memo persist mode) so the
+    five partsupp-bridge queries (Q2/Q9 aside, Q11/Q16/Q20 and their
+    oracles' common CTE) pay the lineitem distinct once per session."""
+    from .memo import shared_frame
+
+    return shared_frame(
+        spark, ("tpch_partsupp", sf_dir), lambda: _partsupp_build(spark, sf_dir)
+    )
+
+
+def _partsupp_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         load_table(spark, sf_dir, "lineitem")
         .select(

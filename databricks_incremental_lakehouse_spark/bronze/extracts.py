@@ -186,7 +186,22 @@ def bronze_lineitem(
     sf_dir: str,
     batch_id: str = FIXED_BATCH_ID,
     raw: DataFrame | None = None,
+    shared: bool = True,
 ) -> DataFrame:
+    # The window-dedup over the largest fact is the costliest bronze stage
+    # and THREE consumers build it inline (silver_order_details directly,
+    # bronze_partsupp's pair enumeration, silver_supplier_parts through
+    # partsupp) — the default build is shared session-wide (memo persist
+    # mode; Spark's CacheManager substitutes it into every occurrence, so
+    # even a single plan containing it twice computes it once).
+    if shared and raw is None and batch_id == FIXED_BATCH_ID:
+        from ..memo import shared_frame
+
+        return shared_frame(
+            spark,
+            ("bronze_lineitem", sf_dir),
+            lambda: bronze_lineitem(spark, sf_dir, shared=False),
+        )
     raw = (raw if raw is not None else load_table(spark, sf_dir, "lineitem")).select(
         "l_orderkey",
         "l_partkey",

@@ -246,7 +246,26 @@ def silver_customer_orders(
     orders: DataFrame | None = None,
     nation: DataFrame | None = None,
     region: DataFrame | None = None,
+    shared: bool = True,
 ) -> DataFrame:
+    # Default builds are shared session-wide (see silver_order_details /
+    # memo.py — the materialized-silver-table analogue, VERDICT r6 #1).
+    if (
+        shared
+        and customers is None
+        and orders is None
+        and nation is None
+        and region is None
+        and batch_id == FIXED_BATCH_ID
+        and as_of_date == AS_OF_DATE
+    ):
+        from ..memo import shared_frame
+
+        return shared_frame(
+            spark,
+            ("silver_customer_orders", sf_dir),
+            lambda: silver_customer_orders(spark, sf_dir, shared=False),
+        )
     if customers is None:
         customers = bronze_customers(spark, sf_dir, batch_id)
     if orders is None:

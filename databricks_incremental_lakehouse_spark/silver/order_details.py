@@ -40,8 +40,29 @@ def silver_order_details(
     orders: DataFrame | None = None,
     lineitem: DataFrame | None = None,
     parts: DataFrame | None = None,
+    shared: bool = True,
 ) -> DataFrame:
-    """Build the order_details fact from bronze inputs (built if not given)."""
+    """Build the order_details fact from bronze inputs (built if not given).
+
+    The default (no injected frames, pinned batch) build is shared
+    session-wide through :mod:`..memo` — gold views, QC checks, and the
+    registry all consume one persisted frame instead of re-deriving
+    bronze -> silver per query (the materialized-silver-table analogue;
+    VERDICT r6 #1). Injected-frame and custom-batch calls bypass."""
+    if (
+        shared
+        and orders is None
+        and lineitem is None
+        and parts is None
+        and batch_id == FIXED_BATCH_ID
+    ):
+        from ..memo import shared_frame
+
+        return shared_frame(
+            spark,
+            ("silver_order_details", sf_dir),
+            lambda: silver_order_details(spark, sf_dir, batch_id, shared=False),
+        )
     if orders is None:
         orders = bronze_orders(spark, sf_dir, batch_id)
     if lineitem is None:

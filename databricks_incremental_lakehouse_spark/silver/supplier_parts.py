@@ -45,7 +45,26 @@ def silver_supplier_parts(
     parts: DataFrame | None = None,
     nation: DataFrame | None = None,
     region: DataFrame | None = None,
+    shared: bool = True,
 ) -> DataFrame:
+    # Default builds are shared session-wide (see silver_order_details /
+    # memo.py — the materialized-silver-table analogue, VERDICT r6 #1).
+    if (
+        shared
+        and suppliers is None
+        and partsupp is None
+        and parts is None
+        and nation is None
+        and region is None
+        and batch_id == FIXED_BATCH_ID
+    ):
+        from ..memo import shared_frame
+
+        return shared_frame(
+            spark,
+            ("silver_supplier_parts", sf_dir),
+            lambda: silver_supplier_parts(spark, sf_dir, shared=False),
+        )
     if suppliers is None:
         suppliers = bronze_suppliers(spark, sf_dir, batch_id)
     if partsupp is None:

@@ -22,6 +22,10 @@ with map-side partial aggregation. Session windows use Spark's native
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -157,6 +161,128 @@ FROM numbered
 GROUP BY user_id, session_id"""
 
 
+SESSION_WATERMARK_DELAY = "1 hour"
+
+
+def session_windows_stream(
+    spark: SparkSession, source_dir: str, target_dir: str, checkpoint_dir: str
+):
+    """The STREAMING form of :func:`events_session_windows`: a watermarked
+    ``readStream`` over the events source, native ``session_window``
+    aggregation (state-store backed session merging), appended to a
+    parquet sink; ``availableNow`` drains the current source and stops.
+
+    Append-mode semantics: a session row emits only once the event-time
+    watermark (max event time seen − delay, ms-floored) passes its
+    ``session_end`` — the state store must prove no future event can still
+    extend the session (an event within 30 min of session_end would merge
+    into it; the 1-hour delay then adds the allowed lateness). Sessions
+    younger than the end-of-stream horizon stay in state, unemitted — the
+    same watermark-gated contract as the stream-stream LEFT OUTER join
+    (joins.py), and the oracle mirrors it (STREAM_SESSION_ORACLE).
+
+    At 100 TB: state is O(open sessions per user inside the watermark),
+    not O(stream); the aggregation shuffles on user_id once per
+    micro-batch with session merge inside the state store."""
+    static = spark.read.parquet(source_dir)
+    stream = spark.readStream.schema(static.schema).parquet(source_dir)
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", SESSION_WATERMARK_DELAY)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            round_dbl(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_count",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# session-scoped memo: one drained sessionization per sf_dir
+_SESSION_TARGETS: dict[str, str] = {}
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: drain the streaming sessionization over the events
+    table and serve the appended sink (the joins._drained_join drain
+    discipline: raise on timeout, memoize only after a confirmed drain)."""
+    target = _SESSION_TARGETS.get(sf_dir)
+    if target is None:
+        root = tempfile.mkdtemp(prefix="ss_session_")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        q = session_windows_stream(
+            spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "session_windows_stream did not drain within 300s; "
+                "refusing to read a partial sink"
+            )
+        target = os.path.join(root, "target")
+        _SESSION_TARGETS[sf_dir] = target
+    return spark.read.parquet(target)
+
+
+# The batch gaps-and-islands sessionization gated on the end-of-stream
+# watermark horizon: sessions whose end (last_ts + 30 min) is strictly
+# below (ms-floored max event time − 1 hour) have provably stopped growing
+# and were emitted; younger sessions were still open in state. The strict
+# < matches Spark's eviction predicate (validated empirically at both SFs;
+# no corpus session_end lands exactly on the horizon).
+STREAM_SESSION_ORACLE = f"""
+WITH e AS ({_EVENTS_ORACLE_VIEW}),
+marked AS (
+    SELECT user_id, ts, value,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE
+             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+    FROM e
+),
+numbered AS (
+    SELECT *,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM marked
+),
+wm AS (
+    SELECT date_trunc('milliseconds', (SELECT max(ts) FROM e))
+           - INTERVAL '{SESSION_WATERMARK_DELAY}' AS wm
+)
+SELECT s.user_id, s.session_start, s.session_end, s.event_count, s.total_value
+FROM (
+    SELECT
+        user_id,
+        CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+        COUNT(*) AS event_count,
+        CAST(ROUND(CAST(SUM(value) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+) s, wm
+WHERE s.session_end < wm.wm"""
+
+
 def events_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed event dedup — the batch analog of streaming
     ``withWatermark().dropDuplicates(["event_id"])``."""
@@ -218,5 +344,6 @@ def register_all(register) -> None:
     register("events_tumbling_hourly", events_tumbling_hourly, EVENTS_TUMBLING_ORACLE)
     register("events_sliding_windows", events_sliding_windows, EVENTS_SLIDING_ORACLE)
     register("events_session_windows", events_session_windows, EVENTS_SESSION_ORACLE)
+    register("stream_session_windows", stream_session_windows, STREAM_SESSION_ORACLE)
     register("events_deduped", events_deduped, EVENTS_DEDUP_ORACLE)
     register("events_json_props", events_json_props, EVENTS_JSON_ORACLE)

@@ -1432,3 +1432,55 @@ def test_stream_stream_join_drops_late_data_across_drains(spark, tmp_path):
     }
     assert (13, 14) in after  # on-time pair emitted
     assert (11, 12) not in after  # late pair DROPPED by the watermark
+
+
+def test_stream_session_windows_watermark_horizon(spark, sf_correct, tmp_path):
+    """The drained streaming sessionization must emit exactly the batch
+    gaps-and-islands sessions whose end has passed the end-of-stream
+    watermark horizon (ms-floored max event time - 1h), each exactly once
+    with identical aggregates; younger sessions stay in state, unemitted,
+    and the horizon must bind (some sessions withheld)."""
+    import os
+    import shutil
+
+    from databricks_incremental_lakehouse_spark.streaming.windows import (
+        SESSION_WATERMARK_DELAY,
+        events_session_windows,
+        session_windows_stream,
+    )
+
+    assert SESSION_WATERMARK_DELAY == "1 hour"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(sf_correct, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    q = session_windows_stream(
+        spark, src, str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(300), "sessionization did not drain"
+
+    def keyed(rows):
+        return {
+            (r.user_id, r.session_start): (
+                r.session_end, r.event_count, r.total_value
+            )
+            for r in rows
+        }
+
+    streamed = keyed(spark.read.parquet(str(tmp_path / "tgt")).collect())
+    ev = load_table(spark, sf_correct, "events")
+    horizon_row = ev.select(
+        (
+            F.timestamp_millis(
+                (F.unix_micros(F.max(F.col("ts").cast("timestamp"))) / 1000)
+                .cast("bigint")
+            )
+            - F.expr("INTERVAL 1 HOUR")
+        ).alias("h")
+    ).collect()[0]
+    batch = events_session_windows(spark, sf_correct).collect()
+    expected = keyed(r for r in batch if r.session_end < horizon_row.h)
+    assert 0 < len(expected) < len(batch)  # the horizon binds
+    assert streamed == expected
