@@ -100,8 +100,16 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ) WHERE rank <= {TOP_K}"""
 
 
-N_PROBE = 2  # cells searched per query (multi-probe IVF)
-N_LIST = 8  # IVF cells (k-means k)
+# Chosen by scripts/ivf_recall_sweep.py (r7): this corpus' embeddings have
+# NO cosine-space cluster structure (only 4% of exact top-5 neighbors share
+# the generator's label), so recall tracks the scanned fraction — an
+# information-theoretic floor no cell index beats on random data. nprobe=10
+# of 16 cells is the smallest sweep config clearing recall >= 0.8 at every
+# SF (0.84/0.88/0.90 at sf0.001/0.01/0.1; 1.0 at the replicated 10x corpus,
+# asserted in tests/test_llmdata.py). On clustered production embeddings the
+# same index prunes far harder; the 16-cell grid is kept fine so it can.
+N_PROBE = 10  # cells searched per query (multi-probe IVF)
+N_LIST = 16  # IVF cells (k-means k)
 KMEANS_ITERS = 2  # Lloyd iterations after the deterministic init
 
 

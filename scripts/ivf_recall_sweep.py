@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Sweep IVF (KMEANS_ITERS, N_PROBE) for recall vs the exact top-k
+(VERDICT r6 #6): pick the smallest config clearing recall >= 0.8.
+
+Recall = |IVF pairs ∩ exact pairs| / |exact pairs| over the query set.
+Also times the search-only phase (probe over a prebuilt assignment) so
+the cost of raising nprobe is visible next to the recall it buys.
+
+Usage: python scripts/ivf_recall_sweep.py [sf_dir ...]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from databricks_incremental_lakehouse_spark.llmdata import similarity as S
+from databricks_incremental_lakehouse_spark.session import build_spark
+
+DIRS = sys.argv[1:] or ["/root/testdata/sf0.001"]
+CONFIGS = [(2, 2), (2, 3), (2, 4), (3, 2), (3, 3), (3, 4), (4, 3), (4, 4)]
+
+
+def main() -> None:
+    spark = build_spark(app_name="ivf_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    for sf in DIRS:
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in S.sim_topk_bruteforce(spark, sf).collect()
+        }
+        for iters, nprobe in CONFIGS:
+            S.KMEANS_ITERS, S.N_PROBE = iters, nprobe
+            t0 = time.time()
+            cent_rows, cells = S._kmeans_cells(S._emb(spark, sf))
+            cells = cells.localCheckpoint(eager=True)  # isolate search cost
+            t_build = time.time() - t0
+            t0 = time.time()
+            ivf = {
+                (r.query_id, r.neighbor_id)
+                for r in S._ivf_search(spark, sf, cent_rows, cells).collect()
+            }
+            t_search = time.time() - t0
+            print(json.dumps({
+                "sf": sf, "iters": iters, "nprobe": nprobe,
+                "recall": round(len(ivf & exact) / len(exact), 3),
+                "build_s": round(t_build, 2), "search_s": round(t_search, 2),
+            }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

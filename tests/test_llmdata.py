@@ -81,9 +81,11 @@ def test_hyperplane_lsh_recall(spark, sf_correct):
 
 
 def test_ivf_kmeans_recall(spark, sf_correct):
-    """The k-means-trained IVF (nprobe=2 of 8 cells -> ~25% of the corpus
-    searched) must beat the old label-cell quantizer's recall (0.32 on
-    this corpus) by a margin; measured 0.50 with trained centroids."""
+    """IVF recall >= 0.8 vs the exact top-k (VERDICT r6 #6). This corpus'
+    embeddings have no cosine cluster structure (4% of exact top-5
+    neighbors share the generator's label), so recall tracks the scanned
+    fraction — nprobe=10/16 is the smallest sweep config clearing 0.8
+    (scripts/ivf_recall_sweep.py; measured 0.84 here)."""
     exact = {
         (r.query_id, r.neighbor_id)
         for r in sim_topk_bruteforce(spark, sf_correct).collect()
@@ -92,7 +94,30 @@ def test_ivf_kmeans_recall(spark, sf_correct):
         (r.query_id, r.neighbor_id)
         for r in sim_ivf_topk(spark, sf_correct).collect()
     }
-    assert len(ivf & exact) / len(exact) >= 0.4
+    assert len(ivf & exact) / len(exact) >= 0.8
+
+
+def test_ivf_kmeans_recall_10x(spark):
+    """The recall bar must hold on the 10x corpus too (VERDICT r6 #6).
+    sf1ext replicates each vector 10x, so every query's true top-5 are
+    exact copies that share its cell — recall is 1.0 by construction;
+    the assertion pins that the probe path actually finds them."""
+    import os
+
+    sf = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".bench", "sf1ext")
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip("10x corpus not generated (scripts/make_sf1ext.py)")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_topk_bruteforce(spark, sf).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ivf_topk(spark, sf).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.8
 
 
 def test_vectorized_topk_equals_bruteforce(spark, sf_correct):
