@@ -79,6 +79,7 @@ EXT_QUERIES = [
     "events_asof_join",
     "events_rolling_5min",
     "events_funnel",
+    "events_funnel_aggjoin",
     "events_retention",
     "events_view_purchase_join",
     "sketch_histogram_quantiles",
@@ -335,6 +336,42 @@ def main() -> None:
     t0 = time.time()
     _noop(QUERIES["stream_view_purchase_left_join"](spark, sf_dir))
     once["once.stream_view_purchase_left_join_drain"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _noop(QUERIES["stream_session_windows"](spark, sf_dir))
+    once["once.stream_session_windows_drain"] = round(time.time() - t0, 3)
+
+    # Skew contrast (VERDICT r6 #7): the skewed 10x corpus (.bench/sfskew,
+    # one user = 40% of 1M events). funnel_window is the whole-partition-
+    # window plan (hot partition serializes one task); funnel_adaptive
+    # probes the key histogram and dispatches to the salted agg+join-back
+    # plan. Timed under ext.skew.* so the contrast is a recorded bench row.
+    skew_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench", "sfskew"
+    )
+    if os.path.isdir(skew_dir):
+        from databricks_incremental_lakehouse_spark.streaming.temporal import (
+            events_funnel,
+            events_funnel_adaptive,
+        )
+
+        from databricks_incremental_lakehouse_spark.streaming.temporal import (
+            events_funnel_aggjoin,
+        )
+
+        for key, fn in (
+            ("ext.skew.funnel_window", events_funnel),
+            ("ext.skew.funnel_adaptive", events_funnel_adaptive),
+            # the unsalted agg form: partial aggregation absorbs the agg
+            # skew and AQE's skew-join split absorbs the join-back skew —
+            # the fastest plan when AQE is available; the salted form is
+            # the insurance when it is not (recorded side by side)
+            ("ext.skew.funnel_aggjoin_unsalted", events_funnel_aggjoin),
+        ):
+            _noop(fn(spark, skew_dir))  # untimed warm-up
+            for _rep in range(REPS):
+                t0 = time.time()
+                _noop(fn(spark, skew_dir))
+                record(key, time.time() - t0)
 
     # the operated curation DAG (flags -> corpus || report -> packing)
     from databricks_incremental_lakehouse_spark.llmdata.pipeline import (

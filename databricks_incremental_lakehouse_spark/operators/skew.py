@@ -68,6 +68,40 @@ def salted_join(
     return big_s.join(small_s, on + ["_salt"], how).drop("_salt")
 
 
+def top_key_share(
+    df: DataFrame,
+    key: str,
+    sample_fraction: float | None = 0.05,
+) -> float:
+    """Estimate the hottest key's share of ``df``'s rows — the histogram
+    probe behind auto-salting decisions.
+
+    One sampled groupBy-count (map-side combined) reduced to a single
+    (max, total) row on the driver — the collect is 1 row regardless of
+    data size, the same bounded-collect discipline as the k-means
+    centroids. A constant-fraction hot key (the shape that breaks keyed
+    operators at any scale) survives any sample rate; a 1/N key does not
+    need salting in the first place. Returns 0.0 on an empty (sample of
+    the) input."""
+    probe = df.select(key) if sample_fraction is None else df.select(key).sample(
+        fraction=sample_fraction, seed=42
+    )
+    row = (
+        probe.groupBy(key)
+        .count()
+        .agg(F.max("count").alias("top"), F.sum("count").alias("total"))
+        .collect()[0]
+    )
+    if not row.total:
+        return 0.0
+    return float(row.top) / float(row.total)
+
+
+# a key carrying >= this share of the fact triggers the skew-aware plan;
+# at 32 shuffle partitions a 10% key already makes one task ~3x the mean.
+SKEW_SHARE_THRESHOLD = 0.10
+
+
 def salted_count_distinct(
     df: DataFrame,
     group_keys: list[str],

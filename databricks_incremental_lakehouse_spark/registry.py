@@ -298,6 +298,7 @@ CHECK_WINDOW_SIZE = 50
 _CHECK_PRIORITY: list[str] = [
     # -- (0) never verified: new r7 queries MUST sit inside the window ------
     "stream_session_windows",  # new r7: watermark-gated streaming sessionization
+    "events_funnel_aggjoin",  # new r7: skew-safe funnel twin (agg + join-back)
     # -- (1) never verified in any round: all 16 new r6 queries MUST sit
     # inside the window (rotation gate tests/test_registry.py) -------------
     "sim_ivf_topk_quantized",  # new r6: IVF probe x SQ8 codes composition
@@ -354,7 +355,6 @@ _CHECK_PRIORITY: list[str] = [
     "text_stats",
     "text_quality_gopher",
     "dedup_ngram_jaccard_capped",
-    "sim_topk_quantized",
 ]
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import round_dbl
+from ..operators.skew import SKEW_SHARE_THRESHOLD, salted_join, top_key_share
 from ..tables import load_table
 
 _EVENTS_ORACLE_VIEW = (
@@ -281,6 +282,101 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel_aggjoin(
+    spark: SparkSession, sf_dir: str, salted: bool = False, n_salts: int = 16
+) -> DataFrame:
+    """The funnel's SKEW-SAFE twin: identical semantics (same oracle),
+    different physical shape. :func:`events_funnel` computes each step as
+    a whole-partition conditional-min WINDOW over user_id — one hot user
+    owning a constant fraction of the fact serializes that entire
+    partition into a single task at any scale. This form replaces the
+    windows with the agg + join-back cascade:
+
+    - each step min is a ``groupBy(user_id)`` aggregate — partial (map-
+      side) aggregation collapses the hot key inside every input
+      partition BEFORE the shuffle, so the hot reducer receives one
+      pre-merged row per upstream partition, not 40% of the fact;
+    - the next step's events join back to the previous step's per-user
+      scalar — with ``salted=True`` the probe side's hot key is spread
+      over ``(user_id, salt)`` buckets via :func:`~..operators.skew.
+      salted_join` (the per-user scalar frame replicates ``n_salts`` x,
+      acceptable: it is one row per converted user).
+
+    ``events_funnel_adaptive`` dispatches between the two forms off the
+    measured key histogram; on the skewed 10x corpus (.bench/sfskew, one
+    user = 40% of 1M events) this form is benched against the window form
+    by bench.py's ``ext.skew.*`` rows."""
+    join_back = (
+        (lambda big, small: salted_join(big, small, ["user_id"], n_salts, "inner"))
+        if salted
+        else (lambda big, small: big.join(small, "user_id"))
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    horizon = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    u = ev.select("user_id").distinct()
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        join_back(ev.filter(F.col("event_type") == FUNNEL_STEPS[1]), s1)
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        join_back(ev.filter(F.col("event_type") == FUNNEL_STEPS[2]), s2)
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    reached = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        u.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            reached.cast("int").alias("reached_step"),
+        )
+    )
+
+
+def events_funnel_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-dispatched funnel: probe the hottest user_id's share of
+    the fact (one sampled 1-row collect, :func:`~..operators.skew.
+    top_key_share`); a key above ``SKEW_SHARE_THRESHOLD`` routes to the
+    salted agg + join-back plan, anything else to the window plan (one
+    exchange, three window stages — cheaper when no partition is hot).
+    The driver corpora are near-uniform (share ~1e-3 -> window path);
+    .bench/sfskew trips the threshold (share 0.40 -> salted path) — both
+    dispatch decisions and the two plans' equality are locked in
+    tests/test_operators.py.
+
+    Measured contrast at sfskew (bench ``ext.skew.*``): window 0.85s,
+    salted agg 0.59s, UNSALTED agg 0.37s — partial aggregation alone
+    absorbs the agg-side skew and AQE's skew-join split absorbs the
+    join-back's, so with AQE on, the unsalted agg form wins and salting's
+    n_salts x small-side replication is pure overhead. The dispatcher
+    still salts because it is the plan that degrades gracefully when AQE
+    cannot help (disabled, or a build side too large to split-replicate);
+    the window form remains the right plan for uniform keys (fewer
+    exchanges). All three are recorded side by side in bench."""
+    ev = load_table(spark, sf_dir, "events")
+    if top_key_share(ev, "user_id") >= SKEW_SHARE_THRESHOLD:
+        return events_funnel_aggjoin(spark, sf_dir, salted=True)
+    return events_funnel(spark, sf_dir)
+
+
 EVENTS_FUNNEL_ORACLE = f"""
 WITH ev AS ({_EVENTS_ORACLE_VIEW}),
 u AS (SELECT DISTINCT user_id FROM ev),
@@ -390,4 +486,5 @@ def register_all(register) -> None:
         "events_in_error_windows", events_in_error_windows, EVENTS_ERROR_WINDOWS_ORACLE
     )
     register("events_funnel", events_funnel, EVENTS_FUNNEL_ORACLE)
+    register("events_funnel_aggjoin", events_funnel_aggjoin, EVENTS_FUNNEL_ORACLE)
     register("events_retention", events_retention, EVENTS_RETENTION_ORACLE)

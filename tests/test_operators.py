@@ -228,3 +228,63 @@ def test_zorder_layout_tightens_file_stats(spark, sf_correct, tmp_path):
     # and z-order beats the single-column sort on that other column by a
     # wide margin — the whole point of multi-column layout
     assert z["o_totalprice"] < s["o_totalprice"] - 0.25, (z, s)
+
+
+def _sfskew_dir():
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench",
+        "sfskew",
+    )
+
+
+def test_funnel_aggjoin_equals_window_form(spark, sf_correct):
+    """The skew-safe agg+join-back funnel must produce EXACTLY the window
+    form's rows (same oracle contract), salted or not."""
+    from databricks_incremental_lakehouse_spark.streaming.temporal import (
+        events_funnel,
+        events_funnel_aggjoin,
+    )
+
+    base = events_funnel(spark, sf_correct)
+    for salted in (False, True):
+        alt = events_funnel_aggjoin(spark, sf_correct, salted=salted)
+        assert alt.columns == base.columns
+        assert alt.exceptAll(base).count() == 0
+        assert base.exceptAll(alt).count() == 0
+
+
+def test_funnel_adaptive_dispatch_and_skew_plan(spark, sf_correct):
+    """The histogram dispatch: near-uniform corpora stay on the window
+    plan; the skewed 10x corpus (one user = 40% of events) must (a) trip
+    the threshold, (b) plan the salted agg form — no whole-partition
+    Window over user_id, salted exchange present — and (c) agree with the
+    window form row-for-row on the skewed corpus too."""
+    import pytest
+
+    from databricks_incremental_lakehouse_spark.operators.skew import (
+        SKEW_SHARE_THRESHOLD,
+        top_key_share,
+    )
+    from databricks_incremental_lakehouse_spark.streaming.temporal import (
+        events_funnel,
+        events_funnel_adaptive,
+    )
+
+    ev = load_table(spark, sf_correct, "events")
+    assert top_key_share(ev, "user_id") < SKEW_SHARE_THRESHOLD
+    plan_uniform = events_funnel_adaptive(spark, sf_correct)._jdf.queryExecution().toString()
+    assert "Window" in plan_uniform  # uniform corpus keeps the window plan
+
+    skew_dir = _sfskew_dir()
+    if not os.path.isdir(skew_dir):
+        pytest.skip("skewed corpus not generated (scripts/make_sfskew.py)")
+    ev_skew = load_table(spark, skew_dir, "events")
+    assert top_key_share(ev_skew, "user_id") >= SKEW_SHARE_THRESHOLD
+    adaptive = events_funnel_adaptive(spark, skew_dir)
+    plan_skew = adaptive._jdf.queryExecution().toString()
+    assert "Window" not in plan_skew  # no whole-partition window stage
+    assert "_salt" in plan_skew  # join-backs are salted
+    base = events_funnel(spark, skew_dir)
+    assert adaptive.exceptAll(base).count() == 0
+    assert base.exceptAll(adaptive).count() == 0
