@@ -179,7 +179,21 @@ def init_incremental_warehouse(
     batch_id: str = FIXED_BATCH_ID,
     num_buckets: int = 16,
 ) -> IncrementalWarehouse:
-    """Initial (full) load of every layer into merge targets."""
+    """Initial (full) load of every layer into merge targets.
+
+    ``num_buckets`` is the merge-cost dial: a B-key micro-batch touches at
+    most min(B, num_buckets) buckets, so each keyed merge reads/rewrites
+    <= B/num_buckets of its table. Size it so the per-bucket unit is a few
+    hundred MB — at 100 TB that means thousands of buckets and a 50-key
+    merge is O(batch), never O(table). At THIS harness's scale (sf0.1
+    tables are ~10-60 MB) the dial inverts: a measured 256-bucket run
+    (scripts/profile_incr.py, r7) tripled the update-only time (6.0 ->
+    17.3s) because hundreds of tiny files cost more to list/open than the
+    full 16-bucket scan they avoid — so the local default stays 16, and
+    the recorded attribution (BASELINE.md r7) shows the remaining ~5s
+    floor is per-merge machinery (5 sequential-ish shuffle+write+swap
+    stages of ~1s), a fixed cost a real cluster amortizes, not a scan
+    defect."""
     wh = IncrementalWarehouse(root)
     # the seven bronze merge targets are independent — load concurrently
     _parallel(
@@ -464,6 +478,8 @@ def apply_order_updates(
             changed.select(F.col("order_key").alias("l_orderkey")),
             "l_orderkey",
         )
+        # pinned: the months-collect below AND the merge write both execute
+        # this frame — unpinned, the bucket-pruned silver rebuild ran twice
         new_silver = silver_order_details(
             spark,
             "",
@@ -471,7 +487,7 @@ def apply_order_updates(
             orders=orders_new,
             lineitem=lines_new,
             parts=read_merge_target(spark, wh.bronze("parts")),
-        )
+        ).localCheckpoint(eager=True)
         new_months = [
             (r["order_year"], r["order_month"])
             for r in new_silver.select("order_year", "order_month")
