@@ -95,6 +95,7 @@ EXT_QUERIES = [
     "sample_temperature",
     "vocab_topk",
     "text_tfidf_topterms",
+    "search_bm25_topk",
     "text_length_quantiles",
     "text_unigram_logprob",
     "text_ccnet_buckets",

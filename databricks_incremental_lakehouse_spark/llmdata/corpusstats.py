@@ -461,8 +461,141 @@ ORDER BY pmi_lift DESC, w1 ASC, w2 ASC
 LIMIT {PMI_TOP_K}"""
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+# Fixed benchmark queries over the corpus vocabulary (multi-term, so the
+# cross-term score SUM is exercised; term sets chosen to vary df).
+BM25_QUERIES: dict[int, str] = {
+    1: "spark stream join",
+    2: "window agg group",
+    3: "fast scan filter",
+    4: "customer order query",
+    5: "hash merge batch",
+}
+
+
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-``BM25_TOP_K`` retrieval for the fixed ``BM25_QUERIES``
+    set — the classic sparse-retrieval ranking next to the dense ANN
+    queries (similarity.py), the shape a RAG/data-curation pipeline runs
+    to mine supporting documents.
+
+    Scoring is Robertson's BM25 with the idf in the LOG-FREE rational
+    form ``(N - df + 0.5) / (df + 0.5)`` — the same declared portability
+    derivation as :func:`text_tfidf_topterms` (a libm ``ln`` is a
+    standing last-ulp cross-engine risk; the rational form is IEEE-exact
+    from integer inputs). Per (query, doc, term):
+
+        idf = (n_docs - df + 0.5) / (df + 0.5)
+        sat = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    (k1 = 1.2, b = 0.75 inlined as exact literals; both engines evaluate
+    the identical expression tree on identical integer inputs, so the
+    doubles are bit-equal). Each term contribution is grid-rounded to
+    6 dp and SUMMED AS DECIMAL(38,6) — decimal addition is exact and
+    order-independent, so the cross-term sum cannot drift with Spark's
+    shuffle order the way a raw double sum could; only the final score
+    is cast back to double.
+
+    Scale: the tiny (query_id, token) relation broadcasts onto the
+    (doc, token) tf aggregate, so everything downstream of the one
+    corpus-sized explode is bounded by the QUERY TERMS' posting lists,
+    never the corpus; df broadcasts (vocabulary-sized), doc lengths join
+    on doc_id, and the final ranking window partitions by query_id —
+    no single-partition stage (the per-query result is TOP_K rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    qterms = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, q in sorted(BM25_QUERIES.items())
+            for t in sorted(set(q.split()))
+        ],
+        "query_id int, token string",
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    sat = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            round_dbl(idf * sat, 6).cast("decimal(38,6)").alias("contrib"),
+        )
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").cast("double").alias("score"),
+        F.count(F.lit(1)).alias("terms_hit"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "rank", "doc_id", "score", "terms_hit")
+    )
+
+
+_BM25_QTERMS_SQL = " UNION ALL ".join(
+    f"SELECT {qid} AS query_id, '{t}' AS token"
+    for qid, q in sorted(BM25_QUERIES.items())
+    for t in sorted(set(q.split()))
+)
+
+SEARCH_BM25_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKENIZE_SQL.format(c="text")}) AS token
+    FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+qterms AS ({_BM25_QTERMS_SQL}),
+contrib AS (
+    SELECT q.query_id, tf.doc_id,
+        CAST({round_dbl_sql(
+            "((s.n_docs - df.df + 0.5) / (df.df + 0.5))"
+            " * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))",
+            6,
+        )} AS DECIMAL(38,6)) AS contrib
+    FROM tf
+    JOIN qterms q ON tf.token = q.token
+    JOIN df ON tf.token = df.token
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+),
+scores AS (
+    SELECT query_id, doc_id,
+        CAST(SUM(contrib) AS DOUBLE) AS score,
+        COUNT(*) AS terms_hit
+    FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score, terms_hit FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+    ) AS INT) AS rank
+    FROM scores
+) WHERE rank <= {BM25_TOP_K}"""
+
+
 def register_all(register) -> None:
     register("vocab_topk", vocab_topk, VOCAB_TOPK_ORACLE)
+    register("search_bm25_topk", search_bm25_topk, SEARCH_BM25_ORACLE)
     register("text_tfidf_topterms", text_tfidf_topterms, TEXT_TFIDF_ORACLE)
     register("vocab_pmi_topk", vocab_pmi_topk, VOCAB_PMI_TOPK_ORACLE)
     register(

@@ -296,65 +296,69 @@ _register_extensions()
 CHECK_WINDOW_SIZE = 50
 
 _CHECK_PRIORITY: list[str] = [
-    # -- (0) never verified: new r7 queries MUST sit inside the window ------
+    # -- (1) never verified in any round: the new r7 queries MUST sit
+    # inside the window (rotation gate tests/test_registry.py) -------------
     "stream_session_windows",  # new r7: watermark-gated streaming sessionization
     "events_funnel_aggjoin",  # new r7: skew-safe funnel twin (agg + join-back)
-    # -- (1) never verified in any round: all 16 new r6 queries MUST sit
-    # inside the window (rotation gate tests/test_registry.py) -------------
-    "sim_ivf_topk_quantized",  # new r6: IVF probe x SQ8 codes composition
-    "bi_tpch_q7",  # new r6: two-nation cross-pair join shape
-    "bi_tpch_q8",  # new r6: national market share ratio
-    "corpus_curate_canonical",  # new r6: centrality-aware funnel kept-set
-    "events_view_purchase_join",  # new r6: interval-join batch twin
-    "stream_view_purchase_join",  # new r6: drained stream-stream join
-    "stream_view_purchase_left_join",  # new r6: watermark-gated outer nulls
-    "gold_customer_lifetime_value_fully_scoped",  # new r6: zero-global-window chain
-    "bi_tpch_q9",  # new r6: product-type profit (derived supply cost)
-    "bi_tpch_q19",  # new r6: OR-of-ANDs disjunctive pushdown
-    "bi_tpch_q22",  # new r6: scalar-avg threshold + anti-join
-    "bi_tpch_q2",  # new r6: per-group-min join-back (declared tie-set note)
-    "bi_tpch_q11",  # new r6: stock value vs scalar fraction threshold
-    "bi_tpch_q16",  # new r6: distinct supplier count + exclusion anti-join
-    "bi_tpch_q20",  # new r6: nested-IN semi-join chain
-    "bi_tpch_q21",  # new r6: EXISTS/NOT-EXISTS as per-order aggregates
-    "corpus_shard_assign",  # new r6: deterministic training shards
-    "corpus_token_budget_select",  # new r6: budget cut w/o global window
-    "corpus_curate_report",  # new r6: per-(source,lang) funnel audit rollup
-    # -- (2) carriers whose code changed this round (green r5, recheck) -----
-    "sim_ivf_topk_indexed",  # cell store now carries (scale, codes)
-    "sketch_kmv_overlap",  # unfull-sketch exact-count estimator (ADVICE r5)
-    "dedup_canonical_selection",  # shared shingle stage + semi-join LSH edges
-    "graph_pagerank",  # pagerank_from_pairs factoring
-    "dedup_clusters",  # connected_components factoring + edge-node iteration
-    "dedup_minhash_lsh",  # lsh_band_candidates factoring
-    "dedup_ngram_jaccard",  # shingles_ex parameterization
-    "corpus_curate",  # canonical flag parameterization
-    "silver_customer_orders_rfm_scoped",  # consumed by the fully-scoped chain
-    "gold_customer_lifetime_value_tiers_scoped",  # oracle builder rfm_part param
-    "incr_monthly_trends_refresh",  # replay batch now pinned (_replay_batch)
+    "search_bm25_topk",  # new r7: sparse retrieval (BM25, rational idf)
+    # -- (2) carriers whose code changed since the r6 driver check ----------
+    # memo shared-lineage cache (silver layer, partsupp bridge, bronze
+    # lineitem dedup, corpus_curate flag frame):
+    "silver_order_details",
+    "silver_customer_orders",
+    "silver_supplier_parts",
+    "bronze_lineitem",
+    "corpus_curate",
+    "corpus_curate_canonical",
+    "corpus_curate_report",
+    # post-r6-check supplycost derivation change (Q2 de-degeneracy) touched
+    # the shared partsupp constants consumed by these five:
+    "bi_tpch_q2",
+    "bi_tpch_q9",
+    "bi_tpch_q11",
+    "bi_tpch_q16",
+    "bi_tpch_q20",
+    # IVF recall retune (N_LIST 8->16, N_PROBE 2->10) + shared k-means cells:
+    "sim_ivf_topk",
+    "sim_ivf_topk_indexed",
+    "sim_ivf_topk_quantized",
+    "dedup_semantic",
+    # incremental refresh: pinned new_silver frame:
+    "incr_monthly_trends_refresh",
     "incr_customer_orders_refresh",
-    # -- (3) regression pickets: ever-green, high-coverage carriers keep the
-    # remaining slots; the r5-green queries ceded this round (bi_tpch_q4/q6/
-    # q12/q13/q14/q15/q17/q18, sketch_bloom_membership, text_tfidf_topterms,
-    # embedding_quantize's round-4 classmates) stay registered and rotate
-    # back per the oldest-verified-first policy
+    # gold/QC consumers of the memoized silver layer (representatives):
     "gold_customer_lifetime_value",
+    "gold_revenue_by_region",
+    "gold_monthly_sales_trends",
+    "gold_supplier_performance",
+    "qc_referential_integrity",
+    "qc_business_rules",
+    # -- (3) regression pickets: ever-green, high-coverage carriers rotated
+    # back oldest-verified-first; everything else stays registered and
+    # rotates in future rounds
     "bi_tpch_q1",
     "bi_tpch_q3",
     "bi_tpch_q5",
-    "silver_customer_orders",
-    "silver_order_details",
-    "silver_supplier_parts",
+    "bi_tpch_q7",
+    "bi_tpch_q8",
+    "bi_tpch_q19",
+    "bi_tpch_q21",
+    "bi_tpch_q22",
     "stream_user_totals",
-    "qc_referential_integrity",
-    "gold_revenue_by_region",
-    "gold_monthly_sales_trends",
-    "bi_top_platinum_clv",
-    "bi_top_suppliers_by_score",
-    "qc_business_rules",
+    "stream_view_purchase_join",
+    "stream_view_purchase_left_join",
+    "events_session_windows",
+    "events_view_purchase_join",
+    "events_funnel",
+    "gold_customer_lifetime_value_fully_scoped",
+    "silver_customer_orders_rfm_scoped",
+    "corpus_shard_assign",
+    "corpus_token_budget_select",
+    "dedup_canonical_selection",
+    "dedup_minhash_lsh",
+    "graph_pagerank",
+    "sketch_kmv_overlap",
     "text_stats",
-    "text_quality_gopher",
-    "dedup_ngram_jaccard_capped",
 ]
 
 

@@ -1058,3 +1058,33 @@ def test_sq8_store_codes_clamp_to_int8(spark, tmp_path):
                 hit_boundary = True
                 assert abs(c) == 127
     assert hit_boundary, "planted corpus failed to reach the 128 boundary"
+
+
+def test_bm25_invariants_and_plan(spark, sf_correct):
+    """BM25 retrieval invariants: per query, ranks are 1..k contiguous,
+    scores non-increasing, terms_hit bounded by the query's term count;
+    and the plan broadcasts the tiny query-term relation (the posting
+    prune that keeps everything downstream of the explode bounded by the
+    query terms at any corpus size)."""
+    from databricks_incremental_lakehouse_spark.llmdata.corpusstats import (
+        BM25_QUERIES,
+        BM25_TOP_K,
+        search_bm25_topk,
+    )
+
+    df = search_bm25_topk(spark, sf_correct)
+    plan = df._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    rows = df.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(BM25_QUERIES)
+    for qid, qrows in by_q.items():
+        qrows.sort(key=lambda r: r.rank)
+        n_terms = len(set(BM25_QUERIES[qid].split()))
+        assert [r.rank for r in qrows] == list(range(1, len(qrows) + 1))
+        assert len(qrows) <= BM25_TOP_K
+        scores = [r.score for r in qrows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(1 <= r.terms_hit <= n_terms for r in qrows)
