@@ -353,9 +353,6 @@ def main() -> None:
         from databricks_incremental_lakehouse_spark.streaming.temporal import (
             events_funnel,
             events_funnel_adaptive,
-        )
-
-        from databricks_incremental_lakehouse_spark.streaming.temporal import (
             events_funnel_aggjoin,
         )
 

@@ -463,6 +463,11 @@ LIMIT {PMI_TOP_K}"""
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+# derived literals rendered into BOTH engines' expressions (exact float
+# arithmetic on the constants, so the rendered decimal strings parse back
+# to the identical doubles)
+_BM25_K1P1 = BM25_K1 + 1.0
+_BM25_1MB = 1.0 - BM25_B
 BM25_TOP_K = 10
 # Fixed benchmark queries over the corpus vocabulary (multi-term, so the
 # cross-term score SUM is exercised; term sets chosen to vary df).
@@ -506,12 +511,19 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no single-partition stage (the per-query result is TOP_K rows)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # ONE corpus-sized explode: the (doc, token) tf aggregate is the only
+    # consumer of `tok`; dl, avgdl and df all derive from tf (dl = sum of
+    # the doc's term counts, df = tf rows per token) — an r7 review fix,
+    # the naive three-aggregation form re-ran tokenize+explode 3x.
+    # persist()-marked: dl/stats, df and the contrib join all consume it
+    tf = (
+        tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     qterms = spark.createDataFrame(
         [
             (qid, t)
@@ -521,9 +533,10 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, token string",
     )
     idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    sat = (F.col("tf") * F.lit(2.2)) / (
+    sat = (F.col("tf") * F.lit(_BM25_K1P1)) / (
         F.col("tf")
-        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+        + F.lit(BM25_K1)
+        * (F.lit(_BM25_1MB) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
     )
     contrib = (
         tf.join(F.broadcast(qterms), "token")
@@ -561,16 +574,17 @@ WITH tok AS (
     SELECT doc_id, unnest({TOKENIZE_SQL.format(c="text")}) AS token
     FROM documents
 ),
-dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
-stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
 tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
 qterms AS ({_BM25_QTERMS_SQL}),
 contrib AS (
     SELECT q.query_id, tf.doc_id,
         CAST({round_dbl_sql(
             "((s.n_docs - df.df + 0.5) / (df.df + 0.5))"
-            " * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))",
+            f" * ((tf.tf * {_BM25_K1P1!r}) / (tf.tf + {BM25_K1!r}"
+            f" * ({_BM25_1MB!r} + {BM25_B!r} * dl.dl / s.avgdl)))",
             6,
         )} AS DECIMAL(38,6)) AS contrib
     FROM tf

@@ -698,6 +698,13 @@ def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the threshold sits at the top ~0.05% of the pair distribution — high
 # enough to be selective, low enough that the gate demonstrably binds.
 SEMDEDUP_COS = 0.35
+# SemDeDup's own multi-probe width — decoupled from the IVF search's
+# recall-tuned N_PROBE (r7 review): at N_PROBE=10 of 16 every cell held
+# ~62% of the corpus and the per-cell pair matmul totaled ~6.25 n^2 —
+# WORSE than brute force. 2 of 16 keeps the published bound
+# (sum(|cell|^2) ~ (probe/nlist) n^2 per probed copy, candidate factor
+# <= probe^2) while the dedup-recall test still clears its bar.
+SEMDEDUP_PROBE = 2
 
 
 def _assign_topk(emb: DataFrame, cent_rows, k: int) -> DataFrame:
@@ -734,7 +741,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent shuffle partition), with multi-probe candidate generation:
     every vector lands in its ``N_PROBE`` nearest cells, so a pair is a
     candidate if the two vectors SHARE any probed cell — the same recall
-    lever the IVF search uses, at a bounded ~N_PROBE^2x candidate factor.
+    lever the IVF search uses, at a bounded ~SEMDEDUP_PROBE^2x candidate
+    factor (its OWN width, not the search's recall-tuned N_PROBE: see the
+    SEMDEDUP_PROBE note above).
     A vector is a duplicate if some lower-id candidate clears the cosine
     threshold; its keeper (``dup_of``) is the highest-cosine such mate
     (lowest id on ties), and ``cl`` reports the (lowest) shared cell.
@@ -743,7 +752,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     cent_rows, _cells = _kmeans_cells(emb)
-    probed = _assign_topk(emb, cent_rows, N_PROBE)
+    probed = _assign_topk(emb, cent_rows, SEMDEDUP_PROBE)
 
     # Within-cell pair scoring is the justified Arrow/numpy case: each
     # cell block is one BLAS matmul instead of |cell|^2 interpreted
@@ -815,7 +824,7 @@ probed AS (
                 ORDER BY {_CCOS_V} DESC, c.cl ASC
             ) AS crank
         FROM e CROSS JOIN cent c
-    ) WHERE crank <= {N_PROBE}
+    ) WHERE crank <= {SEMDEDUP_PROBE}
 )
 SELECT vec_id, cl, dup_of, cosine FROM (
     SELECT vec_id, cl, dup_of, cosine,

@@ -76,11 +76,18 @@ def shared_frame(
     the same layer twice."""
     if not enabled():
         return build()
-    full_key = (_session_key(spark), key)
+    skey = _session_key(spark)
+    full_key = (skey, key)
     df = _MEMO.get(full_key)
     if df is not None:
         return df
     with _LOCK:
+        # sweep entries of other (stopped) sessions: the JVM frees their
+        # blocks, but the dict would otherwise keep stale DataFrame/py4j
+        # handles alive for the process lifetime (r7 review) — a process
+        # that spins many sessions (the test pattern) must stay bounded
+        for stale in [k for k in _MEMO if k[0] != skey]:
+            del _MEMO[stale]
         df = _MEMO.get(full_key)
         if df is None:
             df = build()

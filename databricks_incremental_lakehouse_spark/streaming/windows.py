@@ -133,12 +133,16 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Gaps-and-islands: a new session starts when the gap from the previous
-# event exceeds 30 min; session_end is last_ts + gap (Spark's definition).
-EVENTS_SESSION_ORACLE = f"""
-WITH e AS ({_EVENTS_ORACLE_VIEW}),
+# Shared gaps-and-islands sessionization CTE: a new session starts when
+# the gap from the previous event exceeds 30 min; session_end is
+# last_ts + gap (Spark's definition). BOTH windows order peers by
+# (ts, event_id) — the running SUM must enumerate same-timestamp peers in
+# the same order LAG marked them, or a tied row could be summed before
+# its own is_new marker and land in the previous session (r7 review).
+_SESSION_CTE = f"""
+e AS ({_EVENTS_ORACLE_VIEW}),
 marked AS (
-    SELECT user_id, ts, value,
+    SELECT user_id, event_id, ts, value,
         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   > INTERVAL 30 MINUTE
              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -147,18 +151,26 @@ marked AS (
 ),
 numbered AS (
     SELECT *,
-        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
     FROM marked
-)
-SELECT
-    user_id,
-    CAST(MIN(ts) AS TIMESTAMP) AS session_start,
-    CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
-    COUNT(*) AS event_count,
-    CAST(ROUND(CAST(SUM(value) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_value
-FROM numbered
-GROUP BY user_id, session_id"""
+),
+sessions AS (
+    SELECT
+        user_id,
+        CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+        COUNT(*) AS event_count,
+        CAST(ROUND(CAST(SUM(value) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+)"""
+
+
+EVENTS_SESSION_ORACLE = f"""
+WITH {_SESSION_CTE}
+SELECT user_id, session_start, session_end, event_count, total_value
+FROM sessions"""
 
 
 SESSION_WATERMARK_DELAY = "1 hour"
@@ -232,7 +244,12 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = session_windows_stream(
             spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
         )
-        if not q.awaitTermination(300):
+        try:
+            drained = q.awaitTermination(300)
+        except Exception:
+            q.stop()  # don't leak an active query holding the state store
+            raise
+        if not drained:
             q.stop()
             raise TimeoutError(
                 "session_windows_stream did not drain within 300s; "
@@ -250,36 +267,13 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # < matches Spark's eviction predicate (validated empirically at both SFs;
 # no corpus session_end lands exactly on the horizon).
 STREAM_SESSION_ORACLE = f"""
-WITH e AS ({_EVENTS_ORACLE_VIEW}),
-marked AS (
-    SELECT user_id, ts, value,
-        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                  > INTERVAL 30 MINUTE
-             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-             THEN 1 ELSE 0 END AS is_new
-    FROM e
-),
-numbered AS (
-    SELECT *,
-        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-    FROM marked
-),
+WITH {_SESSION_CTE},
 wm AS (
     SELECT date_trunc('milliseconds', (SELECT max(ts) FROM e))
            - INTERVAL '{SESSION_WATERMARK_DELAY}' AS wm
 )
 SELECT s.user_id, s.session_start, s.session_end, s.event_count, s.total_value
-FROM (
-    SELECT
-        user_id,
-        CAST(MIN(ts) AS TIMESTAMP) AS session_start,
-        CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
-        COUNT(*) AS event_count,
-        CAST(ROUND(CAST(SUM(value) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_value
-    FROM numbered
-    GROUP BY user_id, session_id
-) s, wm
+FROM sessions s, wm
 WHERE s.session_end < wm.wm"""
 
 
