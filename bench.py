@@ -340,6 +340,9 @@ def main() -> None:
     t0 = time.time()
     _noop(QUERIES["stream_session_windows"](spark, sf_dir))
     once["once.stream_session_windows_drain"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _noop(QUERIES["stream_tumbling_hourly"](spark, sf_dir))
+    once["once.stream_tumbling_hourly_drain"] = round(time.time() - t0, 3)
 
     # Skew contrast (VERDICT r6 #7): the skewed 10x corpus (.bench/sfskew,
     # one user = 40% of 1M events). funnel_window is the whole-partition-

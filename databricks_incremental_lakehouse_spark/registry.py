@@ -301,6 +301,7 @@ _CHECK_PRIORITY: list[str] = [
     "stream_session_windows",  # new r7: watermark-gated streaming sessionization
     "events_funnel_aggjoin",  # new r7: skew-safe funnel twin (agg + join-back)
     "search_bm25_topk",  # new r7: sparse retrieval (BM25, rational idf)
+    "stream_tumbling_hourly",  # new r7: drained streaming tumbling windows
     # -- (2) carriers whose code changed since the r6 driver check ----------
     # memo shared-lineage cache (silver layer, partsupp bridge, bronze
     # lineitem dedup, corpus_curate flag frame):
@@ -358,7 +359,6 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "graph_pagerank",
     "sketch_kmv_overlap",
-    "text_stats",
 ]
 
 

@@ -173,6 +173,105 @@ SELECT user_id, session_start, session_end, event_count, total_value
 FROM sessions"""
 
 
+def tumbling_hourly_stream(
+    spark: SparkSession, source_dir: str, target_dir: str, checkpoint_dir: str
+):
+    """The STREAMING form of :func:`events_tumbling_hourly`: watermarked
+    ``readStream``, hourly tumbling windows per event type, appended to a
+    parquet sink, drained availableNow. Same append-mode contract as the
+    session form: a window row emits only once the watermark passes its
+    end. ``unique_users`` is absent — COUNT(DISTINCT) is not supported in
+    streaming aggregation (Spark would need unbounded per-window sets;
+    the batch twin carries it, and a production stream would use
+    ``approx_count_distinct``)."""
+    static = spark.read.parquet(source_dir)
+    stream = spark.readStream.schema(static.schema).parquet(source_dir)
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", SESSION_WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            round_dbl(F.sum("value"), 2).alias("total_value"),
+            round_dbl(F.avg("value"), 2).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+            "avg_value",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_TUMBLING_TARGETS: dict[str, str] = {}
+
+
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: drain the streaming hourly tumbling aggregation
+    and serve the appended sink (same drain discipline as the session
+    form)."""
+    target = _TUMBLING_TARGETS.get(sf_dir)
+    if target is None:
+        root = tempfile.mkdtemp(prefix="ss_tumble_")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        q = tumbling_hourly_stream(
+            spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
+        )
+        try:
+            drained = q.awaitTermination(300)
+        except Exception:
+            q.stop()
+            raise
+        if not drained:
+            q.stop()
+            raise TimeoutError(
+                "tumbling_hourly_stream did not drain within 300s; "
+                "refusing to read a partial sink"
+            )
+        target = os.path.join(root, "target")
+        _TUMBLING_TARGETS[sf_dir] = target
+    return spark.read.parquet(target)
+
+
+# Watermark-gated batch twin: hourly buckets whose end has passed the
+# end-of-stream horizon (same strict-< eviction contract as the session
+# and LEFT OUTER join oracles).
+STREAM_TUMBLING_ORACLE = f"""
+WITH e AS ({_EVENTS_ORACLE_VIEW}),
+wm AS (
+    SELECT date_trunc('milliseconds', (SELECT max(ts) FROM e))
+           - INTERVAL '1 hour' AS wm
+),
+agg AS (
+    SELECT
+        date_trunc('hour', ts) AS window_start,
+        event_type,
+        COUNT(*) AS event_count,
+        CAST(ROUND(CAST(SUM(value) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_value,
+        CAST(ROUND(CAST(AVG(value) AS DECIMAL(38,6)), 2) AS DOUBLE) AS avg_value
+    FROM e
+    GROUP BY 1, 2
+)
+SELECT a.window_start, a.event_type, a.event_count, a.total_value, a.avg_value
+FROM agg a, wm
+WHERE a.window_start + INTERVAL 1 HOUR < wm.wm"""
+
+
 SESSION_WATERMARK_DELAY = "1 hour"
 
 
@@ -339,5 +438,6 @@ def register_all(register) -> None:
     register("events_sliding_windows", events_sliding_windows, EVENTS_SLIDING_ORACLE)
     register("events_session_windows", events_session_windows, EVENTS_SESSION_ORACLE)
     register("stream_session_windows", stream_session_windows, STREAM_SESSION_ORACLE)
+    register("stream_tumbling_hourly", stream_tumbling_hourly, STREAM_TUMBLING_ORACLE)
     register("events_deduped", events_deduped, EVENTS_DEDUP_ORACLE)
     register("events_json_props", events_json_props, EVENTS_JSON_ORACLE)

@@ -1484,3 +1484,62 @@ def test_stream_session_windows_watermark_horizon(spark, sf_correct, tmp_path):
     expected = keyed(r for r in batch if r.session_end < horizon_row.h)
     assert 0 < len(expected) < len(batch)  # the horizon binds
     assert streamed == expected
+
+
+def test_stream_tumbling_hourly_watermark_horizon(spark, sf_correct, tmp_path):
+    """The drained streaming tumbling aggregation must emit exactly the
+    batch hourly buckets whose end has passed the end-of-stream watermark
+    horizon, each exactly once; younger buckets stay in state (the
+    horizon must bind)."""
+    import os
+    import shutil
+
+    from databricks_incremental_lakehouse_spark.streaming.windows import (
+        events_tumbling_hourly,
+        tumbling_hourly_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(sf_correct, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    q = tumbling_hourly_stream(
+        spark, src, str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(300), "tumbling stream did not drain"
+
+    def keyed(rows):
+        return {
+            (r.window_start, r.event_type): (
+                r.event_count, r.total_value, r.avg_value
+            )
+            for r in rows
+        }
+
+    streamed = keyed(spark.read.parquet(str(tmp_path / "tgt")).collect())
+    ev = load_table(spark, sf_correct, "events")
+    horizon = ev.select(
+        (
+            F.timestamp_millis(
+                (F.unix_micros(F.max(F.col("ts").cast("timestamp"))) / 1000)
+                .cast("bigint")
+            )
+            - F.expr("INTERVAL 1 HOUR")
+        ).alias("h")
+    ).collect()[0].h
+    batch = events_tumbling_hourly(spark, sf_correct).collect()
+    import datetime
+
+    expected = keyed(
+        type("R", (), {
+            "window_start": r.window_start, "event_type": r.event_type,
+            "event_count": r.event_count, "total_value": r.total_value,
+            "avg_value": r.avg_value,
+        })()
+        for r in batch
+        if r.window_start + datetime.timedelta(hours=1) < horizon
+    )
+    assert 0 < len(expected) < len(batch)  # the horizon binds
+    assert streamed == expected
