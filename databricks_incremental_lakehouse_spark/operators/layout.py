@@ -88,3 +88,68 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def table_file_stats(path: str) -> list[tuple[str, int, int]]:
+    """(partition_dir, n_files, total_bytes) per leaf directory holding
+    parquet files — the footer-level view OPTIMIZE decides from. Pure
+    os.walk: at 100 TB the same listing comes from the transaction log /
+    object-store inventory, never a data scan."""
+    import os
+
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(path):
+        parts = [
+            f for f in filenames
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        if parts:
+            total = sum(os.path.getsize(os.path.join(dirpath, f)) for f in parts)
+            out.append((os.path.relpath(dirpath, path), len(parts), total))
+    return sorted(out)
+
+
+def optimize_compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict[str, tuple[int, int]]:
+    """Small-file compaction — the ``OPTIMIZE`` (bin-packing) analogue for
+    parquet tables, complementing :func:`zorder_write` (the ZORDER face).
+    The reference declares ``delta.autoOptimize.autoCompact`` on every
+    table (create_extract_schemas.py:40); this is the explicit maintenance
+    form of the same contract.
+
+    Per leaf partition directory INDEPENDENTLY: if it holds more than
+    ``max(min_files, ceil(bytes / target_file_bytes))`` files, rewrite it
+    to that many files (coalesce — a narrow, shuffle-free plan) into a
+    staging dir and atomically swap (rename-complete-then-unlink, the
+    merge machinery's discipline, crash-recoverable by the same
+    ``.old``-backup convention). Rows, values, and the partition layout
+    are untouched — asserted in tests. Returns
+    {partition_dir: (files_before, files_after)} for the dirs rewritten.
+
+    At 100 TB each directory is its own independent job over just that
+    directory's files — embarrassingly parallel maintenance, no global
+    stage, exactly how Delta's OPTIMIZE schedules bin-packing."""
+    import math
+    import os
+    import shutil
+
+    from ..streaming.incremental import _swap_dir
+
+    done: dict[str, tuple[int, int]] = {}
+    for rel, n_files, total in table_file_stats(path):
+        target_n = max(min_files, math.ceil(total / target_file_bytes))
+        if n_files <= target_n:
+            continue
+        leaf = os.path.join(path, rel) if rel != "." else path
+        staging = leaf.rstrip("/") + "._compact"
+        shutil.rmtree(staging, ignore_errors=True)
+        spark.read.parquet(leaf).coalesce(target_n).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        _swap_dir(staging, leaf)
+        done[rel] = (n_files, target_n)
+    return done

@@ -288,3 +288,37 @@ def test_funnel_adaptive_dispatch_and_skew_plan(spark, sf_correct):
     base = events_funnel(spark, skew_dir)
     assert adaptive.exceptAll(base).count() == 0
     assert base.exceptAll(adaptive).count() == 0
+
+
+def test_optimize_compact_binpacks_and_preserves_rows(spark, tmp_path):
+    """Compaction must reduce a fragmented table to the bin-packed file
+    count, preserve every row/value and the partition layout, and be a
+    no-op when re-run (idempotent maintenance)."""
+    from databricks_incremental_lakehouse_spark.operators.layout import (
+        optimize_compact,
+        table_file_stats,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(10_000).selectExpr(
+        "id", "id % 3 AS p", "CAST(id * 7 AS DOUBLE) AS v"
+    )
+    # fragment: 16 shuffle files inside each of 3 partition dirs
+    df.repartition(16).write.partitionBy("p").parquet(path)
+    before = {rel: n for rel, n, _b in table_file_stats(path)}
+    assert all(n > 4 for n in before.values())
+    expect = sorted(df.collect())
+
+    done = optimize_compact(spark, path, target_file_bytes=1 << 30, min_files=2)
+    after = {rel: n for rel, n, _b in table_file_stats(path)}
+    assert set(done) == set(before)  # every partition dir was rewritten
+    assert all(n == 2 for n in after.values())  # bin-packed to min_files
+    assert set(after) == set(before)  # partition layout untouched
+    got = sorted(
+        spark.read.parquet(path).select("id", "p", "v").collect(),
+        key=lambda r: r.id,
+    )
+    assert [tuple(r) for r in got] == [
+        (r.id, r.p, r.v) for r in sorted(expect, key=lambda r: r.id)
+    ]
+    assert optimize_compact(spark, path, target_file_bytes=1 << 30) == {}
