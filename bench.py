@@ -146,6 +146,8 @@ OTHER_TIMED_QUERIES = [
     "stream_user_totals",
     "stream_view_purchase_join",
     "stream_view_purchase_left_join",
+    "stream_session_windows",
+    "stream_tumbling_hourly",
 ]
 
 

@@ -1088,3 +1088,69 @@ def test_bm25_invariants_and_plan(spark, sf_correct):
         scores = [r.score for r in qrows]
         assert scores == sorted(scores, reverse=True)
         assert all(1 <= r.terms_hit <= n_terms for r in qrows)
+
+
+def test_bm25_matches_python_reference(spark, sf_correct):
+    """The distributed BM25 must equal a straightforward single-process
+    reference (Counter-based tf/df, float arithmetic) on ranking — the
+    same independent-implementation check tfidf has. Scores are compared
+    at 4dp (the reference sums plain floats; the operator sums exact
+    decimals)."""
+    from collections import Counter
+
+    from databricks_incremental_lakehouse_spark.llmdata.corpusstats import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERIES,
+        BM25_TOP_K,
+        search_bm25_topk,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.texthash import tokenize
+    from databricks_incremental_lakehouse_spark.tables import load_table
+
+    docs = (
+        load_table(spark, sf_correct, "documents")
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .collect()
+    )
+    tf = {r.doc_id: Counter(r.toks) for r in docs}
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    df = Counter()
+    for c in tf.values():
+        df.update(set(c))
+
+    def score(qid, d):
+        s = 0.0
+        hit = 0
+        for t in set(BM25_QUERIES[qid].split()):
+            if tf[d][t] == 0:
+                continue
+            hit += 1
+            idf = (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+            sat = (tf[d][t] * (BM25_K1 + 1)) / (
+                tf[d][t] + BM25_K1 * (1 - BM25_B + BM25_B * dl[d] / avgdl)
+            )
+            s += idf * sat
+        return s, hit
+
+    expected = {}
+    for qid in BM25_QUERIES:
+        scored = [
+            (d, *score(qid, d)) for d in tf if score(qid, d)[1] > 0
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        expected[qid] = [
+            (rank + 1, d, round(s, 4), hit)
+            for rank, (d, s, hit) in enumerate(scored[:BM25_TOP_K])
+        ]
+
+    got = {}
+    for r in search_bm25_topk(spark, sf_correct).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.rank, r.doc_id, round(r.score, 4), r.terms_hit)
+        )
+    for qid in got:
+        got[qid].sort()
+    assert got == expected
