@@ -361,6 +361,29 @@ def main() -> None:
             events_funnel_aggjoin,
         )
 
+        # control: the core silver aggregate at the UNIFORM 10x corpus vs
+        # the skewed one (same fact size, one customer holding 30%) — flat
+        # timing is the evidence that broadcast dims + map-side partial
+        # aggregation make the relational surface skew-immune without any
+        # dispatch (measured 2.80 vs 2.83 when added, r7)
+        sf1cust = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench", "sf1cust"
+        )
+        if os.path.isdir(sf1cust):
+            from databricks_incremental_lakehouse_spark.silver.customer_orders import (
+                silver_customer_orders,
+            )
+
+            for key, d in (
+                ("ext.skew.silver_customer_orders_uniform10x", sf1cust),
+                ("ext.skew.silver_customer_orders_skew10x", skew_dir),
+            ):
+                _noop(silver_customer_orders(spark, d, shared=False))
+                for _rep in range(REPS):
+                    t0 = time.time()
+                    _noop(silver_customer_orders(spark, d, shared=False))
+                    record(key, time.time() - t0)
+
         for key, fn in (
             ("ext.skew.funnel_window", events_funnel),
             ("ext.skew.funnel_adaptive", events_funnel_adaptive),
