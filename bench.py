@@ -70,6 +70,7 @@ EXT_QUERIES = [
     "sketch_cms_heavy_hitters",
     "sketch_bloom_membership",
     "sketch_kmv_overlap",
+    "sketch_hll_rollup_daily",
     "multimodal_feature_stats",
     "multimodal_frame_sample",
     "events_tumbling_hourly",

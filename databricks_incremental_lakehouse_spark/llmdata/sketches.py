@@ -720,9 +720,159 @@ def register_all(register) -> None:
     )
     register("sketch_kmv_overlap", sketch_kmv_overlap, SKETCH_KMV_ORACLE)
     register("sketch_hll_distinct", sketch_hll_distinct, SKETCH_HLL_ORACLE)
+    register(
+        "sketch_hll_rollup_daily", sketch_hll_rollup_daily, SKETCH_HLL_ROLLUP_ORACLE
+    )
     register("sketch_cms_heavy_hitters", sketch_cms_heavy_hitters, SKETCH_CMS_ORACLE)
     register(
         "sketch_histogram_quantiles",
         sketch_histogram_quantiles,
         SKETCH_HISTOGRAM_ORACLE,
     )
+
+
+def sketch_hll_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct-user estimates obtained by MERGING hour-grain HLL
+    sketches — the mergeable-sketch rollup a 100-TB pipeline runs instead
+    of rescanning the fact for every grain.
+
+    Stage 1 materializes the hour-grain register table ((day, hour, idx)
+    -> max rho): that is the sketch a production pipeline persists next
+    to its hourly rollups. Stage 2 produces the DAY grain purely by
+    register-wise MAX over that tiny table (HLL's merge operator —
+    max is associative/commutative, so merging hour sketches equals
+    sketching the day directly, exactly) and estimates from the merged
+    registers. The fact is scanned ONCE for any number of coarser grains
+    (day here; week/month are further max-merges of the same table).
+    ``n_hours`` reports how many hourly sketches each day merged.
+
+    Same portable fixed-point register arithmetic as
+    :func:`sketch_hll_distinct`; the DuckDB oracle replays both stages."""
+    events = load_table(spark, sf_dir, "events")
+    h = hash60(F.col("user_id").cast("string"))
+    reg = (
+        events.select(
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hour"),
+            h.bitwiseAND(F.lit(HLL_M - 1)).alias("idx"),
+            F.shiftright(h, HLL_P).alias("rest"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("rest") == 0, F.lit(HLL_W + 1)).otherwise(
+                F.lit(HLL_W + 1) - F.length(F.bin("rest"))
+            ),
+        )
+    )
+    # the persisted hour-grain sketch table: O(days x 24 x m) rows max
+    hourly = reg.groupBy("day", "hour", "idx").agg(F.max("rho").alias("m_j"))
+    # day grain = register-wise merge of the hour sketches (no fact scan)
+    daily_regs = hourly.groupBy("day", "idx").agg(F.max("m_j").alias("m_j"))
+    n_hours = hourly.select("day", "hour").distinct().groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_hours")
+    )
+    groups = daily_regs.groupBy("day").agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_W + 1} - m_j)")).alias("s_hit"),
+    )
+    s_total = (
+        F.col("s_hit") + (F.lit(HLL_M) - F.col("v")) * F.lit(HLL_SCALE)
+    ).cast("double")
+    raw = F.lit(HLL_ALPHA_M2 * float(HLL_SCALE)) / s_total
+    zeros = F.lit(HLL_M) - F.col("v")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    exact = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        groups.select(
+            "day",
+            F.col("v").cast("int").alias("registers_hit"),
+            round_dbl(est, 0).cast("bigint").alias("est_distinct"),
+        )
+        .join(n_hours, "day")
+        .join(exact, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_hours",
+            "registers_hit",
+            "est_distinct",
+            "exact_distinct",
+            round_dbl(
+                (F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct").cast("double")
+                * 100,
+                2,
+            ).alias("rel_error_pct"),
+        )
+    )
+
+
+SKETCH_HLL_ROLLUP_ORACLE = f"""
+WITH h AS (
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hour,
+           {hash60_sql("CAST(user_id AS VARCHAR)")} AS h
+    FROM events
+),
+r AS (
+    SELECT day, hour,
+           h & {HLL_M - 1} AS idx,
+           h >> {HLL_P} AS rest
+    FROM h
+),
+rho AS (
+    SELECT day, hour, idx,
+           CASE WHEN rest = 0 THEN {HLL_W + 1}
+                ELSE {HLL_W + 1} - length(bin(rest)) END AS rho
+    FROM r
+),
+hourly AS (
+    SELECT day, hour, idx, max(rho) AS m_j FROM rho GROUP BY 1, 2, 3
+),
+daily AS (
+    SELECT day, idx, max(m_j) AS m_j FROM hourly GROUP BY 1, 2
+),
+nh AS (
+    SELECT day, count(DISTINCT hour) AS n_hours FROM hourly GROUP BY 1
+),
+g AS (
+    SELECT day,
+           count(*) AS v,
+           CAST(sum(1::BIGINT << ({HLL_W + 1} - m_j)) AS BIGINT) AS s_hit
+    FROM daily GROUP BY 1
+),
+e AS (
+    SELECT day,
+           CAST({HLL_ALPHA_M2 * float(HLL_SCALE)!r} AS DOUBLE)
+               / CAST(s_hit + ({HLL_M} - v) * {HLL_SCALE}::BIGINT AS DOUBLE) AS raw,
+           {HLL_M} - v AS zeros,
+           v
+    FROM g
+),
+est AS (
+    SELECT day, v,
+           CASE WHEN raw <= {2.5 * HLL_M!r} AND zeros > 0
+                THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(zeros AS DOUBLE))
+                ELSE raw END AS est_d
+    FROM e
+),
+x AS (
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           count(DISTINCT user_id) AS exact_distinct
+    FROM events GROUP BY 1
+)
+SELECT CAST(est.day AS VARCHAR) AS day,
+       nh.n_hours,
+       CAST(v AS INT) AS registers_hit,
+       CAST({round_dbl_sql("est_d", 0)} AS BIGINT) AS est_distinct,
+       exact_distinct,
+       {round_dbl_sql(
+           "(CAST(" + round_dbl_sql("est_d", 0) + " AS BIGINT) - exact_distinct)"
+           " / CAST(exact_distinct AS DOUBLE) * 100", 2)} AS rel_error_pct
+FROM est
+JOIN nh ON est.day = nh.day
+JOIN x ON est.day = x.day"""

@@ -302,6 +302,7 @@ _CHECK_PRIORITY: list[str] = [
     "events_funnel_aggjoin",  # new r7: skew-safe funnel twin (agg + join-back)
     "search_bm25_topk",  # new r7: sparse retrieval (BM25, rational idf)
     "stream_tumbling_hourly",  # new r7: drained streaming tumbling windows
+    "sketch_hll_rollup_daily",  # new r7: mergeable-sketch grain rollup
     # -- (2) carriers whose code changed since the r6 driver check ----------
     # memo shared-lineage cache (silver layer, partsupp bridge, bronze
     # lineitem dedup, corpus_curate flag frame):
@@ -358,7 +359,6 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_canonical_selection",
     "dedup_minhash_lsh",
     "graph_pagerank",
-    "sketch_kmv_overlap",
 ]
 
 

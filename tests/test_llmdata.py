@@ -1154,3 +1154,52 @@ def test_bm25_matches_python_reference(spark, sf_correct):
     for qid in got:
         got[qid].sort()
     assert got == expected
+
+
+def test_hll_rollup_merge_identity_and_error(spark, sf_correct):
+    """Merging hour sketches must equal sketching the day directly
+    (register-max associativity — the property that makes grain rollups
+    scan-free), and the daily estimates must stay inside the same 15%
+    band the per-type HLL test uses."""
+    from databricks_incremental_lakehouse_spark.llmdata.sketches import (
+        HLL_M,
+        HLL_P,
+        HLL_W,
+        sketch_hll_rollup_daily,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.texthash import hash60
+    from databricks_incremental_lakehouse_spark.tables import load_table
+
+    rows = sketch_hll_rollup_daily(spark, sf_correct).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_hours <= 24
+        assert abs(r.est_distinct - r.exact_distinct) / r.exact_distinct <= 0.15
+
+    # merge identity: day-grain registers via hourly merge == direct
+    events = load_table(spark, sf_correct, "events")
+    h = hash60(F.col("user_id").cast("string"))
+    reg = events.select(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hour"),
+        h.bitwiseAND(F.lit(HLL_M - 1)).alias("idx"),
+        F.shiftright(h, HLL_P).alias("rest"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("rest") == 0, F.lit(HLL_W + 1)).otherwise(
+            F.lit(HLL_W + 1) - F.length(F.bin("rest"))
+        ),
+    )
+    direct = {
+        (r.day, r.idx): r.m
+        for r in reg.groupBy("day", "idx").agg(F.max("rho").alias("m")).collect()
+    }
+    merged = {
+        (r.day, r.idx): r.m
+        for r in reg.groupBy("day", "hour", "idx")
+        .agg(F.max("rho").alias("m"))
+        .groupBy("day", "idx")
+        .agg(F.max("m").alias("m"))
+        .collect()
+    }
+    assert merged == direct
