@@ -163,6 +163,55 @@ def _run_stages_parallel(
             f.result()
 
 
+def _run_dag(
+    results: dict,
+    stages: dict,
+    max_retries: int = 0,
+    retry_delay: float = 0.0,
+) -> None:
+    """Dependency-driven stage scheduler: each stage is ``(fn, deps)`` and
+    starts the moment every named dependency has SUCCEEDED — not when its
+    barrier *group* finishes. Versus the grouped runner this removes two
+    false waits on the sales DAG: ``ref_customer_orders`` (needs
+    customers/orders/geo) no longer waits for the slow ``ext_lineitem``,
+    and ``quality_checks`` (reads bronze + silver only) overlaps the gold
+    views instead of running after them. A stage whose dependency FAILED
+    is recorded as FAILED with an ``upstream`` error and never runs — the
+    same fail-fast outcome the group gates produced, at stage granularity.
+
+    One worker thread per stage (threads blocked on dependency events are
+    cheap; Spark jobs submitted from many driver threads multiplex across
+    the executor pool), so pool-exhaustion deadlock is impossible."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    done = {name: threading.Event() for name in stages}
+
+    def _runner(name: str, fn, deps) -> None:
+        t0 = time.time()
+        for d in deps:
+            done[d].wait()
+        bad = [d for d in deps if results.get(d, {}).get("status") != "SUCCESS"]
+        if bad:
+            results[name] = {
+                "status": "FAILED",
+                "elapsed": time.time() - t0,
+                "attempts": 0,
+                "error": f"upstream failed: {bad}",
+            }
+        else:
+            _run_stage(results, name, fn, max_retries, retry_delay)
+        done[name].set()
+
+    with ThreadPoolExecutor(max_workers=max(1, len(stages))) as ex:
+        futures = [
+            ex.submit(_runner, name, fn, deps)
+            for name, (fn, deps) in stages.items()
+        ]
+        for f in futures:
+            f.result()
+
+
 def format_run_summary(
     pipeline_name: str, results: dict, env: str = "dev", run_id: str = ""
 ) -> str:
@@ -221,33 +270,17 @@ def _read(spark: SparkSession, cfg: LakehouseConfig, schema: str, table: str) ->
 def run_sales_analytics(
     spark: SparkSession, cfg: LakehouseConfig, quality_raises: bool = False
 ) -> dict:
-    """Sales DAG (run_sales_analytics.py:69-134): nation/region first (needed
-    by downstream joins), dims, facts, refined, views, QC."""
+    """Sales DAG (run_sales_analytics.py:69-134): extracts, refined, views,
+    QC — scheduled by true data dependency (:func:`_run_dag`) rather than
+    the reference's strictly sequential child-notebook chain. The same
+    gates fire with the same labels; they are evaluated in reference order
+    once the DAG settles, and a failed upstream already blocked its
+    downstream stages from running."""
     results: dict = {}
     retries = int(cfg.settings.get("max_retries", 0))
     delay = float(cfg.settings.get("retry_delay_seconds", 0))
     if os.path.isdir(cfg.warehouse_dir):
         shutil.rmtree(cfg.warehouse_dir)
-
-    _run_stages_parallel(
-        results,
-        {f"ext_{t}": (lambda t=t: _extract_stage(spark, cfg, t)) for t in ("nation", "region")},
-        retries,
-        delay,
-    )
-    _gate(results, ["ext_nation", "ext_region"], "geo extracts")
-
-    _run_stages_parallel(
-        results,
-        {
-            f"ext_{t}": (lambda t=t: _extract_stage(spark, cfg, t))
-            for t in ("customers", "suppliers", "parts", "orders", "lineitem")
-        },
-        retries,
-        delay,
-    )
-    # critical facts gate (run_sales_analytics.py:98-100)
-    _gate(results, ["ext_orders", "ext_lineitem"], "critical extracts")
 
     def _partsupp():
         # derive from the bronze tables just written, not a second
@@ -289,63 +322,87 @@ def run_sales_analytics(
         )
         write_table(_stamp(df, "_refined_at"), cfg.table_path("refined", "customer_orders"))
 
-    # ext_partsupp derives from the lineitem/parts bronze tables gated
-    # above; nothing in the refined group reads it (order_details joins
-    # orders+lineitem+parts, customer_orders joins customers+orders+geo),
-    # so it runs concurrently with the refined models — its own gate is
-    # the QC stage below and the supplier DAG.
-    _run_stages_parallel(
-        results,
-        {
-            "ext_partsupp": _partsupp,
-            "ref_order_details": _od,
-            "ref_customer_orders": _co,
-        },
-        retries,
-        delay,
-    )
-    _gate(
-        results,
-        ["ext_partsupp", "ref_order_details", "ref_customer_orders"],
-        "refined models",
-    )
-
-    od = _read(spark, cfg, "refined", "order_details")
-    co = _read(spark, cfg, "refined", "customer_orders")
-    views = {
-        "vw_revenue_by_region": lambda: write_table(
+    def _vw_revenue():
+        od = _read(spark, cfg, "refined", "order_details")
+        co = _read(spark, cfg, "refined", "customer_orders")
+        write_table(
             vw_revenue_by_region(spark, cfg.sf_dir, order_details=od, customer_orders=co),
             cfg.table_path("views", "vw_revenue_by_region"),
-        ),
-        "vw_customer_lifetime_value": lambda: write_table(
+        )
+
+    def _vw_clv():
+        od = _read(spark, cfg, "refined", "order_details")
+        co = _read(spark, cfg, "refined", "customer_orders")
+        write_table(
             vw_customer_lifetime_value(
                 spark, cfg.sf_dir, order_details=od, customer_orders=co
             ),
             cfg.table_path("views", "vw_customer_lifetime_value"),
-        ),
-        "vw_monthly_sales_trends": lambda: write_table(
+        )
+
+    def _vw_monthly():
+        od = _read(spark, cfg, "refined", "order_details")
+        write_table(
             vw_monthly_sales_trends(spark, cfg.sf_dir, order_details=od),
             cfg.table_path("views", "vw_monthly_sales_trends"),
+        )
+
+    def _qc():
+        # QC reads the materialized warehouse (reference data_quality_checks
+        # reads catalog tables), not re-derived layers; supplier_parts
+        # belongs to the weekly supplier DAG and is skipped if that DAG has
+        # not materialized it yet. Depends on bronze + silver only, so it
+        # overlaps the gold views.
+        qc_src = {
+            f"bronze.{t}": _read(spark, cfg, "extract", t) for t in BRONZE_BUILDERS
+        }
+        qc_src["silver.order_details"] = _read(spark, cfg, "refined", "order_details")
+        qc_src["silver.customer_orders"] = _read(
+            spark, cfg, "refined", "customer_orders"
+        )
+        sp_path = cfg.table_path("refined", "supplier_parts")
+        qc_src["silver.supplier_parts"] = (
+            spark.read.parquet(sp_path) if os.path.isdir(sp_path) else None
+        )
+        run_all_checks(spark, cfg.sf_dir, raise_on_fail=quality_raises, sources=qc_src)
+
+    extracts = ("nation", "region", "customers", "suppliers", "parts", "orders", "lineitem")
+    silver_deps = [f"ext_{t}" for t in extracts]
+    dag: dict = {
+        **{
+            f"ext_{t}": ((lambda t=t: _extract_stage(spark, cfg, t)), [])
+            for t in extracts
+        },
+        "ext_partsupp": (_partsupp, ["ext_lineitem", "ext_parts"]),
+        "ref_order_details": (_od, ["ext_orders", "ext_lineitem", "ext_parts"]),
+        "ref_customer_orders": (
+            _co,
+            ["ext_customers", "ext_orders", "ext_nation", "ext_region"],
+        ),
+        "vw_revenue_by_region": (
+            _vw_revenue,
+            ["ref_order_details", "ref_customer_orders"],
+        ),
+        "vw_customer_lifetime_value": (
+            _vw_clv,
+            ["ref_order_details", "ref_customer_orders"],
+        ),
+        "vw_monthly_sales_trends": (_vw_monthly, ["ref_order_details"]),
+        "quality_checks": (
+            _qc,
+            silver_deps + ["ext_partsupp", "ref_order_details", "ref_customer_orders"],
         ),
     }
-    _run_stages_parallel(results, views, retries, delay)
+    _run_dag(results, dag, retries, delay)
 
-    # QC reads the materialized warehouse (reference data_quality_checks
-    # reads catalog tables), not re-derived layers; supplier_parts belongs
-    # to the weekly supplier DAG and is skipped if that DAG has not
-    # materialized it yet.
-    qc_src = {f"bronze.{t}": _read(spark, cfg, "extract", t) for t in BRONZE_BUILDERS}
-    qc_src["silver.order_details"] = od
-    qc_src["silver.customer_orders"] = co
-    sp_path = cfg.table_path("refined", "supplier_parts")
-    qc_src["silver.supplier_parts"] = (
-        spark.read.parquet(sp_path) if os.path.isdir(sp_path) else None
-    )
-    _run_stage(results,
-        "quality_checks",
-        lambda: run_all_checks(
-            spark, cfg.sf_dir, raise_on_fail=quality_raises, sources=qc_src
-        ),
+    # reference gate labels, evaluated in reference order (the scheduler
+    # already blocked downstream stages of anything that failed)
+    _gate(results, ["ext_nation", "ext_region"], "geo extracts")
+    _gate(results, ["ext_orders", "ext_lineitem"], "critical extracts")
+    _gate(
+        results,
+        ["ext_partsupp", "ref_order_details", "ref_customer_orders"],
+        "refined models",
     )
 
     print(
