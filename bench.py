@@ -71,6 +71,8 @@ EXT_QUERIES = [
     "sketch_bloom_membership",
     "sketch_kmv_overlap",
     "sketch_hll_rollup_daily",
+    "text_pii_scrub",
+    "text_pii_report",
     "multimodal_feature_stats",
     "multimodal_frame_sample",
     "events_tumbling_hourly",

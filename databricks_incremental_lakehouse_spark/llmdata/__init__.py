@@ -17,6 +17,7 @@ from . import (
     docquality,
     graph,
     multimodal,
+    pii,
     sharding,
     similarity,
     sketches,
@@ -26,6 +27,7 @@ from . import (
 
 def register_all(register) -> None:
     textstats.register_all(register)
+    pii.register_all(register)
     docquality.register_all(register)
     corpusstats.register_all(register)
     dedup.register_all(register)

@@ -303,6 +303,8 @@ _CHECK_PRIORITY: list[str] = [
     "search_bm25_topk",  # new r7: sparse retrieval (BM25, rational idf)
     "stream_tumbling_hourly",  # new r7: drained streaming tumbling windows
     "sketch_hll_rollup_daily",  # new r7: mergeable-sketch grain rollup
+    "text_pii_scrub",  # new r7: PII detect + redact (md5-verified redaction)
+    "text_pii_report",  # new r7: per-source PII compliance rollup
     # -- (2) carriers whose code changed since the r6 driver check ----------
     # memo shared-lineage cache (silver layer, partsupp bridge, bronze
     # lineitem dedup, corpus_curate flag frame):
@@ -357,8 +359,6 @@ _CHECK_PRIORITY: list[str] = [
     "corpus_shard_assign",
     "corpus_token_budget_select",
     "dedup_canonical_selection",
-    "dedup_minhash_lsh",
-    "graph_pagerank",
 ]
 
 

@@ -1203,3 +1203,42 @@ def test_hll_rollup_merge_identity_and_error(spark, sf_correct):
         .collect()
     }
     assert merged == direct
+
+
+def test_pii_redaction_matches_python_reference(spark, sf_correct):
+    """Spark's redacted text must equal a python ``re`` recomputation
+    byte-for-byte on the same augmented input, and the redacted output
+    must contain no residual PII pattern (the guarantee a scrub pass
+    exists to provide)."""
+    import re
+
+    from databricks_incremental_lakehouse_spark.llmdata.pii import (
+        EMAIL_RE,
+        IP_RE,
+        PHONE_RE,
+        _augmented,
+        pii_scrub_frame,
+    )
+    from databricks_incremental_lakehouse_spark.tables import load_table
+
+    docs = load_table(spark, sf_correct, "documents").select(
+        "doc_id", _augmented(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    rows = pii_scrub_frame(docs).collect()
+    assert rows
+    any_phone = any_ip = 0
+    for r in rows:
+        expect = re.sub(
+            PHONE_RE,
+            "<PHONE>",
+            re.sub(IP_RE, "<IP>", re.sub(EMAIL_RE, "<EMAIL>", r.text)),
+        )
+        assert r.redacted == expect
+        assert r.n_email == len(re.findall(EMAIL_RE, r.text)) >= 1
+        assert r.n_phone == len(re.findall(PHONE_RE, r.text))
+        assert r.n_ip == len(re.findall(IP_RE, r.text))
+        for pat in (EMAIL_RE, PHONE_RE, IP_RE):
+            assert not re.search(pat, r.redacted)
+        any_phone += r.n_phone
+        any_ip += r.n_ip
+    assert any_phone and any_ip  # the injection exercised every family
