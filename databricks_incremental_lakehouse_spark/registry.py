@@ -305,6 +305,7 @@ _CHECK_PRIORITY: list[str] = [
     "sketch_hll_rollup_daily",  # new r7: mergeable-sketch grain rollup
     "text_pii_scrub",  # new r7: PII detect + redact (md5-verified redaction)
     "text_pii_report",  # new r7: per-source PII compliance rollup
+    "stream_funnel",  # new r7: stateful streaming ordered funnel
     # -- (2) carriers whose code changed since the r6 driver check ----------
     # memo shared-lineage cache (silver layer, partsupp bridge, bronze
     # lineitem dedup, corpus_curate flag frame):
@@ -358,7 +359,6 @@ _CHECK_PRIORITY: list[str] = [
     "silver_customer_orders_rfm_scoped",
     "corpus_shard_assign",
     "corpus_token_budget_select",
-    "dedup_canonical_selection",
 ]
 
 

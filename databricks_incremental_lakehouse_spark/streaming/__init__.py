@@ -56,7 +56,9 @@ def register_all(register) -> None:
     _register_temporal(register)
     _register_refresh(register)
     from .joins import register_joins
-    from .stateful import STREAM_USER_TOTALS_ORACLE, stream_user_totals
+    from .stateful import STREAM_USER_TOTALS_ORACLE, stream_funnel, stream_user_totals
+    from .temporal import EVENTS_FUNNEL_ORACLE
 
     register("stream_user_totals", stream_user_totals, STREAM_USER_TOTALS_ORACLE)
+    register("stream_funnel", stream_funnel, EVENTS_FUNNEL_ORACLE)
     register_joins(register)

@@ -169,3 +169,173 @@ SELECT user_id, COUNT(*) AS event_count,
     MAX(ts) AS last_ts
 FROM events
 GROUP BY user_id"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming ordered funnel — the stateful twin of temporal.events_funnel
+# ---------------------------------------------------------------------------
+
+# Per-user state for the ordered view->click->purchase funnel, in exact
+# event-time MICROSECONDS (integer state is Arrow-exact across the state
+# store; deriving timestamps only at emit keeps the fold bit-stable):
+#   t_view    — the earliest view seen so far (only this matters: the
+#               funnel window is anchored at the MIN view, which is
+#               monotone non-increasing as events arrive in any order);
+#   clicks    — candidate click times still able to participate: once a
+#               view exists, anything > t_view + W can never qualify
+#               again (the anchor only moves DOWN, so the admission
+#               window's upper bound only shrinks) and is evicted;
+#               clicks BELOW t_view are kept — an earlier view may yet
+#               arrive and make them valid;
+#   purchases — candidates bounded by t_view + 2W for the same reason
+#               (t_click <= t_view + W, valid purchase <= t_click + W).
+# State is therefore bounded by the 2W event-time horizon per user — the
+# honest streaming-funnel state bound — not by total event history.
+FUNNEL_STATE_SCHEMA = "t_view bigint, clicks array<bigint>, purchases array<bigint>"
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id bigint, t_view timestamp, t_click timestamp, "
+    "t_purchase timestamp, reached_step int"
+)
+
+
+def _update_funnel(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's micro-batch into funnel state and emit the current
+    funnel row (update mode; arrival-order independent — any interleaving
+    of micro-batches converges to the batch cascaded-min result)."""
+    from .temporal import FUNNEL_STEPS, FUNNEL_WINDOW_HOURS
+
+    w_us = FUNNEL_WINDOW_HOURS * 3_600_000_000
+    (user_id,) = key
+    if state.exists:
+        t_view, clicks, purchases = state.get
+        clicks, purchases = list(clicks), list(purchases)
+    else:
+        t_view, clicks, purchases = None, [], []
+    for pdf in pdfs:
+        micros = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        for t, et in zip(micros.tolist(), pdf["event_type"].tolist()):
+            if et == FUNNEL_STEPS[0]:
+                if t_view is None or t < t_view:
+                    t_view = t
+            elif et == FUNNEL_STEPS[1]:
+                clicks.append(t)
+            elif et == FUNNEL_STEPS[2]:
+                purchases.append(t)
+    if t_view is not None:
+        clicks = [c for c in clicks if c <= t_view + w_us]
+        purchases = [p for p in purchases if p <= t_view + 2 * w_us]
+    state.update((t_view, clicks, purchases))
+
+    t_click = None
+    if t_view is not None:
+        valid = [c for c in clicks if t_view < c <= t_view + w_us]
+        t_click = min(valid) if valid else None
+    t_purchase = None
+    if t_click is not None:
+        valid = [p for p in purchases if t_click < p <= t_click + w_us]
+        t_purchase = min(valid) if valid else None
+
+    def _ts(us):
+        return pd.NaT if us is None else pd.to_datetime(us, unit="us")
+
+    reached = (
+        3 if t_purchase is not None
+        else 2 if t_click is not None
+        else 1 if t_view is not None
+        else 0
+    )
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "t_view": _ts(t_view),
+                "t_click": _ts(t_click),
+                "t_purchase": _ts(t_purchase),
+                "reached_step": reached,
+            }
+        ]
+    )
+
+
+def stateful_funnel_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> "StreamingQuery":
+    """readStream(events parquet) -> per-user stateful ordered funnel ->
+    per-batch merge into ``target_dir`` keyed on user_id (availableNow).
+
+    ``max_files_per_trigger`` forces multi-micro-batch drains (tests use
+    it to prove the fold is arrival-order independent)."""
+    static = spark.read.parquet(source_dir)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(source_dir)
+        .select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(batch_df.sparkSession, batch_df, target_dir, keys=["user_id"])
+
+    return (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_FUNNEL_TARGETS: dict[str, str] = {}
+
+
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: drain the stateful streaming funnel and serve the
+    merged per-user target. After the drain the explicit-state fold must
+    equal the batch cascaded-min funnel — the SAME DuckDB oracle as
+    ``events_funnel``/``events_funnel_aggjoin`` (third physical shape,
+    identical semantics), so the custom-stateful ordered-sequence path is
+    driver-checkable, not pytest-only."""
+    import os
+    import shutil
+    import tempfile
+
+    from .incremental import read_merge_target
+
+    target = _FUNNEL_TARGETS.get(sf_dir)
+    if target is None:
+        root = tempfile.mkdtemp(prefix="stateful_funnel_")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        q = stateful_funnel_stream(
+            spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stateful_funnel_stream did not drain within 300s; "
+                "refusing to read a partial merge target"
+            )
+        target = os.path.join(root, "target")
+        _FUNNEL_TARGETS[sf_dir] = target
+    return read_merge_target(spark, target).select(
+        "user_id", "t_view", "t_click", "t_purchase", "reached_step"
+    )

@@ -1543,3 +1543,51 @@ def test_stream_tumbling_hourly_watermark_horizon(spark, sf_correct, tmp_path):
     )
     assert 0 < len(expected) < len(batch)  # the horizon binds
     assert streamed == expected
+
+
+def test_stateful_funnel_order_independent(spark, sf_smoke, tmp_path):
+    """The streaming funnel must equal the batch cascaded-min funnel even
+    when micro-batches arrive in REVERSE time order (one file per drained
+    batch), proving the state fold is arrival-order independent — the
+    property the candidate-list pruning bounds must not break."""
+    from databricks_incremental_lakehouse_spark.streaming.stateful import (
+        stateful_funnel_stream,
+    )
+    from databricks_incremental_lakehouse_spark.streaming.temporal import (
+        events_funnel,
+    )
+
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "src")
+    # 4 files, each a contiguous DESCENDING time slice: the earliest
+    # events land in the LAST micro-batch
+    ranked = events.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy(F.desc("ts"), "event_id"))
+    )
+    for i in range(1, 5):
+        ranked.filter(F.col("slice") == i).drop("slice").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    q = stateful_funnel_stream(
+        spark,
+        src,
+        str(tmp_path / "target"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(300)
+    assert q.lastProgress is not None
+
+    got = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase, r.reached_step)
+        for r in spark.read.parquet(str(tmp_path / "target")).collect()
+    }
+    expect = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase, r.reached_step)
+        for r in events_funnel(spark, sf_smoke).collect()
+    }
+    assert got == expect
+    assert any(v[3] == 3 for v in expect.values())  # corpus exercises full depth
