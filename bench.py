@@ -107,6 +107,7 @@ EXT_QUERIES = [
     "text_chunk_overlap",
     "corpus_shard_assign",
     "corpus_token_budget_select",
+    "corpus_mixture_weights",
     "corpus_curate_report",
     "vocab_pmi_topk",
     "bi_tpch_q1",

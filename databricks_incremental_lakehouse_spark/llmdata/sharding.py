@@ -157,6 +157,90 @@ SELECT doc_id, n_tokens, quality_score,
 FROM c"""
 
 
+# training-token budget for the mixture = total available // MIX_BUDGET_DEN
+# (integer-exact on both engines); target mixture is UNIFORM across sources
+# — a declared-weights table would broadcast-join in exactly the same plan.
+MIX_BUDGET_DEN = 2
+
+
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source domain-mixing weights: given each source's available
+    tokens and a uniform target mixture over a training budget, the
+    sampling rate (capped at 1), the UNCAPPED repeat factor (>1 means the
+    source is up-sampled / multi-epoched, the standard recipe for small
+    high-quality domains), and the token shortfall.
+
+    Scale: one aggregation bounded by the ``source`` domain, then pure
+    scalar arithmetic against a broadcast one-row totals frame — no
+    global window, no data-sized shuffle. The NULL-token contract follows
+    :func:`corpus_token_budget_select` (NULL-text docs are unbudgetable
+    and excluded on both engines)."""
+    from .textstats import text_stats
+
+    ts = (
+        text_stats(spark, sf_dir)
+        .select("source", "n_tokens")
+        .filter(F.col("n_tokens").isNotNull())
+    )
+    per_source = ts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_available"),
+    )
+    totals = per_source.agg(
+        F.sum("tokens_available").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    j = per_source.crossJoin(F.broadcast(totals))
+    budget = F.floor(F.col("total_tokens") / MIX_BUDGET_DEN).cast("bigint")
+    target = budget.cast("double") / F.col("n_sources").cast("double")
+    avail = F.col("tokens_available").cast("double")
+    from ..operators import round_dbl
+
+    return j.select(
+        "source",
+        "n_docs",
+        "tokens_available",
+        round_dbl(target, 2).alias("target_tokens"),
+        round_dbl(F.least(F.lit(1.0), target / avail), 6).alias("sample_rate"),
+        round_dbl(target / avail, 6).alias("repeat_factor"),
+        round_dbl(F.greatest(F.lit(0.0), target - avail), 2).alias(
+            "shortfall_tokens"
+        ),
+    ).orderBy("source")
+
+
+def _mixture_oracle() -> str:
+    from ..operators.rounding import round_dbl_sql
+    from .textstats import TEXT_STATS_ORACLE
+
+    target = "(t.total_tokens // {den}) / CAST(t.n_sources AS DOUBLE)".format(
+        den=MIX_BUDGET_DEN
+    )
+    avail = "CAST(p.tokens_available AS DOUBLE)"
+    return f"""
+WITH ts AS (
+    SELECT source, n_tokens FROM ({TEXT_STATS_ORACLE})
+    WHERE n_tokens IS NOT NULL
+),
+p AS (
+    SELECT source, CAST(count(*) AS INT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_available
+    FROM ts GROUP BY source
+),
+t AS (
+    SELECT CAST(sum(tokens_available) AS BIGINT) AS total_tokens,
+           count(*) AS n_sources
+    FROM p
+)
+SELECT p.source, p.n_docs, p.tokens_available,
+       {round_dbl_sql(target, 2)} AS target_tokens,
+       {round_dbl_sql(f"least(1.0, {target} / {avail})", 6)} AS sample_rate,
+       {round_dbl_sql(f"{target} / {avail}", 6)} AS repeat_factor,
+       {round_dbl_sql(f"greatest(0.0, {target} - {avail})", 2)} AS shortfall_tokens
+FROM p, t
+ORDER BY p.source"""
+
+
 def register_all(register) -> None:
     register("corpus_shard_assign", corpus_shard_assign, CORPUS_SHARD_ORACLE)
     register(
@@ -164,3 +248,4 @@ def register_all(register) -> None:
         corpus_token_budget_select,
         _budget_oracle(),
     )
+    register("corpus_mixture_weights", corpus_mixture_weights, _mixture_oracle())

@@ -306,6 +306,7 @@ _CHECK_PRIORITY: list[str] = [
     "text_pii_scrub",  # new r7: PII detect + redact (md5-verified redaction)
     "text_pii_report",  # new r7: per-source PII compliance rollup
     "stream_funnel",  # new r7: stateful streaming ordered funnel
+    "corpus_mixture_weights",  # new r7: domain-mixing sampling weights
     # -- (2) carriers whose code changed since the r6 driver check ----------
     # memo shared-lineage cache (silver layer, partsupp bridge, bronze
     # lineitem dedup, corpus_curate flag frame):
@@ -345,7 +346,6 @@ _CHECK_PRIORITY: list[str] = [
     "bi_tpch_q3",
     "bi_tpch_q5",
     "bi_tpch_q7",
-    "bi_tpch_q8",
     "bi_tpch_q19",
     "bi_tpch_q21",
     "bi_tpch_q22",
