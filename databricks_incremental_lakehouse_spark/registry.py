@@ -307,6 +307,7 @@ _CHECK_PRIORITY: list[str] = [
     "text_pii_report",  # new r7: per-source PII compliance rollup
     "stream_funnel",  # new r7: stateful streaming ordered funnel
     "corpus_mixture_weights",  # new r7: domain-mixing sampling weights
+    "stream_sliding_windows",  # new r7: drained streaming sliding windows
     # -- (2) carriers whose code changed since the r6 driver check ----------
     # memo shared-lineage cache (silver layer, partsupp bridge, bronze
     # lineitem dedup, corpus_curate flag frame):
@@ -346,7 +347,6 @@ _CHECK_PRIORITY: list[str] = [
     "bi_tpch_q3",
     "bi_tpch_q5",
     "bi_tpch_q7",
-    "bi_tpch_q19",
     "bi_tpch_q21",
     "bi_tpch_q22",
     "stream_user_totals",

@@ -34,6 +34,8 @@ from ..tables import load_table
 
 _EVENTS_ORACLE_VIEW = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
 
+SESSION_WATERMARK_DELAY = "1 hour"
+
 
 def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window aggregate per event type (W: F.window)."""
@@ -248,6 +250,108 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(target)
 
 
+def sliding_windows_stream(
+    spark: SparkSession, source_dir: str, target_dir: str, checkpoint_dir: str
+):
+    """The STREAMING form of :func:`events_sliding_windows`: watermarked
+    ``readStream``, 1-hour windows sliding every 30 minutes (each event
+    feeds TWO state-store window rows), appended once the watermark
+    passes each window's end — the overlapping-window state semantics the
+    tumbling form cannot exercise."""
+    static = spark.read.parquet(source_dir)
+    stream = spark.readStream.schema(static.schema).parquet(source_dir)
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", SESSION_WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            round_dbl(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_count",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_SLIDING_TARGETS: dict[str, str] = {}
+
+
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: drain the streaming sliding-window aggregation and
+    serve the appended sink (same drain discipline as the other forms)."""
+    target = _SLIDING_TARGETS.get(sf_dir)
+    if target is None:
+        root = tempfile.mkdtemp(prefix="ss_slide_")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        q = sliding_windows_stream(
+            spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
+        )
+        try:
+            drained = q.awaitTermination(300)
+        except Exception:
+            q.stop()
+            raise
+        if not drained:
+            q.stop()
+            raise TimeoutError(
+                "sliding_windows_stream did not drain within 300s; "
+                "refusing to read a partial sink"
+            )
+        target = os.path.join(root, "target")
+        _SLIDING_TARGETS[sf_dir] = target
+    return spark.read.parquet(target)
+
+
+# Watermark-gated batch twin of the sliding form: every 30-min slot feeds
+# two overlapping windows; only windows whose END passed the horizon were
+# emitted by append mode.
+STREAM_SLIDING_ORACLE = f"""
+WITH e AS ({_EVENTS_ORACLE_VIEW}),
+wm AS (
+    SELECT date_trunc('milliseconds', (SELECT max(ts) FROM e))
+           - INTERVAL '{SESSION_WATERMARK_DELAY}' AS wm
+),
+slots AS (
+    SELECT *,
+        to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS slot
+    FROM e
+),
+assigned AS (
+    SELECT event_id, value, slot AS window_start FROM slots
+    UNION ALL
+    SELECT event_id, value, slot - INTERVAL 30 MINUTE AS window_start FROM slots
+),
+agg AS (
+    SELECT
+        CAST(window_start AS TIMESTAMP) AS window_start,
+        CAST(window_start + INTERVAL 60 MINUTE AS TIMESTAMP) AS window_end,
+        COUNT(*) AS event_count,
+        CAST(ROUND(CAST(SUM(value) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_value
+    FROM assigned
+    GROUP BY 1, 2
+)
+SELECT a.window_start, a.window_end, a.event_count, a.total_value
+FROM agg a, wm
+WHERE a.window_end < wm.wm"""
+
+
 # Watermark-gated batch twin: hourly buckets whose end has passed the
 # end-of-stream horizon (same strict-< eviction contract as the session
 # and LEFT OUTER join oracles).
@@ -270,9 +374,6 @@ agg AS (
 SELECT a.window_start, a.event_type, a.event_count, a.total_value, a.avg_value
 FROM agg a, wm
 WHERE a.window_start + INTERVAL 1 HOUR < wm.wm"""
-
-
-SESSION_WATERMARK_DELAY = "1 hour"
 
 
 def session_windows_stream(
@@ -439,5 +540,6 @@ def register_all(register) -> None:
     register("events_session_windows", events_session_windows, EVENTS_SESSION_ORACLE)
     register("stream_session_windows", stream_session_windows, STREAM_SESSION_ORACLE)
     register("stream_tumbling_hourly", stream_tumbling_hourly, STREAM_TUMBLING_ORACLE)
+    register("stream_sliding_windows", stream_sliding_windows, STREAM_SLIDING_ORACLE)
     register("events_deduped", events_deduped, EVENTS_DEDUP_ORACLE)
     register("events_json_props", events_json_props, EVENTS_JSON_ORACLE)
