@@ -355,6 +355,9 @@ def main() -> None:
     t0 = time.time()
     _noop(QUERIES["stream_sliding_windows"](spark, sf_dir))
     once["once.stream_sliding_windows_drain"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _noop(QUERIES["stream_retention"](spark, sf_dir))
+    once["once.stream_retention_drain"] = round(time.time() - t0, 3)
 
     # Skew contrast (VERDICT r6 #7): the skewed 10x corpus (.bench/sfskew,
     # one user = 40% of 1M events). funnel_window is the whole-partition-

@@ -308,6 +308,7 @@ _CHECK_PRIORITY: list[str] = [
     "stream_funnel",  # new r7: stateful streaming ordered funnel
     "corpus_mixture_weights",  # new r7: domain-mixing sampling weights
     "stream_sliding_windows",  # new r7: drained streaming sliding windows
+    "stream_retention",  # new r7: stateful streaming cohort retention
     # -- (2) carriers whose code changed since the r6 driver check ----------
     # memo shared-lineage cache (silver layer, partsupp bridge, bronze
     # lineitem dedup, corpus_curate flag frame):

@@ -56,9 +56,15 @@ def register_all(register) -> None:
     _register_temporal(register)
     _register_refresh(register)
     from .joins import register_joins
-    from .stateful import STREAM_USER_TOTALS_ORACLE, stream_funnel, stream_user_totals
-    from .temporal import EVENTS_FUNNEL_ORACLE
+    from .stateful import (
+        STREAM_USER_TOTALS_ORACLE,
+        stream_funnel,
+        stream_retention,
+        stream_user_totals,
+    )
+    from .temporal import EVENTS_FUNNEL_ORACLE, EVENTS_RETENTION_ORACLE
 
     register("stream_user_totals", stream_user_totals, STREAM_USER_TOTALS_ORACLE)
     register("stream_funnel", stream_funnel, EVENTS_FUNNEL_ORACLE)
+    register("stream_retention", stream_retention, EVENTS_RETENTION_ORACLE)
     register_joins(register)

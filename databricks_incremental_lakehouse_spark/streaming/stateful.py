@@ -339,3 +339,142 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_merge_target(spark, target).select(
         "user_id", "t_view", "t_click", "t_purchase", "reached_step"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming cohort retention — the stateful twin of temporal.events_retention
+# ---------------------------------------------------------------------------
+
+# Per-user state: the distinct ACTIVE DAYS as integer epoch-days (a set —
+# bounded by the retention horizon in production, by the corpus span here,
+# never by event count; re-observing a day is a no-op). The cohort day is
+# its minimum, so an early event arriving late simply re-anchors the
+# offsets at emit time — the fold is arrival-order independent like the
+# funnel's.
+RETENTION_STATE_SCHEMA = "days array<int>"
+RETENTION_OUTPUT_SCHEMA = "user_id bigint, cohort_day int, offsets array<int>"
+
+
+def _update_retention(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's micro-batch into the active-day set and emit the
+    current (cohort day, day offsets) image (update mode)."""
+    (user_id,) = key
+    days = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        epoch_days = (
+            pdf["ts"].astype("datetime64[ns]").astype("int64")
+            // 86_400_000_000_000
+        )
+        days.update(int(d) for d in epoch_days.tolist())
+    ordered = sorted(days)
+    state.update((ordered,))
+    cohort = ordered[0]
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "cohort_day": cohort,
+                "offsets": [d - cohort for d in ordered],
+            }
+        ]
+    )
+
+
+def stateful_retention_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+) -> "StreamingQuery":
+    """readStream(events parquet) -> per-user active-day state -> per-batch
+    merge of (cohort, offsets) images into ``target_dir`` (availableNow).
+
+    This is how an incremental retention pipeline actually runs at scale:
+    the per-user day-set is maintained stream-side (O(horizon) state per
+    user), and the O(cohorts x offsets) triangle is rolled up from the
+    compact per-user image on demand — the fact is never rescanned."""
+    static = spark.read.parquet(source_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(source_dir)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_retention,
+            outputStructType=RETENTION_OUTPUT_SCHEMA,
+            stateStructType=RETENTION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(batch_df.sparkSession, batch_df, target_dir, keys=["user_id"])
+
+    return (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_RETENTION_TARGETS: dict[str, str] = {}
+
+
+def stream_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: drain the stateful retention stream, then roll the
+    merged per-user (cohort, offsets) images up to the cohort triangle —
+    same DuckDB oracle as the batch ``events_retention``."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators import round_dbl
+    from .incremental import read_merge_target
+
+    target = _RETENTION_TARGETS.get(sf_dir)
+    if target is None:
+        root = tempfile.mkdtemp(prefix="stateful_ret_")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        q = stateful_retention_stream(
+            spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stateful_retention_stream did not drain within 300s; "
+                "refusing to read a partial merge target"
+            )
+        target = os.path.join(root, "target")
+        _RETENTION_TARGETS[sf_dir] = target
+    per_user = read_merge_target(spark, target).select(
+        "user_id",
+        F.date_from_unix_date("cohort_day").alias("cohort_day"),
+        F.explode("offsets").alias("day_offset"),
+    )
+    ret = per_user.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    size = ret.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_active").alias("cohort_size")
+    )
+    return ret.join(F.broadcast(size), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        round_dbl(
+            F.col("n_active") / F.col("cohort_size").cast("double"), 6
+        ).alias("retention_rate"),
+    )
