@@ -146,6 +146,7 @@ OTHER_TIMED_QUERIES = [
     "incr_monthly_trends_refresh",
     "incr_customer_orders_refresh",
     "sim_ivf_topk_indexed",
+    "sim_ivf_append_search",
     "sim_ivf_topk_quantized",
     "stream_user_totals",
     "stream_view_purchase_join",
@@ -326,6 +327,13 @@ def main() -> None:
         t0 = time.time()
         _noop(QUERIES["sim_ivf_topk_indexed"](spark, sf_dir))
         record("ext.sim_ivf_search_only", time.time() - t0)
+    t0 = time.time()
+    _noop(QUERIES["sim_ivf_append_search"](spark, sf_dir))
+    once["once.sim_ivf_append_build_ingest_and_search"] = round(time.time() - t0, 3)
+    for _ in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["sim_ivf_append_search"](spark, sf_dir))
+        record("ext.sim_ivf_append_search_only", time.time() - t0)
     _noop(QUERIES["sim_ivf_topk_quantized"](spark, sf_dir))  # warm-up
     for _rep in range(REPS):
         t0 = time.time()

@@ -1165,10 +1165,132 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ) WHERE rank <= {TOP_K}"""
 
 
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF maintenance: ingest new vectors WITHOUT retraining
+# ---------------------------------------------------------------------------
+
+ARRIVAL_MOD = 10  # vec_id % ARRIVAL_MOD == 0 arrive AFTER the index is built
+
+# session-scoped memo: one (frozen codebook, appended cell store) per sf_dir
+_IVF_APPEND_INDEXES: dict[str, tuple[list[tuple[int, list[float]]], str]] = {}
+
+
+def _ivf_append_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, list[float]]], str]:
+    """Build the IVF index from the 90% base corpus, then INGEST the
+    late-arriving 10% by assigning them with the FROZEN codebook and
+    appending their rows into the existing cl-partitioned store — the
+    production ANN ingestion path: new vectors stream in continuously,
+    centroid training is amortized over many ingests, and an append into
+    a cell's partition directory is exactly a posting-list append (no
+    rebuild, no rewrite of existing files; periodic re-training is a
+    separate offline job). Ingest cost is one assignment pass over the
+    batch — O(batch x nlist) — plus the append write."""
+    got = _IVF_APPEND_INDEXES.get(sf_dir)
+    if got is None:
+        import os
+        import tempfile
+
+        emb = _emb(spark, sf_dir)
+        base = emb.filter(F.col("vec_id") % ARRIVAL_MOD != 0)
+        arrivals = emb.filter(F.col("vec_id") % ARRIVAL_MOD == 0)
+        cent_rows, cells = _kmeans_cells(base)
+        path = os.path.join(tempfile.mkdtemp(prefix="ivf_app_"), "cells")
+        (
+            cells.withColumn("scale", _sq8_scale("v"))
+            .withColumn("codes", _sq8_codes("v", "scale"))
+            .write.partitionBy("cl")
+            .parquet(path)
+        )
+        (
+            _assign_to(arrivals, cent_rows)
+            .withColumn("scale", _sq8_scale("v"))
+            .withColumn("codes", _sq8_codes("v", "scale"))
+            .write.mode("append")
+            .partitionBy("cl")
+            .parquet(path)
+        )
+        got = (cent_rows, path)
+        _IVF_APPEND_INDEXES[sf_dir] = got
+    return got
+
+
+def sim_ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search the post-ingest store: identical probe/search machinery as
+    :func:`sim_ivf_topk_indexed`, over base+appended cells with the frozen
+    base-trained codebook. The oracle replays train-on-base /
+    assign-everything declaratively, so the no-retrain ingest contract is
+    value-hash-checked cross-engine (results differ from ``sim_ivf_topk``
+    exactly where the codebook differs — that IS the contract)."""
+    cent_rows, path = _ivf_append_index(spark, sf_dir)
+    cells = spark.read.parquet(path).select(
+        "vec_id", "v", F.col("cl").cast("int").alias("cl")
+    )
+    return _ivf_search(spark, sf_dir, cent_rows, cells)
+
+
+# train on the base subset (e), assign EVERYTHING (eall) to the frozen
+# centroids — the declarative statement of ingest-without-retrain
+SIM_IVF_APPEND_ORACLE = f"""
+WITH eall AS (
+    SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+e AS (SELECT * FROM eall WHERE vec_id % {ARRIVAL_MOD} <> 0),
+a0 AS (
+    SELECT vec_id, v, CAST(vec_id % {N_LIST} AS INT) AS cl FROM e
+),{_kmeans_cte("a0", "c1", "a1")},{_kmeans_cte("a1", "c2", "a2")},
+cent AS (
+    SELECT cl, list(c ORDER BY pos) AS cv FROM (
+        SELECT cl, pos,
+            CAST(ROUND(CAST(AVG(val) AS DECIMAL(38,10)), 6) AS DOUBLE) AS c
+        FROM (SELECT cl, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM a2)
+        GROUP BY cl, pos
+    ) GROUP BY cl
+),
+cells AS (
+    SELECT vec_id, v, cl FROM (
+        SELECT e2.vec_id, e2.v, c.cl,
+            ROW_NUMBER() OVER (
+                PARTITION BY e2.vec_id
+                ORDER BY {_CCOS_V.replace("(v", "(e2.v").replace(" v[i]", " e2.v[i]")} DESC, c.cl ASC
+            ) AS crank
+        FROM eall e2 CROSS JOIN cent c
+    ) WHERE crank = 1
+),
+q2c AS (
+    SELECT query_id, qv, cl AS probe_cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cl,
+            ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY {_CCOS_Q} DESC, c.cl ASC
+            ) AS crank
+        FROM (SELECT vec_id, v FROM eall WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN cent c
+    ) WHERE crank <= {N_PROBE}
+),
+scored AS (
+    SELECT q.query_id, q.probe_cell, n.vec_id AS neighbor_id,
+        {_COS} AS cosine
+    FROM (SELECT query_id, qv, probe_cell FROM q2c) q
+    JOIN cells n ON n.cl = q.probe_cell AND n.vec_id <> q.query_id
+)
+SELECT query_id, probe_cell, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+    ) AS INT) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}"""
+
+
 def register_all(register) -> None:
     register("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE)
     register("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE)
     register("sim_ivf_topk_indexed", sim_ivf_topk_indexed, SIM_IVF_ORACLE)
+    register("sim_ivf_append_search", sim_ivf_append_search, SIM_IVF_APPEND_ORACLE)
     register("sim_hyperplane_lsh", sim_hyperplane_lsh, SIM_LSH_ORACLE)
     # same result contract as the JVM baseline -> same oracle
     register("sim_topk_vectorized", sim_topk_vectorized, SIM_TOPK_ORACLE)

@@ -309,6 +309,7 @@ _CHECK_PRIORITY: list[str] = [
     "corpus_mixture_weights",  # new r7: domain-mixing sampling weights
     "stream_sliding_windows",  # new r7: drained streaming sliding windows
     "stream_retention",  # new r7: stateful streaming cohort retention
+    "sim_ivf_append_search",  # new r7: no-retrain IVF ingest + search
     # -- (2) carriers whose code changed since the r6 driver check ----------
     # memo shared-lineage cache (silver layer, partsupp bridge, bronze
     # lineitem dedup, corpus_curate flag frame):
@@ -347,7 +348,6 @@ _CHECK_PRIORITY: list[str] = [
     "bi_tpch_q1",
     "bi_tpch_q3",
     "bi_tpch_q5",
-    "bi_tpch_q7",
     "bi_tpch_q21",
     "bi_tpch_q22",
     "stream_user_totals",

@@ -1242,3 +1242,65 @@ def test_pii_redaction_matches_python_reference(spark, sf_correct):
         any_phone += r.n_phone
         any_ip += r.n_ip
     assert any_phone and any_ip  # the injection exercised every family
+
+
+def test_ivf_append_ingests_without_rebuild(spark, sf_correct, tmp_path):
+    """The ingest path must leave every base cell file byte-untouched
+    (append = posting-list append, never a rewrite), land the arrivals in
+    the same cl-partitioned layout, and make them findable by the search
+    — the no-retrain contract of incremental index maintenance."""
+    import os
+
+    from databricks_incremental_lakehouse_spark.llmdata.similarity import (
+        ARRIVAL_MOD,
+        _assign_to,
+        _emb,
+        _kmeans_cells,
+        _sq8_codes,
+        _sq8_scale,
+        sim_ivf_append_search,
+    )
+
+    emb = _emb(spark, sf_correct)
+    base = emb.filter(F.col("vec_id") % ARRIVAL_MOD != 0)
+    arrivals = emb.filter(F.col("vec_id") % ARRIVAL_MOD == 0)
+    cent_rows, cells = _kmeans_cells(base)
+    path = str(tmp_path / "cells")
+    cells.withColumn("scale", _sq8_scale("v")).withColumn(
+        "codes", _sq8_codes("v", "scale")
+    ).write.partitionBy("cl").parquet(path)
+
+    def _files():
+        out = {}
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet"):
+                    fp = os.path.join(root, n)
+                    out[fp] = os.path.getsize(fp)
+        return out
+
+    before = _files()
+    _assign_to(arrivals, cent_rows).withColumn(
+        "scale", _sq8_scale("v")
+    ).withColumn("codes", _sq8_codes("v", "scale")).write.mode(
+        "append"
+    ).partitionBy("cl").parquet(path)
+    after = _files()
+
+    # every pre-ingest file survives with identical size; new files appeared
+    assert set(before) <= set(after)
+    assert all(after[f] == sz for f, sz in before.items())
+    assert len(after) > len(before)
+
+    # store now holds the full corpus, still cl-partitioned
+    store = spark.read.parquet(path)
+    assert store.count() == emb.count()
+    n_arr = arrivals.count()
+    assert store.filter(F.col("vec_id") % ARRIVAL_MOD == 0).count() == n_arr
+
+    # ingested vectors are findable: the search returns arrival neighbors
+    res = sim_ivf_append_search(spark, sf_correct)
+    arrived_hits = res.filter(
+        (F.col("neighbor_id") % ARRIVAL_MOD == 0)
+    ).count()
+    assert arrived_hits > 0
