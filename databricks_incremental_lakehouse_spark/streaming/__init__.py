@@ -68,3 +68,6 @@ def register_all(register) -> None:
     register("stream_funnel", stream_funnel, EVENTS_FUNNEL_ORACLE)
     register("stream_retention", stream_retention, EVENTS_RETENTION_ORACLE)
     register_joins(register)
+    from .scd import register_scd
+
+    register_scd(register)
