@@ -85,11 +85,13 @@ EXT_QUERIES = [
     "events_funnel_aggjoin",
     "events_retention",
     "events_view_purchase_join",
+    "scd2_user_tier_history",
     "sketch_histogram_quantiles",
     "dedup_clusters",
     "graph_pagerank",
     "dedup_canonical_selection",
     "dedup_semantic",
+    "sim_hard_negatives",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "text_decontamination",

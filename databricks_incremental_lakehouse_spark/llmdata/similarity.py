@@ -707,11 +707,13 @@ SEMDEDUP_COS = 0.35
 SEMDEDUP_PROBE = 2
 
 
-def _assign_topk(emb: DataFrame, cent_rows, k: int) -> DataFrame:
-    """(vec_id, v, cl) rows assigning each vector to its ``k`` nearest
-    centroids — the multi-probe generalization of :func:`_assign_to`,
-    still a shuffle-free projection (centroids are literals; the per-row
-    struct array is sorted and sliced, no crossJoin/window)."""
+def _assign_topk(emb: DataFrame, cent_rows, k: int, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(vec_id, v[, extra...], cl) rows assigning each vector to its ``k``
+    nearest centroids — the multi-probe generalization of
+    :func:`_assign_to`, still a shuffle-free projection (centroids are
+    literals; the per-row struct array is sorted and sliced, no
+    crossJoin/window). ``extra`` carries payload columns (e.g. ``label``)
+    through the assignment."""
     import math
 
     nv = _norm("v")
@@ -727,8 +729,8 @@ def _assign_topk(emb: DataFrame, cent_rows, k: int) -> DataFrame:
         entries.append(F.struct(cdist.alias("d"), F.lit(-cl).alias("negcl")))
     # ascending struct sort then reverse = cosine DESC with cl ASC tiebreak
     top = F.slice(F.reverse(F.array_sort(F.array(*entries))), 1, k)
-    return emb.select("vec_id", "v", F.explode(top).alias("s")).select(
-        "vec_id", "v", (-F.col("s.negcl")).cast("int").alias("cl")
+    return emb.select("vec_id", "v", *extra, F.explode(top).alias("s")).select(
+        "vec_id", "v", *extra, (-F.col("s.negcl")).cast("int").alias("cl")
     )
 
 
@@ -841,6 +843,154 @@ SELECT vec_id, cl, dup_of, cosine FROM (
         GROUP BY vec_id, dup_of
     )
 ) WHERE rk = 1"""
+
+
+# --- hard-negative mining ---------------------------------------------------
+
+K_NEG = 3  # hard negatives mined per anchor
+# kernel pre-selection slack: grid rounding moves a raw cosine by < 5e-7,
+# so keeping everything within 1e-5 of the per-cell k-th raw score provably
+# covers every pair the ROUNDED global top-k can contain (see kernel note)
+_NEG_SLACK = 1e-5
+
+
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine hard negatives for contrastive training: for EVERY corpus
+    vector (the anchor), the ``K_NEG`` most-similar vectors with a
+    DIFFERENT label — the near-miss impostors that make the strongest
+    training negatives (the batch analogue of ANCE-style negative
+    mining).
+
+    Scale shape = SemDeDup's, not brute force: candidates are pairs
+    sharing a probed k-means cell (multi-probe ``SEMDEDUP_PROBE`` of
+    ``N_LIST``), so the work is sum(|cell|^2) — cell-bounded, each cell
+    an independent Arrow batch, never an all-pairs join. Inside a cell
+    one BLAS matmul scores the block; per anchor the kernel emits only
+    candidates within ``_NEG_SLACK`` of its k-th best raw cosine. That
+    pre-selection is a PROVABLE superset of the rounded global top-k:
+    grid rounding moves any raw score by < 5e-7, so a pair more than
+    1e-5 below the cell's k-th raw score is beaten by k pairs even
+    after rounding — excluding it is safe, and the authoritative
+    round + rank happen JVM-side where the oracle's half-up decimal
+    grid is reproduced exactly (np.round is half-even).
+
+    The reference has no ANN surface (its refined layer is relational,
+    src/refined/refined_customer_orders.py); this family is part of the
+    LLM-training-data extension brief."""
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    cent_rows, _cells = _kmeans_cells(emb)
+    probed = _assign_topk(emb, cent_rows, SEMDEDUP_PROBE, extra=("label",))
+
+    _empty = pd.DataFrame(
+        {
+            "anchor_id": pd.Series(dtype="int64"),
+            "anchor_label": pd.Series(dtype="int32"),
+            "negative_id": pd.Series(dtype="int64"),
+            "negative_label": pd.Series(dtype="int32"),
+            "raw_cosine": pd.Series(dtype="float64"),
+        }
+    )
+
+    def _cell_negs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return _empty
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        labels = pdf["label"].to_numpy()[order]
+        V = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        diff = labels[None, :] != labels[:, None]
+        out = []
+        for i in range(len(ids)):
+            cand = np.nonzero(diff[i])[0]
+            if len(cand) == 0:
+                continue
+            scores = S[i, cand]
+            if len(cand) > K_NEG:
+                kth = np.partition(scores, -K_NEG)[-K_NEG]
+                keep = cand[scores >= kth - _NEG_SLACK]
+            else:
+                keep = cand
+            out.append(
+                pd.DataFrame(
+                    {
+                        "anchor_id": ids[i],
+                        "anchor_label": labels[i],
+                        "negative_id": ids[keep],
+                        "negative_label": labels[keep],
+                        "raw_cosine": S[i, keep],
+                    }
+                )
+            )
+        return pd.concat(out) if out else _empty
+
+    pairs = probed.groupBy("cl").applyInPandas(
+        _cell_negs,
+        "anchor_id long, anchor_label int, negative_id long, "
+        "negative_label int, raw_cosine double",
+    )
+    scored = (
+        pairs.withColumn("cosine", round_dbl(F.col("raw_cosine"), 6))
+        # a pair sharing several probed cells appears once per shared cell
+        .groupBy("anchor_id", "negative_id")
+        .agg(
+            F.min("anchor_label").alias("anchor_label"),
+            F.min("negative_label").alias("negative_label"),
+            F.max("cosine").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_NEG)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "cosine",
+            "rank",
+        )
+    )
+
+
+SIM_HARD_NEG_ORACLE = f"""{_KMEANS_CELLS_WITH},
+probed AS (
+    SELECT vec_id, label, v, cl FROM (
+        SELECT e.vec_id, e.label, e.v, c.cl,
+            ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY {_CCOS_V} DESC, c.cl ASC
+            ) AS crank
+        FROM e CROSS JOIN cent c
+    ) WHERE crank <= {SEMDEDUP_PROBE}
+),
+pairs AS (
+    SELECT anchor_id, anchor_label, negative_id, negative_label,
+           MAX(cosine) AS cosine
+    FROM (
+        SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+               b.vec_id AS negative_id, b.label AS negative_label,
+               {_PCOS} AS cosine
+        FROM probed a JOIN probed b
+          ON a.cl = b.cl AND a.vec_id <> b.vec_id AND a.label <> b.label
+    ) GROUP BY anchor_id, anchor_label, negative_id, negative_label
+)
+SELECT anchor_id, anchor_label, negative_id, negative_label, cosine, rank
+FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY anchor_id ORDER BY cosine DESC, negative_id ASC
+    ) AS INT) AS rank
+    FROM pairs
+) WHERE rank <= {K_NEG}"""
 
 
 # --- int8 scalar quantization ---------------------------------------------
@@ -1291,6 +1441,7 @@ def register_all(register) -> None:
     register("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE)
     register("sim_ivf_topk_indexed", sim_ivf_topk_indexed, SIM_IVF_ORACLE)
     register("sim_ivf_append_search", sim_ivf_append_search, SIM_IVF_APPEND_ORACLE)
+    register("sim_hard_negatives", sim_hard_negatives, SIM_HARD_NEG_ORACLE)
     register("sim_hyperplane_lsh", sim_hyperplane_lsh, SIM_LSH_ORACLE)
     # same result contract as the JVM baseline -> same oracle
     register("sim_topk_vectorized", sim_topk_vectorized, SIM_TOPK_ORACLE)

@@ -1304,3 +1304,63 @@ def test_ivf_append_ingests_without_rebuild(spark, sf_correct, tmp_path):
         (F.col("neighbor_id") % ARRIVAL_MOD == 0)
     ).count()
     assert arrived_hits > 0
+
+
+def test_hard_negatives_match_python_reference(spark, sf_smoke):
+    """Independent numpy replay of hard-negative mining: exact
+    different-label top-K_NEG over the shared-probed-cell candidate set,
+    full-precision scores rounded on the same grid. Validates the
+    kernel's per-cell slack-threshold pre-selection (the provable-superset
+    claim) end to end — every (anchor, rank) -> (negative, cosine) must
+    match exactly."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from databricks_incremental_lakehouse_spark.llmdata.similarity import (
+        K_NEG,
+        SEMDEDUP_PROBE,
+        _assign_topk,
+        _emb,
+        _kmeans_cells,
+        sim_hard_negatives,
+    )
+
+    emb = _emb(spark, sf_smoke)
+    cent_rows, _ = _kmeans_cells(emb)
+    probed = _assign_topk(emb, cent_rows, SEMDEDUP_PROBE, extra=("label",))
+    rows = probed.collect()
+
+    by_cell = defaultdict(list)
+    vec, lab = {}, {}
+    for r in rows:
+        by_cell[r.cl].append(r.vec_id)
+        vec[r.vec_id] = np.asarray(r.v, dtype=np.float64)
+        lab[r.vec_id] = r.label
+
+    cands = defaultdict(set)
+    for members in by_cell.values():
+        for a in members:
+            for b in members:
+                if a != b and lab[a] != lab[b]:
+                    cands[a].add(b)
+
+    def cos6(a, b):
+        va, vb = vec[a], vec[b]
+        raw = float(va @ vb) / (np.linalg.norm(va) * np.linalg.norm(vb))
+        return float(Decimal(repr(raw)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    want = {}
+    for a, negs in cands.items():
+        ranked = sorted(((cos6(a, n), -n) for n in negs), reverse=True)[:K_NEG]
+        want[a] = [(-negid, c) for c, negid in ranked]
+
+    got = defaultdict(list)
+    res = sim_hard_negatives(spark, sf_smoke).collect()
+    for r in sorted(res, key=lambda r: (r.anchor_id, r.rank)):
+        assert r.anchor_label != r.negative_label
+        got[r.anchor_id].append((r.negative_id, r.cosine))
+
+    assert dict(got) == want
+    assert len(want) > 0 and all(len(v) == K_NEG for v in want.values())
