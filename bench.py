@@ -86,6 +86,7 @@ EXT_QUERIES = [
     "events_retention",
     "events_view_purchase_join",
     "scd2_user_tier_history",
+    "scd2_point_in_time_purchases",
     "sketch_histogram_quantiles",
     "dedup_clusters",
     "graph_pagerank",

@@ -312,6 +312,7 @@ _CHECK_PRIORITY: list[str] = [
     "sim_ivf_append_search",  # new r7: no-retrain IVF ingest + search
     "scd2_user_tier_history",  # new r7: SCD Type 2 dimension history
     "sim_hard_negatives",  # new r7: contrastive hard-negative mining
+    "scd2_point_in_time_purchases",  # new r7: PIT join vs the SCD2 dim
     # -- (2) carriers whose code changed since the r6 driver check ----------
     # memo shared-lineage cache (silver layer, partsupp bridge, bronze
     # lineitem dedup, corpus_curate flag frame):

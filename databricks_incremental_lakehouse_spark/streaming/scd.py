@@ -220,5 +220,87 @@ def scd2_apply_batch(
     )
 
 
+# Profile observations for the point-in-time join come from a SUBSET of
+# event types, so the fact rows being enriched are NOT themselves
+# observations (joining the full-stream history to its own events would
+# degenerately return each event's own payload).
+PROFILE_EVENT_TYPES = ("signup", "click")
+FACT_EVENT_TYPE = "purchase"
+
+
+def scd2_point_in_time_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) enrichment against the SCD2 dimension: each
+    purchase gains the tier version that was VALID at its event time —
+    the query every SCD2 table exists to answer, and the feature-store
+    "no training leakage" join (a purchase must see the profile as of
+    then, never a later update).
+
+    The interval lookup ``valid_from <= ts < valid_to`` needs no range
+    join: intervals are contiguous per user, so the valid version is just
+    the latest ``valid_from <= ts`` — an AS-OF join, executed with the
+    union-then-window :func:`..streaming.temporal.asof_join` (ONE shuffle
+    on user_id, no interval explosion). Purchases before a user's first
+    observation keep NULL tier/version (is_current-style left semantics).
+    """
+    from .temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    history = scd2_collapse(
+        _tier_observations(spark, sf_dir).join(
+            ev.filter(F.col("event_type").isin(*PROFILE_EVENT_TYPES)).select(
+                "event_id"
+            ),
+            "event_id",
+            "left_semi",
+        )
+    ).select(
+        "user_id", F.col("valid_from").alias("ts"), "tier", "version"
+    )
+    purchases = ev.filter(F.col("event_type") == FACT_EVENT_TYPE).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, history, by=["user_id"], ts="ts", prefix="tier_"
+    ).drop("tier_ts")
+
+
+SCD2_PIT_ORACLE = f"""
+WITH obs AS (
+    SELECT user_id, ts, event_id,
+           CAST(regexp_extract(props, '[0-9]+', 0) AS INT) % {TIER_MOD} AS tier
+    FROM events
+    WHERE event_type IN {PROFILE_EVENT_TYPES!r}
+),
+marked AS (
+    SELECT *, CASE WHEN lag(tier) OVER w IS NOT DISTINCT FROM tier
+                   THEN 0 ELSE 1 END AS chg
+    FROM obs
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+hist AS (
+    SELECT user_id, CAST(version AS INT) AS version, MIN(tier) AS tier,
+           MIN(ts) AS valid_from
+    FROM (
+        SELECT *, SUM(chg) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS version FROM marked
+    ) GROUP BY user_id, version
+),
+p AS (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = '{FACT_EVENT_TYPE}'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       h.tier AS tier_tier, h.version AS tier_version
+FROM p ASOF LEFT JOIN hist h
+  ON p.user_id = h.user_id AND p.ts >= h.valid_from"""
+
+
 def register_scd(register) -> None:
     register("scd2_user_tier_history", scd2_user_tier_history, SCD2_HISTORY_ORACLE)
+    register(
+        "scd2_point_in_time_purchases",
+        scd2_point_in_time_purchases,
+        SCD2_PIT_ORACLE,
+    )

@@ -1663,3 +1663,29 @@ def test_scd2_planted_sequence(spark, tmp_path):
         2: (1, "2024-01-03 00:00:00", "2024-01-04 00:00:00", False, 1),
         3: (0, "2024-01-04 00:00:00", None, True, 1),
     }
+
+
+def test_scd2_point_in_time_exercises_both_sides(spark, sf_smoke):
+    """The PIT join must be non-degenerate on this corpus: purchases
+    before a user's first profile observation keep NULL tier, later ones
+    carry a real historical version — and at least one enriched purchase
+    must carry a tier that is NOT the user's CURRENT tier (proof the join
+    reads history, not the latest image)."""
+    from databricks_incremental_lakehouse_spark.streaming.scd import (
+        scd2_point_in_time_purchases,
+        scd2_user_tier_history,
+    )
+
+    res = scd2_point_in_time_purchases(spark, sf_smoke)
+    rows = res.collect()
+    assert any(r.tier_tier is None for r in rows)
+    assert any(r.tier_tier is not None for r in rows)
+
+    current = {
+        r.user_id: r.tier
+        for r in scd2_user_tier_history(spark, sf_smoke).filter("is_current").collect()
+    }
+    assert any(
+        r.tier_tier is not None and r.tier_tier != current.get(r.user_id)
+        for r in rows
+    )
