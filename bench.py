@@ -97,6 +97,7 @@ EXT_QUERIES = [
     "dedup_substring_clean",
     "text_decontamination",
     "text_quality_gopher",
+    "text_boilerplate_report",
     "sample_stratified",
     "sample_temperature",
     "vocab_topk",
@@ -111,6 +112,7 @@ EXT_QUERIES = [
     "corpus_shard_assign",
     "corpus_token_budget_select",
     "corpus_mixture_weights",
+    "corpus_split_assign",
     "corpus_curate_report",
     "vocab_pmi_topk",
     "bi_tpch_q1",

@@ -11,6 +11,7 @@ registered as an oracle-checked query where SQL-expressible.
 """
 
 from . import (
+    boilerplate,
     corpusstats,
     curation,
     dedup,
@@ -28,6 +29,7 @@ from . import (
 def register_all(register) -> None:
     textstats.register_all(register)
     pii.register_all(register)
+    boilerplate.register_all(register)
     docquality.register_all(register)
     corpusstats.register_all(register)
     dedup.register_all(register)

@@ -786,8 +786,55 @@ SELECT r.lang, r.n_total, r.target_rate,
 FROM rates r LEFT JOIN kept k ON r.lang = k.lang"""
 
 
+# --- leakage-safe train/val/test split --------------------------------------
+
+_SPLIT_KEY = "split#"
+SPLIT_TRAIN_FRAC = 0.90
+SPLIT_VAL_FRAC = 0.05  # test gets the remainder
+_TH_TRAIN = int(SPLIT_TRAIN_FRAC * 2**60)
+_TH_VAL = int((SPLIT_TRAIN_FRAC + SPLIT_VAL_FRAC) * 2**60)
+
+
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is assigned by hashing
+    the document's near-dup CLUSTER canonical id, not the document itself,
+    so every member of a duplicate cluster lands in the same split — the
+    eval set can never contain a near-copy of a training document (the
+    failure mode a naive per-doc split has on any deduplicatable corpus,
+    and the reason eval numbers inflate). Naturally also the grouping
+    discipline for URL/domain or repository splits — swap the cluster
+    label for the group key.
+
+    Cost = the connected-components labeling :func:`dedup_clusters`
+    already computes (per-round shuffles bounded by the near-dup
+    subgraph) + a pure hash-threshold projection: no extra shuffle, no
+    global stage, membership stable under corpus growth (a cluster's
+    split never changes as unrelated docs arrive)."""
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "canonical_id")
+    h = hash60(F.concat(F.lit(_SPLIT_KEY), F.col("canonical_id").cast("string")))
+    split = (
+        F.when(h < _TH_TRAIN, F.lit("train"))
+        .when(h < _TH_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return clusters.select("doc_id", "canonical_id", split.alias("split"))
+
+
+_SPLIT_HASH_SQL = hash60_sql(
+    f"concat('{_SPLIT_KEY}', CAST(canonical_id AS VARCHAR))"
+)
+
+CORPUS_SPLIT_ORACLE = f"""
+SELECT doc_id, canonical_id,
+       CASE WHEN {_SPLIT_HASH_SQL} < {_TH_TRAIN} THEN 'train'
+            WHEN {_SPLIT_HASH_SQL} < {_TH_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, canonical_id FROM ({DEDUP_CLUSTERS_ORACLE}))"""
+
+
 def register_all(register) -> None:
     register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE)
+    register("corpus_split_assign", corpus_split_assign, CORPUS_SPLIT_ORACLE)
     register("text_decontamination", text_decontamination, TEXT_DECONTAMINATION_ORACLE)
     register("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE)
     register(

@@ -208,6 +208,43 @@ def _kmeans_cells(emb: DataFrame):
     return cent_rows, _assign_to(emb, cent_rows)
 
 
+# session-scoped memo of the SHARED coarse quantizer per sf_dir (same
+# discipline as memo.shared_frame and the IVF cell store): three registry
+# families train the identical deterministic k-means (IVF search, SemDeDup,
+# hard-negative mining) — on a deployment the codebook is a trained-once
+# artifact, so re-deriving it per query was pure recompute (~2.5s/call at
+# sf0.1, mostly plan compile of the 16x64-literal assignment expressions).
+# Values are bit-identical with or without the memo (training is
+# deterministic); SPARK_GRAFT_LINEAGE_CACHE=0 disables.
+_CENT_MEMO: dict[tuple, tuple[list, DataFrame]] = {}
+_CENT_LOCK = __import__("threading").Lock()
+
+
+def _kmeans_cells_for(spark: SparkSession, sf_dir: str):
+    """(cent_rows, cells) of the corpus at ``sf_dir`` — memoized per
+    (session, sf_dir); the assignment frame is persist()-pinned so every
+    consumer shares one materialization. Callers training on OTHER frames
+    (subsets, scaled corpora) use :func:`_kmeans_cells` directly."""
+    from .. import memo
+
+    emb = _emb(spark, sf_dir)
+    if not memo.enabled():
+        return _kmeans_cells(emb)
+    skey = memo._session_key(spark)
+    got = _CENT_MEMO.get((skey, sf_dir))
+    if got is not None:
+        return got
+    with _CENT_LOCK:
+        for stale in [k for k in _CENT_MEMO if k[0] != skey]:
+            del _CENT_MEMO[stale]
+        got = _CENT_MEMO.get((skey, sf_dir))
+        if got is None:
+            cent_rows, cells = _kmeans_cells(emb)
+            got = (cent_rows, cells.persist())
+            _CENT_MEMO[(skey, sf_dir)] = got
+    return got
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 with k-means-trained coarse quantizer.
 
@@ -223,8 +260,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-iteration linear in rows x N_LIST) and the final cell assignment is
     one linear pass; intermediate centroids are nlist-row collects, never
     data-sized."""
-    emb = _emb(spark, sf_dir)
-    cent_rows, cells = _kmeans_cells(emb)
+    cent_rows, cells = _kmeans_cells_for(spark, sf_dir)
     return _ivf_search(spark, sf_dir, cent_rows, cells)
 
 
@@ -364,7 +400,7 @@ def _ivf_index(
         import os
         import tempfile
 
-        cent_rows, cells = _kmeans_cells(_emb(spark, sf_dir))
+        cent_rows, cells = _kmeans_cells_for(spark, sf_dir)
         path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "cells")
         (
             cells.withColumn("scale", _sq8_scale("v"))
@@ -753,7 +789,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = _emb(spark, sf_dir)
-    cent_rows, _cells = _kmeans_cells(emb)
+    cent_rows, _cells = _kmeans_cells_for(spark, sf_dir)
     probed = _assign_topk(emb, cent_rows, SEMDEDUP_PROBE)
 
     # Within-cell pair scoring is the justified Arrow/numpy case: each
@@ -880,7 +916,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = _emb(spark, sf_dir)
-    cent_rows, _cells = _kmeans_cells(emb)
+    cent_rows, _cells = _kmeans_cells_for(spark, sf_dir)
     probed = _assign_topk(emb, cent_rows, SEMDEDUP_PROBE, extra=("label",))
 
     _empty = pd.DataFrame(
@@ -906,29 +942,27 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
         S = Vn @ Vn.T
         diff = labels[None, :] != labels[:, None]
-        out = []
-        for i in range(len(ids)):
-            cand = np.nonzero(diff[i])[0]
-            if len(cand) == 0:
-                continue
-            scores = S[i, cand]
-            if len(cand) > K_NEG:
-                kth = np.partition(scores, -K_NEG)[-K_NEG]
-                keep = cand[scores >= kth - _NEG_SLACK]
-            else:
-                keep = cand
-            out.append(
-                pd.DataFrame(
-                    {
-                        "anchor_id": ids[i],
-                        "anchor_label": labels[i],
-                        "negative_id": ids[keep],
-                        "negative_label": labels[keep],
-                        "raw_cosine": S[i, keep],
-                    }
-                )
-            )
-        return pd.concat(out) if out else _empty
+        # fully vectorized per-row k-th threshold: mask same-label entries
+        # to -inf; rows with <= K_NEG candidates get a -inf threshold (keep
+        # all their candidates), matching the unmasked semantics
+        masked = np.where(diff, S, -np.inf)
+        if masked.shape[1] > K_NEG:
+            kth = np.partition(masked, -K_NEG, axis=1)[:, -K_NEG]
+        else:
+            kth = np.full(masked.shape[0], -np.inf)
+        keep = diff & (S >= (kth - _NEG_SLACK)[:, None])
+        ii, jj = np.nonzero(keep)
+        if len(ii) == 0:
+            return _empty
+        return pd.DataFrame(
+            {
+                "anchor_id": ids[ii],
+                "anchor_label": labels[ii],
+                "negative_id": ids[jj],
+                "negative_label": labels[jj],
+                "raw_cosine": S[ii, jj],
+            }
+        )
 
     pairs = probed.groupBy("cl").applyInPandas(
         _cell_negs,

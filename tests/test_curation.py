@@ -436,3 +436,29 @@ def test_token_budget_select_tolerates_null_text(spark, tmp_path):
     ids = {r.doc_id for r in out}
     assert 99 not in ids and len(ids) == 10
     assert any(r.selected for r in out) and any(not r.selected for r in out)
+
+
+def test_split_assign_is_leakage_safe(spark, sf_correct):
+    """No near-dup pair may straddle splits: every LSH-verified duplicate
+    pair must land in the same split (the property the cluster-keyed hash
+    guarantees by construction), every cluster is split-pure, all three
+    splits are populated, and realized fractions sit near the targets."""
+    from collections import Counter
+
+    from databricks_incremental_lakehouse_spark.llmdata.curation import (
+        corpus_split_assign,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    assign = {r.doc_id: r.split for r in corpus_split_assign(spark, sf_correct).collect()}
+    pairs = dedup_minhash_lsh(spark, sf_correct).select("doc_a", "doc_b").collect()
+    assert len(pairs) > 0
+    assert all(assign[r.doc_a] == assign[r.doc_b] for r in pairs)
+
+    counts = Counter(assign.values())
+    n = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.80 <= counts["train"] / n <= 0.97
+    assert counts["val"] / n <= 0.12 and counts["test"] / n <= 0.12

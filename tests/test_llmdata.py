@@ -1364,3 +1364,23 @@ def test_hard_negatives_match_python_reference(spark, sf_smoke):
 
     assert dict(got) == want
     assert len(want) > 0 and all(len(v) == K_NEG for v in want.values())
+
+
+def test_boilerplate_flags_planted_templates_only(spark, sf_smoke):
+    """Discrimination contract of the boilerplate report: every document
+    carrying the planted per-source template flags heavy with at least
+    the 7 fully-inside template shingles; every control doc (doc_id %
+    BOILER_AUG_MOD == 0) reports zero boilerplate — the natural corpus
+    has no within-source repetition at the df threshold."""
+    from databricks_incremental_lakehouse_spark.llmdata.boilerplate import (
+        BOILER_AUG_MOD,
+        text_boilerplate_report,
+    )
+
+    rows = text_boilerplate_report(spark, sf_smoke).collect()
+    assert len(rows) > 0
+    planted = [r for r in rows if r.doc_id % BOILER_AUG_MOD != 0]
+    control = [r for r in rows if r.doc_id % BOILER_AUG_MOD == 0]
+    assert planted and control
+    assert all(r.is_boiler_heavy and r.n_boiler >= 7 for r in planted)
+    assert all(r.n_boiler == 0 and not r.is_boiler_heavy for r in control)
