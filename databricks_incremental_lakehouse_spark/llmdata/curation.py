@@ -810,7 +810,18 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     subgraph) + a pure hash-threshold projection: no extra shuffle, no
     global stage, membership stable under corpus growth (a cluster's
     split never changes as unrelated docs arrive)."""
-    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "canonical_id")
+    from .. import memo
+
+    # the labeling is an EAGER build (the components loop runs jobs), so
+    # share it checkpoint-pinned per (session, sf_dir) — the discipline of
+    # the corpus_curate flag frame; on a deployment cluster labels are a
+    # materialized table every split/canonicalization consumer reads
+    clusters = memo.shared_frame(
+        spark,
+        ("dedup_cluster_labels", sf_dir),
+        lambda: dedup_clusters(spark, sf_dir).select("doc_id", "canonical_id"),
+        checkpoint=True,
+    )
     h = hash60(F.concat(F.lit(_SPLIT_KEY), F.col("canonical_id").cast("string")))
     split = (
         F.when(h < _TH_TRAIN, F.lit("train"))
