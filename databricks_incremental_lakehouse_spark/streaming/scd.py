@@ -297,6 +297,44 @@ FROM p ASOF LEFT JOIN hist h
   ON p.user_id = h.user_id AND p.ts >= h.valid_from"""
 
 
+def incremental_scd2_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Structured-Streaming front door for SCD2 maintenance — the
+    streaming MERGE pattern: observation files land, and each micro-batch
+    flows through :func:`scd2_apply_batch` exactly-once via the
+    checkpoint, keeping the dimension history continuously current at
+    O(batch) cost per trigger (never a history rescan).
+
+    Within a micro-batch arrival order is irrelevant (the seeded
+    run-collapse sorts by event time); ACROSS micro-batches the
+    per-user event-time-order contract of :func:`scd2_apply_batch`
+    applies — upstream watermarking provides it in production, ordered
+    file feeds in tests."""
+    static = spark.read.parquet(source_dir)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def _apply(batch_df: DataFrame, _batch_no: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scd2_apply_batch(batch_df.sparkSession, batch_df, target_path)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def register_scd(register) -> None:
     register("scd2_user_tier_history", scd2_user_tier_history, SCD2_HISTORY_ORACLE)
     register(

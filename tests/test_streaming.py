@@ -1689,3 +1689,67 @@ def test_scd2_point_in_time_exercises_both_sides(spark, sf_smoke):
         r.tier_tier is not None and r.tier_tier != current.get(r.user_id)
         for r in rows
     )
+
+
+def test_scd2_stream_converges_and_resumes(spark, sf_smoke, tmp_path):
+    """The streaming SCD2 front door: time-ordered observation files
+    drained one per trigger must converge to the batch derivation over
+    the fed span; files arriving AFTER a drain are picked up by the next
+    drain from the checkpoint (exactly-once continuation, no rescan of
+    already-applied files)."""
+    from databricks_incremental_lakehouse_spark.streaming import read_merge_target
+    from databricks_incremental_lakehouse_spark.streaming.scd import (
+        _tier_observations,
+        incremental_scd2_stream,
+        scd2_collapse,
+    )
+
+    obs = _tier_observations(spark, sf_smoke)
+    lo, hi = obs.agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    cuts = [lo + span / 4, lo + span / 2, lo + 3 * span / 4]
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "scd2")
+    ckpt = str(tmp_path / "ckpt")
+
+    slices = [
+        obs.filter(F.col("ts") <= F.lit(cuts[0])),
+        obs.filter((F.col("ts") > F.lit(cuts[0])) & (F.col("ts") <= F.lit(cuts[1]))),
+        obs.filter((F.col("ts") > F.lit(cuts[1])) & (F.col("ts") <= F.lit(cuts[2]))),
+    ]
+
+    def _land(sl, stamp):
+        """Append one file and pin a strictly increasing mtime: the file
+        source orders new files by modification time, and the SCD2 apply
+        contract needs the time-ordered slices applied in order."""
+        import os
+
+        sl.coalesce(1).write.mode("append").parquet(src)
+        for name in os.listdir(src):
+            if name.endswith(".parquet"):
+                fp = os.path.join(src, name)
+                if os.path.getmtime(fp) > stamp - 1:
+                    os.utime(fp, (stamp, stamp))
+        return stamp + 10
+
+    stamp = 1_000_000_000.0
+    for sl in slices:
+        stamp = _land(sl, stamp)
+
+    q = incremental_scd2_stream(spark, src, target, ckpt, max_files_per_trigger=1)
+    assert q.awaitTermination(300)
+
+    cols = ["user_id", "version", "tier", "valid_from", "valid_to", "is_current", "n_obs"]
+    got = sorted(map(tuple, read_merge_target(spark, target).select(*cols).collect()))
+    want = sorted(
+        map(tuple, scd2_collapse(obs.filter(F.col("ts") <= F.lit(cuts[2]))).select(*cols).collect())
+    )
+    assert got == want
+
+    # late span arrives after the first drain: resume from the checkpoint
+    _land(obs.filter(F.col("ts") > F.lit(cuts[2])), stamp)
+    q2 = incremental_scd2_stream(spark, src, target, ckpt, max_files_per_trigger=1)
+    assert q2.awaitTermination(300)
+    got2 = sorted(map(tuple, read_merge_target(spark, target).select(*cols).collect()))
+    want2 = sorted(map(tuple, scd2_collapse(obs).select(*cols).collect()))
+    assert got2 == want2
