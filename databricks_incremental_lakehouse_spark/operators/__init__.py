@@ -1,5 +1,5 @@
 from .audit import with_audit_columns
-from .layout import z_value, zorder_write
+from .layout import write_bucketed, z_value, zorder_write
 from .dedup import dedup_latest
 from .rounding import round_dbl, round_dbl_sql
 from .skew import salted_count_distinct, salted_join
@@ -13,4 +13,5 @@ __all__ = [
     "salted_count_distinct",
     "z_value",
     "zorder_write",
+    "write_bucketed",
 ]

@@ -153,3 +153,32 @@ def optimize_compact(
         _swap_dir(staging, leaf)
         done[rel] = (n_files, target_n)
     return done
+
+
+def write_bucketed(
+    df,
+    table_name: str,
+    keys: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a hash-bucketed (optionally per-bucket-sorted)
+    managed parquet table — Spark's declarative co-location contract and
+    the third table-layout face next to :func:`zorder_write` (range
+    clustering) and :func:`optimize_compact` (bin-packing).
+
+    Two tables bucketed by the same keys into the same bucket count join
+    and aggregate WITHOUT an Exchange: the scan itself reports the hash
+    partitioning, so the sort-merge join's shuffle disappears from the
+    plan (plan-locked in tests/test_plans.py). That is the standing
+    pre-shuffle every big-fact-to-big-fact join wants at 100 TB — pay the
+    partitioning once at write time, reuse it on every read — and the
+    parquet-native analogue of Delta clustered tables / Hive bucketed
+    joins. ``sort_cols`` additionally orders rows inside each bucket so
+    the merge phase needs no sort either."""
+    writer = (
+        df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *keys)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

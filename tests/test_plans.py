@@ -412,3 +412,45 @@ def test_ivf_quantized_prunes_cells_and_reads_codes_only(spark, sf_correct):
     for line in store_scans:
         assert "scale#" in line
         assert " v#" not in line and "[v#" not in line and ",v#" not in line, line
+
+
+def test_bucketed_join_and_agg_are_shuffle_free(spark, sf_smoke):
+    """Co-located join contract of write_bucketed: two tables bucketed by
+    the same key into the same bucket count sort-merge-join with ZERO
+    Exchange (the scan carries the hash partitioning), and a groupBy on
+    the bucket key is likewise exchange-free; the same join WITHOUT
+    bucketing shows the shuffle the layout removed."""
+    from databricks_incremental_lakehouse_spark.operators.layout import write_bucketed
+    from databricks_incremental_lakehouse_spark.tables import load_table
+
+    orders = load_table(spark, sf_smoke, "orders")
+    customer = load_table(spark, sf_smoke, "customer")
+    write_bucketed(orders, "t_orders_b", ["o_custkey"], num_buckets=4)
+    write_bucketed(customer, "t_customer_b", ["c_custkey"], num_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+
+        agg = spark.table("t_orders_b").groupBy("o_custkey").count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan
+
+        unbucketed = orders.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        uplan = unbucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in uplan
+
+        # the layout is value-preserving
+        assert spark.table("t_orders_b").count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
