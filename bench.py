@@ -101,6 +101,7 @@ EXT_QUERIES = [
     "sample_stratified",
     "sample_temperature",
     "vocab_topk",
+    "vocab_bpe_merges",
     "text_tfidf_topterms",
     "search_bm25_topk",
     "text_length_quantiles",

@@ -12,6 +12,7 @@ registered as an oracle-checked query where SQL-expressible.
 
 from . import (
     boilerplate,
+    bpe,
     corpusstats,
     curation,
     dedup,
@@ -30,6 +31,7 @@ def register_all(register) -> None:
     textstats.register_all(register)
     pii.register_all(register)
     boilerplate.register_all(register)
+    bpe.register_all(register)
     docquality.register_all(register)
     corpusstats.register_all(register)
     dedup.register_all(register)

@@ -1384,3 +1384,55 @@ def test_boilerplate_flags_planted_templates_only(spark, sf_smoke):
     assert planted and control
     assert all(r.is_boiler_heavy and r.n_boiler >= 7 for r in planted)
     assert all(r.n_boiler == 0 and not r.is_boiler_heavy for r in control)
+
+
+def test_bpe_merges_match_python_reference(spark, sf_smoke):
+    """Independent python replay of classic BPE (Sennrich et al.: count
+    overlapping adjacent pairs weighted by word frequency, merge the
+    argmax left-to-right non-overlapping, lexical tiebreak) — the learned
+    merge table must match rank for rank, and merged symbols must grow
+    (a rank-2+ merge building on an earlier merged symbol proves the
+    iterations actually compose)."""
+    from collections import Counter
+
+    from databricks_incremental_lakehouse_spark.llmdata.bpe import (
+        BPE_MERGES,
+        END_MARK,
+        _word_freqs,
+        vocab_bpe_merges,
+    )
+
+    freqs = {r.word: r.freq for r in _word_freqs(spark, sf_smoke).collect()}
+    seqs = {w: tuple(w) + (END_MARK,) for w in freqs}
+
+    want = []
+    for rank in range(1, BPE_MERGES + 1):
+        stats = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += freqs[w]
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, f"{a} {b}", a + b, cnt))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = tuple(out)
+
+    got = [
+        (r.merge_rank, r.pair, r.merged, r.pair_count)
+        for r in vocab_bpe_merges(spark, sf_smoke).orderBy("merge_rank").collect()
+    ]
+    assert got == want
+    # some merge must BUILD ON an earlier merge's output symbol (a side
+    # that is multi-char and not the bare end marker) — the iterations
+    # demonstrably compose rather than only pairing raw characters
+    assert any(
+        any(len(side) > 1 and side != END_MARK for side in p.split(" "))
+        for _, p, _, _ in got
+    )
