@@ -107,11 +107,17 @@ def text_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     then report. Planted docs must flag heavy, the ``doc_id % MOD == 0``
     control group must not (asserted in tests)."""
     docs = load_table(spark, sf_dir, "documents")
+    # COALESCE mirrors the oracle: DuckDB's concat ignores NULL args while
+    # Spark's F.concat is NULL-propagating (pii.py guards identically) — a
+    # NULL-text doc would otherwise vanish on one engine only
     aug = docs.withColumn(
         "text",
         F.when(
             F.col("doc_id") % BOILER_AUG_MOD != 0,
-            F.concat(_boiler_sentence(F.col("source")), F.col("text")),
+            F.concat(
+                _boiler_sentence(F.col("source")),
+                F.coalesce(F.col("text"), F.lit("")),
+            ),
         ).otherwise(F.col("text")),
     )
     return boilerplate_report_frame(aug)
@@ -120,7 +126,7 @@ def text_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUG_TEXT_SQL = f"""
     CASE WHEN doc_id % {BOILER_AUG_MOD} <> 0
          THEN concat('follow ', source, ' on social media subscribe to ',
-                     source, ' newsletter ', text)
+                     source, ' newsletter ', COALESCE(text, ''))
          ELSE text END"""
 
 # the shared shingle CTE reads FROM documents; point it at the augmented view

@@ -23,9 +23,13 @@ thing that grows with data, and it grows with the vocabulary, not the
 token count.
 
 Cross-engine exactness: pair statistics are integer SUMs of bigint
-frequencies; the merge rewrite is plain (non-regex) ``replace`` on the
-space-separated symbol string, whose left-to-right non-overlapping scan
-IS BPE's merge order in both engines; argmax tiebreak is (count DESC,
+frequencies; the merge rewrite is plain (non-regex) ``replace`` over a
+DOUBLE-SPACED copy of the symbol string — ``' x  y  x  y '`` gives every
+occurrence its own boundary spaces, so one left-to-right replace pass
+merges exactly the occurrences BPE's greedy scan merges (single-spaced,
+back-to-back occurrences share a delimiter and the scan skips every
+second one: ``' x y x y '`` -> ``' xy x y '`` — the r7 self-review
+catch), then the doubles collapse back; argmax tiebreak is (count DESC,
 pair ASC). The DuckDB oracle replays every iteration with the same
 operations, so the learned merge table is value-hash-checked end to end.
 Every iteration CTE is AS MATERIALIZED: DuckDB inlines CTEs referenced
@@ -71,14 +75,38 @@ _PAIRS_EXPR = (
 )
 
 
+def _merge_pair_col(seq_col: str, pair: str):
+    """Merge every greedy-left-to-right occurrence of ``pair`` ('L R') in
+    the space-separated symbol string: double-space so back-to-back
+    occurrences stop sharing a delimiter, one replace pass, collapse.
+    Search/replace travel as literal Columns, never interpolated into SQL
+    text (symbols may hold any characters)."""
+    merged = pair.replace(" ", "")
+    padded = F.concat(
+        F.lit(" "), F.replace(F.col(seq_col), F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    replaced = F.replace(
+        padded, F.lit(f" {pair.replace(' ', '  ')} "), F.lit(f" {merged} ")
+    )
+    return F.trim(F.replace(replaced, F.lit("  "), F.lit(" ")))
+
+
 def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned BPE merge table after ``BPE_MERGES`` iterations:
     (merge_rank, pair, merged, pair_count)."""
-    seqs = _word_freqs(spark, sf_dir).select(
-        "freq",
-        F.concat(
-            F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit(END_MARK)
-        ).alias("seq"),
+    # persist the induction's one corpus-sized stage: every iteration's
+    # argmax job roots here, and without the pin the documents scan +
+    # token explode + vocabulary shuffle would re-run per rank (the Spark
+    # twin of the oracle's AS MATERIALIZED fix)
+    seqs = (
+        _word_freqs(spark, sf_dir)
+        .select(
+            "freq",
+            F.concat(
+                F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit(END_MARK)
+            ).alias("seq"),
+        )
+        .persist()
     )
     out_rows = []
     for rank in range(1, BPE_MERGES + 1):
@@ -91,19 +119,11 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = pairs.orderBy(
             F.col("pair_count").desc(), F.col("pair").asc()
         ).first()
-        out_rows.append(
-            (rank, best.pair, best.pair.replace(" ", ""), int(best.pair_count))
-        )
+        if best is None:  # every word fully merged: vocabulary exhausted
+            break
         merged = best.pair.replace(" ", "")
-        seqs = seqs.select(
-            "freq",
-            F.trim(
-                F.expr(
-                    "replace("
-                    f"concat(' ', seq, ' '), ' {best.pair} ', ' {merged} ')"
-                )
-            ).alias("seq"),
-        )
+        out_rows.append((rank, best.pair, merged, int(best.pair_count)))
+        seqs = seqs.select("freq", _merge_pair_col("seq", best.pair).alias("seq"))
     return spark.createDataFrame(
         out_rows, "merge_rank int, pair string, merged string, pair_count bigint"
     )
@@ -125,10 +145,11 @@ best{rank} AS MATERIALIZED (
     GROUP BY pair ORDER BY pair_count DESC, pair ASC LIMIT 1
 ),
 {nxt} AS MATERIALIZED (
-    SELECT freq, trim(replace(concat(' ', seq, ' '),
-                              concat(' ', (SELECT pair FROM best{rank}), ' '),
-                              concat(' ', (SELECT merged FROM best{rank}), ' ')))
-           AS seq
+    SELECT freq, trim(replace(replace(
+               concat(' ', replace(seq, ' ', '  '), ' '),
+               concat(' ', replace((SELECT pair FROM best{rank}), ' ', '  '), ' '),
+               concat(' ', (SELECT merged FROM best{rank}), ' ')),
+           '  ', ' ')) AS seq
     FROM {prev}
 )"""
 

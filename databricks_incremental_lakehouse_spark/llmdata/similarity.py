@@ -236,13 +236,33 @@ def _kmeans_cells_for(spark: SparkSession, sf_dir: str):
         return got
     with _CENT_LOCK:
         for stale in [k for k in _CENT_MEMO if k[0] != skey]:
-            del _CENT_MEMO[stale]
+            _unpersist_quiet(_CENT_MEMO.pop(stale)[1])
         got = _CENT_MEMO.get((skey, sf_dir))
         if got is None:
             cent_rows, cells = _kmeans_cells(emb)
             got = (cent_rows, cells.persist())
             _CENT_MEMO[(skey, sf_dir)] = got
     return got
+
+
+def _unpersist_quiet(df: DataFrame) -> None:
+    try:
+        df.unpersist()
+    except Exception:  # noqa: BLE001 — context may already be gone
+        pass
+
+
+def _clear_cent_memo() -> None:
+    """memo.clear() hook: release the codebook memo's persisted blocks."""
+    with _CENT_LOCK:
+        for _cent, cells in _CENT_MEMO.values():
+            _unpersist_quiet(cells)
+        _CENT_MEMO.clear()
+
+
+from .. import memo as _memo  # noqa: E402 — registration, not a cycle at import
+
+_memo.register_aux_clear(_clear_cent_memo)
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -99,6 +99,16 @@ def shared_frame(
     return df
 
 
+# auxiliary caches elsewhere (e.g. the similarity codebook memo) register
+# a clearer so tests' memo.clear() releases their persisted blocks too
+_AUX_CLEARERS: list[Callable[[], None]] = []
+
+
+def register_aux_clear(fn: Callable[[], None]) -> None:
+    if fn not in _AUX_CLEARERS:
+        _AUX_CLEARERS.append(fn)
+
+
 def clear() -> None:
     """Drop all memoized frames (tests; unpersists best-effort)."""
     with _LOCK:
@@ -108,3 +118,5 @@ def clear() -> None:
             except Exception:  # noqa: BLE001 — context may already be gone
                 pass
         _MEMO.clear()
+    for fn in _AUX_CLEARERS:
+        fn()

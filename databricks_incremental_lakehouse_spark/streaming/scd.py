@@ -32,9 +32,10 @@ Two faces, one semantics:
   is asserted in tests.
 
 Contract (the standard streaming-SCD2 one): batches are applied in
-per-user event-time order (a watermark upstream provides this), and
-observations are exactly-once (dedup re-deliveries upstream — a re-applied
-observation would inflate ``n_obs``).
+per-user event-time order (a watermark upstream provides this).
+Re-deliveries are handled: every stored row carries the user's
+observation high-water mark and at-or-below observations are dropped, so
+a replayed batch (foreachBatch at-least-once) is a no-op.
 
 The tracked attribute here is a user "tier" derived deterministically from
 the event payload (``props`` JSON's integer, mod ``TIER_MOD``) — the
@@ -189,13 +190,39 @@ def scd2_apply_batch(
     rest; historical versions are never read or written. Work per apply
     is O(batch + touched open rows); the merge reads only the touched
     ``user_id`` hash buckets.
+
+    REPLAY-IDEMPOTENT (the foreachBatch at-least-once contract): every
+    stored row carries the user's observation high-water mark
+    (``last_ts``, ``last_event_id``), and an incoming observation at or
+    below it is an already-absorbed re-delivery and is dropped before
+    the collapse — a crash between the merge commit and the streaming
+    checkpoint re-delivers the batch, and the second apply is a no-op
+    (asserted in tests). This is the observation-level twin of the keyed
+    upserts that make the repo's other foreachBatch consumers replayable.
     """
     obs = obs.select("user_id", "ts", "event_id", "tier")
+    seeds = None
     if os.path.isdir(target_path):
+        current = read_merge_target(spark, target_path).filter(
+            F.col("is_current")
+        )
+        # drop re-delivered observations: at-or-below the stored per-user
+        # high-water mark means already absorbed by an earlier apply
+        hw = current.select("user_id", "last_ts", "last_event_id")
+        obs = (
+            obs.join(hw, "user_id", "left")
+            .filter(
+                F.col("last_ts").isNull()
+                | (F.col("ts") > F.col("last_ts"))
+                | (
+                    (F.col("ts") == F.col("last_ts"))
+                    & (F.col("event_id") > F.col("last_event_id"))
+                )
+            )
+            .drop("last_ts", "last_event_id")
+        )
         seeds = (
-            read_merge_target(spark, target_path)
-            .filter(F.col("is_current"))
-            .join(obs.select("user_id").distinct(), "user_id", "left_semi")
+            current.join(obs.select("user_id").distinct(), "user_id", "left_semi")
             .select(
                 "user_id",
                 F.col("valid_from").alias("ts"),
@@ -205,11 +232,23 @@ def scd2_apply_batch(
                 F.col("n_obs").alias("__weight"),
             )
         )
-        obs = obs.withColumn(
+    # per-user high-water of the surviving REAL observations (seeds are
+    # pseudo-rows); carried on every emitted row of the user
+    hw_new = obs.groupBy("user_id").agg(F.max(F.struct("ts", "event_id")).alias("__hw"))
+    allobs = obs
+    if seeds is not None:
+        allobs = obs.withColumn(
             "__seed_version", F.lit(None).cast("int")
-        ).withColumn("__weight", F.lit(1).cast("long"))
-        obs = obs.unionByName(seeds)
-    out = scd2_collapse(obs).select(*_HISTORY_COLS)
+        ).withColumn("__weight", F.lit(1).cast("long")).unionByName(seeds)
+    out = (
+        scd2_collapse(allobs)
+        .join(hw_new, "user_id")
+        .select(
+            *_HISTORY_COLS,
+            F.col("__hw.ts").alias("last_ts"),
+            F.col("__hw.event_id").alias("last_event_id"),
+        )
+    )
     merge_upsert(
         spark,
         out,

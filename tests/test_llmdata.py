@@ -1436,3 +1436,31 @@ def test_bpe_merges_match_python_reference(spark, sf_smoke):
         any(len(side) > 1 and side != END_MARK for side in p.split(" "))
         for _, p, _, _ in got
     )
+
+
+def test_bpe_merge_pass_is_greedy_nonoverlapping(spark):
+    """The merge rewrite must implement BPE's greedy left-to-right scan
+    exactly — including back-to-back occurrences that share a delimiter
+    in the naive single-spaced replace (' x y x y ' -> ' xy x y ', the
+    r7 self-review catch) and the self-pair run where greedy merges only
+    alternate occurrences ('a a a' -> 'aa a')."""
+    from databricks_incremental_lakehouse_spark.llmdata.bpe import _merge_pair_col
+
+    cases = [
+        ("x y x y x y", "x y", "xy xy xy"),
+        ("q x y z", "x y", "q xy z"),
+        ("a a a", "a a", "aa a"),
+        ("a a a a", "a a", "aa aa"),
+        ("a a a a a", "a a", "aa aa a"),
+        ("x y", "a b", "x y"),
+        ("er </w>", "er </w>", "er</w>"),
+    ]
+    df = spark.createDataFrame([(s, p, w) for s, p, w in cases], "seq string, pair string, want string")
+    for s, p, want in cases:
+        got = (
+            df.filter((F.col("seq") == s) & (F.col("pair") == p))
+            .select(_merge_pair_col("seq", p).alias("out"))
+            .first()
+            .out
+        )
+        assert got == want, (s, p, got, want)

@@ -1753,3 +1753,34 @@ def test_scd2_stream_converges_and_resumes(spark, sf_smoke, tmp_path):
     got2 = sorted(map(tuple, read_merge_target(spark, target).select(*cols).collect()))
     want2 = sorted(map(tuple, scd2_collapse(obs).select(*cols).collect()))
     assert got2 == want2
+
+
+def test_scd2_apply_is_replay_idempotent(spark, sf_smoke, tmp_path):
+    """foreachBatch is at-least-once: re-applying an already-absorbed
+    batch (crash between merge commit and checkpoint) must be a byte-level
+    no-op — the high-water mark drops every re-delivered observation —
+    and a PARTIALLY overlapping batch absorbs only its new observations."""
+    from databricks_incremental_lakehouse_spark.streaming import read_merge_target
+    from databricks_incremental_lakehouse_spark.streaming.scd import (
+        _tier_observations,
+        scd2_apply_batch,
+        scd2_collapse,
+    )
+
+    obs = _tier_observations(spark, sf_smoke)
+    lo, hi = obs.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    b1 = obs.filter(F.col("ts") <= F.lit(mid))
+    target = str(tmp_path / "scd2")
+
+    scd2_apply_batch(spark, b1, target)
+    snap = sorted(map(tuple, read_merge_target(spark, target).collect()))
+    scd2_apply_batch(spark, b1, target)  # full replay
+    assert sorted(map(tuple, read_merge_target(spark, target).collect())) == snap
+
+    # overlapping redelivery: first half again + the rest
+    scd2_apply_batch(spark, obs, target)
+    cols = ["user_id", "version", "tier", "valid_from", "valid_to", "is_current", "n_obs"]
+    got = sorted(map(tuple, read_merge_target(spark, target).select(*cols).collect()))
+    want = sorted(map(tuple, scd2_collapse(obs).select(*cols).collect()))
+    assert got == want
