@@ -66,10 +66,11 @@ _HISTORY_COLS = [
 ]
 
 
-def _tier_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The observation stream: every event observes its user's tier
-    (payload integer mod TIER_MOD) at the event's timestamp."""
-    ev = load_table(spark, sf_dir, "events")
+def _obs_of(ev: DataFrame) -> DataFrame:
+    """Observation shape of an events-shaped frame: every event observes
+    its user's tier (payload integer mod TIER_MOD) at the event's
+    timestamp. Shared by the batch derivation and the streaming
+    foreachBatch transform."""
     return ev.select(
         "user_id",
         "ts",
@@ -78,6 +79,10 @@ def _tier_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("props", r"[0-9]+", 0).cast("int") % TIER_MOD
         ).alias("tier"),
     )
+
+
+def _tier_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _obs_of(load_table(spark, sf_dir, "events"))
 
 
 def scd2_collapse(
@@ -342,6 +347,7 @@ def incremental_scd2_stream(
     target_path: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    transform=None,
 ):
     """Structured-Streaming front door for SCD2 maintenance — the
     streaming MERGE pattern: observation files land, and each micro-batch
@@ -353,7 +359,9 @@ def incremental_scd2_stream(
     run-collapse sorts by event time); ACROSS micro-batches the
     per-user event-time-order contract of :func:`scd2_apply_batch`
     applies — upstream watermarking provides it in production, ordered
-    file feeds in tests."""
+    file feeds in tests. ``transform`` optionally maps each raw batch to
+    observation shape (e.g. raw event rows -> tier observations) before
+    the apply."""
     static = spark.read.parquet(source_dir)
     reader = spark.readStream.schema(static.schema)
     if max_files_per_trigger is not None:
@@ -363,6 +371,8 @@ def incremental_scd2_stream(
     def _apply(batch_df: DataFrame, _batch_no: int) -> None:
         if batch_df.isEmpty():
             return
+        if transform is not None:
+            batch_df = transform(batch_df)
         scd2_apply_batch(batch_df.sparkSession, batch_df, target_path)
 
     return (
@@ -374,6 +384,45 @@ def incremental_scd2_stream(
     )
 
 
+# per-sf_dir drained-stream target (the stream_funnel discipline): the
+# drain is a one-time build, repeated registry calls serve the merged table
+_SCD2_STREAM_TARGETS: dict[str, str] = {}
+
+
+def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: drain the streaming SCD2 maintainer over the
+    events file (availableNow) and serve the merged dimension history —
+    the SAME DuckDB oracle as the batch ``scd2_user_tier_history``
+    (second physical shape, identical semantics), so the streaming
+    MERGE-maintenance path is driver-checkable, not pytest-only."""
+    import os
+    import shutil
+    import tempfile
+
+    target = _SCD2_STREAM_TARGETS.get(sf_dir)
+    if target is None:
+        root = tempfile.mkdtemp(prefix="scd2_stream_")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        target_path = os.path.join(root, "target")
+        q = incremental_scd2_stream(
+            spark, src, target_path, os.path.join(root, "ckpt"), transform=_obs_of
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "incremental_scd2_stream did not drain within 300s; "
+                "refusing to read a partial merge target"
+            )
+        target = target_path
+        _SCD2_STREAM_TARGETS[sf_dir] = target
+    return read_merge_target(spark, target).select(*_HISTORY_COLS)
+
+
 def register_scd(register) -> None:
     register("scd2_user_tier_history", scd2_user_tier_history, SCD2_HISTORY_ORACLE)
     register(
@@ -381,3 +430,4 @@ def register_scd(register) -> None:
         scd2_point_in_time_purchases,
         SCD2_PIT_ORACLE,
     )
+    register("stream_scd2_history", stream_scd2_history, SCD2_HISTORY_ORACLE)
