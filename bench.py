@@ -80,6 +80,7 @@ EXT_QUERIES = [
     "events_session_windows",
     "events_deduped",
     "events_asof_join",
+    "events_attribution_last_touch",
     "events_rolling_5min",
     "events_funnel",
     "events_funnel_aggjoin",

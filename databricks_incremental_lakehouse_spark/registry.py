@@ -317,6 +317,7 @@ _CHECK_PRIORITY: list[str] = [
     "text_boilerplate_report",  # new r7: per-source boilerplate detection
     "vocab_bpe_merges",  # new r7: BPE vocabulary induction (tokenizer training)
     "stream_scd2_history",  # new r7: drained streaming SCD2 maintenance
+    "events_attribution_last_touch",  # new r7: last-touch attribution rollup
     # -- (2) carriers whose code changed since the r6 driver check ----------
     # memo shared-lineage cache (silver layer, partsupp bridge, bronze
     # lineitem dedup, corpus_curate flag frame):

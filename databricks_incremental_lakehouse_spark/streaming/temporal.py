@@ -479,8 +479,62 @@ SELECT r.cohort_day, r.day_offset, r.n_active, s.cohort_size,
 FROM ret r JOIN sz s ON r.cohort_day = s.cohort_day"""
 
 
+N_CAMPAIGNS = 5  # click payload k % N -> campaign id
+
+
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits the same
+    user's LATEST click at-or-before purchase time (the industry-default
+    attribution model); the click's campaign derives from its payload.
+    Purchases with no prior click roll up under the NULL campaign — the
+    organic bucket, reported, never dropped.
+
+    Two scale-safe stages: the generic :func:`asof_join` (union-then-
+    window, ONE shuffle on user_id, no range explosion) resolves the
+    crediting, then a campaign-bounded rollup (map-side partial) counts
+    purchases and sums revenue. Revenue crosses the oracle boundary on
+    the 2-dp decimal grid."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == ASOF_RIGHT_TYPE).select(
+        "user_id",
+        "ts",
+        (
+            F.regexp_extract("props", r"[0-9]+", 0).cast("int") % N_CAMPAIGNS
+        ).alias("campaign"),
+    )
+    att = asof_join(purchases, clicks, by=["user_id"], ts="ts", prefix="c_")
+    return att.groupBy(F.col("c_campaign").alias("campaign")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        round_dbl(F.sum("value"), 2).alias("attributed_revenue"),
+    )
+
+
+EVENTS_ATTRIBUTION_ORACLE = f"""
+WITH e AS ({_EVENTS_ORACLE_VIEW}),
+p AS (SELECT user_id, ts, value FROM e WHERE event_type = '{ASOF_LEFT_TYPE}'),
+c AS (SELECT user_id, ts,
+             CAST(regexp_extract(props, '[0-9]+', 0) AS INT) % {N_CAMPAIGNS}
+                 AS campaign
+      FROM e WHERE event_type = '{ASOF_RIGHT_TYPE}')
+SELECT campaign, COUNT(*) AS n_purchases,
+       CAST(ROUND(CAST(SUM(value) AS DECIMAL(38,10)), 2) AS DOUBLE)
+           AS attributed_revenue
+FROM (
+    SELECT c.campaign, p.value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+) GROUP BY campaign"""
+
+
 def register_all(register) -> None:
     register("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE)
+    register(
+        "events_attribution_last_touch",
+        events_attribution_last_touch,
+        EVENTS_ATTRIBUTION_ORACLE,
+    )
     register("events_rolling_5min", events_rolling_5min, EVENTS_ROLLING_ORACLE)
     register(
         "events_in_error_windows", events_in_error_windows, EVENTS_ERROR_WINDOWS_ORACLE
