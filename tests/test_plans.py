@@ -454,3 +454,40 @@ def test_bucketed_join_and_agg_are_shuffle_free(spark, sf_smoke):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_scd2_and_attribution_have_zero_single_partition_exchanges(spark, sf_correct):
+    """Every window/aggregate in the SCD2 family and the attribution
+    rollup partitions by user_id (or a bounded group key): the whole plan
+    must contain ZERO SinglePartition exchanges — the property that lets
+    the run-collapse and the as-of credit assignment scale per-user at
+    100 TB with no global stage."""
+    from databricks_incremental_lakehouse_spark.streaming.scd import (
+        scd2_point_in_time_purchases,
+        scd2_user_tier_history,
+    )
+    from databricks_incremental_lakehouse_spark.streaming.temporal import (
+        events_attribution_last_touch,
+    )
+
+    for fn in (
+        scd2_user_tier_history,
+        scd2_point_in_time_purchases,
+        events_attribution_last_touch,
+    ):
+        plan = _plan(fn(spark, sf_correct))
+        assert plan.count("Exchange SinglePartition") == 0, fn.__name__
+
+
+def test_boilerplate_broadcasts_the_small_sides(spark, sf_correct):
+    """The boilerplate report's per-source doc counts and the boilerplate
+    shingle set are bounded by sources x template shingles: both must
+    reach the shingle index as broadcast joins (no shuffle of the
+    exploded corpus against them)."""
+    from databricks_incremental_lakehouse_spark.llmdata.boilerplate import (
+        text_boilerplate_report,
+    )
+
+    plan = _plan(text_boilerplate_report(spark, sf_correct))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("Exchange SinglePartition") == 0
