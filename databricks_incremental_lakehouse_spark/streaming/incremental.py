@@ -428,6 +428,31 @@ def merge_upsert(
                     )
             num_buckets = int(meta["num_buckets"])
 
+    if not initial:
+        # Schema evolution (Delta mergeSchema semantics). Widening is free:
+        # the bucket-pruned read applies the updates schema by NAME, so a
+        # stored file missing a new column yields NULLs. The dangerous
+        # direction is a NARROWER later batch: rewritten buckets would
+        # silently drop an evolved column while untouched buckets keep it
+        # (per-bucket schema divergence — found by probing). So stored
+        # columns missing from the updates are re-added as typed NULLs,
+        # and a same-name type conflict fails loudly instead of producing
+        # a corrupt mixed-type table. Footer-level schema read only.
+        stored_schema = spark.read.parquet(target_path).schema
+        for fld in stored_schema.fields:
+            if fld.name == BUCKET_COL:
+                continue
+            if fld.name not in updates.columns:
+                updates = updates.withColumn(
+                    fld.name, F.lit(None).cast(fld.dataType)
+                )
+            elif updates.schema[fld.name].dataType != fld.dataType:
+                raise ValueError(
+                    f"schema evolution type conflict on {fld.name!r}: "
+                    f"stored {fld.dataType.simpleString()} vs updates "
+                    f"{updates.schema[fld.name].dataType.simpleString()} "
+                    f"({target_path})"
+                )
     updates = dedup_latest(updates, keys=keys, tiebreak_cols=tiebreak_cols)
     updates = updates.withColumn(BUCKET_COL, _key_bucket(bucket_keys, num_buckets))
     if scope is not None:

@@ -1784,3 +1784,54 @@ def test_scd2_apply_is_replay_idempotent(spark, sf_smoke, tmp_path):
     got = sorted(map(tuple, read_merge_target(spark, target).select(*cols).collect()))
     want = sorted(map(tuple, scd2_collapse(obs).select(*cols).collect()))
     assert got == want
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Delta mergeSchema semantics: a widening batch backfills stored rows
+    with NULLs; a LATER NARROWER batch must preserve the evolved column
+    everywhere — including in the buckets it rewrites (the probe found
+    rewritten buckets silently dropping it); a same-name type conflict
+    fails loudly."""
+    import pytest as _pytest
+
+    from databricks_incremental_lakehouse_spark.streaming import (
+        merge_upsert,
+        read_merge_target,
+    )
+
+    t = str(tmp_path / "tbl")
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(i, f"v{i}") for i in range(40)], "k long, v string"),
+        t,
+        keys=["k"],
+    )
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(1, "b2", 99), (100, "c", 100)], "k long, v string, extra int"),
+        t,
+        keys=["k"],
+    )
+    got = {r.k: (r.v, r.extra) for r in read_merge_target(spark, t).collect()}
+    assert got[1] == ("b2", 99) and got[100] == ("c", 100)
+    assert got[0] == ("v0", None)  # widened with NULL backfill
+
+    # narrower batch touching MANY buckets: the evolved column survives
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(i, f"n{i}") for i in range(0, 40, 2)], "k long, v string"),
+        t,
+        keys=["k"],
+    )
+    got = {r.k: (r.v, r.extra) for r in read_merge_target(spark, t).collect()}
+    assert got[1] == ("b2", 99)  # untouched key keeps its evolved value
+    assert got[2] == ("n2", None)  # rewritten key: column present, NULL
+    assert got[100] == ("c", 100)
+
+    with _pytest.raises(ValueError, match="type conflict"):
+        merge_upsert(
+            spark,
+            spark.createDataFrame([(5, "x", "not-an-int")], "k long, v string, extra string"),
+            t,
+            keys=["k"],
+        )
