@@ -57,6 +57,7 @@ EXT_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
+    "dedup_containment",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "sim_topk_bruteforce",

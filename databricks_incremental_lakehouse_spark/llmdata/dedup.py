@@ -1052,8 +1052,102 @@ SELECT doc_id,
 FROM tagged GROUP BY doc_id"""
 
 
+# containment >= 1/4 of the smaller doc's shingles (exact integer predicate)
+CONTAINMENT_NUM = 1
+CONTAINMENT_DEN = 4
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: pairs where the SMALLER document's
+    shingle set is substantially contained in the larger's —
+    ``containment(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|``. This is the
+    measure Jaccard structurally misses: a short doc fully quoted inside
+    a long one has Jaccard ≈ |A|/|B| (tiny) but containment ≈ 1 — on this
+    corpus the planted cross-doc spans surface as containment 0.25-0.3
+    pairs whose Jaccard rounds to 0.0 (the reason substring-level dedup
+    pipelines run a containment pass besides the Jaccard/MinHash one).
+
+    Same scale shape as :func:`dedup_ngram_jaccard`: candidates from the
+    shingle inverted index (shared-shingle pairs only, one reused
+    exchange), exact integer threshold ``n_common * DEN >= min_size *
+    NUM``; the hot-shingle df cap of the ``_capped`` twin composes here
+    unchanged on head-heavy corpora. Output orients each pair
+    (contained_doc = the smaller side, lower id on size ties) and carries
+    the Jaccard for the contrast audit."""
+    sh = _shingles(
+        shingles_ex=_exploded_shingles(load_table(spark, sf_dir, "documents"))
+    ).repartition("shingle")
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingle"),
+        F.col("n_shingles").alias("size_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingle"),
+        F.col("n_shingles").alias("size_b"),
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    min_size = F.least("size_a", "size_b")
+    contained = F.when(F.col("size_a") < F.col("size_b"), F.col("doc_a")).when(
+        F.col("size_b") < F.col("size_a"), F.col("doc_b")
+    ).otherwise(F.least("doc_a", "doc_b"))
+    container = F.when(contained == F.col("doc_a"), F.col("doc_b")).otherwise(
+        F.col("doc_a")
+    )
+    jac = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        pairs.filter(
+            F.col("n_common") * CONTAINMENT_DEN >= min_size * CONTAINMENT_NUM
+        )
+        .select(
+            contained.alias("contained_doc"),
+            container.alias("container_doc"),
+            F.col("n_common"),
+            round_dbl(F.col("n_common") / min_size.cast("double"), 6).alias(
+                "containment"
+            ),
+            round_dbl(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+WITH sh AS ({_SHINGLES_CTE}),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n_shingles AS size_a, b.n_shingles AS size_b,
+           COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT CASE WHEN size_a < size_b THEN doc_a
+            WHEN size_b < size_a THEN doc_b
+            ELSE LEAST(doc_a, doc_b) END AS contained_doc,
+       CASE WHEN size_a < size_b THEN doc_b
+            WHEN size_b < size_a THEN doc_a
+            ELSE GREATEST(doc_a, doc_b) END AS container_doc,
+       n_common,
+       CAST(ROUND(CAST(CAST(n_common AS DOUBLE)
+            / CAST(LEAST(size_a, size_b) AS DOUBLE)
+            AS DECIMAL(38,10)), 6) AS DOUBLE) AS containment,
+       CAST(ROUND(CAST(CAST(n_common AS DOUBLE)
+            / CAST(size_a + size_b - n_common AS DOUBLE)
+            AS DECIMAL(38,10)), 6) AS DOUBLE) AS jaccard
+FROM p
+WHERE n_common * {CONTAINMENT_DEN} >= LEAST(size_a, size_b) * {CONTAINMENT_NUM}"""
+
+
 def register_all(register) -> None:
     register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
+    register("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE)
     register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE)
     register(
         "dedup_ngram_jaccard_capped",

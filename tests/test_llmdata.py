@@ -1464,3 +1464,25 @@ def test_bpe_merge_pass_is_greedy_nonoverlapping(spark):
             .out
         )
         assert got == want, (s, p, got, want)
+
+
+def test_containment_catches_jaccard_invisible_pairs(spark, sf_correct):
+    """The containment pass must surface pairs the Jaccard threshold
+    structurally misses: at least one reported pair has jaccard below the
+    near-dup threshold (a short doc inside a long one), every pair's
+    contained side is the smaller (or equal-size lower-id) document, and
+    containment >= the declared fraction."""
+    from databricks_incremental_lakehouse_spark.llmdata.dedup import (
+        CONTAINMENT_DEN,
+        CONTAINMENT_NUM,
+        JACCARD_THRESHOLD,
+        dedup_containment,
+    )
+
+    rows = dedup_containment(spark, sf_correct).collect()
+    assert rows
+    assert any(r.jaccard < JACCARD_THRESHOLD for r in rows)
+    assert all(
+        r.containment >= CONTAINMENT_NUM / CONTAINMENT_DEN - 1e-9 for r in rows
+    )
+    assert all(r.contained_doc != r.container_doc for r in rows)
