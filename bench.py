@@ -102,6 +102,7 @@ EXT_QUERIES = [
     "text_boilerplate_report",
     "sample_stratified",
     "sample_temperature",
+    "sample_exact_k",
     "vocab_topk",
     "vocab_bpe_merges",
     "text_tfidf_topterms",

@@ -753,6 +753,47 @@ def sample_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXACT_K_PER_GROUP = 20
+_EXACT_K_KEY = "exactk#"
+
+
+def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY ``EXACT_K_PER_GROUP`` documents per language (fewer only
+    when the group is smaller) — the fixed-budget construction every
+    eval-set / few-shot-pool build needs, which rate-based hash-threshold
+    sampling cannot give (its per-group count is binomial, never exact).
+
+    Selection order is the seeded portable hash of the doc_id with doc_id
+    tiebreak, so the pick is deterministic, content-independent, and
+    uniformly "random" per group; one shuffle on the group key. At 100 TB
+    the same query runs after a cheap rate pre-filter (keep ~4K/N by hash
+    threshold, then exact top-K) so the window never sorts the full
+    group — the pre-filter drops nothing the top-K could select as long
+    as the rate over-samples K, because both order by the same hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash60(F.concat(F.lit(_EXACT_K_KEY), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= EXACT_K_PER_GROUP)
+        .select("doc_id", "lang", "source", "pick_rank")
+    )
+
+
+_EXACT_K_HASH_SQL = hash60_sql(
+    f"concat('{_EXACT_K_KEY}', CAST(doc_id AS VARCHAR))"
+)
+
+SAMPLE_EXACT_K_ORACLE = f"""
+SELECT doc_id, lang, source, pick_rank FROM (
+    SELECT doc_id, lang, source,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY {_EXACT_K_HASH_SQL} ASC, doc_id ASC
+        ) AS INT) AS pick_rank
+    FROM documents
+) WHERE pick_rank <= {EXACT_K_PER_GROUP}"""
+
+
 _TEMP_RATES_CTE = f"""
     SELECT lang, n_total,
         ROUND(LEAST(1.0, {TEMP_BUDGET_FRAC} * n_corpus * sqrt(CAST(n_total AS DOUBLE))
@@ -867,6 +908,7 @@ def register_all(register) -> None:
         _corpus_curate_report_oracle(),
     )
     register("sample_temperature", sample_temperature, SAMPLE_TEMPERATURE_ORACLE)
+    register("sample_exact_k", sample_exact_k, SAMPLE_EXACT_K_ORACLE)
     register(
         "sample_temperature_rates",
         sample_temperature_rates,

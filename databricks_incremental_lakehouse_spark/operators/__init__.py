@@ -1,5 +1,5 @@
 from .audit import with_audit_columns
-from .layout import write_bucketed, z_value, zorder_write
+from .layout import vacuum_table, write_bucketed, z_value, zorder_write
 from .dedup import dedup_latest
 from .rounding import round_dbl, round_dbl_sql
 from .skew import salted_count_distinct, salted_join
@@ -14,4 +14,5 @@ __all__ = [
     "z_value",
     "zorder_write",
     "write_bucketed",
+    "vacuum_table",
 ]

@@ -182,3 +182,51 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def vacuum_table(path: str, changelog_dir: str | None = None) -> dict[str, list[str]]:
+    """VACUUM — the garbage-collection face completing the maintenance
+    triple (:func:`optimize_compact` = OPTIMIZE, :func:`zorder_write` =
+    ZORDER). The merge machinery's crash-safety leaves two classes of
+    invisible debris a long-lived table accumulates:
+
+    - ``<table>._staging`` siblings / ``.commit=N._staging`` changelog
+      dirs: a writer that crashed mid-materialization (readers never see
+      them; the owning slot's next writer would clear its own, but a
+      RETIRED pipeline's staging lives forever);
+    - ``.<name>.old`` swap backups: first routed through the standard
+      recovery (:func:`.._recover_swaps`), which RESTORES a backup whose
+      destination is missing (it is the only surviving copy) and drops
+      the stale ones — vacuum never deletes what recovery would keep.
+
+    Contract (Delta VACUUM's): no writer may be active on the table or
+    feed while vacuuming. Returns {"removed": [...], "recovered_root": p}
+    paths for the audit log. Idempotent; never touches live data files."""
+    import os
+    import shutil
+
+    from ..streaming.incremental import _recover_changelog, _recover_swaps
+
+    removed: list[str] = []
+    if os.path.isdir(path):
+        _recover_swaps(path)
+    sib = path.rstrip("/") + "._staging"
+    if os.path.isdir(sib):
+        shutil.rmtree(sib)
+        removed.append(sib)
+    if os.path.isdir(path):
+        for dirpath, dirs, _files in os.walk(path):
+            for name in list(dirs):
+                if name.startswith(".") and name.endswith("._staging"):
+                    full = os.path.join(dirpath, name)
+                    shutil.rmtree(full)
+                    removed.append(full)
+                    dirs.remove(name)
+    if changelog_dir is not None and os.path.isdir(changelog_dir):
+        _recover_changelog(changelog_dir)
+        for name in os.listdir(changelog_dir):
+            if name.startswith(".") and name.endswith("._staging"):
+                full = os.path.join(changelog_dir, name)
+                shutil.rmtree(full)
+                removed.append(full)
+    return {"removed": sorted(removed), "recovered_root": path}

@@ -319,6 +319,7 @@ _CHECK_PRIORITY: list[str] = [
     "stream_scd2_history",  # new r7: drained streaming SCD2 maintenance
     "events_attribution_last_touch",  # new r7: last-touch attribution rollup
     "dedup_containment",  # new r7: asymmetric containment dedup
+    "sample_exact_k",  # new r7: exactly-K-per-group deterministic sample
     # -- (2) carriers whose code changed since the r6 driver check ----------
     # memo shared-lineage cache (silver layer, partsupp bridge, bronze
     # lineitem dedup, corpus_curate flag frame):

@@ -322,3 +322,49 @@ def test_optimize_compact_binpacks_and_preserves_rows(spark, tmp_path):
         (r.id, r.p, r.v) for r in sorted(expect, key=lambda r: r.id)
     ]
     assert optimize_compact(spark, path, target_file_bytes=1 << 30) == {}
+
+
+def test_vacuum_removes_debris_never_live_data(spark, tmp_path):
+    """vacuum_table removes crashed-writer staging (sibling and nested)
+    and stale swap backups, RESTORES an orphan backup whose destination
+    is missing instead of deleting it, leaves table rows byte-identical,
+    and is idempotent."""
+    import os
+    import shutil
+
+    from databricks_incremental_lakehouse_spark.operators import vacuum_table
+    from databricks_incremental_lakehouse_spark.streaming import (
+        merge_upsert,
+        read_merge_target,
+    )
+
+    t = str(tmp_path / "tbl")
+    cl = str(tmp_path / "feed")
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(i, i * 10) for i in range(30)], "k long, v long"),
+        t,
+        keys=["k"],
+        changelog_dir=cl,
+    )
+    before = sorted(map(tuple, read_merge_target(spark, t).collect()))
+
+    os.makedirs(t + "._staging/junk")  # crashed whole-table merge
+    buckets = [d for d in os.listdir(t) if d.startswith("_kb=")]
+    os.makedirs(os.path.join(t, f".{buckets[0]}._staging"))  # crashed bucket
+    stale = os.path.join(t, f".{buckets[1]}.old")
+    shutil.copytree(os.path.join(t, buckets[1]), stale)  # completed-swap backup
+    os.makedirs(os.path.join(cl, ".commit=9._staging"))  # crashed feed write
+    # orphan backup: destination missing -> must be RESTORED, not deleted
+    orphan_src = os.path.join(t, buckets[2])
+    orphan = os.path.join(t, f".{buckets[2]}.old")
+    os.rename(orphan_src, orphan)
+
+    res = vacuum_table(t, changelog_dir=cl)
+    assert len(res["removed"]) == 3
+    assert not os.path.exists(t + "._staging")
+    assert not os.path.exists(stale)
+    assert not os.path.exists(orphan) and os.path.isdir(orphan_src)  # restored
+    assert not os.path.exists(os.path.join(cl, ".commit=9._staging"))
+    assert sorted(map(tuple, read_merge_target(spark, t).collect())) == before
+    assert vacuum_table(t, changelog_dir=cl)["removed"] == []
