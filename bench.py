@@ -163,6 +163,7 @@ OTHER_TIMED_QUERIES = [
     "stream_session_windows",
     "stream_tumbling_hourly",
     "stream_scd2_history",
+    "stream_dedup_redelivery",
 ]
 
 
@@ -379,6 +380,9 @@ def main() -> None:
     t0 = time.time()
     _noop(QUERIES["stream_scd2_history"](spark, sf_dir))
     once["once.stream_scd2_history_drain"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _noop(QUERIES["stream_dedup_redelivery"](spark, sf_dir))
+    once["once.stream_dedup_redelivery_drain"] = round(time.time() - t0, 3)
 
     # Skew contrast (VERDICT r6 #7): the skewed 10x corpus (.bench/sfskew,
     # one user = 40% of 1M events). funnel_window is the whole-partition-

@@ -320,6 +320,7 @@ _CHECK_PRIORITY: list[str] = [
     "events_attribution_last_touch",  # new r7: last-touch attribution rollup
     "dedup_containment",  # new r7: asymmetric containment dedup
     "sample_exact_k",  # new r7: exactly-K-per-group deterministic sample
+    "stream_dedup_redelivery",  # new r7: watermark dedup of an at-least-once feed
     # -- (2) carriers whose code changed since the r6 driver check ----------
     # memo shared-lineage cache (silver layer, partsupp bridge, bronze
     # lineitem dedup, corpus_curate flag frame):

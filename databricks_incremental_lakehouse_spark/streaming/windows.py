@@ -534,8 +534,74 @@ FROM parsed
 GROUP BY event_type"""
 
 
+# per-sf_dir drained-dedup target (stream_funnel discipline)
+_STREAM_DEDUP_TARGETS: dict[str, str] = {}
+
+
+def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming dedup under AT-LEAST-ONCE delivery: the events
+    file is fed TWICE (a full redelivery — the failure mode every
+    at-least-once source has), drained one file per trigger, and
+    ``dropDuplicatesWithinWatermark`` must collapse the second delivery
+    even though it arrives in a later micro-batch — exercising the
+    watermark-bounded dedup STATE STORE, not a within-batch distinct.
+    Output is checked against the batch dedup oracle
+    (``EVENTS_DEDUP_ORACLE``): exactly one copy of every event survives.
+
+    At 100 TB the state is bounded by keys inside the watermark horizon
+    (here the horizon covers the corpus so the collapse is total — the
+    operator's contract is exactly-once WITHIN the lateness bound,
+    Spark's documented semantics for at-least-once sources)."""
+    import os
+    import shutil
+    import tempfile
+
+    target = _STREAM_DEDUP_TARGETS.get(sf_dir)
+    if target is None:
+        root = tempfile.mkdtemp(prefix="stream_dedup_")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        for i in (1, 2):  # the same payload delivered twice
+            shutil.copy(
+                os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, f"delivery{i}.parquet"),
+            )
+        static = spark.read.parquet(src)
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)  # redelivery lands in a LATER batch
+            .parquet(src)
+            # NTZ source -> LTZ for the watermark; session tz is pinned UTC
+            # so the cast is wall-clock-preserving (events_rolling_5min note)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "60 days")  # horizon covers the corpus span
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        target = os.path.join(root, "target")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_dedup_redelivery did not drain within 300s; "
+                "refusing to read a partial sink"
+            )
+        _STREAM_DEDUP_TARGETS[sf_dir] = target
+    return spark.read.parquet(target).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 def register_all(register) -> None:
     register("events_tumbling_hourly", events_tumbling_hourly, EVENTS_TUMBLING_ORACLE)
+    register(
+        "stream_dedup_redelivery", stream_dedup_redelivery, EVENTS_DEDUP_ORACLE
+    )
     register("events_sliding_windows", events_sliding_windows, EVENTS_SLIDING_ORACLE)
     register("events_session_windows", events_session_windows, EVENTS_SESSION_ORACLE)
     register("stream_session_windows", stream_session_windows, STREAM_SESSION_ORACLE)

@@ -1835,3 +1835,19 @@ def test_merge_schema_evolution(spark, tmp_path):
             t,
             keys=["k"],
         )
+
+
+def test_stream_dedup_collapses_cross_batch_redelivery(spark, sf_smoke):
+    """The doubled feed must collapse to exactly the distinct event set:
+    output count equals the single-delivery count (half the fed rows) and
+    event_ids are unique — the second delivery died in the dedup state
+    store, since maxFilesPerTrigger=1 forces it into a later micro-batch."""
+    from databricks_incremental_lakehouse_spark.streaming.windows import (
+        stream_dedup_redelivery,
+    )
+    from databricks_incremental_lakehouse_spark.tables import load_table
+
+    out = stream_dedup_redelivery(spark, sf_smoke)
+    n_events = load_table(spark, sf_smoke, "events").count()
+    assert out.count() == n_events  # fed 2x, kept 1x
+    assert out.select("event_id").distinct().count() == n_events
