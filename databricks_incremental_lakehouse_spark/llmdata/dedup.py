@@ -203,6 +203,32 @@ FROM documents
 GROUP BY 1"""
 
 
+def _pair_counts(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, size_a, size_b, n_common) for every document pair
+    sharing >= 1 shingle — the inverted-index candidate stage shared by
+    the Jaccard and containment passes (one fix applies to both). The
+    repartition on the join key makes both self-join sides end in an
+    identical exchange, so AQE's ReusedExchange computes the shingle
+    index once instead of once per side (measured 2.6x)."""
+    sh = sh.repartition("shingle")
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingle"),
+        F.col("n_shingles").alias("size_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingle"),
+        F.col("n_shingles").alias("size_b"),
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 def dedup_ngram_jaccard(
     spark: SparkSession,
     sf_dir: str,
@@ -222,23 +248,7 @@ def dedup_ngram_jaccard(
     identical to deriving it here."""
     if shingles_ex is None:
         shingles_ex = _exploded_shingles(load_table(spark, sf_dir, "documents"))
-    sh = _shingles(shingles_ex=shingles_ex).repartition("shingle")
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingle"),
-        F.col("n_shingles").alias("size_a"),
-    )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingle"),
-        F.col("n_shingles").alias("size_b"),
-    )
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    pairs = _pair_counts(_shingles(shingles_ex=shingles_ex))
     jac = F.col("n_common") / (
         F.col("size_a") + F.col("size_b") - F.col("n_common")
     ).cast("double")
@@ -1057,7 +1067,11 @@ CONTAINMENT_NUM = 1
 CONTAINMENT_DEN = 4
 
 
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_containment(
+    spark: SparkSession,
+    sf_dir: str,
+    shingles_ex: DataFrame | None = None,
+) -> DataFrame:
     """Asymmetric containment dedup: pairs where the SMALLER document's
     shingle set is substantially contained in the larger's —
     ``containment(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|``. This is the
@@ -1074,25 +1088,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged on head-heavy corpora. Output orients each pair
     (contained_doc = the smaller side, lower id on size ties) and carries
     the Jaccard for the contrast audit."""
-    sh = _shingles(
-        shingles_ex=_exploded_shingles(load_table(spark, sf_dir, "documents"))
-    ).repartition("shingle")
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingle"),
-        F.col("n_shingles").alias("size_a"),
-    )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingle"),
-        F.col("n_shingles").alias("size_b"),
-    )
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if shingles_ex is None:
+        shingles_ex = _exploded_shingles(load_table(spark, sf_dir, "documents"))
+    pairs = _pair_counts(_shingles(shingles_ex=shingles_ex))
     min_size = F.least("size_a", "size_b")
     contained = F.when(F.col("size_a") < F.col("size_b"), F.col("doc_a")).when(
         F.col("size_b") < F.col("size_a"), F.col("doc_b")

@@ -76,15 +76,23 @@ def _write_meta(
     num_buckets: int,
     bucket_keys: Sequence[str],
     partition_cols: Sequence[str],
+    schema=None,
 ) -> None:
+    payload = {
+        "keys": list(keys),
+        "num_buckets": int(num_buckets),
+        "bucket_keys": list(bucket_keys),
+        "partition_cols": list(partition_cols),
+    }
+    if schema is not None:
+        # authoritative payload schema (bucket col excluded): single-footer
+        # inference sees only the first-listed file, so an evolved column
+        # living in other buckets would be invisible to inference — the
+        # sidecar is the source of truth for readers and later merges
+        payload["schema"] = schema.jsonValue()
     with open(os.path.join(target_path, META_FILE), "w") as f:
         json.dump(
-            {
-                "keys": list(keys),
-                "num_buckets": int(num_buckets),
-                "bucket_keys": list(bucket_keys),
-                "partition_cols": list(partition_cols),
-            },
+            payload,
             f,
         )
 
@@ -171,8 +179,21 @@ def _dir_in_scope(rel_dir: str, partition_scope: dict | None) -> bool:
 
 
 def read_merge_target(spark: SparkSession, target_path: str) -> DataFrame:
-    """Read a merge target without its internal bucket partition column."""
-    return spark.read.parquet(target_path).drop(BUCKET_COL)
+    """Read a merge target without its internal bucket partition column.
+
+    Footer-union read (``mergeSchema``): after schema evolution a column
+    may live only in the buckets that were rewritten since it appeared,
+    and single-footer inference would hide it whenever those buckets do
+    not list first. The meta sidecar's pinned schema fixes the column
+    ORDER (evolution appends, listing order must not reorder outputs)."""
+    df = spark.read.option("mergeSchema", "true").parquet(target_path)
+    meta = _read_meta(target_path)
+    if meta is not None and meta.get("schema"):
+        from pyspark.sql.types import StructType
+
+        names = [f["name"] for f in meta["schema"]["fields"]]
+        return df.select(*[n for n in names if n in df.columns])
+    return df.drop(BUCKET_COL)
 
 
 def _recover_changelog(changelog_dir: str) -> None:
@@ -248,7 +269,14 @@ def read_changelog(spark: SparkSession, changelog_dir: str) -> DataFrame:
         # no committed commits: defer to the plain read so the caller sees
         # the standard empty-/missing-path analysis error
         return spark.read.parquet(changelog_dir)
-    return spark.read.option("basePath", changelog_dir).parquet(*dirs)
+    return (
+        spark.read.option("basePath", changelog_dir)
+        # commits written before a schema evolution lack the new columns;
+        # the footer-union read surfaces them as NULLs instead of hiding
+        # them behind whichever commit's footer lists first
+        .option("mergeSchema", "true")
+        .parquet(*dirs)
+    )
 
 
 def read_as_of(
@@ -428,6 +456,7 @@ def merge_upsert(
                     )
             num_buckets = int(meta["num_buckets"])
 
+    evolved_cols: list[str] = []
     if not initial:
         # Schema evolution (Delta mergeSchema semantics). Widening is free:
         # the bucket-pruned read applies the updates schema by NAME, so a
@@ -435,10 +464,23 @@ def merge_upsert(
         # direction is a NARROWER later batch: rewritten buckets would
         # silently drop an evolved column while untouched buckets keep it
         # (per-bucket schema divergence — found by probing). So stored
-        # columns missing from the updates are re-added as typed NULLs,
-        # and a same-name type conflict fails loudly instead of producing
-        # a corrupt mixed-type table. Footer-level schema read only.
-        stored_schema = spark.read.parquet(target_path).schema
+        # columns missing from the updates are re-added (``evolved_cols``;
+        # matched rows later INHERIT their stored values, Delta's UPDATE
+        # SET * behavior), and a same-name type conflict fails loudly.
+        # The stored schema comes from the meta sidecar (authoritative);
+        # legacy targets without one fall back to the footer-UNION read —
+        # single-footer inference sees only the first-listed file and
+        # misses evolved columns living elsewhere (r7 review reproduction).
+        if meta is not None and meta.get("schema"):
+            from pyspark.sql.types import StructType
+
+            stored_schema = StructType.fromJson(meta["schema"])
+        else:
+            stored_schema = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(target_path)
+                .schema
+            )
         for fld in stored_schema.fields:
             if fld.name == BUCKET_COL:
                 continue
@@ -446,6 +488,7 @@ def merge_upsert(
                 updates = updates.withColumn(
                     fld.name, F.lit(None).cast(fld.dataType)
                 )
+                evolved_cols.append(fld.name)
             elif updates.schema[fld.name].dataType != fld.dataType:
                 raise ValueError(
                     f"schema evolution type conflict on {fld.name!r}: "
@@ -494,6 +537,26 @@ def merge_upsert(
         if partition_scope:
             for col, vals in partition_scope.items():
                 current = current.filter(F.col(col).isin(list(vals)))
+        if evolved_cols and on_match == "update":
+            # Delta's UPDATE SET * preserves target-only columns on matched
+            # rows: a source that never learned about an evolved column
+            # must not NULL it out on re-delivery/update. Pull the stored
+            # values for matched keys from the already-pruned current read
+            # (new keys keep the NULL placeholder).
+            inherit = current.select(
+                *[F.col(k).alias(f"__ik_{k}") for k in keys],
+                *[F.col(c).alias(f"__cur_{c}") for c in evolved_cols],
+            )
+            cond = None
+            for k in keys:
+                c = updates[k].eqNullSafe(inherit[f"__ik_{k}"])
+                cond = c if cond is None else (cond & c)
+            updates = updates.join(inherit, cond, "left")
+            for c in evolved_cols:
+                updates = updates.withColumn(c, F.col(f"__cur_{c}")).drop(
+                    f"__cur_{c}"
+                )
+            updates = updates.drop(*[f"__ik_{k}" for k in keys])
         # every key-matching join below is null-safe (_ns_cond): a NULL in a
         # merge key (legal for e.g. CDC totals grouped on a nullable column)
         # must match its stored NULL row, or the merge both keeps the stale
@@ -606,7 +669,14 @@ def merge_upsert(
             shutil.rmtree(staging, ignore_errors=True)
             return
         _swap_dir(staging, target_path)
-        _write_meta(target_path, keys, num_buckets, bucket_keys, partition_cols)
+        _write_meta(
+            target_path,
+            keys,
+            num_buckets,
+            bucket_keys,
+            partition_cols,
+            schema=updates.drop(BUCKET_COL).schema,
+        )
         if changelog_dir is not None:  # initial load: everything is an insert
             commit_no = _next_commit(changelog_dir)
             cl_staging = os.path.join(
@@ -646,6 +716,14 @@ def merge_upsert(
         merged.drop(*partition_cols, BUCKET_COL).limit(0).coalesce(1).write.mode(
             "overwrite"
         ).parquet(leaf)
+    new_schema = updates.drop(BUCKET_COL).schema
+    if meta is None or meta.get("schema") != new_schema.jsonValue():
+        # pin the (possibly evolved) payload schema for readers and the
+        # next merge's evolution pass
+        _write_meta(
+            target_path, keys, num_buckets, bucket_keys, partition_cols,
+            schema=new_schema,
+        )
     if pending_changelog is not None:
         # the table now fully holds this merge — publish its change commit
         _publish_commit(*pending_changelog)

@@ -412,7 +412,12 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = incremental_scd2_stream(
             spark, src, target_path, os.path.join(root, "ckpt"), transform=_obs_of
         )
-        if not q.awaitTermination(300):
+        try:
+            drained = q.awaitTermination(300)
+        except Exception:
+            q.stop()  # don't leak an active query holding the state store
+            raise
+        if not drained:
             q.stop()
             raise TimeoutError(
                 "incremental_scd2_stream did not drain within 300s; "

@@ -495,8 +495,10 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     purchases and sums revenue. Revenue crosses the oracle boundary on
     the 2-dp decimal grid."""
     ev = load_table(spark, sf_dir, "events")
+    # no event_id: the rollup never reads it, and it would ride the
+    # union-then-window shuffle (the query's one heavy stage) for nothing
     purchases = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
-        "event_id", "user_id", "ts", "value"
+        "user_id", "ts", "value"
     )
     clicks = ev.filter(F.col("event_type") == ASOF_RIGHT_TYPE).select(
         "user_id",

@@ -585,7 +585,12 @@ def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
+        try:
+            drained = q.awaitTermination(300)
+        except Exception:
+            q.stop()  # don't leak an active query holding the state store
+            raise
+        if not drained:
             q.stop()
             raise TimeoutError(
                 "stream_dedup_redelivery did not drain within 300s; "

@@ -1787,11 +1787,12 @@ def test_scd2_apply_is_replay_idempotent(spark, sf_smoke, tmp_path):
 
 
 def test_merge_schema_evolution(spark, tmp_path):
-    """Delta mergeSchema semantics: a widening batch backfills stored rows
-    with NULLs; a LATER NARROWER batch must preserve the evolved column
-    everywhere — including in the buckets it rewrites (the probe found
-    rewritten buckets silently dropping it); a same-name type conflict
-    fails loudly."""
+    """Delta mergeSchema semantics, exercised in the buckets where
+    single-footer inference CANNOT see the evolved column (the r7 review
+    reproduction): widening backfills stored rows with NULLs; a later
+    NARROWER batch rewriting the evolved bucket preserves the column;
+    a matched UPDATE from a source missing the column INHERITS the stored
+    value (Delta UPDATE SET *); a type conflict fails loudly."""
     import pytest as _pytest
 
     from databricks_incremental_lakehouse_spark.streaming import (
@@ -1806,27 +1807,56 @@ def test_merge_schema_evolution(spark, tmp_path):
         t,
         keys=["k"],
     )
-    merge_upsert(
-        spark,
-        spark.createDataFrame([(1, "b2", 99), (100, "c", 100)], "k long, v string, extra int"),
-        t,
-        keys=["k"],
-    )
-    got = {r.k: (r.v, r.extra) for r in read_merge_target(spark, t).collect()}
-    assert got[1] == ("b2", 99) and got[100] == ("c", 100)
-    assert got[0] == ("v0", None)  # widened with NULL backfill
+    # pick the widening key in the lexicographically LAST bucket dir, and a
+    # same-bucket neighbor whose narrow update will rewrite that bucket
+    buckets = {
+        r.k: r.b
+        for r in spark.createDataFrame([(i,) for i in range(40)], "k long")
+        .select("k", F.pmod(F.xxhash64("k"), F.lit(16)).cast("int").alias("b"))
+        .collect()
+    }
+    first_dir = min(set(buckets.values()), key=lambda b: f"_kb={b}")
+    candidates = [
+        b
+        for b in sorted(set(buckets.values()), key=lambda b: f"_kb={b}", reverse=True)
+        if b != first_dir and sum(1 for v in buckets.values() if v == b) >= 2
+    ]
+    assert candidates, "no non-first bucket holds two keys"
+    in_last = sorted(k for k, b in buckets.items() if b == candidates[0])
+    wide_key, neighbor = in_last[0], in_last[1]
 
-    # narrower batch touching MANY buckets: the evolved column survives
     merge_upsert(
         spark,
-        spark.createDataFrame([(i, f"n{i}") for i in range(0, 40, 2)], "k long, v string"),
+        spark.createDataFrame([(wide_key, "wide", 99)], "k long, v string, extra int"),
         t,
         keys=["k"],
     )
     got = {r.k: (r.v, r.extra) for r in read_merge_target(spark, t).collect()}
-    assert got[1] == ("b2", 99)  # untouched key keeps its evolved value
-    assert got[2] == ("n2", None)  # rewritten key: column present, NULL
-    assert got[100] == ("c", 100)
+    assert got[wide_key] == ("wide", 99)
+    assert got[neighbor] == (f"v{neighbor}", None)  # NULL backfill visible
+
+    # narrower batch rewrites the evolved bucket via the neighbor key: the
+    # evolved column must survive in the rewritten files
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(neighbor, "n2")], "k long, v string"),
+        t,
+        keys=["k"],
+    )
+    got = {r.k: (r.v, r.extra) for r in read_merge_target(spark, t).collect()}
+    assert got[wide_key] == ("wide", 99)
+    assert got[neighbor] == ("n2", None)
+
+    # matched UPDATE from a source that never learned the evolved column:
+    # the stored value is inherited, never nulled (Delta UPDATE SET *)
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(wide_key, "wide2")], "k long, v string"),
+        t,
+        keys=["k"],
+    )
+    got = {r.k: (r.v, r.extra) for r in read_merge_target(spark, t).collect()}
+    assert got[wide_key] == ("wide2", 99)
 
     with _pytest.raises(ValueError, match="type conflict"):
         merge_upsert(
