@@ -181,19 +181,29 @@ def _dir_in_scope(rel_dir: str, partition_scope: dict | None) -> bool:
 def read_merge_target(spark: SparkSession, target_path: str) -> DataFrame:
     """Read a merge target without its internal bucket partition column.
 
-    Footer-union read (``mergeSchema``): after schema evolution a column
-    may live only in the buckets that were rewritten since it appeared,
-    and single-footer inference would hide it whenever those buckets do
-    not list first. The meta sidecar's pinned schema fixes the column
-    ORDER (evolution appends, listing order must not reorder outputs)."""
-    df = spark.read.option("mergeSchema", "true").parquet(target_path)
+    After schema evolution a column may live only in the buckets rewritten
+    since it appeared, and single-footer inference would hide it whenever
+    those buckets do not list first. The meta sidecar's pinned schema is
+    the fast path: an EXPLICIT-schema read touches no footers at all
+    (name-based parquet projection backfills NULLs where a file lacks the
+    column, partition dirs still discovered) and fixes the column order.
+    Legacy targets without a schema sidecar fall back to the footer-UNION
+    read (``mergeSchema``)."""
     meta = _read_meta(target_path)
     if meta is not None and meta.get("schema"):
         from pyspark.sql.types import StructType
 
-        names = [f["name"] for f in meta["schema"]["fields"]]
-        return df.select(*[n for n in names if n in df.columns])
-    return df.drop(BUCKET_COL)
+        schema = StructType.fromJson(meta["schema"])
+        return (
+            spark.read.schema(schema)
+            .parquet(target_path)
+            .select(*[f.name for f in schema.fields])
+        )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(target_path)
+        .drop(BUCKET_COL)
+    )
 
 
 def _recover_changelog(changelog_dir: str) -> None:
