@@ -82,6 +82,7 @@ EXT_QUERIES = [
     "events_deduped",
     "events_asof_join",
     "events_attribution_last_touch",
+    "events_path_topk",
     "events_rolling_5min",
     "events_funnel",
     "events_funnel_aggjoin",

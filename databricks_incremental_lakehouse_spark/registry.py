@@ -321,6 +321,7 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_containment",  # new r7: asymmetric containment dedup
     "sample_exact_k",  # new r7: exactly-K-per-group deterministic sample
     "stream_dedup_redelivery",  # new r7: watermark dedup of an at-least-once feed
+    "events_path_topk",  # new r7: top-k behavioral event paths
     # -- (2) carriers whose code changed since the r6 driver check ----------
     # memo shared-lineage cache (silver layer, partsupp bridge, bronze
     # lineitem dedup, corpus_curate flag frame):

@@ -530,8 +530,69 @@ FROM (
 ) GROUP BY campaign"""
 
 
+PATH_TOP_K = 10
+
+
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-flow analysis: the corpus-wide top-``PATH_TOP_K``
+     3-step event-type sequences (each user's event stream ordered by
+    time, consecutive type trigrams counted) — the "common user journeys"
+    query product analytics runs beside the funnel, generalizing it from
+    one declared path to the observed path distribution.
+
+    Shape = the text-shingle machinery transplanted onto event streams:
+    per-user LEAD window (one shuffle on user_id) forms the trigrams, the
+    aggregate is bounded by |event_type|^3, and the final top-k is a
+    TakeOrderedAndProject. Deterministic tiebreak on the path string."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.withColumn("t1", F.lead("event_type", 1).over(w))
+        .withColumn("t2", F.lead("event_type", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "t1", "t2").alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users_steps"))
+        .orderBy(F.col("n_users_steps").desc(), F.col("path").asc())
+        .limit(PATH_TOP_K)
+        .withColumn(
+            "path_rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("n_users_steps").desc(), F.col("path").asc()
+                )
+            ),
+        )
+    )
+
+
+EVENTS_PATH_ORACLE = f"""
+WITH e AS ({_EVENTS_ORACLE_VIEW}),
+tri AS (
+    SELECT concat_ws(' > ', event_type,
+               lead(event_type, 1) OVER w, lead(event_type, 2) OVER w) AS path,
+           lead(event_type, 2) OVER w AS t2
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT path, n_users_steps,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY n_users_steps DESC, path ASC
+       ) AS INT) AS path_rank
+FROM (
+    SELECT path, COUNT(*) AS n_users_steps FROM tri
+    WHERE t2 IS NOT NULL GROUP BY path
+)
+ORDER BY n_users_steps DESC, path ASC
+LIMIT {PATH_TOP_K}"""
+
+
 def register_all(register) -> None:
     register("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE)
+    register("events_path_topk", events_path_topk, EVENTS_PATH_ORACLE)
     register(
         "events_attribution_last_touch",
         events_attribution_last_touch,
