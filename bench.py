@@ -106,6 +106,7 @@ EXT_QUERIES = [
     "sample_exact_k",
     "vocab_topk",
     "vocab_bpe_merges",
+    "tokenize_bpe_apply",
     "text_tfidf_topterms",
     "search_bm25_topk",
     "text_length_quantiles",
@@ -384,6 +385,9 @@ def main() -> None:
     t0 = time.time()
     _noop(QUERIES["stream_dedup_redelivery"](spark, sf_dir))
     once["once.stream_dedup_redelivery_drain"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _noop(QUERIES["stream_attribution_last_touch"](spark, sf_dir))
+    once["once.stream_attribution_drain"] = round(time.time() - t0, 3)
 
     # Skew contrast (VERDICT r6 #7): the skewed 10x corpus (.bench/sfskew,
     # one user = 40% of 1M events). funnel_window is the whole-partition-

@@ -59,7 +59,9 @@ def _boiler_sentence(source: Column) -> Column:
     )
 
 
-def boilerplate_report_frame(docs: DataFrame) -> DataFrame:
+def boilerplate_report_frame(
+    docs: DataFrame, exs_memo_key: tuple | None = None
+) -> DataFrame:
     """Per-document boilerplate report over ``docs(doc_id, source, text)``
     — the production entry (no augmentation).
 
@@ -67,10 +69,22 @@ def boilerplate_report_frame(docs: DataFrame) -> DataFrame:
     ``n_boiler`` those that are source-boilerplate; a document with no
     shingles in the boilerplate set reports zeros. The boilerplate set is
     re-joined broadcast: it is bounded by sources x template shingles,
-    tiny by construction."""
-    ex = _exploded_shingles(docs)
-    src = docs.select("doc_id", "source")
-    exs = ex.join(src, "doc_id")
+    tiny by construction. The (doc, source, shingle) index is consumed by
+    THREE aggregations (boilerplate set, hit counts, per-doc totals) —
+    ``exs_memo_key`` lets a deterministic caller pin it through the
+    session memo so it is derived once, not three times per action."""
+
+    def _build() -> DataFrame:
+        ex = _exploded_shingles(docs)
+        src = docs.select("doc_id", "source")
+        return ex.join(src, "doc_id")
+
+    if exs_memo_key is not None:
+        from ..memo import shared_frame
+
+        exs = shared_frame(docs.sparkSession, exs_memo_key, _build)
+    else:
+        exs = _build()
     n_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     boiler = (
         exs.groupBy("source", "shingle")
@@ -120,7 +134,10 @@ def text_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.col("text")),
     )
-    return boilerplate_report_frame(aug)
+    # the augmented-corpus shingle index is deterministic per sf_dir, so
+    # the registry face pins it (distinct key from the raw-corpus
+    # dedup.doc_shingles_ex — the planted templates must never leak there)
+    return boilerplate_report_frame(aug, exs_memo_key=("boiler_exs", sf_dir))
 
 
 _AUG_TEXT_SQL = f"""

@@ -45,23 +45,26 @@ the induction side of that coin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load_table
-from .texthash import TOKENIZE_SQL, tokenize
+from ..memo import shared_frame
+from .texthash import TOKENIZE_SQL
+from .tokmemo import doc_token_tf
 
 BPE_MERGES = 8  # learned merge ranks returned (rank 6+ builds on rank-1/7 output at every SF of this corpus — the iterations demonstrably compose)
 END_MARK = "</w>"
 
 
 def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # word-type frequencies from the shared (doc, token, tf) memo frame
+    # (tokmemo.py): SUM(tf) per token == COUNT(*) per exploded occurrence,
+    # and the corpus scan is shared with the whole text family
     return (
-        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
+        doc_token_tf(spark, sf_dir)
+        .filter(F.col("token") != "")
+        .groupBy(F.col("token").alias("word"))
+        .agg(F.sum("tf").alias("freq"))
     )
 
 
@@ -91,22 +94,61 @@ def _merge_pair_col(seq_col: str, pair: str):
     return F.trim(F.replace(replaced, F.lit("  "), F.lit(" ")))
 
 
+# per-(session, sf_dir) cache of the learned merge table (plain python
+# tuples — no JVM handles): the ENCODE side (tokenize_bpe_apply) consumes a
+# frozen trained artifact, so it must not re-pay training per call. The
+# training query itself (vocab_bpe_merges) always runs the full loop — its
+# bench row keeps measuring induction — but seeds this cache on the way out.
+_MERGE_CACHE: dict[tuple, list[tuple]] = {}
+
+
+def learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The merge table as plain rows [(rank, pair, merged, count)],
+    trained on first use per (session, sf_dir) and cached thereafter."""
+    from ..memo import _session_key, register_aux_clear
+
+    register_aux_clear(_MERGE_CACHE.clear)
+    key = (_session_key(spark), sf_dir)
+    if key not in _MERGE_CACHE:
+        _MERGE_CACHE[key] = _train_merges(spark, sf_dir)
+    return _MERGE_CACHE[key]
+
+
 def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned BPE merge table after ``BPE_MERGES`` iterations:
     (merge_rank, pair, merged, pair_count)."""
-    # persist the induction's one corpus-sized stage: every iteration's
-    # argmax job roots here, and without the pin the documents scan +
-    # token explode + vocabulary shuffle would re-run per rank (the Spark
-    # twin of the oracle's AS MATERIALIZED fix)
-    seqs = (
-        _word_freqs(spark, sf_dir)
+    out_rows = _train_merges(spark, sf_dir)
+    from ..memo import _session_key, register_aux_clear
+
+    register_aux_clear(_MERGE_CACHE.clear)
+    _MERGE_CACHE[(_session_key(spark), sf_dir)] = out_rows
+    return spark.createDataFrame(
+        out_rows, "merge_rank int, pair string, merged string, pair_count bigint"
+    )
+
+
+def _train_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    # pin the induction's one corpus-derived stage through the session
+    # memo: every iteration's argmax job roots here, and without the pin
+    # the vocabulary shuffle would re-run per rank (the Spark twin of the
+    # oracle's AS MATERIALIZED fix). Memo-owned, so repeated calls reuse
+    # it and memo.clear() releases the blocks (the bare .persist() this
+    # replaces leaked for the session lifetime).
+    # repartition(4): the loop table is |vocabulary| rows by construction
+    # (tens of KB per partition at default parallelism), so per-iteration
+    # jobs were pure task-scheduling overhead at 32 shuffle partitions —
+    # 4 keeps each argmax job's task count proportional to its data
+    seqs = shared_frame(
+        spark,
+        ("bpe_seqs", sf_dir),
+        lambda: _word_freqs(spark, sf_dir)
         .select(
             "freq",
             F.concat(
                 F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit(END_MARK)
             ).alias("seq"),
         )
-        .persist()
+        .repartition(4),
     )
     out_rows = []
     for rank in range(1, BPE_MERGES + 1):
@@ -124,14 +166,78 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = best.pair.replace(" ", "")
         out_rows.append((rank, best.pair, merged, int(best.pair_count)))
         seqs = seqs.select("freq", _merge_pair_col("seq", best.pair).alias("seq"))
-    return spark.createDataFrame(
-        out_rows, "merge_rank int, pair string, merged string, pair_count bigint"
+    return out_rows
+
+
+def tokenize_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE side of the tokenizer: apply the learned merge table
+    (:func:`vocab_bpe_merges`) to every document, emitting one row per
+    encoded token occurrence — ``(doc_id, word_pos, sym_pos, token_id,
+    symbol)`` with 0-based positions. Token ids are the dense rank of the
+    final symbol vocabulary (ORDER BY symbol), the deterministic id
+    assignment a shipped tokenizer's vocab file fixes.
+
+    Scale shape — the reason encode is NOT per-document work: merges are
+    applied once per WORD TYPE (the vocabulary-bounded ``enc`` table,
+    memo-pinned), then broadcast onto the corpus's (doc, pos, word)
+    occurrences; the per-occurrence stage is a pure broadcast join + one
+    codegen split/posexplode. The merge table itself is a frozen
+    session-cached artifact (``learned_merges``) — training is paid once,
+    exactly how a production encoder consumes a shipped tokenizer. The
+    symbol-id window runs over the distinct final vocabulary only
+    (bounded single-partition, the same discipline as the exact-quantile
+    distinct-value windows)."""
+    from ..tables import load_table
+    from .texthash import tokenize
+
+    merges = learned_merges(spark, sf_dir)
+
+    def _build_enc() -> DataFrame:
+        e = _word_freqs(spark, sf_dir).select(
+            "word",
+            F.concat(
+                F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit(END_MARK)
+            ).alias("seq"),
+        )
+        for _rank, pair, _merged, _cnt in merges:
+            e = e.select("word", _merge_pair_col("seq", pair).alias("seq"))
+        return e.repartition(4)
+
+    enc = shared_frame(spark, ("bpe_encoded", sf_dir), _build_enc)
+    vocab = (
+        enc.select(F.explode(F.split("seq", " ")).alias("symbol"))
+        .distinct()
+        .select(
+            "symbol",
+            F.row_number()
+            .over(Window.orderBy("symbol"))
+            .cast("int")
+            .alias("token_id"),
+        )
+    )
+    occ = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(tokenize(F.col("text"))).alias("word_pos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    syms = occ.join(F.broadcast(enc), "word").select(
+        "doc_id",
+        "word_pos",
+        F.posexplode(F.split("seq", " ")).alias("sym_pos", "symbol"),
+    )
+    return syms.join(F.broadcast(vocab), "symbol").select(
+        "doc_id", "word_pos", "sym_pos", "token_id", "symbol"
     )
 
 
-def _bpe_iter_cte(prev: str, nxt: str, rank: int) -> str:
+def _bpe_iter_cte(prev: str, nxt: str, rank: int, carry: str = "freq") -> str:
     """One oracle iteration: pair stats over ``prev`` sequences, the
-    argmax row ``best{rank}``, and the merged sequences ``nxt``."""
+    argmax row ``best{rank}``, and the merged sequences ``nxt``.
+    ``carry`` lists the passthrough columns (the apply oracle also
+    carries ``word`` so the final table is a word -> encoding map)."""
     return f"""
 best{rank} AS MATERIALIZED (
     SELECT {rank} AS merge_rank, pair, replace(pair, ' ', '') AS merged,
@@ -145,7 +251,7 @@ best{rank} AS MATERIALIZED (
     GROUP BY pair ORDER BY pair_count DESC, pair ASC LIMIT 1
 ),
 {nxt} AS MATERIALIZED (
-    SELECT freq, trim(replace(replace(
+    SELECT {carry}, trim(replace(replace(
                concat(' ', replace(seq, ' ', '  '), ' '),
                concat(' ', replace((SELECT pair FROM best{rank}), ' ', '  '), ' '),
                concat(' ', (SELECT merged FROM best{rank}), ' ')),
@@ -181,5 +287,68 @@ s0 AS (
 VOCAB_BPE_ORACLE = _bpe_oracle()
 
 
+def _bpe_apply_oracle() -> str:
+    """Encode replay: the same training CTE chain carrying ``word``
+    through every iteration (so s{BPE_MERGES} is the word -> final-seq
+    map), then vocab ids + per-occurrence symbol explosion."""
+    parts = [
+        f"""
+WITH wf AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest({TOKENIZE_SQL.format(c="text")}) AS word FROM documents
+    ) WHERE word <> '' GROUP BY word
+),
+s0 AS (
+    SELECT word, freq,
+           concat(regexp_replace(word, '(.)', '\\1 ', 'g'), '{END_MARK}') AS seq
+    FROM wf
+)"""
+    ]
+    for rank in range(1, BPE_MERGES + 1):
+        parts.append(
+            ","
+            + _bpe_iter_cte(
+                f"s{rank - 1}", f"s{rank}", rank, carry="word, freq"
+            )
+        )
+    parts.append(
+        f""",
+vocab AS (
+    SELECT symbol, CAST(ROW_NUMBER() OVER (ORDER BY symbol) AS INT) AS token_id
+    FROM (SELECT DISTINCT unnest(string_split(seq, ' ')) AS symbol
+          FROM s{BPE_MERGES})
+),
+occ AS (
+    SELECT doc_id, CAST(s.pos - 1 AS INT) AS word_pos, s.word AS word FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+            i -> struct_pack(pos := i, word := t[i]))) AS s
+        FROM (SELECT doc_id, {TOKENIZE_SQL.format(c="text")} AS t
+              FROM documents)
+    ) WHERE s.word <> ''
+),
+sy0 AS (
+    SELECT occ.doc_id, occ.word_pos, string_split(e.seq, ' ') AS ss
+    FROM occ JOIN s{BPE_MERGES} e USING (word)
+),
+syms AS (
+    SELECT doc_id, word_pos, CAST(y.pos - 1 AS INT) AS sym_pos,
+           y.sym AS symbol
+    FROM (
+        SELECT doc_id, word_pos,
+               unnest(list_transform(generate_series(1, len(ss)),
+                   i -> struct_pack(pos := i, sym := ss[i]))) AS y
+        FROM sy0
+    )
+)
+SELECT syms.doc_id, syms.word_pos, syms.sym_pos, vocab.token_id, syms.symbol
+FROM syms JOIN vocab USING (symbol)"""
+    )
+    return "".join(parts)
+
+
+TOKENIZE_BPE_APPLY_ORACLE = _bpe_apply_oracle()
+
+
 def register_all(register) -> None:
     register("vocab_bpe_merges", vocab_bpe_merges, VOCAB_BPE_ORACLE)
+    register("tokenize_bpe_apply", tokenize_bpe_apply, TOKENIZE_BPE_APPLY_ORACLE)

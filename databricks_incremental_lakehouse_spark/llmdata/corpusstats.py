@@ -23,7 +23,15 @@ from pyspark.sql import functions as F
 
 from ..operators import round_dbl, round_dbl_sql
 from ..tables import load_table
-from .texthash import TOKENIZE_SQL, tokenize
+from .texthash import TOKENIZE_SQL
+from .tokmemo import (
+    corpus_n_docs,
+    doc_lengths,
+    doc_tok_arrays,
+    doc_token_tf,
+    doc_tokens,
+    token_df,
+)
 
 VOCAB_TOP_K = 50
 LENGTH_QUANTILES = (0.25, 0.5, 0.75, 0.9)
@@ -32,17 +40,17 @@ LENGTH_QUANTILES = (0.25, 0.5, 0.75, 0.9)
 def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-``VOCAB_TOP_K`` tokens by exact global occurrence count.
 
-    Explode -> two-level aggregate (map-side combine carries (token,
-    partial-count)) -> global top-k, which Spark plans as
-    TakeOrderedAndProject: each partition keeps only its local top-k, the
-    driver merges k-sized heaps — no global sort materializes."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
-    )
-    counts = tok.groupBy("token").agg(
-        F.count(F.lit(1)).alias("n_occurrences"),
-        F.countDistinct("doc_id").alias("n_docs"),
+    Reads the shared (doc, token, tf) memo frame (tokmemo.py — one corpus
+    scan per session across the whole text family): occurrence counts are
+    ``SUM(tf)``, document frequencies ``COUNT(*)``, so the only work here
+    is a vocabulary-bounded aggregate (map-side combined) -> global top-k,
+    which Spark plans as TakeOrderedAndProject: each partition keeps only
+    its local top-k, the driver merges k-sized heaps — no global sort
+    materializes."""
+    tf = doc_token_tf(spark, sf_dir)
+    counts = tf.groupBy("token").agg(
+        F.sum("tf").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
     # orderBy+limit BEFORE the ranking window: plans as
     # TakeOrderedAndProject (per-partition k-heaps merged on the driver);
@@ -92,22 +100,20 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     a libm ``ln`` would be a standing last-ulp risk. Ties break on the
     token string.
 
-    Scale: tf is a (doc, token) aggregate with map-side combine; df is
-    vocabulary-sized and BROADCAST onto it; the per-doc top-k window
+    Scale: tf and the vocabulary-bounded df are the shared memo frames
+    (tokmemo.py); df BROADCASTS onto tf; the corpus row count inlines as
+    a session-cached literal (bounded scalar); the per-doc top-k window
     partitions by doc_id — no global sort, no single-partition stage.
     Output is O(docs x k)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = doc_token_tf(spark, sf_dir)
+    df_ = token_df(spark, sf_dir)
+    nd = corpus_n_docs(spark, sf_dir)
     scored = (
         tf.join(F.broadcast(df_), "token")
-        .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf_lift",
             round_dbl(
-                (F.col("tf") * F.col("n_docs")).cast("double")
+                (F.col("tf") * F.lit(nd)).cast("double")
                 / F.col("df").cast("double"),
                 6,
             ),
@@ -218,37 +224,51 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     high). Self-scoring keeps the operator closed over the corpus; a real
     pipeline would broadcast an external LM's table the same way.
 
-    Two passes: the vocabulary aggregate (map-side combined; the
-    vocabulary, not the corpus, crosses the shuffle) broadcasts back onto
-    the exploded tokens, then one groupBy(doc_id) averages the logs. The
-    scalar token total rides along via a broadcast cross join."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
-    )
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    total = counts.agg(F.sum("c").alias("n_corpus_tokens"))
-    scored = (
-        tok.join(F.broadcast(counts), "token")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.avg(
-                F.log2(
-                    F.col("c")
-                    / F.col("n_corpus_tokens").cast("double")
-                )
-            ).alias("raw_lp"),
+    Two passes over the shared token memo (tokmemo.py): the vocabulary
+    counts derive from the tf frame as ``SUM(tf)`` (vocabulary-bounded,
+    map-side combined) and broadcast back onto the exploded-token frame,
+    then one groupBy(doc_id) averages the logs. The scalar token total
+    rides along via a broadcast cross join.
+
+    The per-doc score table is itself memo-persisted (the silver-layer
+    discipline): it is the materialized quality-score table a curation
+    pipeline writes once and every downstream gate reads —
+    ``text_ccnet_buckets`` consumes it twice per action (tercile bounds +
+    the bucket assignment), which un-shared re-ran this whole pipeline
+    three times."""
+    from ..memo import shared_frame
+
+    def _build() -> DataFrame:
+        tok = doc_tokens(spark, sf_dir)
+        counts = (
+            doc_token_tf(spark, sf_dir)
+            .groupBy("token")
+            .agg(F.sum("tf").alias("c"))
         )
-    )
-    lp = round_dbl(F.col("raw_lp"), 4)
-    return scored.select(
-        "doc_id",
-        "n_tokens",
-        lp.alias("avg_logprob"),
-        round_dbl(F.pow(F.lit(2.0), -lp), 2).alias("perplexity"),
-    )
+        total = counts.agg(F.sum("c").alias("n_corpus_tokens"))
+        scored = (
+            tok.join(F.broadcast(counts), "token")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.avg(
+                    F.log2(
+                        F.col("c")
+                        / F.col("n_corpus_tokens").cast("double")
+                    )
+                ).alias("raw_lp"),
+            )
+        )
+        lp = round_dbl(F.col("raw_lp"), 4)
+        return scored.select(
+            "doc_id",
+            "n_tokens",
+            lp.alias("avg_logprob"),
+            round_dbl(F.pow(F.lit(2.0), -lp), 2).alias("perplexity"),
+        )
+
+    return shared_frame(spark, ("llm_unigram_lp", sf_dir), _build)
 
 
 TEXT_UNIGRAM_LOGPROB_ORACLE = f"""
@@ -361,15 +381,18 @@ def vocab_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking is identical either way (log is monotone).
 
     Shuffle profile: bigrams form shuffle-free on the codegen path
-    (per-row ``transform`` over the token array — no lead-window, no
-    per-doc exchange), then two vocabulary-bounded aggregations; unigram
-    counts broadcast back onto the bigram table (the vocabulary, never
-    the corpus, crosses an exchange) and the scalar totals ride a
-    broadcast cross join. Top-k plans as TakeOrderedAndProject."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    tok = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    uni = tok.select(F.explode("t").alias("token"))
-    ucnt = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    (per-row ``transform`` over the shared memo token array — no
+    lead-window, no per-doc exchange), then two vocabulary-bounded
+    aggregations; unigram counts (``SUM(tf)`` over the shared tf frame)
+    broadcast back onto the bigram table (the vocabulary, never the
+    corpus, crosses an exchange) and the scalar totals ride a broadcast
+    cross join. Top-k plans as TakeOrderedAndProject. NULL-text docs need
+    no explicit filter against the shared frames: their token array is
+    NULL, which explodes to zero rows and fails the ``size >= 2`` gate."""
+    tok = doc_tok_arrays(spark, sf_dir).withColumnRenamed("toks", "t")
+    ucnt = (
+        doc_token_tf(spark, sf_dir).groupBy("token").agg(F.sum("tf").alias("c"))
+    )
     totals = ucnt.agg(F.sum("c").cast("long").alias("n"))
 
     bg = (
@@ -480,6 +503,48 @@ BM25_QUERIES: dict[int, str] = {
 }
 
 
+# per-(session, sf_dir) cache of the three bounded BM25 corpus statistics
+# (plain python ints/floats/str->int — no JVM handles, so stale-session
+# entries are inert and tiny). Cleared alongside the frame memo.
+_BM25_STATS: dict[tuple, tuple] = {}
+
+
+def _bm25_corpus_stats(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, float, dict[str, int]]:
+    """(n_docs, avgdl, per-query-term df) — collected ONCE per session and
+    inlined as literals (the k-means-centroid bounded-collect discipline):
+    one scalar row plus ≤ |query terms| df rows, both over the persisted
+    tf/dl memo frames. F.avg over bigint doc lengths is an exact double
+    here (partials < 2^53), matching the oracle's AVG(dl) bit-for-bit."""
+    from ..memo import _session_key
+
+    key = (_session_key(spark), sf_dir)
+    hit = _BM25_STATS.get(key)
+    if hit is not None:
+        return hit
+    srow = doc_lengths(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).first()
+    terms = sorted({t for q in BM25_QUERIES.values() for t in q.split()})
+    dfs = {
+        r["token"]: int(r["df"])
+        for r in doc_token_tf(spark, sf_dir)
+        .filter(F.col("token").isin(terms))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    out = (int(srow["n_docs"]), float(srow["avgdl"]), dfs)
+    _BM25_STATS[key] = out
+    return out
+
+
+from ..memo import register_aux_clear as _register_aux_clear  # noqa: E402
+
+_register_aux_clear(_BM25_STATS.clear)
+
+
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-``BM25_TOP_K`` retrieval for the fixed ``BM25_QUERIES``
     set — the classic sparse-retrieval ranking next to the dense ANN
@@ -503,46 +568,42 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle order the way a raw double sum could; only the final score
     is cast back to double.
 
-    Scale: the tiny (query_id, token) relation broadcasts onto the
-    (doc, token) tf aggregate, so everything downstream of the one
-    corpus-sized explode is bounded by the QUERY TERMS' posting lists,
-    never the corpus; df broadcasts (vocabulary-sized), doc lengths join
-    on doc_id, and the final ranking window partitions by query_id —
-    no single-partition stage (the per-query result is TOP_K rows)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
-    # ONE corpus-sized explode: the (doc, token) tf aggregate is the only
-    # consumer of `tok`; dl, avgdl and df all derive from tf (dl = sum of
-    # the doc's term counts, df = tf rows per token) — an r7 review fix,
-    # the naive three-aggregation form re-ran tokenize+explode 3x.
-    # persist()-marked: dl/stats, df and the contrib join all consume it
-    tf = (
-        tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    Scale + job shape (the r7 verdict's one perf defect was this query's
+    ~10-job execution: derived broadcast subqueries ``df_``/``dl``/
+    ``stats`` each re-materialized per action): tf is now the SHARED token
+    memo frame (tokmemo.py — one corpus scan per session across the text
+    family), and the corpus statistics the score needs are collected ONCE
+    as bounded scalars — ``n_docs``/``avgdl`` (one row; the k-means
+    centroid discipline) and the query terms' df values (≤ |query terms|
+    rows) — then inlined as literals in the scoring expression, so the
+    whole query is a single job over the posting-list-bounded contrib
+    side plus a broadcast of the docs-sized length table. The tiny
+    (query_id, token, df) relation broadcasts onto tf; the final ranking
+    window partitions by query_id — no single-partition stage (the
+    per-query result is TOP_K rows)."""
+    tf = doc_token_tf(spark, sf_dir)
+    dl = doc_lengths(spark, sf_dir)
+    n_docs, avgdl, dfs = _bm25_corpus_stats(spark, sf_dir)
+    # terms absent from the corpus have no tf rows — the previous inner
+    # joins dropped them, so omitting them from qterms is identical
     qterms = spark.createDataFrame(
         [
-            (qid, t)
+            (qid, t, dfs[t])
             for qid, q in sorted(BM25_QUERIES.items())
             for t in sorted(set(q.split()))
+            if t in dfs
         ],
-        "query_id int, token string",
+        "query_id int, token string, df bigint",
     )
-    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    idf = (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     sat = (F.col("tf") * F.lit(_BM25_K1P1)) / (
         F.col("tf")
         + F.lit(BM25_K1)
-        * (F.lit(_BM25_1MB) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+        * (F.lit(_BM25_1MB) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
     )
     contrib = (
         tf.join(F.broadcast(qterms), "token")
-        .join(F.broadcast(df_), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(dl), "doc_id")
         .select(
             "query_id",
             "doc_id",

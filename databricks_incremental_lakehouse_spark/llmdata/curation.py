@@ -25,8 +25,8 @@ from ..tables import load_table
 from .dedup import (
     DEDUP_MINHASH_ORACLE,
     _SHINGLES_CTE,
-    _exploded_shingles,
     dedup_minhash_lsh,
+    doc_shingles_ex,
 )
 from .texthash import TOKENIZE_SQL, hash60, hash60_sql, tokenize
 
@@ -168,7 +168,7 @@ def text_decontamination(
     ex = (
         shingles_ex
         if shingles_ex is not None
-        else _exploded_shingles(load_table(spark, sf_dir, "documents"))
+        else doc_shingles_ex(spark, sf_dir)
     )
     bench = (
         ex.filter(F.col("doc_id") % BENCH_MOD == 0).select("shingle").distinct()
@@ -504,10 +504,10 @@ def corpus_curate(
     from .textstats import text_stats
 
     docs = load_table(spark, sf_dir, "documents")
-    # ONE checkpointed shingle explode feeds every shingle-consuming gate
-    # (near-dup clusters / canonical selection AND decontamination) — the
-    # same shared-stage discipline as dedup_canonical_selection itself
-    ex = _exploded_shingles(docs).localCheckpoint(eager=True)
+    # the session-memoized shingle index feeds every shingle-consuming
+    # gate (near-dup clusters / canonical selection AND decontamination)
+    # — shared with the standalone dedup family via dedup.doc_shingles_ex
+    ex = doc_shingles_ex(spark, sf_dir)
     w = Window.partitionBy("content_md5")
     base = (
         docs.select(

@@ -35,6 +35,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..memo import shared_frame
 from ..operators import round_dbl
 from ..tables import load_table
 from .texthash import (
@@ -45,6 +46,7 @@ from .texthash import (
     seeded_hash60_sql,
     tokenize,
 )
+from .tokmemo import doc_tokens
 
 JACCARD_THRESHOLD = 0.8
 MINHASH_SEEDS = 16
@@ -137,6 +139,22 @@ def _exploded_shingles(docs: DataFrame) -> DataFrame:
         .filter(F.col("shingle").isNotNull())
         .select("doc_id", "shingle")
         .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def doc_shingles_ex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized exploded distinct-shingle index of the RAW corpus
+    (the tokmemo.py discipline): the shingle derivation — posexplode +
+    lead window + dedup — is the most expensive shared stage of the
+    n-gram dedup/decontamination family, and every raw-corpus consumer
+    (ngram Jaccard, capped Jaccard, MinHash LSH, containment,
+    decontamination) previously rebuilt it per query. Augmented/planted
+    corpora (boilerplate) and caller-supplied frames keep deriving their
+    own — this key is strictly the untouched ``documents`` table."""
+    return shared_frame(
+        spark,
+        ("llm_shingles", sf_dir),
+        lambda: _exploded_shingles(load_table(spark, sf_dir, "documents")),
     )
 
 
@@ -247,7 +265,7 @@ def dedup_ngram_jaccard(
     consumer — see graph.dedup_canonical_selection); semantics are
     identical to deriving it here."""
     if shingles_ex is None:
-        shingles_ex = _exploded_shingles(load_table(spark, sf_dir, "documents"))
+        shingles_ex = doc_shingles_ex(spark, sf_dir)
     pairs = _pair_counts(_shingles(shingles_ex=shingles_ex))
     jac = F.col("n_common") / (
         F.col("size_a") + F.col("size_b") - F.col("n_common")
@@ -296,9 +314,9 @@ def dedup_ngram_jaccard_capped(
     operator to run on a head-heavy corpus where the uncapped
     :func:`dedup_ngram_jaccard` candidate join would blow up
     quadratically on stop-phrases."""
-    docs = load_table(spark, sf_dir, "documents")
-    ds = _doc_shingles(docs)
-    sh = _exploded_shingles(docs).repartition("shingle")
+    shingles_ex = doc_shingles_ex(spark, sf_dir)
+    ds = _doc_shingles(shingles_ex=shingles_ex)
+    sh = shingles_ex.repartition("shingle")
     capped = sh.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     ).filter(F.col("df") <= max_df)
@@ -439,9 +457,8 @@ def dedup_minhash_lsh(
     ``shingles_ex`` optionally supplies the precomputed exploded shingles
     (see :func:`dedup_ngram_jaccard`).
     """
-    docs = load_table(spark, sf_dir, "documents")
     if shingles_ex is None:
-        shingles_ex = _exploded_shingles(docs)
+        shingles_ex = doc_shingles_ex(spark, sf_dir)
     ds = _doc_shingles(shingles_ex=shingles_ex)
     cand = lsh_band_candidates(shingles_ex=shingles_ex)
     # exact-Jaccard verify: join the tiny candidate set back to the shingle
@@ -505,16 +522,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup candidates come from 15-bit band equality + Hamming verify
     (see ``dedup_simhash_pairs``).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # explode tokens once, hash each (codegen), then 60 conditional-sum
-    # aggregates — one per bit — in a single groupBy(doc_id): one narrow
-    # shuffle, zero interpreted higher-order functions, and no
-    # |tokens| x 60-bit crossJoin blowup.
-    tok = docs.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
-    ).withColumn(
-        "h", hash60(F.col("token"))
-    )
+    # shared exploded-token memo (tokmemo.py), hash each (codegen), then
+    # 60 conditional-sum aggregates — one per bit — in a single
+    # groupBy(doc_id): one narrow shuffle, zero interpreted higher-order
+    # functions, and no |tokens| x 60-bit crossJoin blowup.
+    tok = doc_tokens(spark, sf_dir).withColumn("h", hash60(F.col("token")))
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"s{b}")
@@ -1089,7 +1101,7 @@ def dedup_containment(
     (contained_doc = the smaller side, lower id on size ties) and carries
     the Jaccard for the contrast audit."""
     if shingles_ex is None:
-        shingles_ex = _exploded_shingles(load_table(spark, sf_dir, "documents"))
+        shingles_ex = doc_shingles_ex(spark, sf_dir)
     pairs = _pair_counts(_shingles(shingles_ex=shingles_ex))
     min_size = F.least("size_a", "size_b")
     contained = F.when(F.col("size_a") < F.col("size_b"), F.col("doc_a")).when(

@@ -51,6 +51,7 @@ from .texthash import (
     seeded_hash60_sql,
     tokenize,
 )
+from .tokmemo import doc_token_tf
 
 # --- HyperLogLog ----------------------------------------------------------
 
@@ -219,13 +220,16 @@ def cms_token_estimates(
     parameter so tests can force the collision regime (the synthetic
     corpus vocabulary is smaller than the default row width).
     """
-    docs = load_table(spark, sf_dir, "documents")
     seeds = F.array(*[F.lit(s) for s in range(CMS_D)])
-    tok = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
-    # vocabulary-sized; persisted because both the counter build and the
-    # point-query pass read it (one corpus scan total, not two)
+    # vocabulary-sized aggregate over the shared (doc, token, tf) memo
+    # frame (tokmemo.py): SUM(tf) == per-occurrence COUNT(*), the corpus
+    # scan is shared session-wide, and both the counter build and the
+    # point-query pass re-derive from the cached tf cheaply (the bare
+    # .persist() this replaces leaked for the session lifetime)
     tokens = (
-        tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count")).persist()
+        doc_token_tf(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.sum("tf").alias("exact_count"))
     )
     probes = tokens.select(
         "token", "exact_count", F.explode(seeds).alias("seed")

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..operators import round_dbl
 from ..tables import load_table
 from .texthash import TOKENIZE_SQL, hash60, hash60_sql, tokenize
+from .tokmemo import doc_tokens
 
 # Small in-query stopword profiles (deterministic, oracle-portable).
 STOPWORDS = {
@@ -131,7 +132,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         [tuple([w] + [1 if w in STOPWORDS[lang] else 0 for lang in langs]) for w in vocab],
         "token string, " + ", ".join(f"f_{lang} int" for lang in langs),
     )
-    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    tok = doc_tokens(spark, sf_dir)  # shared token memo (tokmemo.py)
     agg = (
         tok.join(F.broadcast(sw), "token", "left")
         .groupBy("doc_id")

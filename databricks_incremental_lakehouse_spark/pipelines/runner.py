@@ -185,23 +185,52 @@ def _run_dag(
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
+    # validate the DAG before any thread starts: a dep absent from `stages`
+    # (or a cycle) would otherwise strand every dependent waiting on an
+    # event that never fires, hanging the pipeline instead of failing
+    unknown = {
+        name: [d for d in deps if d not in stages]
+        for name, (_fn, deps) in stages.items()
+        if any(d not in stages for d in deps)
+    }
+    if unknown:
+        raise ValueError(f"_run_dag: stages depend on unknown stages: {unknown}")
+    resolved: set[str] = set()
+    pending = {name: set(deps) for name, (_fn, deps) in stages.items()}
+    while pending:
+        ready = [n for n, deps in pending.items() if deps <= resolved]
+        if not ready:
+            raise ValueError(
+                f"_run_dag: dependency cycle among stages: {sorted(pending)}"
+            )
+        resolved.update(ready)
+        for n in ready:
+            del pending[n]
+
     done = {name: threading.Event() for name in stages}
 
     def _runner(name: str, fn, deps) -> None:
         t0 = time.time()
-        for d in deps:
-            done[d].wait()
-        bad = [d for d in deps if results.get(d, {}).get("status") != "SUCCESS"]
-        if bad:
-            results[name] = {
-                "status": "FAILED",
-                "elapsed": time.time() - t0,
-                "attempts": 0,
-                "error": f"upstream failed: {bad}",
-            }
-        else:
-            _run_stage(results, name, fn, max_retries, retry_delay)
-        done[name].set()
+        try:
+            for d in deps:
+                done[d].wait()
+            bad = [
+                d for d in deps if results.get(d, {}).get("status") != "SUCCESS"
+            ]
+            if bad:
+                results[name] = {
+                    "status": "FAILED",
+                    "elapsed": time.time() - t0,
+                    "attempts": 0,
+                    "error": f"upstream failed: {bad}",
+                }
+            else:
+                _run_stage(results, name, fn, max_retries, retry_delay)
+        finally:
+            # ALWAYS release dependents, even if this runner itself raised
+            # (they then observe a non-SUCCESS result and fail fast instead
+            # of blocking forever)
+            done[name].set()
 
     with ThreadPoolExecutor(max_workers=max(1, len(stages))) as ex:
         futures = [

@@ -296,82 +296,69 @@ _register_extensions()
 CHECK_WINDOW_SIZE = 50
 
 _CHECK_PRIORITY: list[str] = [
-    # -- (1) never verified in any round: the new r7 queries MUST sit
-    # inside the window (rotation gate tests/test_registry.py) -------------
-    "stream_session_windows",  # new r7: watermark-gated streaming sessionization
-    "events_funnel_aggjoin",  # new r7: skew-safe funnel twin (agg + join-back)
-    "search_bm25_topk",  # new r7: sparse retrieval (BM25, rational idf)
-    "stream_tumbling_hourly",  # new r7: drained streaming tumbling windows
-    "sketch_hll_rollup_daily",  # new r7: mergeable-sketch grain rollup
-    "text_pii_scrub",  # new r7: PII detect + redact (md5-verified redaction)
-    "text_pii_report",  # new r7: per-source PII compliance rollup
-    "stream_funnel",  # new r7: stateful streaming ordered funnel
-    "corpus_mixture_weights",  # new r7: domain-mixing sampling weights
-    "stream_sliding_windows",  # new r7: drained streaming sliding windows
-    "stream_retention",  # new r7: stateful streaming cohort retention
-    "sim_ivf_append_search",  # new r7: no-retrain IVF ingest + search
-    "scd2_user_tier_history",  # new r7: SCD Type 2 dimension history
-    "sim_hard_negatives",  # new r7: contrastive hard-negative mining
-    "scd2_point_in_time_purchases",  # new r7: PIT join vs the SCD2 dim
-    "corpus_split_assign",  # new r7: leakage-safe cluster-keyed split
-    "text_boilerplate_report",  # new r7: per-source boilerplate detection
-    "vocab_bpe_merges",  # new r7: BPE vocabulary induction (tokenizer training)
-    "stream_scd2_history",  # new r7: drained streaming SCD2 maintenance
-    "events_attribution_last_touch",  # new r7: last-touch attribution rollup
-    "dedup_containment",  # new r7: asymmetric containment dedup
-    "sample_exact_k",  # new r7: exactly-K-per-group deterministic sample
-    "stream_dedup_redelivery",  # new r7: watermark dedup of an at-least-once feed
-    "events_path_topk",  # new r7: top-k behavioral event paths
-    # -- (2) carriers whose code changed since the r6 driver check ----------
-    # memo shared-lineage cache (silver layer, partsupp bridge, bronze
-    # lineitem dedup, corpus_curate flag frame):
+    # -- (1) never verified in any round: the new r8 queries MUST sit
+    # inside the window (rotation gate tests/test_registry.py). All 24 r7
+    # additions went green in CORRECTNESS_r07 and rotate out. -------------
+    "tokenize_bpe_apply",  # new r8: BPE ENCODE side (frozen merge table)
+    "stream_attribution_last_touch",  # new r8: cross-batch streaming last-touch
+    # -- (2) carriers whose code changed since the r7 driver check ----------
+    # shared tokenize/tf memo (tokmemo.py — r8's headline refactor) feeds
+    # this whole family; every consumer re-verifies in-window:
+    "search_bm25_topk",
+    "vocab_bpe_merges",
+    "vocab_topk",
+    "text_tfidf_topterms",
+    "text_unigram_logprob",
+    "text_ccnet_buckets",
+    "text_langid",
+    "vocab_pmi_topk",
+    "dedup_simhash",
+    "sketch_cms_heavy_hitters",
+    # shared raw-corpus shingle memo (dedup.doc_shingles_ex) consumers:
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "text_decontamination",
+    "text_boilerplate_report",
+    "corpus_curate",
+    "corpus_curate_canonical",
+    "corpus_curate_report",
+    "dedup_clusters",
+    "dedup_canonical_selection",
+    "corpus_split_assign",
+    # asof_join NULL-ts guard (ADVICE r7) consumers:
+    "events_asof_join",
+    "events_attribution_last_touch",
+    "scd2_point_in_time_purchases",
+    # merge sidecar atomic-write / staged-promote / forced-nullable
+    # (ADVICE r7) — merge-target consumers re-verify:
+    "incr_monthly_trends_refresh",
+    "incr_customer_orders_refresh",
+    "stream_scd2_history",
+    "scd2_user_tier_history",
+    "stream_user_totals",
+    # -- (3) regression pickets: ever-green, high-coverage carriers rotated
+    # back oldest-verified-first (q4-q12 replace r7's q1/q3/q5/q21/q22);
+    # everything else stays registered and rotates in future rounds
     "silver_order_details",
     "silver_customer_orders",
     "silver_supplier_parts",
     "bronze_lineitem",
-    "corpus_curate",
-    "corpus_curate_canonical",
-    "corpus_curate_report",
-    # post-r6-check supplycost derivation change (Q2 de-degeneracy) touched
-    # the shared partsupp constants consumed by these five:
-    "bi_tpch_q2",
-    "bi_tpch_q9",
-    "bi_tpch_q11",
-    "bi_tpch_q16",
-    "bi_tpch_q20",
-    # IVF recall retune (N_LIST 8->16, N_PROBE 2->10) + shared k-means cells:
-    "sim_ivf_topk",
-    "sim_ivf_topk_indexed",
-    "sim_ivf_topk_quantized",
-    "dedup_semantic",
-    # incremental refresh: pinned new_silver frame:
-    "incr_monthly_trends_refresh",
-    "incr_customer_orders_refresh",
-    # gold/QC consumers of the memoized silver layer (representatives):
     "gold_customer_lifetime_value",
     "gold_revenue_by_region",
     "gold_monthly_sales_trends",
     "gold_supplier_performance",
     "qc_referential_integrity",
     "qc_business_rules",
-    # -- (3) regression pickets: ever-green, high-coverage carriers rotated
-    # back oldest-verified-first; everything else stays registered and
-    # rotates in future rounds
-    "bi_tpch_q1",
-    "bi_tpch_q3",
-    "bi_tpch_q5",
-    "bi_tpch_q21",
-    "bi_tpch_q22",
-    "stream_user_totals",
-    "stream_view_purchase_join",
-    "stream_view_purchase_left_join",
-    "events_session_windows",
-    "events_view_purchase_join",
-    "events_funnel",
-    "gold_customer_lifetime_value_fully_scoped",
-    "silver_customer_orders_rfm_scoped",
-    "corpus_shard_assign",
-    "corpus_token_budget_select",
+    "bi_tpch_q4",
+    "bi_tpch_q6",
+    "bi_tpch_q7",
+    "bi_tpch_q8",
+    "bi_tpch_q10",
+    "bi_tpch_q12",
+    "multimodal_feature_stats",
+    "sample_temperature",
 ]
 
 

@@ -68,6 +68,23 @@ def _ns_cond(left: DataFrame, right: DataFrame, cols: Sequence[str]):
 # target dir. The leading '_' with no '=' keeps Spark's file listing from
 # treating it as data (HadoopFSUtils.shouldFilterOutPathName).
 META_FILE = "_merge_meta.json"
+# staged sidecar image (dot-prefixed: invisible to Spark's file listing),
+# promoted over META_FILE by a single atomic rename — see _promote_meta
+_META_STAGED = f".{META_FILE}.staged"
+
+
+def _nullable_schema(schema):
+    """Rebuild ``schema`` with every field nullable. Explicit-schema reads
+    apply the declared nullability verbatim; after a widening evolution,
+    untouched buckets backfill NULL into the new column, so a schema that
+    declares it non-nullable (e.g. a lit()-derived update column) would let
+    the optimizer exploit a false IsNotNull assertion and silently drop or
+    mis-simplify rows. Every pinned/explicit schema goes through here."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True, f.metadata) for f in schema.fields]
+    )
 
 
 def _write_meta(
@@ -77,7 +94,15 @@ def _write_meta(
     bucket_keys: Sequence[str],
     partition_cols: Sequence[str],
     schema=None,
+    staged: bool = False,
 ) -> None:
+    """Write the sidecar atomically: temp file + os.rename, so a crash
+    mid-write can never leave a truncated JSON where the sidecar was (the
+    table would otherwise become unreadable on every subsequent read).
+    ``staged=True`` leaves the image under the dot-prefixed staged name for
+    :func:`_promote_meta` — the merge stages the evolved schema BEFORE its
+    bucket swaps and promotes it after, so readers never see swapped data
+    under an older pinned schema (and recovery promotes a leftover stage)."""
     payload = {
         "keys": list(keys),
         "num_buckets": int(num_buckets),
@@ -88,21 +113,40 @@ def _write_meta(
         # authoritative payload schema (bucket col excluded): single-footer
         # inference sees only the first-listed file, so an evolved column
         # living in other buckets would be invisible to inference — the
-        # sidecar is the source of truth for readers and later merges
-        payload["schema"] = schema.jsonValue()
-    with open(os.path.join(target_path, META_FILE), "w") as f:
-        json.dump(
-            payload,
-            f,
-        )
+        # sidecar is the source of truth for readers and later merges.
+        # Pinned all-nullable: see _nullable_schema.
+        payload["schema"] = _nullable_schema(schema).jsonValue()
+    final = os.path.join(target_path, _META_STAGED if staged else META_FILE)
+    tmp = os.path.join(target_path, f".{META_FILE}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.rename(tmp, final)
+
+
+def _promote_meta(target_path: str) -> None:
+    """Atomically promote a staged sidecar image over META_FILE (no-op when
+    none is staged). Promoting a stage left by a crash is always safe: the
+    staged schema is a superset of the stored one (evolution never drops
+    columns) and all-nullable, so files not yet carrying a column read NULL
+    — whereas the stale schema would HIDE physically present data."""
+    staged = os.path.join(target_path, _META_STAGED)
+    if os.path.isfile(staged):
+        os.rename(staged, os.path.join(target_path, META_FILE))
 
 
 def _read_meta(target_path: str) -> dict | None:
+    _promote_meta(target_path)  # finish a promote interrupted by a crash
     p = os.path.join(target_path, META_FILE)
     if not os.path.isfile(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        # a corrupt/unreadable sidecar (legacy pre-atomic writers could
+        # truncate it) must not take the table down: fall back to the
+        # footer-union read path, which every caller handles (meta=None)
+        return None
 
 
 def _backup_path(dst: str) -> str:
@@ -193,7 +237,11 @@ def read_merge_target(spark: SparkSession, target_path: str) -> DataFrame:
     if meta is not None and meta.get("schema"):
         from pyspark.sql.types import StructType
 
-        schema = StructType.fromJson(meta["schema"])
+        # forced nullable (covers sidecars pinned before the rule): files
+        # from buckets untouched since an evolution backfill NULL into the
+        # new column, so a non-null declaration would be a lie the
+        # optimizer can exploit
+        schema = _nullable_schema(StructType.fromJson(meta["schema"]))
         return (
             spark.read.schema(schema)
             .parquet(target_path)
@@ -538,9 +586,11 @@ def merge_upsert(
         if not touched:  # empty micro-batch: nothing to merge
             return
         # partition filter -> only the touched bucket dirs are scanned;
-        # explicit schema so a (legacy) file-less target cannot poison the read
+        # explicit schema so a (legacy) file-less target cannot poison the
+        # read; forced nullable so NULL-backfilled evolved columns cannot
+        # trip a false non-null assertion (see _nullable_schema)
         current = (
-            spark.read.schema(updates.schema)
+            spark.read.schema(_nullable_schema(updates.schema))
             .parquet(target_path)
             .filter(F.col(BUCKET_COL).isin(sorted(touched)))
         )
@@ -670,6 +720,21 @@ def merge_upsert(
     merged.repartition(*partition_cols, BUCKET_COL).write.mode(
         "overwrite"
     ).partitionBy(*partition_cols, BUCKET_COL).parquet(staging)
+    new_schema = updates.drop(BUCKET_COL).schema
+    schema_changed = not initial and (
+        meta is None
+        or meta.get("schema") != _nullable_schema(new_schema).jsonValue()
+    )
+    if schema_changed:
+        # stage the (possibly evolved) schema BEFORE any bucket swap: a
+        # crash between the last swap and the pin would otherwise leave
+        # readers on a stale schema that hides the evolved column until
+        # some later merge re-carries it. Promoted after the swaps (and by
+        # recovery); never visible to Spark's listing while staged.
+        _write_meta(
+            target_path, keys, num_buckets, bucket_keys, partition_cols,
+            schema=new_schema, staged=True,
+        )
     # swap exactly the partition dirs the write produced (not the pre-write
     # collect, whose lineage is recomputed by the write and could diverge
     # under a nondeterministic source)
@@ -726,14 +791,8 @@ def merge_upsert(
         merged.drop(*partition_cols, BUCKET_COL).limit(0).coalesce(1).write.mode(
             "overwrite"
         ).parquet(leaf)
-    new_schema = updates.drop(BUCKET_COL).schema
-    if meta is None or meta.get("schema") != new_schema.jsonValue():
-        # pin the (possibly evolved) payload schema for readers and the
-        # next merge's evolution pass
-        _write_meta(
-            target_path, keys, num_buckets, bucket_keys, partition_cols,
-            schema=new_schema,
-        )
+    if schema_changed:
+        _promote_meta(target_path)
     if pending_changelog is not None:
         # the table now fully holds this merge — publish its change commit
         _publish_commit(*pending_changelog)

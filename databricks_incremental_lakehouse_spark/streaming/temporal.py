@@ -61,9 +61,13 @@ def asof_join(
     the ``by`` keys), no range explosion, no per-row probe — the shape
     that holds when both sides are 100 TB. Ties on (by, ts) within
     ``right`` resolve to the row last in the union sort — pre-dedup the
-    right side if tie choice matters; NULL-ts right rows sort first and
-    act as an "earliest" fallback match.
+    right side if tie choice matters. NULL-ts right rows are dropped up
+    front: an unknown timestamp can never satisfy ``right.ts <= left.ts``
+    (the pandas/DuckDB ASOF semantics the oracles encode) — unfiltered
+    they would sort first and leak into every left row as a bogus
+    fallback match.
     """
+    right = right.filter(F.col(ts).isNotNull())
     pay_cols = [c for c in right.columns if c not in by]
     for reserved in ("__p", "__side"):
         assert reserved not in left.columns, f"left must not contain {reserved}"
@@ -530,6 +534,180 @@ FROM (
 ) GROUP BY campaign"""
 
 
+# --- streaming last-touch attribution (batch twin above) -------------------
+
+ATTR_FEED_FILES = 4  # the registry face splits the feed into this many
+# time-ordered micro-batch files so state must genuinely carry across
+# batches (a single-file drain would degenerate to the batch plan)
+_ATTR_STREAM_TARGETS: dict[str, str] = {}
+
+
+def incremental_attribution_stream(
+    spark: SparkSession,
+    source_dir: str,
+    credits_path: str,
+    clicks_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming last-touch attribution maintainer over a TIME-ORDERED
+    event feed (event time monotone across micro-batches — the natural
+    arrival order of a log-shipped feed; bounded disorder would add a
+    watermarked reorder stage in front).
+
+    State is the classic COMPACT form that makes streaming attribution
+    scale: one stored row per user — the user's latest click (ts +
+    campaign), maintained by ``merge_upsert`` last-writer-wins. That row
+    is sufficient because with a monotone feed every stored click is
+    ≤ the current batch's purchases in time, so only the latest stored
+    click per user can win last-touch; in-batch clicks are resolved by
+    the same union-then-window :func:`asof_join` the batch operator uses.
+    Credited purchases MERGE into ``credits_path`` keyed on ``event_id``,
+    so re-delivered batches are idempotent. Both stores are
+    bucket-partitioned merge targets — at 100 TB the per-batch work is
+    bounded by the touched buckets, never the history."""
+    import os
+
+    from .incremental import merge_upsert, read_merge_target
+
+    static = spark.read.parquet(source_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _batch(batch_df: DataFrame, _batch_no: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        clicks = batch_df.filter(
+            F.col("event_type") == ASOF_RIGHT_TYPE
+        ).select(
+            "user_id",
+            "ts",
+            (
+                F.regexp_extract("props", r"[0-9]+", 0).cast("int")
+                % N_CAMPAIGNS
+            ).alias("campaign"),
+        )
+        purchases = batch_df.filter(
+            F.col("event_type") == ASOF_LEFT_TYPE
+        ).select("event_id", "user_id", "ts", "value")
+        if os.path.isdir(clicks_path):
+            cand = read_merge_target(sp, clicks_path).select(
+                "user_id", "ts", "campaign"
+            ).unionByName(clicks)
+        else:
+            cand = clicks
+        att = asof_join(purchases, cand, by=["user_id"], ts="ts", prefix="c_")
+        credits = att.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.col("c_campaign").alias("campaign"),
+        )
+        merge_upsert(sp, credits, credits_path, keys=["event_id"])
+        # latest click per user: explicit keep-LATEST-by-ts in-batch dedup
+        # (recency_col, NOT tiebreak_cols — those sort ASC = keep-earliest),
+        # then merge; monotone feed => batch rows supersede stored ones
+        from ..operators.dedup import dedup_latest
+
+        merge_upsert(
+            sp,
+            dedup_latest(clicks, keys=["user_id"], recency_col="ts"),
+            clicks_path,
+            keys=["user_id"],
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face: split the events table into ``ATTR_FEED_FILES``
+    time-ordered files (feed scaffolding — a production feed arrives
+    time-partitioned), drain the streaming maintainer, and serve the
+    campaign rollup from the credits store. SAME DuckDB oracle as the
+    batch ``events_attribution_last_touch`` (second physical shape,
+    identical semantics), so the cross-batch stateful path is
+    driver-checked, not pytest-only. The drain is memoized per sf_dir
+    (the stream_funnel discipline); repeated calls read the merge target."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .incremental import read_merge_target
+
+    target = _ATTR_STREAM_TARGETS.get(sf_dir)
+    if target is None:
+        root = tempfile.mkdtemp(prefix="attr_stream_")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        cuts = ev.select(
+            F.percentile_approx(
+                F.unix_micros("ts"),
+                [i / ATTR_FEED_FILES for i in range(1, ATTR_FEED_FILES)],
+                10_000,
+            ).alias("qs")
+        ).first()["qs"]
+        bounds = [None, *cuts, None]
+        base = _time.time()
+        for i in range(ATTR_FEED_FILES):
+            part = ev
+            if bounds[i] is not None:
+                part = part.filter(F.unix_micros("ts") > bounds[i])
+            if bounds[i + 1] is not None:
+                part = part.filter(F.unix_micros("ts") <= bounds[i + 1])
+            tmp = os.path.join(root, f"slice{i}")
+            part.coalesce(1).write.parquet(tmp)
+            [pf] = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            dst = os.path.join(src, f"{i:02d}.parquet")
+            shutil.move(os.path.join(tmp, pf), dst)
+            # pin ascending mtimes: the file source processes oldest-first,
+            # and batch order IS the monotone-feed contract
+            os.utime(dst, (base + i, base + i))
+            shutil.rmtree(tmp)
+        credits_path = os.path.join(root, "credits")
+        q = incremental_attribution_stream(
+            spark,
+            src,
+            credits_path,
+            os.path.join(root, "clicks"),
+            os.path.join(root, "ckpt"),
+        )
+        try:
+            drained = q.awaitTermination(300)
+        except Exception:
+            q.stop()
+            raise
+        if not drained:
+            q.stop()
+            raise TimeoutError(
+                "incremental_attribution_stream did not drain within 300s; "
+                "refusing to read a partial credits store"
+            )
+        target = credits_path
+        _ATTR_STREAM_TARGETS[sf_dir] = target
+    return (
+        read_merge_target(spark, target)
+        .groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            round_dbl(F.sum("value"), 2).alias("attributed_revenue"),
+        )
+    )
+
+
 PATH_TOP_K = 10
 
 
@@ -596,6 +774,11 @@ def register_all(register) -> None:
     register(
         "events_attribution_last_touch",
         events_attribution_last_touch,
+        EVENTS_ATTRIBUTION_ORACLE,
+    )
+    register(
+        "stream_attribution_last_touch",
+        stream_attribution_last_touch,
         EVENTS_ATTRIBUTION_ORACLE,
     )
     register("events_rolling_5min", events_rolling_5min, EVENTS_ROLLING_ORACLE)

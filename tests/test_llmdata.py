@@ -1438,6 +1438,66 @@ def test_bpe_merges_match_python_reference(spark, sf_smoke):
     )
 
 
+def test_bpe_apply_matches_python_encoder(spark, sf_smoke):
+    """Independent python replay of the ENCODE side: train merges in pure
+    python (same classic-BPE reference as the training test), encode
+    every word occurrence greedily rank-by-rank, and compare the full
+    (doc_id, word_pos, sym_pos, token_id, symbol) surface row-for-row.
+    This is the oracle-blind check — a merge-application bug mirrored in
+    both engines' replay (the r7 BPE lesson) cannot hide from it."""
+    from collections import Counter
+
+    from databricks_incremental_lakehouse_spark.llmdata.bpe import (
+        BPE_MERGES,
+        END_MARK,
+        _word_freqs,
+        tokenize_bpe_apply,
+    )
+
+    freqs = {r.word: r.freq for r in _word_freqs(spark, sf_smoke).collect()}
+    seqs = {w: tuple(w) + (END_MARK,) for w in freqs}
+    for _rank in range(1, BPE_MERGES + 1):
+        stats = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += freqs[w]
+        if not stats:
+            break
+        (a, b), _ = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = tuple(out)
+
+    vocab = {
+        s: i + 1
+        for i, s in enumerate(sorted({s for syms in seqs.values() for s in syms}))
+    }
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    want = set()
+    for row in docs.collect():
+        words = (row.text or "").strip().lower().split()
+        for wp, w in enumerate(words):
+            if w == "":
+                continue
+            for sp, sym in enumerate(seqs[w]):
+                want.add((row.doc_id, wp, sp, vocab[sym], sym))
+
+    got = {
+        (r.doc_id, r.word_pos, r.sym_pos, r.token_id, r.symbol)
+        for r in tokenize_bpe_apply(spark, sf_smoke).collect()
+    }
+    assert got == want
+
+
 def test_bpe_merge_pass_is_greedy_nonoverlapping(spark):
     """The merge rewrite must implement BPE's greedy left-to-right scan
     exactly — including back-to-back occurrences that share a delimiter
