@@ -91,7 +91,14 @@ def write_table(
     df: DataFrame, path: str, partition_by: str | None = None, target_files: int = 8
 ) -> None:
     """Atomic full-snapshot overwrite (reference INSERT OVERWRITE,
-    extract_orders.py:72-88) with small-file control."""
+    extract_orders.py:72-88) with small-file control. Partitioned writes
+    stay task-parallel (32x7 files at sf0.1): clustering by the partition
+    value first (the optimizeWrite shape the MERGE path uses) was measured
+    a wash here — the clustering shuffle costs the writing stage what the
+    fewer files save its readers, who resolve schemas from the run's
+    schema registry anyway. At 100 TB the call flips (file count dominates
+    listing + open cost) and the merge path's repartition-by-dir form is
+    the one to lift."""
     writer = df.coalesce(target_files) if partition_by is None else df
     w = writer.write.mode("overwrite")
     if partition_by:
@@ -287,13 +294,49 @@ def _stamp(df: DataFrame, ts_col: str) -> DataFrame:
     return df.withColumn(ts_col, F.current_timestamp())
 
 
-def _extract_stage(spark, cfg: LakehouseConfig, table: str):
-    df = BRONZE_BUILDERS[table](spark, cfg.sf_dir, batch_id=cfg.batch_id)
-    write_table(_stamp(df, "_ingested_at"), cfg.table_path("extract", table))
+def _extract_stage(spark, cfg: LakehouseConfig, table: str, record=None):
+    df = _stamp(
+        BRONZE_BUILDERS[table](spark, cfg.sf_dir, batch_id=cfg.batch_id),
+        "_ingested_at",
+    )
+    if record is not None:
+        record(("extract", table), df)
+    write_table(df, cfg.table_path("extract", table))
 
 
 def _read(spark: SparkSession, cfg: LakehouseConfig, schema: str, table: str) -> DataFrame:
     return spark.read.parquet(cfg.table_path(schema, table))
+
+
+def _schema_registry():
+    """Per-run written-schema capture: ``spark.read.parquet`` without a
+    schema pays partition discovery + footer inference PER READ (measured
+    1.7s on the year-partitioned silver fact — the dominant hidden cost of
+    the four concurrent tail stages, each re-reading the same tables). The
+    writing stage already holds the exact schema, so record it at write
+    time and hand it to every read-back; fields are forced nullable (a
+    lit()/current_timestamp-derived column is non-null in the writer's
+    frame but the reader must not carry that as an optimizer assertion —
+    the same rule as the merge sidecar). On a real deployment this is the
+    catalog: readers resolve schemas from the metastore, never from file
+    footers."""
+    from pyspark.sql.types import StructField, StructType
+
+    schemas: dict = {}
+
+    def record(key: tuple, df: DataFrame) -> DataFrame:
+        schemas[key] = StructType(
+            [StructField(f.name, f.dataType, True, f.metadata) for f in df.schema.fields]
+        )
+        return df
+
+    def read(spark: SparkSession, cfg: LakehouseConfig, schema: str, table: str) -> DataFrame:
+        sch = schemas.get((schema, table))
+        if sch is None:
+            return _read(spark, cfg, schema, table)
+        return spark.read.schema(sch).parquet(cfg.table_path(schema, table))
+
+    return record, read
 
 
 def run_sales_analytics(
@@ -310,6 +353,7 @@ def run_sales_analytics(
     delay = float(cfg.settings.get("retry_delay_seconds", 0))
     if os.path.isdir(cfg.warehouse_dir):
         shutil.rmtree(cfg.warehouse_dir)
+    record, rd = _schema_registry()
 
     def _partsupp():
         # derive from the bronze tables just written, not a second
@@ -318,22 +362,25 @@ def run_sales_analytics(
             spark,
             cfg.sf_dir,
             batch_id=cfg.batch_id,
-            lineitem=_read(spark, cfg, "extract", "lineitem"),
-            parts=_read(spark, cfg, "extract", "parts"),
+            lineitem=rd(spark, cfg, "extract", "lineitem"),
+            parts=rd(spark, cfg, "extract", "parts"),
         )
-        write_table(_stamp(df, "_ingested_at"), cfg.table_path("extract", "partsupp"))
+        write_table(
+            record(("extract", "partsupp"), _stamp(df, "_ingested_at")),
+            cfg.table_path("extract", "partsupp"),
+        )
 
     def _od():
         df = silver_order_details(
             spark,
             cfg.sf_dir,
             batch_id=cfg.batch_id,
-            orders=_read(spark, cfg, "extract", "orders"),
-            lineitem=_read(spark, cfg, "extract", "lineitem"),
-            parts=_read(spark, cfg, "extract", "parts"),
+            orders=rd(spark, cfg, "extract", "orders"),
+            lineitem=rd(spark, cfg, "extract", "lineitem"),
+            parts=rd(spark, cfg, "extract", "parts"),
         )
         write_table(
-            _stamp(df, "_refined_at"),
+            record(("refined", "order_details"), _stamp(df, "_refined_at")),
             cfg.table_path("refined", "order_details"),
             partition_by="order_year",
         )
@@ -344,24 +391,27 @@ def run_sales_analytics(
             cfg.sf_dir,
             batch_id=cfg.batch_id,
             as_of_date=cfg.as_of_date,
-            customers=_read(spark, cfg, "extract", "customers"),
-            orders=_read(spark, cfg, "extract", "orders"),
-            nation=_read(spark, cfg, "extract", "nation"),
-            region=_read(spark, cfg, "extract", "region"),
+            customers=rd(spark, cfg, "extract", "customers"),
+            orders=rd(spark, cfg, "extract", "orders"),
+            nation=rd(spark, cfg, "extract", "nation"),
+            region=rd(spark, cfg, "extract", "region"),
         )
-        write_table(_stamp(df, "_refined_at"), cfg.table_path("refined", "customer_orders"))
+        write_table(
+            record(("refined", "customer_orders"), _stamp(df, "_refined_at")),
+            cfg.table_path("refined", "customer_orders"),
+        )
 
     def _vw_revenue():
-        od = _read(spark, cfg, "refined", "order_details")
-        co = _read(spark, cfg, "refined", "customer_orders")
+        od = rd(spark, cfg, "refined", "order_details")
+        co = rd(spark, cfg, "refined", "customer_orders")
         write_table(
             vw_revenue_by_region(spark, cfg.sf_dir, order_details=od, customer_orders=co),
             cfg.table_path("views", "vw_revenue_by_region"),
         )
 
     def _vw_clv():
-        od = _read(spark, cfg, "refined", "order_details")
-        co = _read(spark, cfg, "refined", "customer_orders")
+        od = rd(spark, cfg, "refined", "order_details")
+        co = rd(spark, cfg, "refined", "customer_orders")
         write_table(
             vw_customer_lifetime_value(
                 spark, cfg.sf_dir, order_details=od, customer_orders=co
@@ -370,7 +420,7 @@ def run_sales_analytics(
         )
 
     def _vw_monthly():
-        od = _read(spark, cfg, "refined", "order_details")
+        od = rd(spark, cfg, "refined", "order_details")
         write_table(
             vw_monthly_sales_trends(spark, cfg.sf_dir, order_details=od),
             cfg.table_path("views", "vw_monthly_sales_trends"),
@@ -383,10 +433,10 @@ def run_sales_analytics(
         # not materialized it yet. Depends on bronze + silver only, so it
         # overlaps the gold views.
         qc_src = {
-            f"bronze.{t}": _read(spark, cfg, "extract", t) for t in BRONZE_BUILDERS
+            f"bronze.{t}": rd(spark, cfg, "extract", t) for t in BRONZE_BUILDERS
         }
-        qc_src["silver.order_details"] = _read(spark, cfg, "refined", "order_details")
-        qc_src["silver.customer_orders"] = _read(
+        qc_src["silver.order_details"] = rd(spark, cfg, "refined", "order_details")
+        qc_src["silver.customer_orders"] = rd(
             spark, cfg, "refined", "customer_orders"
         )
         sp_path = cfg.table_path("refined", "supplier_parts")
@@ -399,7 +449,7 @@ def run_sales_analytics(
     silver_deps = [f"ext_{t}" for t in extracts]
     dag: dict = {
         **{
-            f"ext_{t}": ((lambda t=t: _extract_stage(spark, cfg, t)), [])
+            f"ext_{t}": ((lambda t=t: _extract_stage(spark, cfg, t, record)), [])
             for t in extracts
         },
         "ext_partsupp": (_partsupp, ["ext_lineitem", "ext_parts"]),

@@ -31,6 +31,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # exist (register_warehouse ANALYZEs each table); harmless elsewhere.
     "spark.sql.cbo.enabled": "true",
     "spark.sql.cbo.joinReorder.enabled": "true",
+    # Answer unfiltered COUNT/MIN/MAX over parquet from footer statistics
+    # instead of scanning rows — the QC row-count battery and ad-hoc
+    # count-stars become metadata reads (exactly what they are on any
+    # columnar warehouse). Only fires where no filter/column transform
+    # intervenes, so analytical plans are untouched.
+    "spark.sql.parquet.aggregatePushdown": "true",
 }
 
 

@@ -360,11 +360,15 @@ def apply_order_updates(
 
     # OLD images — pinned eagerly (months as a python list bounded by the
     # CALENDAR, never the batch; key-valued sets stay DataFrames pinned via
-    # localCheckpoint) because the dirs they read are about to be swapped
-    old_months: list = []
-    old_pairs_df: DataFrame | None = None
-    if changed is not None:
-        old_months = [
+    # localCheckpoint) because the dirs they read are about to be swapped.
+    # The three pre-merge reads/pins are independent given the pinned
+    # ``changed`` set, so they run concurrently (r8 — sequentially they
+    # were ~1s of driver-blocking eager jobs ahead of every batch); all of
+    # them still complete BEFORE any merge starts swapping dirs.
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    def _old_months() -> list:
+        return [
             (r["order_year"], r["order_month"])
             for r in _read_keys_pruned(
                 spark, wh.silver_order_details, changed, "order_key"
@@ -373,14 +377,15 @@ def apply_order_updates(
             .distinct()
             .collect()
         ]
-    if orders_updates is not None:
+
+    def _old_pairs() -> DataFrame:
         # old (custkey, orderkey) pairs: needed to exact-key delete stale
         # images from the by-customer clustering on reassignment, and to
         # mark the losing customer as changed. Kept as a DataFrame — a 100x
         # backfill batch must never materialize its key set in driver
         # memory (VERDICT r3 "What's wrong" §4); only bucket-id collects
         # (bounded by num_buckets) touch the driver.
-        old_pairs_df = (
+        return (
             _read_keys_pruned(
                 spark,
                 wh.bronze("orders"),
@@ -390,6 +395,55 @@ def apply_order_updates(
             .select("o_custkey", "o_orderkey")
             .localCheckpoint(eager=True)
         )
+
+    old_months: list = []
+    old_pairs_df: DataFrame | None = None
+    cleaned_orders = cleaned_lines = cleaned_custs = None
+    with _TPE(max_workers=5) as prep_ex:
+        f_months = prep_ex.submit(_old_months) if changed is not None else None
+        f_pairs = (
+            prep_ex.submit(_old_pairs) if orders_updates is not None else None
+        )
+        # the cleaned micro-batches' eager pins are independent of the
+        # old-image reads (they read only the caller's update frames) —
+        # pin them in the same window
+        f_co = (
+            prep_ex.submit(
+                lambda: bronze_orders(
+                    spark, "", batch_id, raw=orders_updates
+                ).localCheckpoint(eager=True)
+            )
+            if orders_updates is not None
+            else None
+        )
+        f_cl = (
+            prep_ex.submit(
+                lambda: bronze_lineitem(
+                    spark, "", batch_id, raw=lineitem_updates
+                ).localCheckpoint(eager=True)
+            )
+            if lineitem_updates is not None
+            else None
+        )
+        f_cc = (
+            prep_ex.submit(
+                lambda: bronze_customers(
+                    spark, "", batch_id, raw=customers_updates
+                ).localCheckpoint(eager=True)
+            )
+            if customers_updates is not None
+            else None
+        )
+        if f_months is not None:
+            old_months = f_months.result()
+        if f_pairs is not None:
+            old_pairs_df = f_pairs.result()
+        if f_co is not None:
+            cleaned_orders = f_co.result()
+        if f_cl is not None:
+            cleaned_lines = f_cl.result()
+        if f_cc is not None:
+            cleaned_custs = f_cc.result()
 
     # 1. bronze merges (same cleaning as the batch extract, via raw=).
     # Each cleaned micro-batch is pinned with an eager localCheckpoint: a
@@ -403,59 +457,46 @@ def apply_order_updates(
         custkey_parts.append(
             old_pairs_df.select(F.col("o_custkey").alias("customer_key"))
         )
-    bronze_merges = []
-    if orders_updates is not None:
-        cleaned_orders = bronze_orders(
-            spark, "", batch_id, raw=orders_updates
-        ).localCheckpoint(eager=True)
+    # named per-target bronze merge thunks: the silver chains below wait
+    # only on the TARGETS they actually read (r8 — the former all-merges
+    # barrier held the order chain for the by-customer/customer merges it
+    # never touches, a dead merge-duration per batch)
+    bronze_thunks: dict[str, object] = {}
+    if cleaned_orders is not None:
         custkey_parts.append(
             cleaned_orders.select(F.col("o_custkey").alias("customer_key"))
         )
-        bronze_merges.append(
-            lambda: merge_upsert(
-                spark,
-                cleaned_orders,
-                wh.bronze("orders"),
-                keys=["o_orderkey"],
-            )
+        bronze_thunks["orders"] = lambda: merge_upsert(
+            spark,
+            cleaned_orders,
+            wh.bronze("orders"),
+            keys=["o_orderkey"],
         )
-        bronze_merges.append(
-            lambda: merge_upsert(
-                spark,
-                cleaned_orders,
-                wh.bronze_orders_by_customer,
-                keys=["o_custkey", "o_orderkey"],
-                bucket_keys=["o_custkey"],
-                deletes=old_pairs_df,
-            )
+        bronze_thunks["orders_by_customer"] = lambda: merge_upsert(
+            spark,
+            cleaned_orders,
+            wh.bronze_orders_by_customer,
+            keys=["o_custkey", "o_orderkey"],
+            bucket_keys=["o_custkey"],
+            deletes=old_pairs_df,
         )
-    if lineitem_updates is not None:
-        cleaned_lines = bronze_lineitem(
-            spark, "", batch_id, raw=lineitem_updates
-        ).localCheckpoint(eager=True)
-        bronze_merges.append(
-            lambda: merge_upsert(
-                spark,
-                cleaned_lines,
-                wh.bronze("lineitem"),
-                keys=["l_orderkey", "l_linenumber"],
-                bucket_keys=["l_orderkey"],
-            )
+    if cleaned_lines is not None:
+        bronze_thunks["lineitem"] = lambda: merge_upsert(
+            spark,
+            cleaned_lines,
+            wh.bronze("lineitem"),
+            keys=["l_orderkey", "l_linenumber"],
+            bucket_keys=["l_orderkey"],
         )
-    if customers_updates is not None:
-        cleaned_custs = bronze_customers(
-            spark, "", batch_id, raw=customers_updates
-        ).localCheckpoint(eager=True)
+    if cleaned_custs is not None:
         custkey_parts.append(
             cleaned_custs.select(F.col("c_custkey").alias("customer_key"))
         )
-        bronze_merges.append(
-            lambda: merge_upsert(
-                spark,
-                cleaned_custs,
-                wh.bronze("customers"),
-                keys=["c_custkey"],
-            )
+        bronze_thunks["customers"] = lambda: merge_upsert(
+            spark,
+            cleaned_custs,
+            wh.bronze("customers"),
+            keys=["c_custkey"],
         )
     changed_cust: DataFrame | None = (
         reduce(DataFrame.unionByName, custkey_parts)
@@ -464,15 +505,26 @@ def apply_order_updates(
         if custkey_parts
         else None
     )
-    # independent bronze targets (old images already collected above)
-    if bronze_merges:
-        _parallel(*bronze_merges)
+
+    from concurrent.futures import Future, ThreadPoolExecutor
+
+    bronze_futs: dict[str, Future] = {}
+
+    def _await_bronze(*targets: str) -> None:
+        """Block until the named bronze targets' merges finish (no-op for
+        targets with no update this batch); re-raises their failures."""
+        for t in targets:
+            f = bronze_futs.get(t)
+            if f is not None:
+                f.result()
 
     # 2+3 (order chain) and 4 (customer chain) touch disjoint targets —
-    # the silver/month path and the customer path run concurrently below.
+    # the silver/month path and the customer path run concurrently below,
+    # each starting the moment ITS bronze inputs land.
     def _order_chain() -> None:
         if changed is None:
             return
+        _await_bronze("orders", "lineitem")
         orders_new = _read_keys_pruned(
             spark,
             wh.bronze("orders"),
@@ -568,6 +620,7 @@ def apply_order_updates(
     def _customer_chain() -> None:
         if changed_cust is None or not os.path.isdir(wh.silver_customer_base):
             return
+        _await_bronze("customers", "orders_by_customer")
         cust_df = changed_cust
         custs = _read_keys_pruned(
             spark,
@@ -600,7 +653,15 @@ def apply_order_updates(
         # overlap (r7: 4.8 -> 5.5s). Sequential read-after-merge stays.
         _rewrite_customer_orders(spark, wh)
 
-    _parallel(_order_chain, _customer_chain)
+    # one pool: bronze merges start immediately, both silver chains start
+    # with them and self-block on _await_bronze for exactly their inputs
+    with ThreadPoolExecutor(max_workers=len(bronze_thunks) + 2) as ex:
+        bronze_futs.update(
+            {name: ex.submit(fn) for name, fn in bronze_thunks.items()}
+        )
+        chain_futs = [ex.submit(_order_chain), ex.submit(_customer_chain)]
+        for f in [*bronze_futs.values(), *chain_futs]:
+            f.result()
     return wh
 
 
