@@ -64,6 +64,7 @@ EXT_QUERIES = [
     "sim_topk_vectorized",
     "sim_topk_quantized",
     "sim_ivf_topk",
+    "sim_range_search",
     "sim_hyperplane_lsh",
     "text_stats",
     "text_langid",

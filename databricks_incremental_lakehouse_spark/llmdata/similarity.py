@@ -1490,9 +1490,72 @@ SELECT query_id, probe_cell, neighbor_id, cosine, rank FROM (
 ) WHERE rank <= {TOP_K}"""
 
 
+RANGE_TAU = 0.30  # cosine radius: every neighbor at least this similar
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (radius) similarity search: every neighbor with grid-rounded
+    cosine >= ``RANGE_TAU`` inside the probed IVF cells — the dual of the
+    top-k queries (k fixed, radius free) that dedup/recall tooling needs
+    when the answer size is data-dependent (FAISS ``range_search``).
+
+    Shares the session codebook memo and the multi-probe pruning with
+    :func:`sim_ivf_topk` — the search never touches vectors outside the
+    ``N_PROBE`` probed cells, so candidate volume scales with cell size,
+    not corpus size (the 100-TB shape). Per-query match counts ride along
+    from a query-partitioned window over the (already radius-filtered)
+    match set — output-bounded, no single-partition stage."""
+    cent_rows, cells = _kmeans_cells_for(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    q2c = _probe_cells(spark, emb, cent_rows)
+    scored = q2c.join(
+        cells.select(F.col("vec_id").alias("neighbor_id"), "cl", "v"),
+        (F.col("probe_cell") == F.col("cl"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn(
+        "cosine",
+        round_dbl(
+            _dot("qv", "v") / F.nullif(_norm("qv") * _norm("v"), F.lit(0.0)), 6
+        ),
+    )
+    matches = scored.filter(F.col("cosine") >= RANGE_TAU)
+    return matches.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("query_id"))
+        .alias("n_range_matches"),
+    )
+
+
+SIM_RANGE_ORACLE = f"""{_KMEANS_CELLS_WITH},
+q2c AS (
+    SELECT query_id, qv, cl AS probe_cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cl,
+            ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY {_CCOS_Q} DESC, c.cl ASC
+            ) AS crank
+        FROM (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN cent c
+    ) WHERE crank <= {N_PROBE}
+),
+scored AS (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+        {_COS} AS cosine
+    FROM (SELECT query_id, qv, probe_cell FROM q2c) q
+    JOIN cells n ON n.cl = q.probe_cell AND n.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+    CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_range_matches
+FROM scored WHERE cosine >= {RANGE_TAU}"""
+
+
 def register_all(register) -> None:
     register("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE)
     register("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE)
+    register("sim_range_search", sim_range_search, SIM_RANGE_ORACLE)
     register("sim_ivf_topk_indexed", sim_ivf_topk_indexed, SIM_IVF_ORACLE)
     register("sim_ivf_append_search", sim_ivf_append_search, SIM_IVF_APPEND_ORACLE)
     register("sim_hard_negatives", sim_hard_negatives, SIM_HARD_NEG_ORACLE)

@@ -301,6 +301,7 @@ _CHECK_PRIORITY: list[str] = [
     # additions went green in CORRECTNESS_r07 and rotate out. -------------
     "tokenize_bpe_apply",  # new r8: BPE ENCODE side (frozen merge table)
     "stream_attribution_last_touch",  # new r8: cross-batch streaming last-touch
+    "sim_range_search",  # new r8: IVF-pruned cosine radius search
     # -- (2) carriers whose code changed since the r7 driver check ----------
     # shared tokenize/tf memo (tokmemo.py — r8's headline refactor) feeds
     # this whole family; every consumer re-verifies in-window:
@@ -358,7 +359,6 @@ _CHECK_PRIORITY: list[str] = [
     "bi_tpch_q10",
     "bi_tpch_q12",
     "multimodal_feature_stats",
-    "sample_temperature",
 ]
 
 

@@ -14,6 +14,7 @@ from .incremental import (
     read_cdf_totals,
     read_changelog,
     read_merge_target,
+    restore_to_commit,
 )
 from .refresh import (
     IncrementalWarehouse,
@@ -34,6 +35,7 @@ __all__ = [
     "checkpoint_changelog",
     "read_changelog",
     "read_merge_target",
+    "restore_to_commit",
     "incremental_events_stream",
     "incremental_bronze_orders_stream",
     "incremental_bronze_stream",

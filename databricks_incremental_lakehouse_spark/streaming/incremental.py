@@ -134,7 +134,14 @@ def _promote_meta(target_path: str) -> None:
         os.rename(staged, os.path.join(target_path, META_FILE))
 
 
-def _read_meta(target_path: str) -> dict | None:
+def _read_meta(target_path: str, strict: bool = False) -> dict | None:
+    """``strict=False`` (read paths): a corrupt/unreadable sidecar (legacy
+    pre-atomic writers could truncate it) must not take the table down —
+    fall back to the footer-union read path, which every caller handles
+    (meta=None). ``strict=True`` (the MERGE path): a merge without the
+    sidecar's num_buckets could scatter a key across two buckets and
+    silently duplicate it — data corruption beats unavailability, so the
+    merge fails loudly instead."""
     _promote_meta(target_path)  # finish a promote interrupted by a crash
     p = os.path.join(target_path, META_FILE)
     if not os.path.isfile(p):
@@ -142,10 +149,14 @@ def _read_meta(target_path: str) -> dict | None:
     try:
         with open(p) as f:
             return json.load(f)
-    except (json.JSONDecodeError, OSError):
-        # a corrupt/unreadable sidecar (legacy pre-atomic writers could
-        # truncate it) must not take the table down: fall back to the
-        # footer-union read path, which every caller handles (meta=None)
+    except (json.JSONDecodeError, OSError) as exc:
+        if strict:
+            raise ValueError(
+                f"corrupt merge sidecar {p!r}: refusing to merge without "
+                "the stored bucket layout (a wrong num_buckets would "
+                "silently duplicate keys). Restore or delete the sidecar "
+                f"after verifying the layout. Original error: {exc}"
+            ) from exc
         return None
 
 
@@ -409,6 +420,60 @@ def checkpoint_changelog(
             shutil.rmtree(p)
 
 
+def restore_to_commit(
+    spark: SparkSession,
+    target_path: str,
+    changelog_dir: str,
+    keys: Sequence[str],
+    commit: int,
+) -> None:
+    """Delta ``RESTORE TABLE ... VERSION AS OF`` analogue: roll the merge
+    target back to its state as of ``commit``, expressed as ONE full-image
+    scoped merge — updates = the historical state (:func:`read_as_of`),
+    scope = every bucket key present in either the current table or the
+    restored image. The merge then deletes rows created since the commit
+    (in scope, absent from updates), reverts changed rows, and re-inserts
+    rows deleted since — and, because it IS a merge, the restore itself
+    lands in the change data feed as a new commit (inserts/updates/deletes
+    describing the rollback), exactly Delta's restore-is-a-new-version
+    semantics: history is never rewritten, downstream CDF consumers see
+    the rollback as ordinary changes.
+
+    Cost is O(table + changes<=commit) — a restore is inherently a
+    full-image operation; the bucketed layout still bounds each swap to
+    its dirs. Layout params (bucket keys, partition cols) come from the
+    target's sidecar, so callers cannot scatter the restored image across
+    a different layout."""
+    meta = _read_meta(target_path, strict=True)
+    if meta is None:
+        raise ValueError(
+            f"{target_path!r} has no merge sidecar — not a merge target"
+        )
+    if list(meta["keys"]) != list(keys):
+        raise ValueError(
+            f"restore keys {list(keys)!r} do not match the target's stored "
+            f"keys {meta['keys']!r}"
+        )
+    bucket_keys = list(meta["bucket_keys"])
+    state = read_as_of(spark, changelog_dir, keys, commit)
+    scope = (
+        read_merge_target(spark, target_path)
+        .select(*bucket_keys)
+        .unionByName(state.select(*bucket_keys))
+        .distinct()
+    )
+    merge_upsert(
+        spark,
+        state,
+        target_path,
+        keys=keys,
+        bucket_keys=bucket_keys,
+        partition_cols=meta.get("partition_cols", ()),
+        scope=scope,
+        changelog_dir=changelog_dir,
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     updates: DataFrame,
@@ -500,7 +565,7 @@ def merge_upsert(
     _recover_swaps(target_path)
     initial = not os.path.isdir(target_path)
     if not initial:
-        meta = _read_meta(target_path)
+        meta = _read_meta(target_path, strict=True)
         if meta is not None:
             for fld, val in (
                 ("keys", list(keys)),

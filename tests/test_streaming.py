@@ -824,6 +824,62 @@ def test_read_as_of_time_travel(spark, tmp_path):
         assert got == snap, (commit, got, snap)
 
 
+def test_restore_to_commit_rolls_back_and_logs(spark, tmp_path):
+    """RESTORE VERSION AS OF: after restoring to commit N the live table
+    must equal the historical snapshot (creates since N deleted, changes
+    reverted, deletes re-inserted); the restore lands as a NEW feed commit
+    (history never rewritten) so time travel to the pre-restore head still
+    works; and a second restore to the same commit is a data no-op."""
+    from databricks_incremental_lakehouse_spark.streaming import (
+        read_as_of,
+        restore_to_commit,
+    )
+
+    target = str(tmp_path / "t")
+    cdf = str(tmp_path / "cdf")
+    schema = "id long, v string"
+    batches = [
+        dict(updates=[(1, "a"), (2, "b")]),
+        dict(updates=[(2, "b2"), (3, "c")]),
+        dict(updates=[(4, "d")], deletes=[1]),
+    ]
+    snapshots = []
+    for b in batches:
+        merge_upsert(
+            spark,
+            spark.createDataFrame(b["updates"], schema),
+            target,
+            keys=["id"],
+            deletes=(
+                spark.createDataFrame([(i,) for i in b["deletes"]], "id long")
+                if b.get("deletes")
+                else None
+            ),
+            changelog_dir=cdf,
+        )
+        snapshots.append(
+            {r.id: r.v for r in read_merge_target(spark, target).collect()}
+        )
+
+    restore_to_commit(spark, target, cdf, keys=["id"], commit=0)
+    live = {r.id: r.v for r in read_merge_target(spark, target).collect()}
+    assert live == snapshots[0]  # 1 back, 3/4 gone, 2 reverted to "b"
+    # the restore is commit 3: pre-restore head still time-travels intact
+    pre_head = {r.id: r.v for r in read_as_of(spark, cdf, ["id"], 2).collect()}
+    assert pre_head == snapshots[2]
+    post = {r.id: r.v for r in read_as_of(spark, cdf, ["id"], 3).collect()}
+    assert post == snapshots[0]
+    # idempotent: restoring again to the same state changes nothing
+    restore_to_commit(spark, target, cdf, keys=["id"], commit=3)
+    again = {r.id: r.v for r in read_merge_target(spark, target).collect()}
+    assert again == snapshots[0]
+    # wrong key spec fails loudly instead of scattering the layout
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        restore_to_commit(spark, target, cdf, keys=["v"], commit=0)
+
+
 def test_checkpoint_changelog_preserves_later_reads(spark, tmp_path):
     """Squashing commits 0..N into a base snapshot must leave every read
     at or after N identical (including the live head), shrink the feed to
