@@ -167,6 +167,7 @@ OTHER_TIMED_QUERIES = [
     "stream_tumbling_hourly",
     "stream_scd2_history",
     "stream_dedup_redelivery",
+    "stream_attribution_last_touch",
 ]
 
 

@@ -49,7 +49,6 @@ from .texthash import (
     hash60,
     hash60_sql,
     seeded_hash60_sql,
-    tokenize,
 )
 from .tokmemo import doc_token_tf
 

@@ -536,9 +536,12 @@ FROM (
 
 # --- streaming last-touch attribution (batch twin above) -------------------
 
-ATTR_FEED_FILES = 4  # the registry face splits the feed into this many
+ATTR_FEED_FILES = 3  # the registry face splits the feed into this many
 # time-ordered micro-batch files so state must genuinely carry across
-# batches (a single-file drain would degenerate to the batch plan)
+# batches (a single-file drain would degenerate to the batch plan; the
+# middle batch both consumes prior state and feeds later state, so 3 is
+# the smallest count that exercises every cross-batch role — each extra
+# batch costs ~2 merge rounds on the one-time drain)
 _ATTR_STREAM_TARGETS: dict[str, str] = {}
 
 
@@ -600,25 +603,38 @@ def incremental_attribution_stream(
         else:
             cand = clicks
         att = asof_join(purchases, cand, by=["user_id"], ts="ts", prefix="c_")
+        # pin the credited batch BEFORE the merges: its lineage reads the
+        # clicks store, which the concurrent clicks merge is about to swap
         credits = att.select(
             "event_id",
             "user_id",
             "ts",
             "value",
             F.col("c_campaign").alias("campaign"),
-        )
-        merge_upsert(sp, credits, credits_path, keys=["event_id"])
+        ).localCheckpoint(eager=True)
         # latest click per user: explicit keep-LATEST-by-ts in-batch dedup
-        # (recency_col, NOT tiebreak_cols — those sort ASC = keep-earliest),
-        # then merge; monotone feed => batch rows supersede stored ones
+        # (recency_col, NOT tiebreak_cols — those sort ASC = keep-earliest);
+        # monotone feed => batch rows supersede stored ones. The two merges
+        # touch DISJOINT targets (credits keyed on event_id, the click
+        # store keyed on user_id), so they run concurrently — half the
+        # per-batch merge latency on the drain's critical path.
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..operators.dedup import dedup_latest
 
-        merge_upsert(
-            sp,
-            dedup_latest(clicks, keys=["user_id"], recency_col="ts"),
-            clicks_path,
-            keys=["user_id"],
-        )
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f1 = ex.submit(
+                merge_upsert, sp, credits, credits_path, keys=["event_id"]
+            )
+            f2 = ex.submit(
+                merge_upsert,
+                sp,
+                dedup_latest(clicks, keys=["user_id"], recency_col="ts"),
+                clicks_path,
+                keys=["user_id"],
+            )
+            f1.result()
+            f2.result()
 
     return (
         stream.writeStream.foreachBatch(_batch)
@@ -660,23 +676,32 @@ def stream_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
                 10_000,
             ).alias("qs")
         ).first()["qs"]
-        bounds = [None, *cuts, None]
+        # ONE pass over events: tag each row's quartile slice, cluster by
+        # it, write all slice files in a single partitioned job (the
+        # previous per-slice loop re-scanned and re-wrote the full table
+        # ATTR_FEED_FILES times — the latency audit caught it at 18s cold)
+        slice_col = F.lit(0)
+        for i, cut in enumerate(cuts):
+            slice_col = F.when(
+                F.unix_micros("ts") > F.lit(int(cut)), F.lit(i + 1)
+            ).otherwise(slice_col)
+        tmp = os.path.join(root, "slices")
+        ev.withColumn("_slice", slice_col).repartition("_slice").write.partitionBy(
+            "_slice"
+        ).parquet(tmp)
         base = _time.time()
         for i in range(ATTR_FEED_FILES):
-            part = ev
-            if bounds[i] is not None:
-                part = part.filter(F.unix_micros("ts") > bounds[i])
-            if bounds[i + 1] is not None:
-                part = part.filter(F.unix_micros("ts") <= bounds[i + 1])
-            tmp = os.path.join(root, f"slice{i}")
-            part.coalesce(1).write.parquet(tmp)
-            [pf] = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            sdir = os.path.join(tmp, f"_slice={i}")
+            if not os.path.isdir(sdir):  # degenerate cuts -> empty slice
+                continue
+            parts = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+            assert len(parts) == 1, parts  # one file per slice by clustering
             dst = os.path.join(src, f"{i:02d}.parquet")
-            shutil.move(os.path.join(tmp, pf), dst)
+            shutil.move(os.path.join(sdir, parts[0]), dst)
             # pin ascending mtimes: the file source processes oldest-first,
             # and batch order IS the monotone-feed contract
             os.utime(dst, (base + i, base + i))
-            shutil.rmtree(tmp)
+        shutil.rmtree(tmp)
         credits_path = os.path.join(root, "credits")
         q = incremental_attribution_stream(
             spark,

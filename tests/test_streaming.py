@@ -1923,6 +1923,78 @@ def test_merge_schema_evolution(spark, tmp_path):
         )
 
 
+def test_meta_sidecar_crash_discipline(spark, tmp_path):
+    """The sidecar's crash windows (ADVICE r7): (a) a STAGED schema image
+    left by a crash between the bucket swaps and the promote is promoted
+    by the next read, so the evolved column is never hidden behind the
+    stale pinned schema; (b) a corrupt sidecar degrades reads to the
+    footer-union path but makes MERGES fail loudly (a wrong bucket count
+    would silently duplicate keys); (c) the atomic temp+rename write
+    leaves no ``.tmp`` debris visible to Spark."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from databricks_incremental_lakehouse_spark.streaming import (
+        merge_upsert,
+        read_merge_target,
+    )
+    from databricks_incremental_lakehouse_spark.streaming.incremental import (
+        META_FILE,
+        _META_STAGED,
+    )
+
+    t = str(tmp_path / "tbl")
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k long, v string"),
+        t,
+        keys=["k"],
+    )
+    # (a) simulate the crash: hand-stage an evolved schema image (as the
+    # merge does pre-swap) WITHOUT promoting it; the stale META_FILE still
+    # pins the narrow schema
+    with open(_os.path.join(t, META_FILE)) as fh:
+        meta = _json.load(fh)
+    wide = dict(meta)
+    wide_schema = dict(meta["schema"])
+    wide_schema["fields"] = list(meta["schema"]["fields"]) + [
+        {"name": "extra", "type": "integer", "nullable": True, "metadata": {}}
+    ]
+    wide["schema"] = wide_schema
+    with open(_os.path.join(t, _META_STAGED), "w") as fh:
+        _json.dump(wide, fh)
+    got = read_merge_target(spark, t)
+    assert "extra" in got.columns  # staged image promoted, column visible
+    assert not _os.path.exists(_os.path.join(t, _META_STAGED))
+    assert got.count() == 10
+
+    # (b) corrupt sidecar: reads degrade, merges refuse
+    with open(_os.path.join(t, META_FILE), "w") as fh:
+        fh.write('{"keys": ["k"], "num_buck')  # truncated mid-write
+    assert read_merge_target(spark, t).count() == 10  # footer-union path
+    with _pytest.raises(ValueError, match="corrupt merge sidecar"):
+        merge_upsert(
+            spark,
+            spark.createDataFrame([(1, "x")], "k long, v string"),
+            t,
+            keys=["k"],
+        )
+
+    # (c) restore a healthy sidecar; merge works again and no temp debris
+    with open(_os.path.join(t, META_FILE), "w") as fh:
+        _json.dump(meta, fh)
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(1, "x")], "k long, v string"),
+        t,
+        keys=["k"],
+    )
+    assert {r.v for r in read_merge_target(spark, t).filter("k = 1").collect()} == {"x"}
+    assert not any(f.endswith(".tmp") for f in _os.listdir(t))
+
+
 def test_stream_dedup_collapses_cross_batch_redelivery(spark, sf_smoke):
     """The doubled feed must collapse to exactly the distinct event set:
     output count equals the single-delivery count (half the fed rows) and
