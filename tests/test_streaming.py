@@ -923,6 +923,78 @@ def test_checkpoint_changelog_preserves_later_reads(spark, tmp_path):
 
 
 @settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=7),  # id
+                st.text(alphabet="xyz", min_size=1, max_size=3),  # payload
+                st.booleans(),  # this row is a delete of the id
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=4,
+    ),
+    data=st.data(),
+)
+def test_restore_property(spark, tmp_path_factory, batches, data):
+    """For ANY merge/delete history and ANY commit in it: restore makes
+    the live table equal read_as_of at that commit, and every pre-restore
+    historical read is unchanged (history append-only)."""
+    from databricks_incremental_lakehouse_spark.streaming import (
+        read_as_of,
+        restore_to_commit,
+    )
+
+    tmp = tmp_path_factory.mktemp("restore_prop")
+    target, cdf = str(tmp / "t"), str(tmp / "cdf")
+    schema = "id long, v string"
+    n_commits = 0
+    for batch in batches:
+        ups = [(i, v) for i, v, is_del in batch if not is_del]
+        # a delete of a key also being upserted in the same batch is
+        # ambiguous — drop such deletes (merge applies updates last anyway)
+        dels = sorted(
+            {i for i, _v, is_del in batch if is_del}
+            - {i for i, _v in ups}
+        )
+        if not ups and (not dels or n_commits == 0):
+            # deletes are meaningless before the initial load (and an
+            # empty micro-batch is a no-op that commits nothing) — seed
+            ups = [(0, "seed")]
+        merge_upsert(
+            spark,
+            spark.createDataFrame(ups, schema) if ups else spark.createDataFrame([], schema),
+            target,
+            keys=["id"],
+            deletes=(
+                spark.createDataFrame([(i,) for i in dels], "id long")
+                if dels and n_commits > 0
+                else None
+            ),
+            changelog_dir=cdf,
+        )
+        n_commits += 1
+    pick = data.draw(st.integers(min_value=0, max_value=n_commits - 1))
+    history = {
+        c: {r.id: r.v for r in read_as_of(spark, cdf, ["id"], c).collect()}
+        for c in range(n_commits)
+    }
+    restore_to_commit(spark, target, cdf, keys=["id"], commit=pick)
+    live = {r.id: r.v for r in read_merge_target(spark, target).collect()}
+    assert live == history[pick], (pick, live, history[pick])
+    for c in range(n_commits):  # pre-restore reads untouched
+        got = {r.id: r.v for r in read_as_of(spark, cdf, ["id"], c).collect()}
+        assert got == history[c], c
+
+
+@settings(
     max_examples=5,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
