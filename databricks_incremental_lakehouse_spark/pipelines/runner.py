@@ -513,25 +513,31 @@ def run_supplier_analytics(
         "supplier extracts",
     )
 
+    record, rd = _schema_registry()  # extracts written by the SALES run
+    # resolve by inference once; tables written here read back registered
+
     def _sp():
         df = silver_supplier_parts(
             spark,
             cfg.sf_dir,
             batch_id=cfg.batch_id,
-            suppliers=_read(spark, cfg, "extract", "suppliers"),
-            partsupp=_read(spark, cfg, "extract", "partsupp"),
-            parts=_read(spark, cfg, "extract", "parts"),
-            nation=_read(spark, cfg, "extract", "nation"),
-            region=_read(spark, cfg, "extract", "region"),
+            suppliers=rd(spark, cfg, "extract", "suppliers"),
+            partsupp=rd(spark, cfg, "extract", "partsupp"),
+            parts=rd(spark, cfg, "extract", "parts"),
+            nation=rd(spark, cfg, "extract", "nation"),
+            region=rd(spark, cfg, "extract", "region"),
         )
-        write_table(_stamp(df, "_refined_at"), cfg.table_path("refined", "supplier_parts"))
+        write_table(
+            record(("refined", "supplier_parts"), _stamp(df, "_refined_at")),
+            cfg.table_path("refined", "supplier_parts"),
+        )
 
     _run_stage(results, "ref_supplier_parts", _sp, retries, delay)
     _gate(results, ["ref_supplier_parts"], "refined supplier parts")
 
     def _vw():
-        sp = _read(spark, cfg, "refined", "supplier_parts")
-        od = _read(spark, cfg, "refined", "order_details")
+        sp = rd(spark, cfg, "refined", "supplier_parts")
+        od = rd(spark, cfg, "refined", "order_details")
         write_table(
             vw_supplier_performance(
                 spark, cfg.sf_dir, supplier_parts=sp, order_details=od
