@@ -65,6 +65,7 @@ EXT_QUERIES = [
     "sim_topk_quantized",
     "sim_ivf_topk",
     "sim_range_search",
+    "sim_knn_graph",
     "sim_hyperplane_lsh",
     "text_stats",
     "text_langid",
@@ -77,6 +78,8 @@ EXT_QUERIES = [
     "text_pii_report",
     "multimodal_feature_stats",
     "multimodal_frame_sample",
+    "multimodal_phash_dedup",
+    "events_markov_transitions",
     "events_tumbling_hourly",
     "events_sliding_windows",
     "events_session_windows",
@@ -113,6 +116,7 @@ EXT_QUERIES = [
     "text_length_quantiles",
     "text_unigram_logprob",
     "text_ccnet_buckets",
+    "text_bigram_lm",
     "embedding_quantize",
     "pack_sequences",
     "text_chunk_overlap",

@@ -26,8 +26,8 @@ from ..tables import load_table
 from .texthash import TOKENIZE_SQL
 from .tokmemo import (
     corpus_n_docs,
+    doc_bigrams,
     doc_lengths,
-    doc_tok_arrays,
     doc_token_tf,
     doc_tokens,
     token_df,
@@ -365,6 +365,105 @@ SELECT doc_id, avg_logprob,
 FROM lp CROSS JOIN b"""
 
 
+BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram term
+_BIGRAM_1ML = 1.0 - BIGRAM_LAMBDA
+
+
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average log-probability under an INTERPOLATED BIGRAM
+    LM trained on the corpus itself — one modeling step up from
+    :func:`text_unigram_logprob` (CCNet's KenLM filter is an n-gram LM;
+    the unigram score cannot see word-order soup, this one can):
+
+        P(w_i | w_{i-1}) = 0.75 * c(w_{i-1} w_i) / c_prefix(w_{i-1})
+                         + 0.25 * c(w_i) / N
+
+    (Jelinek-Mercer interpolation; the unigram back-off term makes every
+    observed-word transition non-zero). All inputs are exact integer
+    counts from the shared memo frames; both engines evaluate the same
+    expression tree, and the per-doc average is grid-rounded to 4 dp.
+
+    Scale: per-doc bigram occurrences come shuffle-free from the bigram
+    memo; the bigram-count table is bounded by OBSERVED bigrams (far
+    below corpus size — broadcast here; at 100 TB this one join flips to
+    an ordinary shuffle join on the pair key, everything else stays
+    broadcast/value-bounded); prefix and unigram tables are
+    vocabulary-bounded broadcasts; one groupBy(doc_id) closes."""
+    bg = doc_bigrams(spark, sf_dir)
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    pfx = bgc.groupBy("w1").agg(F.sum("c_bg").alias("c_pfx"))
+    uni = (
+        doc_token_tf(spark, sf_dir)
+        .groupBy(F.col("token").alias("w2"))
+        .agg(F.sum("tf").alias("c_uni"))
+    )
+    totals = uni.agg(F.sum("c_uni").alias("n_corpus_tokens"))
+    p = F.lit(BIGRAM_LAMBDA) * (
+        F.col("c_bg").cast("double") / F.col("c_pfx").cast("double")
+    ) + F.lit(_BIGRAM_1ML) * (
+        F.col("c_uni").cast("double") / F.col("n_corpus_tokens").cast("double")
+    )
+    scored = (
+        bg.join(F.broadcast(bgc), ["w1", "w2"])
+        .join(F.broadcast(pfx), "w1")
+        .join(F.broadcast(uni), "w2")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log2(p)).alias("raw_lp"),
+        )
+    )
+    lp = round_dbl(F.col("raw_lp"), 4)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        lp.alias("avg_logprob_bigram"),
+        round_dbl(F.pow(F.lit(2.0), -lp), 2).alias("perplexity_bigram"),
+    )
+
+
+TEXT_BIGRAM_LM_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, {TOKENIZE_SQL.format(c="text")} AS t FROM documents
+),
+bg AS (
+    SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+            i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS s
+        FROM tok WHERE len(t) >= 2
+    )
+),
+bgc AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY 1, 2),
+pfx AS (SELECT w1, SUM(c_bg) AS c_pfx FROM bgc GROUP BY 1),
+uni AS (
+    SELECT token AS w2, COUNT(*) AS c_uni
+    FROM (SELECT unnest(t) AS token FROM tok) GROUP BY 1
+),
+totals AS (SELECT SUM(c_uni) AS n_corpus_tokens FROM uni),
+scored AS (
+    SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        AVG(log2(
+            {BIGRAM_LAMBDA!r} * (CAST(c_bg AS DOUBLE) / CAST(c_pfx AS DOUBLE))
+            + {_BIGRAM_1ML!r} * (CAST(c_uni AS DOUBLE)
+                                 / CAST(n_corpus_tokens AS DOUBLE))
+        )) AS raw_lp
+    FROM bg
+    JOIN bgc USING (w1, w2)
+    JOIN pfx USING (w1)
+    JOIN uni USING (w2)
+    CROSS JOIN totals
+    GROUP BY bg.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+    CAST(ROUND(CAST(raw_lp AS DECIMAL(38,8)), 4) AS DOUBLE)
+        AS avg_logprob_bigram,
+    CAST(ROUND(CAST(
+        pow(2.0, -CAST(ROUND(CAST(raw_lp AS DECIMAL(38,8)), 4) AS DOUBLE))
+     AS DECIMAL(38,6)), 2) AS DOUBLE) AS perplexity_bigram
+FROM scored"""
+
+
 PMI_TOP_K = 20
 PMI_MIN_PAIR = 5  # drop noise bigrams below this support
 
@@ -389,24 +488,11 @@ def vocab_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join. Top-k plans as TakeOrderedAndProject. NULL-text docs need
     no explicit filter against the shared frames: their token array is
     NULL, which explodes to zero rows and fails the ``size >= 2`` gate."""
-    tok = doc_tok_arrays(spark, sf_dir).withColumnRenamed("toks", "t")
     ucnt = (
         doc_token_tf(spark, sf_dir).groupBy("token").agg(F.sum("tf").alias("c"))
     )
     totals = ucnt.agg(F.sum("c").cast("long").alias("n"))
-
-    bg = (
-        tok.filter(F.size("t") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 1),"
-                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
-                )
-            ).alias("s")
-        )
-        .select("s.w1", "s.w2")
-    )
+    bg = doc_bigrams(spark, sf_dir).select("w1", "w2")
     bcnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
     btot = bcnt.agg(F.sum("c_pair").cast("long").alias("m"))
 
@@ -684,3 +770,4 @@ def register_all(register) -> None:
         TEXT_UNIGRAM_LOGPROB_ORACLE,
     )
     register("text_ccnet_buckets", text_ccnet_buckets, TEXT_CCNET_BUCKETS_ORACLE)
+    register("text_bigram_lm", text_bigram_lm, TEXT_BIGRAM_LM_ORACLE)

@@ -215,8 +215,136 @@ FROM feats
 GROUP BY 1"""
 
 
+# --- perceptual-hash near-dup over binary payloads -------------------------
+
+PHASH_BLOCKS = 32  # hash bits = payload byte-blocks compared to global mean
+PHASH_BANDS = 4
+PHASH_BAND_BITS = PHASH_BLOCKS // PHASH_BANDS
+PHASH_HAMMING_MAX = 4  # near-dup when <= this many of 32 bits differ
+
+
+def fake_phash(payload: bytes) -> int:
+    """Deterministic perceptual-hash stand-in (the decode hook is stubbed,
+    module docstring): bit ``i`` is set when byte-block ``i``'s mean
+    exceeds the payload's global mean — the block-luminance structure of
+    aHash/pHash on the byte dump instead of decoded pixels. The compare is
+    the exact integer cross-multiplication ``block_sum * n > total *
+    block_len``, so the oracle replays it without a float boundary."""
+    n = len(payload)
+    if n == 0:
+        return 0
+    total = sum(payload)
+    h = 0
+    for i in range(PHASH_BLOCKS):
+        lo, hi = (i * n) // PHASH_BLOCKS, ((i + 1) * n) // PHASH_BLOCKS
+        if hi > lo and sum(payload[lo:hi]) * n > total * (hi - lo):
+            h |= 1 << i
+    return h
+
+
+def _extract_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "phash": [fake_phash(p) for p in pdf["payload"]],
+            }
+        )
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate MEDIA detection: banded perceptual-hash candidates
+    verified by Hamming distance — the image/video twin of the text
+    SimHash pass (a crawl pipeline dedups re-encoded thumbnails and
+    resized logos this way; FAISS/pHash stacks use the same
+    band-then-verify shape). The hash itself runs in the Arrow-batched
+    ``mapInPandas`` decode stage (Python IS the operator — swapping the
+    stub for a real pHash changes one function); everything after is the
+    proven banding machinery: ``PHASH_BANDS`` band keys per doc, a
+    band-bucket self-join with one reused exchange, ``bit_count(xor)``
+    verification. Candidate volume is bounded by band-bucket sizes, never
+    all pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs).select("doc_id", "payload")
+    ph = payloads.mapInPandas(
+        _extract_phash, schema="doc_id bigint, phash bigint"
+    )
+    bands = spark.range(PHASH_BANDS).select(F.col("id").cast("int").alias("band"))
+    keyed = (
+        ph.crossJoin(F.broadcast(bands))
+        .select(
+            "doc_id",
+            "phash",
+            "band",
+            F.expr(
+                f"shiftright(phash, band * {PHASH_BAND_BITS})"
+                f" & {(1 << PHASH_BAND_BITS) - 1}"
+            ).alias("band_key"),
+        )
+        .repartition("band", "band_key")  # identical exchange both sides
+    )
+    cand = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), ["band", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.phash").alias("ph_a"),
+            F.col("y.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.select("doc_a", "doc_b", ham.alias("hamming_distance")).filter(
+        F.col("hamming_distance") <= PHASH_HAMMING_MAX
+    )
+
+
+MULTIMODAL_PHASH_ORACLE = f"""
+WITH b AS ({_BYTES_CTE}),
+ph AS (
+    SELECT doc_id,
+        CAST(CASE WHEN n = 0 THEN 0 ELSE (
+            SELECT COALESCE(SUM(CASE
+                WHEN ((i + 1) * CAST(n AS BIGINT)) // {PHASH_BLOCKS}
+                     > (i * CAST(n AS BIGINT)) // {PHASH_BLOCKS}
+                 AND CAST(list_sum(list_transform(generate_series(
+                         CAST((i * CAST(n AS BIGINT)) // {PHASH_BLOCKS} AS INT) + 1,
+                         CAST(((i + 1) * CAST(n AS BIGINT)) // {PHASH_BLOCKS} AS INT)),
+                         j -> bv[j])) AS BIGINT) * n
+                     > CAST(list_sum(bv) AS BIGINT)
+                       * (((i + 1) * CAST(n AS BIGINT)) // {PHASH_BLOCKS}
+                          - (i * CAST(n AS BIGINT)) // {PHASH_BLOCKS})
+                THEN CAST(1 AS BIGINT) << i ELSE 0 END), 0)
+            FROM (SELECT unnest(generate_series(0, {PHASH_BLOCKS - 1})) AS i)
+        ) END AS BIGINT) AS phash
+    FROM b
+),
+keyed AS (
+    SELECT doc_id, phash, band,
+        (phash >> (band * {PHASH_BAND_BITS})) & {(1 << PHASH_BAND_BITS) - 1}
+            AS band_key
+    FROM ph CROSS JOIN (
+        SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS band)
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           x.phash AS ph_a, y.phash AS ph_b
+    FROM keyed x JOIN keyed y
+      ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming_distance
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_HAMMING_MAX}"""
+
+
 def register_all(register) -> None:
     register("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_ORACLE)
+    register(
+        "multimodal_phash_dedup", multimodal_phash_dedup, MULTIMODAL_PHASH_ORACLE
+    )
     register(
         "multimodal_feature_stats", multimodal_feature_stats, MULTIMODAL_STATS_ORACLE
     )

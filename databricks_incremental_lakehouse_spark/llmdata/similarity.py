@@ -1490,6 +1490,111 @@ SELECT query_id, probe_cell, neighbor_id, cosine, rank FROM (
 ) WHERE rank <= {TOP_K}"""
 
 
+KNN_K = 3  # graph degree
+KNN_PROBE = 2  # cells probed per vector (SemDeDup's probe width)
+
+
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate k-NN GRAPH: every vector's ``KNN_K``
+    nearest neighbors among the vectors of its ``KNN_PROBE`` nearest IVF
+    cells — the primitive behind SemDeDup clustering, diversity sampling,
+    and graph-based label propagation, where EVERY row is a query (unlike
+    the fixed-query-set searches above).
+
+    Scale shape: per-vector probe cells come from the same broadcast
+    ONE-ROW auxiliary + ``transform`` expression as the k-means assignment
+    (``_assign_to``) with an ``array_sort`` top-p slice — shuffle-free and
+    constant-size in nlist, NOT an N x nlist ranking window (which would
+    shuffle N*nlist rows at 100 TB). Candidate volume is bounded by
+    probe-cell sizes, never N^2; the final per-vector top-k window
+    partitions on vec_id over cell-bounded candidates."""
+    import math
+
+    cent_rows, cells = _kmeans_cells_for(spark, sf_dir)
+    rows = sorted(cent_rows)
+    cls = [int(c) for c, _ in rows]
+    cvs = [[float(x) for x in v] for _, v in rows]
+    cnorms = [math.sqrt(sum(x * x for x in v)) for v in cvs]
+    aux = spark.createDataFrame(
+        [(cls, cvs, cnorms)],
+        "cls array<int>, cvs array<array<double>>, cnorms array<double>",
+    )
+    nv = _norm("v")
+    scored = F.transform(
+        F.col("cvs"),
+        lambda cv, i: F.struct(
+            round_dbl(
+                F.aggregate(
+                    F.zip_with("v", cv, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.nullif(nv * F.element_at("cnorms", i + 1), F.lit(0.0)),
+                6,
+            ).alias("d"),
+            (-F.element_at("cls", i + 1)).alias("negcl"),
+        ),
+    )
+    # descending struct sort = max cosine first, min cl on ties (negcl)
+    probes = (
+        cells.crossJoin(F.broadcast(aux))
+        .select(
+            F.col("vec_id").alias("src_id"),
+            F.col("v").alias("sv"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(scored)), 1, KNN_PROBE)
+            ).alias("p"),
+        )
+        .select(
+            "src_id", "sv", (-F.col("p.negcl")).cast("int").alias("probe_cell")
+        )
+    )
+    cand = probes.join(
+        cells.select(F.col("vec_id").alias("neighbor_id"), "cl", "v"),
+        (F.col("probe_cell") == F.col("cl"))
+        & (F.col("src_id") != F.col("neighbor_id")),
+    ).withColumn(
+        "cosine",
+        round_dbl(
+            _dot("sv", "v") / F.nullif(_norm("sv") * _norm("v"), F.lit(0.0)), 6
+        ),
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= KNN_K)
+        .select("src_id", "knn_rank", "neighbor_id", "cosine")
+    )
+
+
+_CCOS_S = _CCOS_V.replace("(v", "(sv").replace(" v[i]", " sv[i]")
+_COS_SV = _COS.replace("qv", "sv")
+
+SIM_KNN_GRAPH_ORACLE = f"""{_KMEANS_CELLS_WITH},
+p2c AS (
+    SELECT src_id, sv, cl AS probe_cell FROM (
+        SELECT s.vec_id AS src_id, s.v AS sv, c.cl,
+            ROW_NUMBER() OVER (
+                PARTITION BY s.vec_id
+                ORDER BY {_CCOS_S} DESC, c.cl ASC
+            ) AS crank
+        FROM e s CROSS JOIN cent c
+    ) WHERE crank <= {KNN_PROBE}
+),
+cand AS (
+    SELECT p.src_id, n.vec_id AS neighbor_id, {_COS_SV} AS cosine
+    FROM p2c p JOIN cells n ON n.cl = p.probe_cell AND n.vec_id <> p.src_id
+)
+SELECT src_id, knn_rank, neighbor_id, cosine FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY src_id ORDER BY cosine DESC, neighbor_id ASC
+    ) AS INT) AS knn_rank
+    FROM cand
+) WHERE knn_rank <= {KNN_K}"""
+
+
 RANGE_TAU = 0.30  # cosine radius: every neighbor at least this similar
 
 
@@ -1556,6 +1661,7 @@ def register_all(register) -> None:
     register("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE)
     register("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE)
     register("sim_range_search", sim_range_search, SIM_RANGE_ORACLE)
+    register("sim_knn_graph", sim_knn_graph, SIM_KNN_GRAPH_ORACLE)
     register("sim_ivf_topk_indexed", sim_ivf_topk_indexed, SIM_IVF_ORACLE)
     register("sim_ivf_append_search", sim_ivf_append_search, SIM_IVF_APPEND_ORACLE)
     register("sim_hard_negatives", sim_hard_negatives, SIM_HARD_NEG_ORACLE)

@@ -84,6 +84,29 @@ def doc_token_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, w1, w2)`` — one row per adjacent token pair, formed
+    shuffle-free from the token-array memo (per-row ``transform``, no
+    lead window), memo-persisted. Consumers: PMI collocations, the bigram
+    LM. NULL/short docs contribute zero rows (``size < 2`` guard)."""
+    return shared_frame(
+        spark,
+        ("llm_bigrams", sf_dir),
+        lambda: doc_tok_arrays(spark, sf_dir)
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.w1", "s.w2"),
+    )
+
+
 def token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(token, df)`` — document frequency per token (``COUNT(*)`` over
     the tf frame), memo-persisted. Vocabulary-sized; the broadcast side of

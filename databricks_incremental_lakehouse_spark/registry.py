@@ -302,6 +302,10 @@ _CHECK_PRIORITY: list[str] = [
     "tokenize_bpe_apply",  # new r8: BPE ENCODE side (frozen merge table)
     "stream_attribution_last_touch",  # new r8: cross-batch streaming last-touch
     "sim_range_search",  # new r8: IVF-pruned cosine radius search
+    "sim_knn_graph",  # new r8: corpus-wide approximate k-NN graph
+    "events_markov_transitions",  # new r8: behavioral transition matrix
+    "text_bigram_lm",  # new r8: interpolated bigram LM perplexity
+    "multimodal_phash_dedup",  # new r8: banded perceptual-hash media dedup
     # -- (2) carriers whose code changed since the r7 driver check ----------
     # shared tokenize/tf memo (tokmemo.py — r8's headline refactor) feeds
     # this whole family; every consumer re-verifies in-window:
@@ -354,10 +358,6 @@ _CHECK_PRIORITY: list[str] = [
     "qc_business_rules",
     "bi_tpch_q4",
     "bi_tpch_q6",
-    "bi_tpch_q7",
-    "bi_tpch_q8",
-    "bi_tpch_q10",
-    "bi_tpch_q12",
     "multimodal_feature_stats",
 ]
 

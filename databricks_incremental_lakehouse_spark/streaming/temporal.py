@@ -793,9 +793,72 @@ ORDER BY n_users_steps DESC, path ASC
 LIMIT {PATH_TOP_K}"""
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov model: the event-type transition
+    matrix ``P(next | current)`` over each user's time-ordered stream —
+    the probability-normalized companion to :func:`events_path_topk`
+    (top-k raw trigrams), the standard input to journey simulation and
+    anomalous-session scoring.
+
+    One user-shuffle LEAD window forms the (from, to) pairs; the
+    aggregate and the row-normalizing window are both bounded by
+    ``|event_type|^2``, so everything after the single corpus shuffle is
+    value-domain work. Probabilities are exact rationals of bigint counts
+    grid-rounded to 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type", 1).over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.sum("n_transitions").over(wrow).alias("n_from_total"),
+        round_dbl(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wrow).cast("double"),
+            6,
+        ).alias("transition_prob"),
+    )
+
+
+EVENTS_MARKOV_ORACLE = f"""
+WITH e AS ({_EVENTS_ORACLE_VIEW}),
+pairs AS (
+    SELECT event_type AS from_type,
+           lead(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_type
+    FROM e
+),
+counts AS (
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+    CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+        AS n_from_total,
+    CAST(ROUND(CAST(CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+      AS DECIMAL(38,10)), 6) AS DOUBLE) AS transition_prob
+FROM counts"""
+
+
 def register_all(register) -> None:
     register("events_asof_join", events_asof_join, EVENTS_ASOF_ORACLE)
     register("events_path_topk", events_path_topk, EVENTS_PATH_ORACLE)
+    register(
+        "events_markov_transitions",
+        events_markov_transitions,
+        EVENTS_MARKOV_ORACLE,
+    )
     register(
         "events_attribution_last_touch",
         events_attribution_last_touch,
