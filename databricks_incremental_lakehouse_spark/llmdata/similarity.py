@@ -763,13 +763,20 @@ SEMDEDUP_COS = 0.35
 SEMDEDUP_PROBE = 2
 
 
-def _assign_topk(emb: DataFrame, cent_rows, k: int, extra: tuple[str, ...] = ()) -> DataFrame:
-    """(vec_id, v[, extra...], cl) rows assigning each vector to its ``k``
-    nearest centroids — the multi-probe generalization of
+def _assign_topk(
+    emb: DataFrame,
+    cent_rows,
+    k: int,
+    extra: tuple[str, ...] = (),
+    with_rank: bool = False,
+) -> DataFrame:
+    """(vec_id, v[, extra...], cl[, crank]) rows assigning each vector to
+    its ``k`` nearest centroids — the multi-probe generalization of
     :func:`_assign_to`, still a shuffle-free projection (centroids are
     literals; the per-row struct array is sorted and sliced, no
     crossJoin/window). ``extra`` carries payload columns (e.g. ``label``)
-    through the assignment."""
+    through the assignment; ``with_rank`` adds the 1-based probe rank
+    (``crank == 1`` marks the primary cell)."""
     import math
 
     nv = _norm("v")
@@ -785,6 +792,16 @@ def _assign_topk(emb: DataFrame, cent_rows, k: int, extra: tuple[str, ...] = ())
         entries.append(F.struct(cdist.alias("d"), F.lit(-cl).alias("negcl")))
     # ascending struct sort then reverse = cosine DESC with cl ASC tiebreak
     top = F.slice(F.reverse(F.array_sort(F.array(*entries))), 1, k)
+    if with_rank:
+        return emb.select(
+            "vec_id", "v", *extra, F.posexplode(top).alias("pos", "s")
+        ).select(
+            "vec_id",
+            "v",
+            *extra,
+            (-F.col("s.negcl")).cast("int").alias("cl"),
+            (F.col("pos") + 1).cast("int").alias("crank"),
+        )
     return emb.select("vec_id", "v", *extra, F.explode(top).alias("s")).select(
         "vec_id", "v", *extra, (-F.col("s.negcl")).cast("int").alias("cl")
     )
@@ -1501,69 +1518,75 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     and graph-based label propagation, where EVERY row is a query (unlike
     the fixed-query-set searches above).
 
-    Scale shape: per-vector probe cells come from the same broadcast
-    ONE-ROW auxiliary + ``transform`` expression as the k-means assignment
-    (``_assign_to``) with an ``array_sort`` top-p slice — shuffle-free and
-    constant-size in nlist, NOT an N x nlist ranking window (which would
-    shuffle N*nlist rows at 100 TB). Candidate volume is bounded by
-    probe-cell sizes, never N^2; the final per-vector top-k window
-    partitions on vec_id over cell-bounded candidates."""
-    import math
+    Scale shape = the SemDeDup/hard-negatives kernel, not an expression
+    join: each vector probes its ``KNN_PROBE`` nearest cells via the
+    shuffle-free top-p assignment (``_assign_topk``), every cell group is
+    ONE Arrow batch, and inside a cell one BLAS matmul scores
+    probers x primary-members (an expression-path candidate join at this
+    fan-out was measured in the minutes at 10x — 50M decimal-rounded
+    zip_with cosines). The kernel emits only candidates within
+    ``_NEG_SLACK`` of each row's k-th best raw cosine — the provable
+    superset of the rounded top-k (grid rounding moves a raw score by
+    < 5e-7) — and the authoritative round + rank happen JVM-side where
+    the oracle's half-up decimal grid is reproduced exactly."""
+    import pandas as pd
 
-    cent_rows, cells = _kmeans_cells_for(spark, sf_dir)
-    rows = sorted(cent_rows)
-    cls = [int(c) for c, _ in rows]
-    cvs = [[float(x) for x in v] for _, v in rows]
-    cnorms = [math.sqrt(sum(x * x for x in v)) for v in cvs]
-    aux = spark.createDataFrame(
-        [(cls, cvs, cnorms)],
-        "cls array<int>, cvs array<array<double>>, cnorms array<double>",
+    emb = _emb(spark, sf_dir)
+    cent_rows, _cells = _kmeans_cells_for(spark, sf_dir)
+    probed = _assign_topk(emb, cent_rows, KNN_PROBE, with_rank=True)
+
+    _empty = pd.DataFrame(
+        {
+            "src_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "raw_cosine": pd.Series(dtype="float64"),
+        }
     )
-    nv = _norm("v")
-    scored = F.transform(
-        F.col("cvs"),
-        lambda cv, i: F.struct(
-            round_dbl(
-                F.aggregate(
-                    F.zip_with("v", cv, lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / F.nullif(nv * F.element_at("cnorms", i + 1), F.lit(0.0)),
-                6,
-            ).alias("d"),
-            (-F.element_at("cls", i + 1)).alias("negcl"),
-        ),
-    )
-    # descending struct sort = max cosine first, min cl on ties (negcl)
-    probes = (
-        cells.crossJoin(F.broadcast(aux))
-        .select(
-            F.col("vec_id").alias("src_id"),
-            F.col("v").alias("sv"),
-            F.explode(
-                F.slice(F.reverse(F.array_sort(scored)), 1, KNN_PROBE)
-            ).alias("p"),
+
+    def _cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return _empty
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        primary = (pdf["crank"].to_numpy()[order]) == 1
+        if not primary.any():
+            return _empty
+        V = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        # candidates: PRIMARY members of this cell, excluding self (a
+        # neighbor is primary in exactly one cell, so no pair repeats
+        # across groups)
+        cand = primary[None, :] & ~np.eye(len(ids), dtype=bool)
+        masked = np.where(cand, S, -np.inf)
+        if masked.shape[1] > KNN_K:
+            kth = np.partition(masked, -KNN_K, axis=1)[:, -KNN_K]
+        else:
+            kth = np.full(masked.shape[0], -np.inf)
+        keep = cand & (S >= (kth - _NEG_SLACK)[:, None])
+        ii, jj = np.nonzero(keep)
+        if len(ii) == 0:
+            return _empty
+        return pd.DataFrame(
+            {
+                "src_id": ids[ii],
+                "neighbor_id": ids[jj],
+                "raw_cosine": S[ii, jj],
+            }
         )
-        .select(
-            "src_id", "sv", (-F.col("p.negcl")).cast("int").alias("probe_cell")
-        )
-    )
-    cand = probes.join(
-        cells.select(F.col("vec_id").alias("neighbor_id"), "cl", "v"),
-        (F.col("probe_cell") == F.col("cl"))
-        & (F.col("src_id") != F.col("neighbor_id")),
-    ).withColumn(
-        "cosine",
-        round_dbl(
-            _dot("sv", "v") / F.nullif(_norm("sv") * _norm("v"), F.lit(0.0)), 6
-        ),
+
+    pairs = probed.groupBy("cl").applyInPandas(
+        _cell_knn, "src_id long, neighbor_id long, raw_cosine double"
     )
     w = Window.partitionBy("src_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        cand.withColumn("knn_rank", F.row_number().over(w))
+        pairs.withColumn("cosine", round_dbl(F.col("raw_cosine"), 6))
+        .withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= KNN_K)
         .select("src_id", "knn_rank", "neighbor_id", "cosine")
     )
