@@ -1508,7 +1508,11 @@ SELECT query_id, probe_cell, neighbor_id, cosine, rank FROM (
 
 
 KNN_K = 3  # graph degree
-KNN_PROBE = 2  # cells probed per vector (SemDeDup's probe width)
+# cells probed per vector: a GRAPH wants search-grade recall (every row is
+# a query), so the width tracks the IVF search's recall-tuned probe, not
+# SemDeDup's pair-finding 2 — measured recall@3 vs brute force on this
+# corpus: 0.39/0.57/0.82 at probe 2/4/8; >=0.8 is test-locked
+KNN_PROBE = 8
 
 
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1556,24 +1560,27 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             return _empty
         V = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        S = Vn @ Vn.T
-        # candidates: PRIMARY members of this cell, excluding self (a
-        # neighbor is primary in exactly one cell, so no pair repeats
-        # across groups)
-        cand = primary[None, :] & ~np.eye(len(ids), dtype=bool)
-        masked = np.where(cand, S, -np.inf)
+        # candidates are the cell's PRIMARY members only (a neighbor is
+        # primary in exactly one cell, so no pair repeats across groups):
+        # score probers x members, not the full probers^2 block — the
+        # matrix is probe-factor smaller, which is what keeps per-group
+        # memory flat as the probe width grows
+        mem_idx = np.nonzero(primary)[0]
+        S = Vn @ Vn[mem_idx].T
+        self_mask = mem_idx[None, :] == np.arange(len(ids))[:, None]
+        masked = np.where(self_mask, -np.inf, S)
         if masked.shape[1] > KNN_K:
             kth = np.partition(masked, -KNN_K, axis=1)[:, -KNN_K]
         else:
             kth = np.full(masked.shape[0], -np.inf)
-        keep = cand & (S >= (kth - _NEG_SLACK)[:, None])
+        keep = (~self_mask) & (S >= (kth - _NEG_SLACK)[:, None])
         ii, jj = np.nonzero(keep)
         if len(ii) == 0:
             return _empty
         return pd.DataFrame(
             {
                 "src_id": ids[ii],
-                "neighbor_id": ids[jj],
+                "neighbor_id": ids[mem_idx[jj]],
                 "raw_cosine": S[ii, jj],
             }
         )

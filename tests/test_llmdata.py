@@ -80,6 +80,42 @@ def test_hyperplane_lsh_recall(spark, sf_correct):
     assert len(approx & exact) / len(exact) >= 0.3
 
 
+def test_knn_graph_recall(spark, sf_correct):
+    """The k-NN GRAPH must hold search-grade recall (every row is a
+    query): >= 0.8 of the exact brute-force top-K edges are present.
+    Measured 0.39/0.57/0.82 at probe 2/4/8 on this structure-free corpus
+    — KNN_PROBE=8 is the smallest width clearing the bar (same posture
+    as the IVF search's nprobe=10/16)."""
+    import numpy as np
+
+    from databricks_incremental_lakehouse_spark.llmdata.similarity import (
+        KNN_K,
+        sim_knn_graph,
+    )
+
+    got = {
+        (r.src_id, r.neighbor_id)
+        for r in sim_knn_graph(spark, sf_correct).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    np.fill_diagonal(S, -np.inf)
+    true = set()
+    for i in range(len(ids)):
+        for j in np.argsort(-S[i])[:KNN_K]:
+            true.add((int(ids[i]), int(ids[j])))
+    assert len(got & true) / len(true) >= 0.8
+
+
 def test_ivf_kmeans_recall(spark, sf_correct):
     """IVF recall >= 0.8 vs the exact top-k (VERDICT r6 #6). This corpus'
     embeddings have no cosine cluster structure (4% of exact top-5
