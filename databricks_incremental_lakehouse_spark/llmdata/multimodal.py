@@ -264,7 +264,12 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket self-join with one reused exchange, ``bit_count(xor)``
     verification. Candidate volume is bounded by band-bucket sizes, never
     all pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL-text docs have no payload to hash: excluded explicitly on BOTH
+    # engines (the oracle's byte CTE yields NULL n for them) rather than
+    # letting the kernel see a None payload
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     payloads = with_binary_payload(docs).select("doc_id", "payload")
     ph = payloads.mapInPandas(
         _extract_phash, schema="doc_id bigint, phash bigint"
@@ -319,7 +324,7 @@ ph AS (
                 THEN CAST(1 AS BIGINT) << i ELSE 0 END), 0)
             FROM (SELECT unnest(generate_series(0, {PHASH_BLOCKS - 1})) AS i)
         ) END AS BIGINT) AS phash
-    FROM b
+    FROM b WHERE n IS NOT NULL
 ),
 keyed AS (
     SELECT doc_id, phash, band,
