@@ -66,6 +66,7 @@ EXT_QUERIES = [
     "sim_ivf_topk",
     "sim_range_search",
     "sim_knn_graph",
+    "sim_bitext_mining",
     "sim_hyperplane_lsh",
     "text_stats",
     "text_langid",

@@ -1625,6 +1625,190 @@ SELECT src_id, knn_rank, neighbor_id, cosine FROM (
 ) WHERE knn_rank <= {KNN_K}"""
 
 
+BITEXT_K = 4  # neighbors per direction feeding the margin normalizer
+BITEXT_PROBE = 8  # search-grade probe width (the KNN_PROBE posture)
+BITEXT_ALIGNED_MARGIN = 1.05  # flag threshold: clearly above-typical match
+
+
+def sim_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk; the LASER/CCMatrix
+    construction behind mined parallel corpora): vectors split into two
+    groups by label parity (the declared stand-in for source/target
+    languages on this single-modal corpus), and every SOURCE vector is
+    paired with the TARGET vector maximizing the margin
+
+        margin(x, y) = cos(x, y) / ((nx + ny) / 2)
+
+    where ``nx``/``ny`` average each side's ``BITEXT_K`` best cross-group
+    cosines — the ratio-margin that suppresses hubs (a target close to
+    everything has a high normalizer, so raw-cosine hubness cannot win).
+    Output: one row per source anchor — its best pair, the margin, and
+    an ``is_aligned`` flag at ``BITEXT_ALIGNED_MARGIN``.
+
+    Scale shape: the cross-group edge set comes from the SAME cell-bounded
+    BLAS kernel as the k-NN graph / hard negatives (per-cell probers x
+    primary-members matmul, per-anchor k-th-with-slack superset — the
+    per-cell survivor set provably contains every global top-k edge);
+    normalizers are per-anchor averages of <= K grid-rounded cosines
+    (exact integer-grid sums, engine-identical); the margin itself is
+    plain arithmetic on already-rounded values. No all-pairs stage
+    anywhere."""
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    cent_rows, _cells = _kmeans_cells_for(spark, sf_dir)
+    probed = _assign_topk(
+        emb, cent_rows, BITEXT_PROBE, extra=("label",), with_rank=True
+    )
+
+    _empty = pd.DataFrame(
+        {
+            "src_id": pd.Series(dtype="int64"),
+            "src_group": pd.Series(dtype="int32"),
+            "dst_id": pd.Series(dtype="int64"),
+            "raw_cosine": pd.Series(dtype="float64"),
+        }
+    )
+
+    def _cell_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return _empty
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        group = (pdf["label"].to_numpy()[order] % 2).astype(np.int32)
+        primary = (pdf["crank"].to_numpy()[order]) == 1
+        mem_idx = np.nonzero(primary)[0]
+        if len(mem_idx) == 0:
+            return _empty
+        V = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn[mem_idx].T
+        # cross-group candidates only (and never self)
+        cross = group[mem_idx][None, :] != group[:, None]
+        cand = cross & (mem_idx[None, :] != np.arange(len(ids))[:, None])
+        masked = np.where(cand, S, -np.inf)
+        if masked.shape[1] > BITEXT_K:
+            kth = np.partition(masked, -BITEXT_K, axis=1)[:, -BITEXT_K]
+        else:
+            kth = np.full(masked.shape[0], -np.inf)
+        keep = cand & (S >= (kth - _NEG_SLACK)[:, None])
+        ii, jj = np.nonzero(keep)
+        if len(ii) == 0:
+            return _empty
+        return pd.DataFrame(
+            {
+                "src_id": ids[ii],
+                "src_group": group[ii],
+                "dst_id": ids[mem_idx[jj]],
+                "raw_cosine": S[ii, jj],
+            }
+        )
+
+    raw = probed.groupBy("cl").applyInPandas(
+        _cell_edges,
+        "src_id long, src_group int, dst_id long, raw_cosine double",
+    )
+    wk = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("dst_id").asc()
+    )
+    edges = (
+        raw.withColumn("cosine", round_dbl(F.col("raw_cosine"), 6))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= BITEXT_K)
+        .select("src_id", "src_group", "dst_id", "cosine")
+    )
+    norms = edges.groupBy(F.col("src_id").alias("n_id")).agg(
+        F.avg("cosine").alias("n_avg")
+    )
+    fwd = (
+        edges.filter(F.col("src_group") == 0)
+        .join(
+            F.broadcast(norms.select(F.col("n_id"), F.col("n_avg").alias("nx"))),
+            F.col("src_id") == F.col("n_id"),
+        )
+        .drop("n_id")
+        .join(
+            F.broadcast(norms.select(F.col("n_id"), F.col("n_avg").alias("ny"))),
+            F.col("dst_id") == F.col("n_id"),
+        )
+        .drop("n_id")
+        .withColumn(
+            "margin",
+            round_dbl(
+                F.col("cosine") / ((F.col("nx") + F.col("ny")) / F.lit(2.0)), 6
+            ),
+        )
+    )
+    wm = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("dst_id").asc()
+    )
+    return (
+        fwd.withColumn("mrk", F.row_number().over(wm))
+        .filter(F.col("mrk") == 1)
+        .select(
+            "src_id",
+            "dst_id",
+            "cosine",
+            "margin",
+            (F.col("margin") >= BITEXT_ALIGNED_MARGIN).alias("is_aligned"),
+        )
+    )
+
+
+SIM_BITEXT_ORACLE = f"""{_KMEANS_CELLS_WITH},
+p2c AS (
+    SELECT src_id, sv, src_group, cl AS probe_cell FROM (
+        SELECT s.vec_id AS src_id, s.v AS sv,
+            CAST(s.label % 2 AS INT) AS src_group, c.cl,
+            ROW_NUMBER() OVER (
+                PARTITION BY s.vec_id
+                ORDER BY {_CCOS_S} DESC, c.cl ASC
+            ) AS crank
+        FROM (SELECT vec_id, v, label FROM e) s
+        CROSS JOIN cent c
+    ) WHERE crank <= {BITEXT_PROBE}
+),
+cg AS (
+    SELECT cells.vec_id, cells.v, cells.cl,
+        CAST(e.label % 2 AS INT) AS grp
+    FROM cells JOIN e ON e.vec_id = cells.vec_id
+),
+edges AS (
+    SELECT src_id, src_group, dst_id, cosine FROM (
+        SELECT p.src_id, p.src_group, n.vec_id AS dst_id,
+            {_COS_SV} AS cosine,
+            ROW_NUMBER() OVER (
+                PARTITION BY p.src_id
+                ORDER BY {_COS_SV} DESC, n.vec_id ASC
+            ) AS rk
+        FROM p2c p
+        JOIN cg n ON n.cl = p.probe_cell AND n.vec_id <> p.src_id
+                 AND n.grp <> p.src_group
+    ) WHERE rk <= {BITEXT_K}
+),
+norms AS (SELECT src_id AS n_id, AVG(cosine) AS n_avg FROM edges GROUP BY 1),
+fwd AS (
+    SELECT edges.src_id, edges.dst_id, edges.cosine,
+        CAST(ROUND(CAST(edges.cosine / ((nx.n_avg + ny.n_avg) / 2.0)
+             AS DECIMAL(38,10)), 6) AS DOUBLE) AS margin
+    FROM edges
+    JOIN norms nx ON nx.n_id = edges.src_id
+    JOIN norms ny ON ny.n_id = edges.dst_id
+    WHERE edges.src_group = 0
+)
+SELECT src_id, dst_id, cosine, margin,
+       margin >= {BITEXT_ALIGNED_MARGIN} AS is_aligned
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY src_id ORDER BY margin DESC, dst_id ASC
+    ) AS mrk
+    FROM fwd
+) WHERE mrk = 1"""
+
+
 RANGE_TAU = 0.30  # cosine radius: every neighbor at least this similar
 
 
@@ -1692,6 +1876,7 @@ def register_all(register) -> None:
     register("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE)
     register("sim_range_search", sim_range_search, SIM_RANGE_ORACLE)
     register("sim_knn_graph", sim_knn_graph, SIM_KNN_GRAPH_ORACLE)
+    register("sim_bitext_mining", sim_bitext_mining, SIM_BITEXT_ORACLE)
     register("sim_ivf_topk_indexed", sim_ivf_topk_indexed, SIM_IVF_ORACLE)
     register("sim_ivf_append_search", sim_ivf_append_search, SIM_IVF_APPEND_ORACLE)
     register("sim_hard_negatives", sim_hard_negatives, SIM_HARD_NEG_ORACLE)
