@@ -215,6 +215,71 @@ FROM feats
 GROUP BY 1"""
 
 
+# --- resize -----------------------------------------------------------------
+
+RESIZE_PIXELS = 64  # target "image" size: 64 block-mean pixels per payload
+
+
+def fake_resize(payload: bytes) -> list[int]:
+    """Deterministic resize stand-in (decode stub, module docstring): the
+    payload's byte stream downsampled to ``RESIZE_PIXELS`` block-mean
+    pixels — the area-average (box-filter) resize every imaging library
+    implements, on bytes instead of decoded pixels. Pixel = floor of the
+    block's byte mean (exact integer arithmetic, oracle-replayable);
+    blocks emptied by a short payload yield 0."""
+    n = len(payload)
+    out = []
+    for k in range(RESIZE_PIXELS):
+        lo, hi = (k * n) // RESIZE_PIXELS, ((k + 1) * n) // RESIZE_PIXELS
+        out.append(sum(payload[lo:hi]) // (hi - lo) if hi > lo else 0)
+    return out
+
+
+def _extract_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, pos, px = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for k, v in enumerate(fake_resize(payload)):
+                ids.append(doc_id)
+                pos.append(k)
+                px.append(v)
+        yield pd.DataFrame({"doc_id": ids, "pos": pos, "pixel": px})
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIZE face of the multimodal brief (decode / feature-extract /
+    resize / frame-sample): every payload box-filtered to a fixed
+    ``RESIZE_PIXELS``-pixel thumbnail, emitted at per-pixel grain
+    (driver-hashable scalars, no array cells). The 1:64 expansion runs in
+    the Arrow-batched ``mapInPandas`` decode stage — cardinality-changing
+    like the frame sampler, payloads never shuffle (the expansion output
+    is metadata-sized)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    payloads = with_binary_payload(docs).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        _extract_resize, schema="doc_id bigint, pos int, pixel int"
+    )
+
+
+MULTIMODAL_RESIZE_ORACLE = f"""
+WITH b AS ({_BYTES_CTE})
+SELECT doc_id, CAST(k AS INT) AS pos,
+    CAST(CASE WHEN ((k + 1) * CAST(n AS BIGINT)) // {RESIZE_PIXELS}
+               > (k * CAST(n AS BIGINT)) // {RESIZE_PIXELS}
+         THEN CAST(list_sum(list_transform(generate_series(
+                  CAST((k * CAST(n AS BIGINT)) // {RESIZE_PIXELS} AS INT) + 1,
+                  CAST(((k + 1) * CAST(n AS BIGINT)) // {RESIZE_PIXELS} AS INT)),
+                  j -> bv[j])) AS BIGINT)
+              // (((k + 1) * CAST(n AS BIGINT)) // {RESIZE_PIXELS}
+                  - (k * CAST(n AS BIGINT)) // {RESIZE_PIXELS})
+         ELSE 0 END AS INT) AS pixel
+FROM b CROSS JOIN (
+    SELECT unnest(generate_series(0, {RESIZE_PIXELS - 1})) AS k)
+WHERE n IS NOT NULL"""
+
+
 # --- perceptual-hash near-dup over binary payloads -------------------------
 
 PHASH_BLOCKS = 32  # hash bits = payload byte-blocks compared to global mean
@@ -350,6 +415,7 @@ def register_all(register) -> None:
     register(
         "multimodal_phash_dedup", multimodal_phash_dedup, MULTIMODAL_PHASH_ORACLE
     )
+    register("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_ORACLE)
     register(
         "multimodal_feature_stats", multimodal_feature_stats, MULTIMODAL_STATS_ORACLE
     )

@@ -307,6 +307,7 @@ _CHECK_PRIORITY: list[str] = [
     "text_bigram_lm",  # new r8: interpolated bigram LM perplexity
     "multimodal_phash_dedup",  # new r8: banded perceptual-hash media dedup
     "sim_bitext_mining",  # new r8: margin-based parallel-pair mining
+    "multimodal_resize",  # new r8: box-filter resize face (per-pixel grain)
     # -- (2) carriers whose code changed since the r7 driver check ----------
     # shared tokenize/tf memo (tokmemo.py — r8's headline refactor) feeds
     # this whole family; every consumer re-verifies in-window:
@@ -357,7 +358,6 @@ _CHECK_PRIORITY: list[str] = [
     "gold_supplier_performance",
     "qc_referential_integrity",
     "qc_business_rules",
-    "bi_tpch_q4",
     "multimodal_feature_stats",
 ]
 
