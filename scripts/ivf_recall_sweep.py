@@ -1,10 +1,15 @@
 #!/usr/bin/env python
-"""Sweep IVF (KMEANS_ITERS, N_PROBE) for recall vs the exact top-k
-(VERDICT r6 #6): pick the smallest config clearing recall >= 0.8.
+"""Sweep IVF (nlist, iters, nprobe) for recall vs the exact top-k
+(VERDICT r6 #6; re-swept r9 for the sqrt(N) nlist dial): pick the
+smallest config clearing recall >= 0.8.
 
 Recall = |IVF pairs ∩ exact pairs| / |exact pairs| over the query set.
 Also times the search-only phase (probe over a prebuilt assignment) so
 the cost of raising nprobe is visible next to the recall it buys.
+
+With no explicit CONFIGS entry for a corpus size, the shipped dial is
+nlist = clamp(isqrt(N), 16, 4096) and nprobe = ceil(5/8 * nlist) — the
+`auto` row reports what production code will actually use at that SF.
 
 Usage: python scripts/ivf_recall_sweep.py [sf_dir ...]
 """
@@ -19,12 +24,13 @@ from databricks_incremental_lakehouse_spark.llmdata import similarity as S
 from databricks_incremental_lakehouse_spark.session import build_spark
 
 DIRS = sys.argv[1:] or ["/root/testdata/sf0.001"]
-# (nlist, iters, nprobe): the grid that produced the shipped (16, 2, 10)
-# choice — nlist varies too (the 8-cell grid maxes out at recall ~0.78
-# even probing half its cells on this cosine-random corpus)
+# (nlist, iters, nprobe): the grid around the shipped sqrt(N) dial; None
+# entries mean "what _nlist_for/_nprobe_for pick" (the auto config)
 CONFIGS = [
-    (8, 2, 2), (8, 2, 4), (8, 2, 5), (8, 2, 6), (8, 3, 5),
-    (10, 2, 7), (12, 2, 8), (16, 2, 10), (16, 2, 11), (16, 3, 10),
+    (None, 2, None),
+    (16, 2, 10), (16, 2, 11),
+    (22, 2, 12), (22, 2, 14), (22, 2, 16),
+    (32, 2, 20), (44, 2, 28),
 ]
 
 
@@ -37,19 +43,21 @@ def main() -> None:
             for r in S.sim_topk_bruteforce(spark, sf).collect()
         }
         for nlist, iters, nprobe in CONFIGS:
-            S.N_LIST, S.KMEANS_ITERS, S.N_PROBE = nlist, iters, nprobe
+            S.KMEANS_ITERS = iters
             t0 = time.time()
-            cent_rows, cells = S._kmeans_cells(S._emb(spark, sf))
+            cent_rows, cells, nl = S._kmeans_cells(S._emb(spark, sf), nlist)
+            np_ = nprobe if nprobe is not None else S._nprobe_for(nl)
             cells = cells.localCheckpoint(eager=True)  # isolate search cost
             t_build = time.time() - t0
             t0 = time.time()
             ivf = {
                 (r.query_id, r.neighbor_id)
-                for r in S._ivf_search(spark, sf, cent_rows, cells).collect()
+                for r in S._ivf_search(spark, sf, cent_rows, cells, np_).collect()
             }
             t_search = time.time() - t0
             print(json.dumps({
-                "sf": sf, "nlist": nlist, "iters": iters, "nprobe": nprobe,
+                "sf": sf, "nlist": nl, "iters": iters, "nprobe": np_,
+                "auto": nlist is None,
                 "recall": round(len(ivf & exact) / len(exact), 3),
                 "build_s": round(t_build, 2), "search_s": round(t_search, 2),
             }))

@@ -1083,7 +1083,7 @@ def test_sq8_store_codes_clamp_to_int8(spark, tmp_path):
         rows, "vec_id long, embedding array<float>, label string"
     ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
 
-    _cent, path = S._ivf_index(spark, sf)
+    _cent, path, _nlist = S._ivf_index(spark, sf)
     cells = spark.read.parquet(path).collect()
     assert cells
     hit_boundary = False
@@ -1300,7 +1300,7 @@ def test_ivf_append_ingests_without_rebuild(spark, sf_correct, tmp_path):
     emb = _emb(spark, sf_correct)
     base = emb.filter(F.col("vec_id") % ARRIVAL_MOD != 0)
     arrivals = emb.filter(F.col("vec_id") % ARRIVAL_MOD == 0)
-    cent_rows, cells = _kmeans_cells(base)
+    cent_rows, cells, _nlist = _kmeans_cells(base)
     path = str(tmp_path / "cells")
     cells.withColumn("scale", _sq8_scale("v")).withColumn(
         "codes", _sq8_codes("v", "scale")
@@ -1364,7 +1364,7 @@ def test_hard_negatives_match_python_reference(spark, sf_smoke):
     )
 
     emb = _emb(spark, sf_smoke)
-    cent_rows, _ = _kmeans_cells(emb)
+    cent_rows, _, _nlist = _kmeans_cells(emb)
     probed = _assign_topk(emb, cent_rows, SEMDEDUP_PROBE, extra=("label",))
     rows = probed.collect()
 
