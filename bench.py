@@ -338,6 +338,24 @@ def main() -> None:
         _noop(QUERIES["incr_customer_orders_refresh"](spark, sf_dir))
         record("ext.incr_customer_orders_update_only", time.time() - t0)
 
+    # Maintained token statistics (r9): the first call initializes the
+    # stats warehouse from the 90% base corpus (merge + change-feed
+    # drain); later calls re-ingest the pinned 10% arrival batch — the
+    # steady-state O(changes) maintenance cost a deployment pays per
+    # micro-batch. Both registry queries share one warehouse, so the
+    # bigram key never pays init.
+    t0 = time.time()
+    _noop(QUERIES["incr_token_stats_update_only"](spark, sf_dir))
+    once["once.incr_token_stats_init"] = round(time.time() - t0, 3)
+    for _rep in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["incr_token_stats_update_only"](spark, sf_dir))
+        record("ext.incr_token_stats_update_only", time.time() - t0)
+    for _rep in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["incr_bigram_stats_update_only"](spark, sf_dir))
+        record("ext.incr_bigram_stats_update_only", time.time() - t0)
+
     # Same isolation for the ANN index: first call builds + persists the
     # cl-partitioned cell store (shared by the plain and quantized
     # searches); later calls are the steady-state search-only cost.

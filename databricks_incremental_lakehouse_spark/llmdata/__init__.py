@@ -18,6 +18,7 @@ from . import (
     dedup,
     docquality,
     graph,
+    incrstats,
     multimodal,
     pii,
     sharding,
@@ -41,3 +42,4 @@ def register_all(register) -> None:
     sketches.register_all(register)
     graph.register_all(register)
     sharding.register_all(register)
+    incrstats.register_all(register)

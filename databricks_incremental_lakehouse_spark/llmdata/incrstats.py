@@ -1,0 +1,344 @@
+"""Incrementally-maintained token statistics (VERDICT r8 #2).
+
+:mod:`.tokmemo`'s tiers (per-doc term frequencies, document lengths,
+token document-frequencies, bigrams) are session-scoped recompute: every
+new session pays one full corpus scan before the first text statistic
+answers. At 100 TB that scan IS the pipeline — the lakehouse answer is
+to MAINTAIN the statistics as tables and let document changes update
+them in O(changes), never rescanning the corpus.
+
+This module builds exactly that on the existing merge machinery
+(:mod:`..streaming.incremental`):
+
+- ``postings``  — the (doc_id, token, tf) merge table, bucketed by
+  ``doc_id`` with a change data feed. A document update is a SCOPED
+  replace (the caller supplies the complete new image of each changed
+  doc), so vanished tokens emit ``delete`` change rows and new ones
+  ``insert`` — the Delta MERGE contract.
+- ``bigrams``   — the (doc_id, w1, w2, n) merge table, same contract.
+- ``tok_stats``    — (token, df, occurrences): the CDF aggregate of the
+  postings feed grouped by token (``n_rows`` of (doc,token) rows IS the
+  document frequency; ``sum(tf)`` the occurrence count).
+- ``doc_stats``    — (doc_id, n_unique_tokens, dl): the same feed
+  grouped by doc_id (``sum(tf)`` is the BM25 length normalizer).
+- ``bigram_stats`` — ((w1, w2), count): the bigrams feed aggregated.
+
+Every delta is a signed commutative sum (``apply_cdf_delta``), so the
+maintained tables equal the from-scratch batch aggregates after ANY
+interleaving of commits — which is precisely what the registry oracle
+asserts: ``incr_token_stats_update_only`` initializes from the 90%
+base corpus, ingests the late-arriving 10% through the merge + feed,
+and must hash-equal DuckDB's full-corpus GROUP BY.
+
+:func:`adopt_token_stats` seeds :mod:`..memo`'s shared-frame slots with
+reads of the maintained tables, so the tf/df/length/bigram consumers
+(BM25, TF-IDF, the bigram LM, vocab_topk) answer from the maintained
+warehouse instead of re-deriving the corpus scan — value-identity is
+asserted in tests/test_incrstats.py.
+
+Reference: the maintained-statistics twin of the reference's refined
+tables (src/refined/refined_customer_orders.py keeps query-ready
+aggregates current); the reference has no text surface — this is part
+of the LLM-training-data extension brief.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.incremental import (
+    apply_cdf_delta,
+    merge_upsert,
+    read_changelog,
+    read_cdf_totals,
+    read_merge_target,
+)
+from ..tables import load_table
+from .texthash import TOKENIZE_SQL, tokenize
+
+# late-arrival split: doc_id % ARRIVAL_MOD == 0 lands AFTER the initial
+# stats build (the sim_ivf_append_search convention)
+DOC_ARRIVAL_MOD = 10
+
+
+def _doc_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, token, tf) — the tokmemo ``doc_token_tf`` lineage over an
+    arbitrary document frame (NULL text contributes zero rows)."""
+    return (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2, n) — adjacent-pair counts per document, formed
+    shuffle-free from the token array (the tokmemo ``doc_bigrams``
+    lineage, pre-aggregated to the keyed grain the merge table needs)."""
+    return (
+        docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id", "s.w1", "s.w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _paths(root: str) -> dict[str, str]:
+    return {
+        "postings": os.path.join(root, "postings"),
+        "postings_log": os.path.join(root, "postings_log"),
+        "bigrams": os.path.join(root, "bigrams"),
+        "bigrams_log": os.path.join(root, "bigrams_log"),
+        "tok_stats": os.path.join(root, "tok_stats"),
+        "doc_stats": os.path.join(root, "doc_stats"),
+        "bigram_stats": os.path.join(root, "bigram_stats"),
+    }
+
+
+# per-target applied-commit watermark: commits AT OR BELOW it are already
+# folded into the aggregate. In-memory because the warehouse itself is a
+# session tempdir; a durable deployment would keep it in the aggregate's
+# meta sidecar (same recovery contract as the streaming checkpoint).
+_APPLIED: dict[tuple[str, str], int] = {}
+_LOCK = threading.Lock()
+
+
+def _drain(spark: SparkSession, root: str) -> None:
+    """Fold every unapplied feed commit into the aggregate tables — one
+    signed-delta pass per (feed, aggregate) pair over the NEW change rows
+    only (deltas commute, so all pending commits apply as one batch)."""
+    p = _paths(root)
+    plan = [
+        (p["postings_log"], p["tok_stats"], ["token"], ["tf"]),
+        (p["postings_log"], p["doc_stats"], ["doc_id"], ["tf"]),
+        (p["bigrams_log"], p["bigram_stats"], ["w1", "w2"], ["n"]),
+    ]
+    for log_dir, target, group_cols, sum_cols in plan:
+        changes = read_changelog(spark, log_dir)
+        top = changes.agg(F.max("commit")).collect()[0][0]
+        if top is None:
+            continue
+        with _LOCK:
+            applied = _APPLIED.get((root, target), -1)
+        if top <= applied:
+            continue
+        apply_cdf_delta(
+            changes.filter(F.col("commit") > applied).drop("commit"),
+            target,
+            group_cols,
+            sum_cols,
+        )
+        with _LOCK:
+            _APPLIED[(root, target)] = int(top)
+
+
+def init_token_stats(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Initial load: merge the base corpus' postings/bigrams (opening the
+    change feeds) and fold the feed into the aggregates."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % DOC_ARRIVAL_MOD != 0
+    )
+    apply_doc_updates(spark, root, docs)
+
+
+def apply_doc_updates(spark: SparkSession, root: str, docs: DataFrame) -> None:
+    """Ingest a batch of new/changed documents (complete images): scoped
+    merge into the postings/bigrams tables (updates replace a doc's rows
+    wholesale — vanished tokens become ``delete`` change rows), then fold
+    the resulting feed commits into the statistics tables. Cost is
+    O(changed docs' tokens): the corpus is never rescanned."""
+    p = _paths(root)
+    scope = docs.select("doc_id")
+    merge_upsert(
+        spark,
+        _doc_tf(docs),
+        p["postings"],
+        keys=["doc_id", "token"],
+        bucket_keys=["doc_id"],
+        scope=scope,
+        changelog_dir=p["postings_log"],
+    )
+    merge_upsert(
+        spark,
+        _doc_bigrams(docs),
+        p["bigrams"],
+        keys=["doc_id", "w1", "w2"],
+        bucket_keys=["doc_id"],
+        scope=scope,
+        changelog_dir=p["bigrams_log"],
+    )
+    _drain(spark, root)
+
+
+def token_stats(spark: SparkSession, root: str) -> DataFrame:
+    """(token, df, occurrences) — live rows of the maintained per-token
+    statistics (zero-count tombstones excluded)."""
+    return read_cdf_totals(spark, _paths(root)["tok_stats"]).select(
+        "token",
+        F.col("n_rows").alias("df"),
+        F.col("sum_tf").alias("occurrences"),
+    )
+
+
+def doc_stats(spark: SparkSession, root: str) -> DataFrame:
+    """(doc_id, n_unique_tokens, dl) — live per-document statistics."""
+    return read_cdf_totals(spark, _paths(root)["doc_stats"]).select(
+        "doc_id",
+        F.col("n_rows").alias("n_unique_tokens"),
+        F.col("sum_tf").alias("dl"),
+    )
+
+
+def bigram_stats(spark: SparkSession, root: str) -> DataFrame:
+    """(w1, w2, n_occurrences) — live maintained bigram counts."""
+    return read_cdf_totals(spark, _paths(root)["bigram_stats"]).select(
+        "w1", "w2", F.col("sum_n").alias("n_occurrences")
+    )
+
+
+def adopt_token_stats(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Seed the tokmemo shared-frame slots from the maintained tables, so
+    the session's text consumers (BM25, TF-IDF, bigram LM, vocab_topk)
+    answer from the warehouse instead of re-scanning the corpus. Frames
+    are rebuilt at the exact schemas/grains the tiers promise; the
+    integer-valued double sums cast back to their exact longs (sums of
+    longs below 2^53 are exact in IEEE doubles). Token-ORDER tiers
+    (``doc_tok_arrays``) are not derivable from postings and stay on the
+    scan path."""
+    from .. import memo
+
+    p = _paths(root)
+    postings = read_merge_target(spark, p["postings"]).select(
+        "doc_id", "token", "tf"
+    )
+    memo.seed(spark, ("llm_tok_tf", sf_dir), postings)
+    memo.seed(
+        spark,
+        ("llm_token_df", sf_dir),
+        token_stats(spark, root).select("token", F.col("df").cast("long")),
+    )
+    memo.seed(
+        spark,
+        ("llm_doc_len", sf_dir),
+        doc_stats(spark, root).select("doc_id", F.col("dl").cast("long").alias("dl")),
+    )
+    memo.seed(
+        spark,
+        ("llm_tokens", sf_dir),
+        postings.select(
+            "doc_id", F.explode(F.expr("array_repeat(token, CAST(tf AS INT))")).alias("token")
+        ),
+    )
+    memo.seed(
+        spark,
+        ("llm_bigrams", sf_dir),
+        read_merge_target(spark, p["bigrams"]).select(
+            "doc_id",
+            F.explode(F.expr("sequence(1, CAST(n AS INT))")).alias("_i"),
+            "w1",
+            "w2",
+        ).select("doc_id", "w1", "w2"),
+    )
+
+
+# --- registry surface -------------------------------------------------------
+
+# one maintained warehouse per (session, sf_dir)
+_WAREHOUSES: dict[tuple, str] = {}
+_WH_LOCK = threading.Lock()
+
+
+def _warehouse_for(spark: SparkSession, sf_dir: str) -> str:
+    from ..memo import _session_key
+
+    key = (_session_key(spark), sf_dir)
+    with _WH_LOCK:
+        root = _WAREHOUSES.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="tokstats_wh_")
+        init_token_stats(spark, sf_dir, root)
+        with _WH_LOCK:
+            _WAREHOUSES[key] = root
+    return root
+
+
+def incr_token_stats_update_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: maintained per-token statistics after ingesting
+    the late-arriving 10% of documents through the merge + change feed.
+    Re-runs re-merge the same batch — identical images produce
+    preimage/postimage pairs whose signed deltas cancel, so the steady
+    state is idempotent and each call times exactly the O(changes)
+    update path. The oracle is the from-scratch full-corpus aggregate:
+    incremental maintenance must be indistinguishable from rebuild."""
+    root = _warehouse_for(spark, sf_dir)
+    arrivals = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % DOC_ARRIVAL_MOD == 0
+    )
+    apply_doc_updates(spark, root, arrivals)
+    return token_stats(spark, root)
+
+
+INCR_TOKEN_STATS_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKENIZE_SQL.format(c="text")}) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+)
+SELECT token,
+    CAST(COUNT(*) AS BIGINT) AS df,
+    CAST(SUM(tf) AS DOUBLE) AS occurrences
+FROM tf GROUP BY token"""
+
+
+def incr_bigram_stats_update_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: maintained bigram counts after the same arrival
+    batch (shares the warehouse + merge with the token query; both feeds
+    drain in one pass)."""
+    root = _warehouse_for(spark, sf_dir)
+    arrivals = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % DOC_ARRIVAL_MOD == 0
+    )
+    apply_doc_updates(spark, root, arrivals)
+    return bigram_stats(spark, root)
+
+
+INCR_BIGRAM_STATS_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, {TOKENIZE_SQL.format(c="text")} AS t FROM documents
+),
+bg AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 2
+)
+SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS n_occurrences
+FROM bg GROUP BY w1, w2"""
+
+
+def register_all(register) -> None:
+    register(
+        "incr_token_stats_update_only",
+        incr_token_stats_update_only,
+        INCR_TOKEN_STATS_ORACLE,
+    )
+    register(
+        "incr_bigram_stats_update_only",
+        incr_bigram_stats_update_only,
+        INCR_BIGRAM_STATS_ORACLE,
+    )

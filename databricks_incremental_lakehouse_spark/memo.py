@@ -99,6 +99,26 @@ def shared_frame(
     return df
 
 
+def seed(spark: SparkSession, key: tuple | str, df: DataFrame) -> None:
+    """Pre-populate a shared-frame slot with an externally-built frame —
+    the adoption path for maintained tables (llmdata.incrstats seeds the
+    tokmemo tiers with warehouse reads so text consumers answer from the
+    maintained statistics instead of re-scanning the corpus). Replaces
+    any frame already in the slot. No-op when sharing is disabled (every
+    call rebuilds inline, so there is nothing to adopt into)."""
+    if not enabled():
+        return
+    full_key = (_session_key(spark), key)
+    with _LOCK:
+        old = _MEMO.get(full_key)
+        if old is not None:
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — context may already be gone
+                pass
+        _MEMO[full_key] = df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 # auxiliary caches elsewhere (e.g. the similarity codebook memo) register
 # a clearer so tests' memo.clear() releases their persisted blocks too
 _AUX_CLEARERS: list[Callable[[], None]] = []

@@ -296,69 +296,66 @@ _register_extensions()
 CHECK_WINDOW_SIZE = 50
 
 _CHECK_PRIORITY: list[str] = [
-    # -- (1) never verified in any round: the new r8 queries MUST sit
-    # inside the window (rotation gate tests/test_registry.py). All 24 r7
-    # additions went green in CORRECTNESS_r07 and rotate out. -------------
-    "tokenize_bpe_apply",  # new r8: BPE ENCODE side (frozen merge table)
-    "stream_attribution_last_touch",  # new r8: cross-batch streaming last-touch
-    "sim_range_search",  # new r8: IVF-pruned cosine radius search
-    "sim_knn_graph",  # new r8: corpus-wide approximate k-NN graph
-    "events_markov_transitions",  # new r8: behavioral transition matrix
-    "text_bigram_lm",  # new r8: interpolated bigram LM perplexity
-    "multimodal_phash_dedup",  # new r8: banded perceptual-hash media dedup
-    "sim_bitext_mining",  # new r8: margin-based parallel-pair mining
-    "multimodal_resize",  # new r8: box-filter resize face (per-pixel grain)
-    # -- (2) carriers whose code changed since the r7 driver check ----------
-    # shared tokenize/tf memo (tokmemo.py — r8's headline refactor) feeds
-    # this whole family; every consumer re-verifies in-window:
-    "search_bm25_topk",
-    "vocab_bpe_merges",
-    "vocab_topk",
-    "text_tfidf_topterms",
-    "text_unigram_logprob",
-    "text_ccnet_buckets",
-    "text_langid",
-    "vocab_pmi_topk",
-    "dedup_simhash",
-    "sketch_cms_heavy_hitters",
-    # shared raw-corpus shingle memo (dedup.doc_shingles_ex) consumers:
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_minhash_lsh",
-    "dedup_containment",
-    "text_decontamination",
-    "text_boilerplate_report",
-    "corpus_curate",
-    "corpus_curate_canonical",
-    "corpus_curate_report",
-    "dedup_clusters",
-    "dedup_canonical_selection",
-    "corpus_split_assign",
-    # asof_join NULL-ts guard (ADVICE r7) consumers:
-    "events_asof_join",
-    "events_attribution_last_touch",
-    "scd2_point_in_time_purchases",
-    # merge sidecar atomic-write / staged-promote / forced-nullable
-    # (ADVICE r7) — merge-target consumers re-verify:
-    "incr_monthly_trends_refresh",
-    "incr_customer_orders_refresh",
-    "stream_scd2_history",
-    "scd2_user_tier_history",
-    "stream_user_totals",
+    # -- (1) never verified in any round: the new r9 queries MUST sit
+    # inside the window (rotation gate tests/test_registry.py). All 9 r8
+    # additions went green in CORRECTNESS_r08 and rotate out. -------------
+    "incr_token_stats_update_only",  # new r9: maintained token statistics
+    "incr_bigram_stats_update_only",  # new r9: maintained bigram counts
+    # -- (2) carriers whose code changed since their last driver check ------
+    # the sqrt(N) nlist dial + BLAS centroid assignment (similarity.py r9)
+    # restructured the whole IVF family; every consumer re-verifies:
+    "sim_ivf_topk",
+    "sim_ivf_topk_indexed",
+    "sim_ivf_append_search",
+    "sim_ivf_topk_quantized",
+    "sim_range_search",
+    "sim_knn_graph",
+    "sim_bitext_mining",
+    "sim_hard_negatives",
+    "dedup_semantic",
     # -- (3) regression pickets: ever-green, high-coverage carriers rotated
-    # back oldest-verified-first (q4-q12 replace r7's q1/q3/q5/q21/q22);
-    # everything else stays registered and rotates in future rounds
-    "silver_order_details",
-    "silver_customer_orders",
-    "silver_supplier_parts",
-    "bronze_lineitem",
-    "gold_customer_lifetime_value",
-    "gold_revenue_by_region",
-    "gold_monthly_sales_trends",
-    "gold_supplier_performance",
-    "qc_referential_integrity",
-    "qc_business_rules",
-    "multimodal_feature_stats",
+    # back oldest-verified-first (last green r3/r4/early-r5 — every r8-green
+    # carrier rotates out); everything else stays registered and rotates in
+    # future rounds
+    "bronze_nation",
+    "bronze_region",
+    "bi_regional_revenue_1998",
+    "bi_monthly_trend_series",
+    "qc_freshness",
+    "sample_stratified",
+    "sample_stratified_counts",
+    "sample_temperature",
+    "bronze_orders",
+    "bronze_customers",
+    "bronze_suppliers",
+    "bronze_parts",
+    "bronze_partsupp",
+    "qc_revenue_anomaly",
+    "text_length_quantiles",
+    "dedup_substring_spans",
+    "dedup_substring_clean",
+    "pack_sequences",
+    "text_chunk_overlap",
+    "sample_temperature_rates",
+    "sim_topk_bruteforce",
+    "sim_hyperplane_lsh",
+    "sim_topk_vectorized",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "sketch_hll_distinct",
+    "sketch_histogram_quantiles",
+    "events_tumbling_hourly",
+    "events_sliding_windows",
+    "events_session_windows",
+    "events_deduped",
+    "events_json_props",
+    "events_rolling_5min",
+    "events_in_error_windows",
+    "events_funnel",
+    "events_retention",
+    "bi_strategic_suppliers",
+    "bi_tpch_q6",
+    "bi_tpch_q10",
 ]
 
 
