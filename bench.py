@@ -473,6 +473,10 @@ def main() -> None:
         run_corpus_curation,
     )
 
+    with tempfile.TemporaryDirectory() as tmp:  # untimed warm-up rep (plan
+        # compile + codegen of the 4 stage shapes — every other ext key
+        # gets one; this key's r8 regression was mostly its absence)
+        run_corpus_curation(spark, sf_dir, os.path.join(tmp, "curated"))
     for _rep in range(REPS):
         with tempfile.TemporaryDirectory() as tmp:
             t0 = time.time()

@@ -50,16 +50,51 @@ def run_corpus_curation(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> dict:
     """Run the curation DAG; returns per-stage results (status/elapsed)."""
+    from pyspark.sql.types import StructField, StructType
+
     results: dict = {}
     flags_path = os.path.join(out_dir, "flags")
     corpus_path = os.path.join(out_dir, "corpus")
     report_path = os.path.join(out_dir, "report")
     packed_path = os.path.join(out_dir, "packed")
 
+    # per-run written-schema capture (the pipelines.runner._schema_registry
+    # discipline): the writing stage holds the exact schema, so read-backs
+    # never pay partition discovery + footer inference — on a deployment
+    # this is the catalog. Fields forced nullable (reader must not inherit
+    # the writer's non-null lit() assertion).
+    schemas: dict[str, StructType] = {}
+
+    # file-count-targeted writes (the Delta optimizeWrite analogue): every
+    # stage output here is doc-grain or smaller, and a KB-scale table
+    # scattered into defaultParallelism footer-dominated files pays ~0.1s
+    # of commit-protocol renames per write for nothing. The target adapts
+    # to the CORPUS size (the session-cached n_docs scalar — no extra
+    # job), so a billion-doc corpus keeps full write parallelism and only
+    # genuinely small outputs coalesce.
+    from .tokmemo import corpus_n_docs
+
+    n_docs = corpus_n_docs(spark, sf_dir)
+    _rows_per_file = 100_000
+
+    def _sized(df: DataFrame) -> DataFrame:
+        cap = spark.sparkContext.defaultParallelism
+        n = max(1, min(cap, -(-n_docs // _rows_per_file)))
+        return df.coalesce(n) if n < cap else df
+
+    def _record(path: str, df: DataFrame) -> DataFrame:
+        schemas[path] = StructType(
+            [StructField(f.name, f.dataType, True, f.metadata) for f in df.schema.fields]
+        )
+        return df
+
+    def _read_back(path: str) -> DataFrame:
+        return spark.read.schema(schemas[path]).parquet(path)
+
     _run_stage(
         results,
         "curate_flags",
-        lambda: corpus_curate(spark, sf_dir)
+        lambda: _sized(_record(flags_path, corpus_curate(spark, sf_dir)))
         .write.mode("overwrite")
         .parquet(flags_path),
     )
@@ -67,19 +102,22 @@ def run_corpus_curation(
 
     def _corpus() -> None:
         kept = (
-            spark.read.parquet(flags_path)
+            _read_back(flags_path)
             .filter(F.col("is_kept"))
             .select("doc_id")
         )
-        (
-            load_table(spark, sf_dir, "documents")
-            .join(kept, "doc_id")
-            .write.mode("overwrite")
-            .parquet(corpus_path)
+        out = load_table(spark, sf_dir, "documents").join(
+            # kept ids are a tiny fraction of an already doc-grain table —
+            # broadcast beats a two-sided shuffle at any corpus size
+            F.broadcast(kept),
+            "doc_id",
+        )
+        _sized(_record(corpus_path, out)).write.mode("overwrite").parquet(
+            corpus_path
         )
 
     def _report() -> None:
-        flags = spark.read.parquet(flags_path)
+        flags = _read_back(flags_path)
         (
             flags.agg(
                 F.count(F.lit(1)).alias("n_docs"),
@@ -102,8 +140,8 @@ def run_corpus_curation(
     _run_stage(
         results,
         "packed_sequences",
-        lambda: pack_sequences(
-            spark, sf_dir, docs=spark.read.parquet(corpus_path)
+        lambda: _sized(
+            pack_sequences(spark, sf_dir, docs=_read_back(corpus_path))
         )
         .write.mode("overwrite")
         .parquet(packed_path),
