@@ -405,6 +405,111 @@ def qc_freshness_oracle_sql() -> str:
 
 # --- orchestration --------------------------------------------------------
 
+def _fused_report(
+    spark: SparkSession,
+    sf_dir: str,
+    src: dict[str, DataFrame],
+    now: str | None = None,
+) -> DataFrame:
+    """The whole scalar battery as ONE aggregate per source table.
+
+    The family functions above are the per-family audit surfaces (each is
+    its own oracle-checked registry query), but union-ing them re-scans
+    every table once per family — ``order_details`` was read 7 times per
+    pipeline QC stage (count + null + 4 rules + freshness), and the 34
+    single-branch aggregates cost ~0.7 s of driver plan build + ~1.4 s of
+    execution per run at ANY data size. Here each table contributes one
+    aggregate computing all of its scalar metrics (count-stars and
+    max-timestamps still answer from parquet footer stats), unpivoted to
+    the same labeled rows with an ``explode``; the referential-integrity
+    anti-joins keep their own branches (they are joins, not per-table
+    scalars). Row set identical to the family union — asserted in
+    tests/test_pipeline.py."""
+    now_expr = (
+        F.current_timestamp() if now is None else F.lit(now).cast("timestamp")
+    )
+    branches = []
+    for name, df in src.items():
+        if df is None:
+            continue
+        metrics: list[tuple[str, str, object]] = [
+            ("Row Count", name, F.count(F.lit(1)))
+        ]
+        metrics += [
+            ("Null Check", label, F.count(F.when(F.col(col).isNull(), 1)))
+            for label, table, col in _NULL_CHECKS
+            if table == name
+        ]
+        if name == "silver.order_details":
+            metrics += [
+                ("Business Rule", label, F.count(F.when(F.expr(viol), 1)))
+                for label, viol in _RULES
+            ]
+        if name == "silver.customer_orders":
+            metrics += [
+                (
+                    "Business Rule",
+                    "customer_orders.fulfillment_rate in [0,100]",
+                    F.count(
+                        F.when(
+                            (F.col("fulfillment_rate") < 0)
+                            | (F.col("fulfillment_rate") > 100),
+                            1,
+                        )
+                    ),
+                ),
+                (
+                    "Business Rule",
+                    "customer_orders.customer_segment not null",
+                    F.count(F.when(F.col("customer_segment").isNull(), 1)),
+                ),
+            ]
+        ts_col = "_ingested_at" if name.startswith("bronze.") else "_refined_at"
+        if ts_col not in df.columns:
+            df = df.withColumn(ts_col, now_expr)
+        metrics.append(
+            (
+                "Freshness",
+                name,
+                F.unix_timestamp(now_expr) - F.unix_timestamp(F.max(ts_col)),
+            )
+        )
+        agged = df.agg(
+            *[expr.cast("long").alias(f"_m{i}") for i, (_, _, expr) in enumerate(metrics)]
+        )
+        branches.append(
+            agged.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(ctype).alias("check_type"),
+                                F.lit(label).alias("check_name"),
+                                F.col(f"_m{i}").alias("value"),
+                            )
+                            for i, (ctype, label, _) in enumerate(metrics)
+                        ]
+                    )
+                ).alias("r")
+            ).select("r.check_type", "r.check_name", "r.value")
+        )
+    branches.append(
+        qc_referential_integrity(spark, sf_dir, src).select(
+            "check_type", "check_name", "value"
+        )
+    )
+    report = reduce(DataFrame.unionAll, branches)
+    return _status(
+        report,
+        F.when(F.col("check_type") == "Row Count", F.col("value") > 0)
+        .when(
+            F.col("check_type") == "Freshness",
+            F.col("value") <= FRESHNESS_SLO_HOURS * 3600,
+        )
+        .otherwise(F.col("value") == 0),
+    )
+
+
 def run_all_checks(
     spark: SparkSession,
     sf_dir: str,
@@ -415,18 +520,12 @@ def run_all_checks(
     raises — data_quality_checks.py:144 — which we treat as a bug).
 
     ``sources``: materialized warehouse tables from the pipeline runner;
-    resolved once here so all four families share them."""
+    resolved once here so all families share them. The battery executes
+    as the FUSED one-aggregate-per-table plan (:func:`_fused_report` —
+    same labeled rows as the per-family union, a fraction of the scans
+    and plan size)."""
     src = qc_sources(spark, sf_dir, sources)
-    report = reduce(
-        DataFrame.unionAll,
-        [
-            qc_row_counts(spark, sf_dir, src),
-            qc_null_checks(spark, sf_dir, src),
-            qc_referential_integrity(spark, sf_dir, src),
-            qc_business_rules(spark, sf_dir, src),
-            qc_freshness(spark, sf_dir, src),
-        ],
-    )
+    report = _fused_report(spark, sf_dir, src)
     # Always execute the report (the reference always displays it —
     # data_quality_checks.py:144); it is ~20 labeled scalar rows.
     failures = [r for r in report.collect() if r.status == "FAIL"]

@@ -135,3 +135,40 @@ def test_revenue_anomaly_zscore(spark, sf_correct):
         assert r.is_anomaly == (abs(r.z_score) > ANOMALY_Z)
         flagged += r.is_anomaly
     assert 0 < flagged < len(rows)
+
+
+def test_fused_qc_equals_family_union(spark, sf_correct):
+    """The fused one-aggregate-per-table QC plan must emit exactly the
+    per-family union's labeled rows (pinned `now` so freshness values
+    cannot straddle a wall-clock second between the two computations)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from databricks_incremental_lakehouse_spark.constants import QC_AS_OF_NOW
+    from databricks_incremental_lakehouse_spark.quality.checks import (
+        _fused_report,
+        qc_business_rules,
+        qc_freshness,
+        qc_null_checks,
+        qc_referential_integrity,
+        qc_row_counts,
+        qc_sources,
+    )
+
+    src = qc_sources(spark, sf_correct)
+    union = reduce(
+        DataFrame.unionAll,
+        [
+            qc_row_counts(spark, sf_correct, src),
+            qc_null_checks(spark, sf_correct, src),
+            qc_referential_integrity(spark, sf_correct, src),
+            qc_business_rules(spark, sf_correct, src),
+            qc_freshness(spark, sf_correct, src, now=QC_AS_OF_NOW),
+        ],
+    )
+    fused = _fused_report(spark, sf_correct, src, now=QC_AS_OF_NOW)
+    u = {tuple(r) for r in union.collect()}
+    f = {tuple(r) for r in fused.collect()}
+    assert f == u
+    assert len(f) == len(union.collect())
