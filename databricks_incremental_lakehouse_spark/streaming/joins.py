@@ -162,16 +162,19 @@ def _drained_join(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
             os.path.join(sf_dir, "events.parquet"),
             os.path.join(src, "events.parquet"),
         )
-        q = view_purchase_join_stream(
-            spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt"),
-            how=how,
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "view_purchase_join_stream did not drain within 300s; "
-                "refusing to read a partial sink"
+        from .tuning import state_sized_shuffle
+
+        with state_sized_shuffle(spark):
+            q = view_purchase_join_stream(
+                spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt"),
+                how=how,
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "view_purchase_join_stream did not drain within 300s; "
+                    "refusing to read a partial sink"
+                )
         target = os.path.join(root, "target")
         _JOIN_TARGETS[(sf_dir, how)] = target
     return spark.read.parquet(target)

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from .incremental import merge_upsert, read_merge_target
+from .tuning import state_sized_shuffle
 
 TIER_MOD = 4  # distinct tracked-attribute values: tier in {0..3}
 
@@ -409,20 +410,21 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(src, "events.parquet"),
         )
         target_path = os.path.join(root, "target")
-        q = incremental_scd2_stream(
-            spark, src, target_path, os.path.join(root, "ckpt"), transform=_obs_of
-        )
-        try:
-            drained = q.awaitTermination(300)
-        except Exception:
-            q.stop()  # don't leak an active query holding the state store
-            raise
-        if not drained:
-            q.stop()
-            raise TimeoutError(
-                "incremental_scd2_stream did not drain within 300s; "
-                "refusing to read a partial merge target"
+        with state_sized_shuffle(spark):
+            q = incremental_scd2_stream(
+                spark, src, target_path, os.path.join(root, "ckpt"), transform=_obs_of
             )
+            try:
+                drained = q.awaitTermination(300)
+            except Exception:
+                q.stop()  # don't leak an active query holding the state store
+                raise
+            if not drained:
+                q.stop()
+                raise TimeoutError(
+                    "incremental_scd2_stream did not drain within 300s; "
+                    "refusing to read a partial merge target"
+                )
         target = target_path
         _SCD2_STREAM_TARGETS[sf_dir] = target
     return read_merge_target(spark, target).select(*_HISTORY_COLS)

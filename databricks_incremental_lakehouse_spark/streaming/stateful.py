@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .incremental import merge_upsert
+from .tuning import state_sized_shuffle
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql.streaming import StreamingQuery
@@ -140,19 +141,20 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(sf_dir, "events.parquet"),
             os.path.join(src, "events.parquet"),
         )
-        q = stateful_user_totals_stream(
-            spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
-        )
-        # ADVICE r4: a timed-out (still-running) drain would read a partial
-        # merge target AND memoize its path, silently serving wrong results
-        # for the rest of the session — raise instead, and memoize only
-        # after a confirmed drain.
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "stateful_user_totals_stream did not drain within 300s; "
-                "refusing to read a partial merge target"
+        with state_sized_shuffle(spark):
+            q = stateful_user_totals_stream(
+                spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
             )
+            # ADVICE r4: a timed-out (still-running) drain would read a partial
+            # merge target AND memoize its path, silently serving wrong results
+            # for the rest of the session — raise instead, and memoize only
+            # after a confirmed drain.
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "stateful_user_totals_stream did not drain within 300s; "
+                    "refusing to read a partial merge target"
+                )
         target = os.path.join(root, "target")
         _STREAM_TARGETS[sf_dir] = target
     return read_merge_target(spark, target).select(
@@ -325,15 +327,16 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(sf_dir, "events.parquet"),
             os.path.join(src, "events.parquet"),
         )
-        q = stateful_funnel_stream(
-            spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "stateful_funnel_stream did not drain within 300s; "
-                "refusing to read a partial merge target"
+        with state_sized_shuffle(spark):
+            q = stateful_funnel_stream(
+                spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "stateful_funnel_stream did not drain within 300s; "
+                    "refusing to read a partial merge target"
+                )
         target = os.path.join(root, "target")
         _FUNNEL_TARGETS[sf_dir] = target
     return read_merge_target(spark, target).select(
@@ -447,15 +450,16 @@ def stream_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(sf_dir, "events.parquet"),
             os.path.join(src, "events.parquet"),
         )
-        q = stateful_retention_stream(
-            spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "stateful_retention_stream did not drain within 300s; "
-                "refusing to read a partial merge target"
+        with state_sized_shuffle(spark):
+            q = stateful_retention_stream(
+                spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "stateful_retention_stream did not drain within 300s; "
+                    "refusing to read a partial merge target"
+                )
         target = os.path.join(root, "target")
         _RETENTION_TARGETS[sf_dir] = target
     per_user = read_merge_target(spark, target).select(

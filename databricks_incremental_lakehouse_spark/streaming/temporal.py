@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..operators import round_dbl
 from ..operators.skew import SKEW_SHARE_THRESHOLD, salted_join, top_key_share
 from ..tables import load_table
+from .tuning import state_sized_shuffle
 
 _EVENTS_ORACLE_VIEW = (
     "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props "
@@ -703,24 +704,25 @@ def stream_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             os.utime(dst, (base + i, base + i))
         shutil.rmtree(tmp)
         credits_path = os.path.join(root, "credits")
-        q = incremental_attribution_stream(
-            spark,
-            src,
-            credits_path,
-            os.path.join(root, "clicks"),
-            os.path.join(root, "ckpt"),
-        )
-        try:
-            drained = q.awaitTermination(300)
-        except Exception:
-            q.stop()
-            raise
-        if not drained:
-            q.stop()
-            raise TimeoutError(
-                "incremental_attribution_stream did not drain within 300s; "
-                "refusing to read a partial credits store"
+        with state_sized_shuffle(spark):
+            q = incremental_attribution_stream(
+                spark,
+                src,
+                credits_path,
+                os.path.join(root, "clicks"),
+                os.path.join(root, "ckpt"),
             )
+            try:
+                drained = q.awaitTermination(300)
+            except Exception:
+                q.stop()
+                raise
+            if not drained:
+                q.stop()
+                raise TimeoutError(
+                    "incremental_attribution_stream did not drain within 300s; "
+                    "refusing to read a partial credits store"
+                )
         target = credits_path
         _ATTR_STREAM_TARGETS[sf_dir] = target
     return (

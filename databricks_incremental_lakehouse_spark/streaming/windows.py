@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..operators import round_dbl
 from ..tables import load_table
+from .tuning import state_sized_shuffle
 
 _EVENTS_ORACLE_VIEW = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
 
@@ -231,20 +232,21 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(sf_dir, "events.parquet"),
             os.path.join(src, "events.parquet"),
         )
-        q = tumbling_hourly_stream(
-            spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
-        )
-        try:
-            drained = q.awaitTermination(300)
-        except Exception:
-            q.stop()
-            raise
-        if not drained:
-            q.stop()
-            raise TimeoutError(
-                "tumbling_hourly_stream did not drain within 300s; "
-                "refusing to read a partial sink"
+        with state_sized_shuffle(spark):
+            q = tumbling_hourly_stream(
+                spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
             )
+            try:
+                drained = q.awaitTermination(300)
+            except Exception:
+                q.stop()
+                raise
+            if not drained:
+                q.stop()
+                raise TimeoutError(
+                    "tumbling_hourly_stream did not drain within 300s; "
+                    "refusing to read a partial sink"
+                )
         target = os.path.join(root, "target")
         _TUMBLING_TARGETS[sf_dir] = target
     return spark.read.parquet(target)
@@ -300,20 +302,21 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(sf_dir, "events.parquet"),
             os.path.join(src, "events.parquet"),
         )
-        q = sliding_windows_stream(
-            spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
-        )
-        try:
-            drained = q.awaitTermination(300)
-        except Exception:
-            q.stop()
-            raise
-        if not drained:
-            q.stop()
-            raise TimeoutError(
-                "sliding_windows_stream did not drain within 300s; "
-                "refusing to read a partial sink"
+        with state_sized_shuffle(spark):
+            q = sliding_windows_stream(
+                spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
             )
+            try:
+                drained = q.awaitTermination(300)
+            except Exception:
+                q.stop()
+                raise
+            if not drained:
+                q.stop()
+                raise TimeoutError(
+                    "sliding_windows_stream did not drain within 300s; "
+                    "refusing to read a partial sink"
+                )
         target = os.path.join(root, "target")
         _SLIDING_TARGETS[sf_dir] = target
     return spark.read.parquet(target)
@@ -441,20 +444,21 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(sf_dir, "events.parquet"),
             os.path.join(src, "events.parquet"),
         )
-        q = session_windows_stream(
-            spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
-        )
-        try:
-            drained = q.awaitTermination(300)
-        except Exception:
-            q.stop()  # don't leak an active query holding the state store
-            raise
-        if not drained:
-            q.stop()
-            raise TimeoutError(
-                "session_windows_stream did not drain within 300s; "
-                "refusing to read a partial sink"
+        with state_sized_shuffle(spark):
+            q = session_windows_stream(
+                spark, src, os.path.join(root, "target"), os.path.join(root, "ckpt")
             )
+            try:
+                drained = q.awaitTermination(300)
+            except Exception:
+                q.stop()  # don't leak an active query holding the state store
+                raise
+            if not drained:
+                q.stop()
+                raise TimeoutError(
+                    "session_windows_stream did not drain within 300s; "
+                    "refusing to read a partial sink"
+                )
         target = os.path.join(root, "target")
         _SESSION_TARGETS[sf_dir] = target
     return spark.read.parquet(target)
@@ -578,24 +582,25 @@ def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .dropDuplicatesWithinWatermark(["event_id"])
         )
         target = os.path.join(root, "target")
-        q = (
-            stream.writeStream.format("parquet")
-            .option("path", target)
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            drained = q.awaitTermination(300)
-        except Exception:
-            q.stop()  # don't leak an active query holding the state store
-            raise
-        if not drained:
-            q.stop()
-            raise TimeoutError(
-                "stream_dedup_redelivery did not drain within 300s; "
-                "refusing to read a partial sink"
+        with state_sized_shuffle(spark):
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", target)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
             )
+            try:
+                drained = q.awaitTermination(300)
+            except Exception:
+                q.stop()  # don't leak an active query holding the state store
+                raise
+            if not drained:
+                q.stop()
+                raise TimeoutError(
+                    "stream_dedup_redelivery did not drain within 300s; "
+                    "refusing to read a partial sink"
+                )
         _STREAM_DEDUP_TARGETS[sf_dir] = target
     return spark.read.parquet(target).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
