@@ -356,6 +356,14 @@ def main() -> None:
         _noop(QUERIES["incr_bigram_stats_update_only"](spark, sf_dir))
         record("ext.incr_bigram_stats_update_only", time.time() - t0)
 
+    t0 = time.time()
+    _noop(QUERIES["incr_curate_report_update_only"](spark, sf_dir))
+    once["once.incr_curate_rollup_init"] = round(time.time() - t0, 3)
+    for _rep in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["incr_curate_report_update_only"](spark, sf_dir))
+        record("ext.incr_curate_report_update_only", time.time() - t0)
+
     # Same isolation for the ANN index: first call builds + persists the
     # cl-partitioned cell store (shared by the plain and quantized
     # searches); later calls are the steady-state search-only cost.

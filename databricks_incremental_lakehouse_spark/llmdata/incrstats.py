@@ -106,6 +106,10 @@ def _paths(root: str) -> dict[str, str]:
         "tok_stats": os.path.join(root, "tok_stats"),
         "doc_stats": os.path.join(root, "doc_stats"),
         "bigram_stats": os.path.join(root, "bigram_stats"),
+        "registry": os.path.join(root, "registry"),
+        "doc_flags": os.path.join(root, "doc_flags"),
+        "doc_flags_log": os.path.join(root, "doc_flags_log"),
+        "curate_rollup": os.path.join(root, "curate_rollup"),
     }
 
 
@@ -257,20 +261,26 @@ def adopt_token_stats(spark: SparkSession, sf_dir: str, root: str) -> None:
 
 # --- registry surface -------------------------------------------------------
 
-# one maintained warehouse per (session, sf_dir)
+# one maintained warehouse per (session, sf_dir, kind)
 _WAREHOUSES: dict[tuple, str] = {}
 _WH_LOCK = threading.Lock()
 
 
-def _warehouse_for(spark: SparkSession, sf_dir: str) -> str:
+def _warehouse_for(spark: SparkSession, sf_dir: str, kind: str = "token") -> str:
     from ..memo import _session_key
 
-    key = (_session_key(spark), sf_dir)
+    key = (_session_key(spark), sf_dir, kind)
     with _WH_LOCK:
         root = _WAREHOUSES.get(key)
     if root is None:
-        root = tempfile.mkdtemp(prefix="tokstats_wh_")
-        init_token_stats(spark, sf_dir, root)
+        root = tempfile.mkdtemp(prefix=f"{kind}stats_wh_")
+        base = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % DOC_ARRIVAL_MOD != 0
+        )
+        if kind == "token":
+            apply_doc_updates(spark, root, base)
+        else:
+            apply_curation_docs(spark, root, base)
         with _WH_LOCK:
             _WAREHOUSES[key] = root
     return root
@@ -331,6 +341,181 @@ SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS n_occurrences
 FROM bg GROUP BY w1, w2"""
 
 
+# --- maintained curation rollup (VERDICT r8 #6) -----------------------------
+#
+# The incremental curation front door (incremental_curated_corpus_stream)
+# maintains the keep-first content registry but not the downstream audit
+# rollup — a release-notes table had to rescan everything. Here the
+# per-document curation outcome (gopher gate + keep-first admission) is
+# itself a maintained merge table with a change feed, and the
+# per-(source, lang) funnel rollup is its CDF aggregate: a document batch
+# costs O(batch) gate evaluation + a bucket-pruned registry probe + one
+# signed-delta fold. Redelivered identical images produce
+# preimage/postimage pairs whose deltas cancel (idempotent); admitted
+# flags of earlier documents never change because keep-first admission is
+# monotone — the first accepted copy keeps its slot forever.
+
+
+def _curation_flags(spark: SparkSession, root: str, docs: DataFrame) -> DataFrame:
+    """(doc_id, source, lang, pass_gopher, admitted) for a batch of
+    complete document images, AFTER merging accepted content into the
+    keep-first registry. ``admitted`` = this doc is the registry's kept
+    copy of its content (true exactly for first accepted arrivals)."""
+    from .docquality import gopher_flags
+
+    p = _paths(root)
+    flagged = (
+        gopher_flags(docs)
+        .select("doc_id", F.coalesce("pass_gopher", F.lit(False)).alias("pass_gopher"))
+        .join(
+            docs.select(
+                "doc_id",
+                "source",
+                "lang",
+                F.md5(F.trim(F.lower(F.col("text")))).alias("content_md5"),
+            ),
+            "doc_id",
+        )
+    ).localCheckpoint(eager=True)  # gate once; consumed by merge + flags
+    merge_upsert(
+        spark,
+        flagged.filter(F.col("pass_gopher")).select(
+            "content_md5", "doc_id", "lang", "source"
+        ),
+        p["registry"],
+        keys=["content_md5"],
+        tiebreak_cols=["doc_id"],
+        on_match="keep",
+    )
+    if os.path.isdir(p["registry"]):
+        keepers = read_merge_target(spark, p["registry"]).select(
+            "content_md5", F.col("doc_id").alias("keeper_id")
+        )
+    else:
+        # nothing admitted yet (an all-rejected first batch is a no-op
+        # merge that never materializes the registry) — no keepers
+        keepers = spark.createDataFrame(
+            [], "content_md5 string, keeper_id long"
+        )
+    return flagged.join(keepers, "content_md5", "left").select(
+        "doc_id",
+        "source",
+        "lang",
+        "pass_gopher",
+        (F.col("pass_gopher") & (F.col("keeper_id") == F.col("doc_id"))).alias(
+            "admitted"
+        ),
+    )
+
+
+def apply_curation_docs(spark: SparkSession, root: str, docs: DataFrame) -> None:
+    """Ingest a document batch into the curation audit tables: gate +
+    admit, scoped-merge the per-doc outcome row (updates/deletes emit
+    signed change rows), fold the feed into the rollup."""
+    p = _paths(root)
+    flags = _curation_flags(spark, root, docs).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("pass_gopher").cast("long").alias("n_pass_gopher"),
+        F.col("admitted").cast("long").alias("n_admitted"),
+    )
+    merge_upsert(
+        spark,
+        flags,
+        p["doc_flags"],
+        keys=["doc_id"],
+        scope=docs.select("doc_id"),
+        changelog_dir=p["doc_flags_log"],
+    )
+    log_dir, target = p["doc_flags_log"], p["curate_rollup"]
+    changes = read_changelog(spark, log_dir)
+    top = changes.agg(F.max("commit")).collect()[0][0]
+    if top is None:
+        return
+    with _LOCK:
+        applied = _APPLIED.get((root, target), -1)
+    if top <= applied:
+        return
+    apply_cdf_delta(
+        changes.filter(F.col("commit") > applied).drop("commit"),
+        target,
+        ["source", "lang"],
+        ["n_pass_gopher", "n_admitted"],
+    )
+    with _LOCK:
+        _APPLIED[(root, target)] = int(top)
+
+
+def curate_rollup(spark: SparkSession, root: str) -> DataFrame:
+    """(source, lang, n_docs, n_pass_gopher, n_admitted, kept_rate) —
+    the maintained release-notes rollup (live groups only)."""
+    from ..operators import round_dbl
+
+    live = read_cdf_totals(spark, _paths(root)["curate_rollup"])
+    return live.select(
+        "source",
+        "lang",
+        F.col("n_rows").alias("n_docs"),
+        F.col("sum_n_pass_gopher").alias("n_pass_gopher"),
+        F.col("sum_n_admitted").alias("n_admitted"),
+        round_dbl(
+            F.col("sum_n_admitted") / F.col("n_rows").cast("double"), 6
+        ).alias("kept_rate"),
+    )
+
+
+def incr_curate_report_update_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the maintained curation rollup after ingesting the
+    late-arriving 10% of documents. The oracle is the from-scratch batch
+    statement of the same funnel: gopher gate per doc, keep-first
+    admission ordered (base first, then arrivals; doc_id tiebreak within
+    a batch), grouped by (source, lang)."""
+    root = _warehouse_for(spark, sf_dir, kind="curate")
+    arrivals = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % DOC_ARRIVAL_MOD == 0
+    )
+    apply_curation_docs(spark, root, arrivals)
+    return curate_rollup(spark, root)
+
+
+def _curate_oracle() -> str:
+    from ..operators import round_dbl_sql
+    from .docquality import TEXT_QUALITY_GOPHER_ORACLE
+
+    return f"""
+WITH gf AS (
+    SELECT doc_id, COALESCE(pass_gopher, FALSE) AS pass_gopher
+    FROM ({TEXT_QUALITY_GOPHER_ORACLE})
+),
+d AS (
+    SELECT doc_id, source, lang,
+        md5(trim(lower(text))) AS content_md5,
+        CAST(doc_id % {DOC_ARRIVAL_MOD} = 0 AS INT) AS is_arrival
+    FROM documents
+),
+adm AS (
+    SELECT d.doc_id,
+        ROW_NUMBER() OVER (
+            PARTITION BY d.content_md5 ORDER BY is_arrival ASC, d.doc_id ASC
+        ) = 1 AS admitted
+    FROM d JOIN gf USING (doc_id) WHERE gf.pass_gopher
+)
+SELECT d.source, d.lang,
+    COUNT(*) AS n_docs,
+    CAST(SUM(CASE WHEN gf.pass_gopher THEN 1 ELSE 0 END) AS DOUBLE)
+        AS n_pass_gopher,
+    CAST(SUM(CASE WHEN COALESCE(adm.admitted, FALSE) THEN 1 ELSE 0 END)
+        AS DOUBLE) AS n_admitted,
+    {round_dbl_sql(
+        "CAST(SUM(CASE WHEN COALESCE(adm.admitted, FALSE) THEN 1 ELSE 0 END)"
+        " AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS kept_rate
+FROM d
+JOIN gf USING (doc_id)
+LEFT JOIN adm USING (doc_id)
+GROUP BY 1, 2"""
+
+
 def register_all(register) -> None:
     register(
         "incr_token_stats_update_only",
@@ -341,4 +526,9 @@ def register_all(register) -> None:
         "incr_bigram_stats_update_only",
         incr_bigram_stats_update_only,
         INCR_BIGRAM_STATS_ORACLE,
+    )
+    register(
+        "incr_curate_report_update_only",
+        incr_curate_report_update_only,
+        _curate_oracle(),
     )

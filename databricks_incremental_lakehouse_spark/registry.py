@@ -301,6 +301,7 @@ _CHECK_PRIORITY: list[str] = [
     # additions went green in CORRECTNESS_r08 and rotate out. -------------
     "incr_token_stats_update_only",  # new r9: maintained token statistics
     "incr_bigram_stats_update_only",  # new r9: maintained bigram counts
+    "incr_curate_report_update_only",  # new r9: maintained curation rollup
     # -- (2) carriers whose code changed since their last driver check ------
     # the sqrt(N) nlist dial + BLAS centroid assignment (similarity.py r9)
     # restructured the whole IVF family; every consumer re-verifies:
@@ -355,7 +356,6 @@ _CHECK_PRIORITY: list[str] = [
     "events_retention",
     "bi_strategic_suppliers",
     "bi_tpch_q6",
-    "bi_tpch_q10",
 ]
 
 

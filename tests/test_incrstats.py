@@ -156,3 +156,57 @@ def test_adopted_consumers_value_identical(spark, sf_correct):
             assert fed == scan[name], f"{name} diverged when fed from tables"
     finally:
         memo.clear()
+
+
+def test_curation_rollup_maintenance(spark, sf_correct):
+    """The maintained curation rollup must track batches incrementally
+    (base then arrivals == the registry query's contract, already
+    oracle-checked), stay fixed under redelivery of identical images,
+    and adjust when a document's image CHANGES (signed preimage/postimage
+    deltas through the doc-flags feed)."""
+    import tempfile
+
+    from databricks_incremental_lakehouse_spark.llmdata.incrstats import (
+        apply_curation_docs,
+        curate_rollup,
+    )
+
+    root = tempfile.mkdtemp(prefix="curstats_t_")
+    # passes every gopher gate: >=30 mostly-distinct words (dup fraction
+    # ~0), two stopword hits, 3-10 mean word length, no symbols
+    good = "the and " + " ".join(f"word{i:02d}" for i in range(40)) + " "
+    rows = [
+        (1, good + "alpha", "en", "web"),
+        (2, good + "alpha", "en", "web"),   # exact dup of 1 -> not admitted
+        (3, "zz " * 3, "en", "web"),        # fails gopher (too short)
+        (4, good + "beta", "en", "books"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    apply_curation_docs(spark, root, docs)
+    got = {
+        (r.source, r.lang): (r.n_docs, r.n_pass_gopher, r.n_admitted)
+        for r in curate_rollup(spark, root).collect()
+    }
+    assert got == {("web", "en"): (3, 2.0, 1.0), ("books", "en"): (1, 1.0, 1.0)}
+
+    # redelivery of identical images: deltas cancel, rollup unchanged
+    apply_curation_docs(spark, root, docs)
+    again = {
+        (r.source, r.lang): (r.n_docs, r.n_pass_gopher, r.n_admitted)
+        for r in curate_rollup(spark, root).collect()
+    }
+    assert again == got
+
+    # doc 3's image changes to a passing text with NEW content -> admitted
+    upd = spark.createDataFrame(
+        [(3, good + "gamma", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    apply_curation_docs(spark, root, upd)
+    after = {
+        (r.source, r.lang): (r.n_docs, r.n_pass_gopher, r.n_admitted)
+        for r in curate_rollup(spark, root).collect()
+    }
+    assert after == {("web", "en"): (3, 3.0, 2.0), ("books", "en"): (1, 1.0, 1.0)}
