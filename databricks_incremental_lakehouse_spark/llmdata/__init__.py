@@ -21,6 +21,7 @@ from . import (
     incrstats,
     multimodal,
     pii,
+    pq,
     sharding,
     similarity,
     sketches,
@@ -43,3 +44,4 @@ def register_all(register) -> None:
     graph.register_all(register)
     sharding.register_all(register)
     incrstats.register_all(register)
+    pq.register_all(register)

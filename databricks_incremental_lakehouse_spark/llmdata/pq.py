@@ -1,0 +1,385 @@
+"""Product quantization (IVF-PQ) — the memory-bound ANN serving path.
+
+Completes the FAISS index family the similarity module builds up
+(``IVF,Flat`` = sim_ivf_topk, ``IVF,SQ8`` = sim_ivf_topk_quantized):
+PQ stores each vector as ``M`` sub-byte codes instead of 64 floats
+(here 8 five-bit codes vs 512 bytes — ~13x, and the LUT-sum search
+never reconstructs a vector), and search scores candidates WITHOUT
+reconstructing them: a query precomputes one inner-product lookup
+table per subspace (``KSUB`` entries each) and a candidate's score is
+the sum of ``M`` table lookups — the asymmetric distance computation
+(ADC) of Jégou et al. 2011. At 100 TB this is the difference between
+an index that fits in executor memory and one that does not.
+
+Layout choices, all made for exact cross-engine replayability:
+
+- **Cosine via normalized vectors + inner-product ADC**: vectors are
+  L2-normalized once, so cosine(q, x) = <q', x'> and the inner product
+  decomposes over subspaces (cosine itself does not). The coarse IVF
+  stage reuses the session codebook (raw-vector cosine cells — scale
+  dial and all); PQ encodes the normalized vector directly
+  (``by_residual=false`` in FAISS terms — residual encoding would gain
+  accuracy but puts a subtraction between the two engines for no
+  verification value).
+- **Deterministic subspace k-means**: per subspace, init
+  ``code0 = vec_id % KSUB``, ``PQ_ITERS`` Lloyd iterations, centroid
+  components grid-rounded at 6 dp, assignment by grid-rounded L2^2
+  with code-asc tiebreak — the coarse quantizer's portability recipe
+  applied per subspace.
+- **Integer-exact ADC**: each LUT entry is rounded to the 6-dp grid and
+  scaled to an exact BIGINT (x 1e6); a candidate's score is an integer
+  SUM — associative, order-free, bit-identical across engines (a float
+  sum of 8 rounded doubles would still carry order-dependent last-ulp
+  error). The surfaced score divides back through the decimal grid.
+- **Two-stage serving**: ADC keeps ``QUANT_CAND_K`` candidates per
+  query from the probed cells only; stage 2 re-ranks the survivors
+  against exact full-precision cosines — the plain IVF/SQ8 discipline.
+
+Reference: the reference has no ANN surface (its refined layer is
+relational, src/refined/refined_customer_orders.py); this module is
+part of the LLM-training-data extension brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import round_dbl
+from .similarity import (
+    N_QUERIES,
+    TOP_K,
+    _dot,
+    _emb,
+    _kmeans_cells_for,
+    _norm,
+    _nprobe_for,
+    _probe_cells,
+)
+
+PQ_M = 8  # subspaces
+PQ_DSUB = 8  # dims per subspace (PQ_M * PQ_DSUB = 64 = EMB_DIM)
+PQ_KSUB = 32  # centroids per subspace (5-bit codes)
+PQ_ITERS = 2  # Lloyd iterations after the deterministic init
+# ADC candidate budget before the exact re-rank. PQ's 5-bit x 8-subspace
+# scores are far noisier than SQ8's (the price of ~13x compression), so
+# the re-rank buffer is correspondingly wider than QUANT_CAND_K=20 — the
+# standard FAISS dial (k' >> k); 200 exact cosines per query are trivial
+# next to the pruned code scan they replace. Swept on this corpus
+# (recall vs exact at sf0.01/sf0.1): 0.48/0.20 at (16,20),
+# 0.86/0.74 at (16,200), 0.86/0.84 at (32,200) — the shipped config;
+# >=0.8 is test-locked.
+PQ_CAND_K = 200
+_LUT_SCALE = 1_000_000  # 6-dp grid -> exact integer ADC
+
+
+def _unit(emb: DataFrame) -> DataFrame:
+    """(vec_id, u) — L2-normalized vectors (zero vectors stay NULL-safe:
+    the corpus has none, and a NULL u drops from every downstream join)."""
+    nv = _norm("v")
+    return emb.select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.nullif(nv, F.lit(0.0))).alias("u"),
+    )
+
+
+def _subvectors(unit: DataFrame) -> DataFrame:
+    """(vec_id, m, sv) — the M subvector slices of each normalized vector."""
+    return unit.select(
+        "vec_id",
+        "u",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(u, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("sv"),
+    )
+
+
+def _l2sq(a: str, cv) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_codes(sub: DataFrame, cb_rows: list[tuple[int, int, list[float]]]) -> DataFrame:
+    """(vec_id, m, cl): nearest (grid-rounded L2^2, code-asc tiebreak)
+    subspace centroid per subvector. The codebooks ride along as one
+    broadcast aux row of parallel arrays per subspace — constant-size
+    expression tree (the _assign_to discipline); KSUB is a small constant,
+    so unlike the coarse quantizer this never needs the BLAS path."""
+    by_m: dict[int, list[tuple[int, list[float]]]] = {}
+    for m, cl, cv in cb_rows:
+        by_m.setdefault(int(m), []).append((int(cl), [float(x) for x in cv]))
+    cvs = [[cv for _cl, cv in sorted(by_m[m])] for m in range(PQ_M)]
+    cls = [[cl for cl, _cv in sorted(by_m[m])] for m in range(PQ_M)]
+    aux = sub.sparkSession.createDataFrame(
+        [(cls, cvs)],
+        "clss array<array<int>>, cvss array<array<array<double>>>",
+    )
+    scored = F.transform(
+        F.expr("element_at(cvss, m + 1)"),
+        lambda cv, i: F.struct(
+            round_dbl(_l2sq("sv", cv), 6).alias("d"),
+            F.element_at(F.expr("element_at(clss, m + 1)"), i + 1).alias("cl"),
+        ),
+    )
+    best = F.array_min(scored)
+    return sub.crossJoin(F.broadcast(aux)).select(
+        "vec_id", "m", best["cl"].cast("int").alias("cl")
+    )
+
+
+def _centroids(assigned_sub: DataFrame) -> list[tuple[int, int, list[float]]]:
+    """(m, cl, cv) rows — per-(subspace, code) mean subvector, components
+    grid-rounded; PQ_M x PQ_KSUB rows, never data-sized."""
+    rows = (
+        assigned_sub.select("m", "cl", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "cl", "pos")
+        .agg(round_dbl(F.avg("val"), 6).alias("c"))
+        .groupBy("m", "cl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+            ).alias("cv")
+        )
+        .collect()
+    )
+    return [(int(r.m), int(r.cl), list(r.cv)) for r in rows]
+
+
+# session-scoped memo: (codebook rows, encoded codes frame) per sf_dir
+_PQ_MEMO: dict[tuple, tuple[list, DataFrame]] = {}
+
+
+def _pq_index_for(spark: SparkSession, sf_dir: str):
+    """Train the PQ codebooks (deterministic per-subspace k-means) and
+    encode the corpus; memoized per (session, sf_dir) like the coarse
+    codebook. Returns (cb_rows, codes) — codes = (vec_id, m, cl)."""
+    from .. import memo
+
+    def build():
+        sub = _subvectors(_unit(_emb(spark, sf_dir))).persist()
+        assigned = sub.withColumn(
+            "cl", (F.col("vec_id") % PQ_KSUB).cast("int")
+        )
+        for _ in range(PQ_ITERS):
+            cb = _centroids(assigned)
+            assigned = _assign_codes(sub, cb).join(
+                sub, ["vec_id", "m"]
+            ).select("vec_id", "m", "cl", "sv")
+        cb = _centroids(assigned)
+        codes = _assign_codes(sub, cb)
+        return cb, codes
+
+    if not memo.enabled():
+        return build()
+    skey = memo._session_key(spark)
+    got = _PQ_MEMO.get((skey, sf_dir))
+    if got is None:
+        cb, codes = build()
+        got = (cb, codes.localCheckpoint(eager=True))
+        _PQ_MEMO[(skey, sf_dir)] = got
+    return got
+
+
+def _clear_pq_memo() -> None:
+    _PQ_MEMO.clear()
+
+
+from .. import memo as _memo  # noqa: E402 — registration, not a cycle
+
+_memo.register_aux_clear(_clear_pq_memo)
+
+
+def sim_ivf_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5: coarse probe (session IVF codebook, sqrt(N) dial) ->
+    integer-exact ADC over the probed cells' byte codes ->
+    full-precision re-rank of the QUANT_CAND_K survivors."""
+    emb = _emb(spark, sf_dir)
+    cent_rows, cells, nlist = _kmeans_cells_for(spark, sf_dir)
+    cb_rows, codes = _pq_index_for(spark, sf_dir)
+    q2c = _probe_cells(spark, emb, cent_rows, _nprobe_for(nlist))
+
+    # query-side LUT: one exact-integer inner product per (query,
+    # subspace, code) — N_QUERIES x PQ_M x PQ_KSUB rows, broadcastable
+    qsub = _subvectors(
+        _unit(emb.filter(F.col("vec_id") < N_QUERIES))
+    ).withColumnRenamed("vec_id", "query_id")
+    cb_df = spark.createDataFrame(
+        [(m, cl, cv) for m, cl, cv in cb_rows],
+        "m int, cl int, cv array<double>",
+    )
+    lut = (
+        qsub.join(F.broadcast(cb_df), "m")
+        .select(
+            F.col("query_id").alias("l_query_id"),
+            F.col("m").alias("l_m"),
+            F.col("cl").alias("l_code"),
+            F.round(
+                round_dbl(_dot("sv", "cv"), 6).cast("decimal(38,10)")
+                * F.lit(_LUT_SCALE),
+                0,
+            )
+            .cast("long")
+            .alias("ip_scaled"),
+        )
+    )
+
+    # ADC over the probed cells only: codes of a probed cell's members
+    # join the query's LUT; score = exact integer sum over subspaces
+    probed_members = q2c.join(
+        cells.select(F.col("vec_id").alias("neighbor_id"), "cl"),
+        (F.col("probe_cell") == F.col("cl"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("query_id", "qv", "neighbor_id")
+    cand_scores = (
+        probed_members.join(
+            codes.select(
+                F.col("vec_id").alias("neighbor_id"),
+                "m",
+                F.col("cl").alias("code"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(lut),
+            (F.col("l_query_id") == F.col("query_id"))
+            & (F.col("l_m") == F.col("m"))
+            & (F.col("l_code") == F.col("code")),
+        )
+        .groupBy("query_id", "qv", "neighbor_id")
+        .agg(F.sum("ip_scaled").alias("score_scaled"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score_scaled").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        cand_scores.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= PQ_CAND_K)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    rerank = F.broadcast(cand).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id"
+    )
+    scored = rerank.withColumn(
+        "cosine",
+        round_dbl(_dot("qv", "v") / F.nullif(_norm("qv") * _norm("v"), F.lit(0.0)), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _pq_oracle() -> str:
+    from .similarity import _COS, _CCOS_Q, _KMEANS_CELLS_WITH
+
+    r6 = "CAST(ROUND(CAST({x} AS DECIMAL(38,10)), 6) AS DOUBLE)"
+    l2 = r6.format(
+        x=(
+            f"list_sum(list_transform(generate_series(1, {PQ_DSUB}),"
+            " i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))"
+        )
+    )
+    ip6 = r6.format(
+        x=(
+            f"list_sum(list_transform(generate_series(1, {PQ_DSUB}),"
+            " i -> q.sv[i] * c.cv[i]))"
+        )
+    )
+
+    def cents(src: str, name: str) -> str:
+        return f"""{name} AS (
+    SELECT m, cl, list(c ORDER BY pos) AS cv FROM (
+        SELECT m, cl, pos, {r6.format(x="AVG(val)")} AS c
+        FROM (SELECT m, cl, unnest(sv) AS val,
+                     generate_subscripts(sv, 1) AS pos FROM {src})
+        GROUP BY m, cl, pos
+    ) GROUP BY m, cl
+)"""
+
+    def assign(cb: str, name: str) -> str:
+        return f"""{name} AS (
+    SELECT vec_id, m, cl, sv FROM (
+        SELECT s.vec_id, s.m, c.cl, s.sv,
+            ROW_NUMBER() OVER (
+                PARTITION BY s.vec_id, s.m ORDER BY {l2} ASC, c.cl ASC
+            ) AS rn
+        FROM sv s JOIN {cb} c ON c.m = s.m
+    ) WHERE rn = 1
+)"""
+
+    return f"""{_KMEANS_CELLS_WITH},
+un AS (
+    SELECT vec_id, list_transform(
+        v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+    FROM e
+),
+sv AS (
+    SELECT vec_id, m,
+        list_transform(generate_series(1, {PQ_DSUB}),
+                       i -> u[m * {PQ_DSUB} + i]) AS sv
+    FROM un, UNNEST(generate_series(0, {PQ_M - 1})) AS t(m)
+),
+p0 AS (SELECT vec_id, m, CAST(vec_id % {PQ_KSUB} AS INT) AS cl, sv FROM sv),
+{cents("p0", "pc1")},
+{assign("pc1", "p1")},
+{cents("p1", "pc2")},
+{assign("pc2", "p2")},
+{cents("p2", "pcf")},
+{assign("pcf", "codes")},
+lut AS (
+    SELECT q.vec_id AS query_id, c.m, c.cl,
+        CAST(ROUND(CAST({ip6} AS DECIMAL(38,10)) * {_LUT_SCALE}, 0)
+             AS BIGINT) AS ip_scaled
+    FROM (SELECT vec_id, m, sv FROM sv WHERE vec_id < {N_QUERIES}) q
+    JOIN pcf c ON c.m = q.m
+),
+q2c AS (
+    SELECT query_id, qv, cl AS probe_cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cl,
+            ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY {_CCOS_Q} DESC, c.cl ASC
+            ) AS crank
+        FROM (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN cent c
+    ) WHERE crank <= (SELECT nprobe FROM params)
+),
+cand AS (
+    SELECT query_id, qv, neighbor_id FROM (
+        SELECT a.query_id, a.qv, a.neighbor_id,
+            ROW_NUMBER() OVER (
+                PARTITION BY a.query_id
+                ORDER BY a.score DESC, a.neighbor_id ASC
+            ) AS crank
+        FROM (
+            SELECT p.query_id, ANY_VALUE(p.qv) AS qv,
+                   n.vec_id AS neighbor_id, SUM(l.ip_scaled) AS score
+            FROM q2c p
+            JOIN cells n ON n.cl = p.probe_cell AND n.vec_id <> p.query_id
+            JOIN codes k ON k.vec_id = n.vec_id
+            JOIN lut l ON l.query_id = p.query_id
+                      AND l.m = k.m AND l.cl = k.cl
+            GROUP BY p.query_id, n.vec_id
+        ) a
+    ) WHERE crank <= {PQ_CAND_K}
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT c.query_id, c.neighbor_id, {_COS} AS cosine,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY c.query_id ORDER BY {_COS} DESC, c.neighbor_id ASC
+        ) AS INT) AS rank
+    FROM cand c JOIN e n ON c.neighbor_id = n.vec_id
+) WHERE rank <= {TOP_K}"""
+
+
+def register_all(register) -> None:
+    register("sim_ivf_topk_pq", sim_ivf_topk_pq, _pq_oracle())

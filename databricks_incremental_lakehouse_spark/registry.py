@@ -302,6 +302,7 @@ _CHECK_PRIORITY: list[str] = [
     "incr_token_stats_update_only",  # new r9: maintained token statistics
     "incr_bigram_stats_update_only",  # new r9: maintained bigram counts
     "incr_curate_report_update_only",  # new r9: maintained curation rollup
+    "sim_ivf_topk_pq",  # new r9: IVF-PQ (integer-exact ADC + re-rank)
     # -- (2) carriers whose code changed since their last driver check ------
     # the sqrt(N) nlist dial + BLAS centroid assignment (similarity.py r9)
     # restructured the whole IVF family; every consumer re-verifies:
@@ -355,7 +356,6 @@ _CHECK_PRIORITY: list[str] = [
     "events_funnel",
     "events_retention",
     "bi_strategic_suppliers",
-    "bi_tpch_q6",
 ]
 
 
