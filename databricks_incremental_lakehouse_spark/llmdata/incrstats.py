@@ -341,6 +341,46 @@ SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS n_occurrences
 FROM bg GROUP BY w1, w2"""
 
 
+def incremental_token_stats_stream(
+    spark: SparkSession,
+    source_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming front door for the token-stats warehouse: arriving
+    document files (complete images per doc_id) flow through
+    :func:`apply_doc_updates` per micro-batch — the same scoped merges +
+    change-feed folds as the batch path, driven by a file-source stream
+    with a checkpoint. Drained over a static corpus it equals the batch
+    build exactly (asserted in tests); in production it is the
+    continuously-maintained twin of tokmemo's tables, the way
+    ``incremental_cdf_aggregate_stream`` maintains the relational
+    totals."""
+    static = spark.read.parquet(source_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _apply(batch_df: DataFrame, _batch_no: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_doc_updates(
+            batch_df.sparkSession, root, batch_df.localCheckpoint(eager=True)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # --- maintained curation rollup (VERDICT r8 #6) -----------------------------
 #
 # The incremental curation front door (incremental_curated_corpus_stream)

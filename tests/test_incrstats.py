@@ -210,3 +210,63 @@ def test_curation_rollup_maintenance(spark, sf_correct):
         for r in curate_rollup(spark, root).collect()
     }
     assert after == {("web", "en"): (3, 3.0, 2.0), ("books", "en"): (1, 1.0, 1.0)}
+
+
+def test_streaming_token_stats_equals_batch(spark, sf_correct, tmp_path):
+    """The streaming front door (file-source micro-batches through the
+    same scoped merges + feed folds) drained over a static corpus must
+    equal the from-scratch batch aggregate — and the drain must survive
+    the corpus arriving as MULTIPLE files (each micro-batch is one
+    file)."""
+    import os
+    import shutil
+
+    from databricks_incremental_lakehouse_spark.llmdata.incrstats import (
+        incremental_token_stats_stream,
+        token_stats,
+    )
+    from databricks_incremental_lakehouse_spark.streaming.tuning import (
+        state_sized_shuffle,
+    )
+
+    import glob
+
+    docs = load_table(spark, sf_correct, "documents")
+    src = tmp_path / "src"
+    os.makedirs(src)
+    # two arrival files -> two micro-batches (file source wants FLAT
+    # parquet files, so the part file is lifted out of the write dir)
+    for i, half in enumerate((0, 1)):
+        out = tmp_path / f"w{i}"
+        docs.filter(F.col("doc_id") % 2 == half).coalesce(1).write.parquet(
+            str(out)
+        )
+        part = glob.glob(str(out / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"b{i}.parquet"))
+    root = str(tmp_path / "wh")
+    with state_sized_shuffle(spark):
+        q = incremental_token_stats_stream(
+            spark, str(src), root, str(tmp_path / "ckpt")
+        )
+        assert q.awaitTermination(300), "stream did not drain"
+
+    batch = {
+        (r.token, r.df, r.occ)
+        for r in docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("double").alias("occ"),
+        )
+        .collect()
+    }
+    got = {
+        (r.token, r.df, r.occurrences)
+        for r in token_stats(spark, root).collect()
+    }
+    assert got == batch
