@@ -52,9 +52,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.incremental import (
+    _committed_dirs,
     apply_cdf_delta,
     merge_upsert,
-    read_changelog,
     read_cdf_totals,
     read_merge_target,
 )
@@ -121,33 +121,48 @@ _APPLIED: dict[tuple[str, str], int] = {}
 _LOCK = threading.Lock()
 
 
+def _fold_new_commits(
+    spark: SparkSession,
+    root: str,
+    log_dir: str,
+    target: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> None:
+    """Fold the UNAPPLIED feed commits into one aggregate table — the
+    commit dirs above the applied watermark are read directly (the
+    changelog grows forever; re-listing every commit per drain would make
+    drain cost O(history) instead of O(new changes)), and their signed
+    deltas apply as one batch (deltas commute)."""
+    with _LOCK:
+        applied = _APPLIED.get((root, target), -1)
+    dirs = [
+        d
+        for d in _committed_dirs(log_dir)
+        if int(os.path.basename(d).split("=", 1)[1]) > applied
+    ]
+    if not dirs:
+        return
+    top = max(int(os.path.basename(d).split("=", 1)[1]) for d in dirs)
+    changes = (
+        spark.read.option("basePath", log_dir)
+        .option("mergeSchema", "true")
+        .parquet(*dirs)
+    )
+    apply_cdf_delta(changes.drop("commit"), target, group_cols, sum_cols)
+    with _LOCK:
+        _APPLIED[(root, target)] = int(top)
+
+
 def _drain(spark: SparkSession, root: str) -> None:
-    """Fold every unapplied feed commit into the aggregate tables — one
-    signed-delta pass per (feed, aggregate) pair over the NEW change rows
-    only (deltas commute, so all pending commits apply as one batch)."""
+    """Fold every unapplied feed commit into the aggregate tables."""
     p = _paths(root)
-    plan = [
+    for log_dir, target, group_cols, sum_cols in [
         (p["postings_log"], p["tok_stats"], ["token"], ["tf"]),
         (p["postings_log"], p["doc_stats"], ["doc_id"], ["tf"]),
         (p["bigrams_log"], p["bigram_stats"], ["w1", "w2"], ["n"]),
-    ]
-    for log_dir, target, group_cols, sum_cols in plan:
-        changes = read_changelog(spark, log_dir)
-        top = changes.agg(F.max("commit")).collect()[0][0]
-        if top is None:
-            continue
-        with _LOCK:
-            applied = _APPLIED.get((root, target), -1)
-        if top <= applied:
-            continue
-        apply_cdf_delta(
-            changes.filter(F.col("commit") > applied).drop("commit"),
-            target,
-            group_cols,
-            sum_cols,
-        )
-        with _LOCK:
-            _APPLIED[(root, target)] = int(top)
+    ]:
+        _fold_new_commits(spark, root, log_dir, target, group_cols, sum_cols)
 
 
 def init_token_stats(spark: SparkSession, sf_dir: str, root: str) -> None:
@@ -164,28 +179,49 @@ def apply_doc_updates(spark: SparkSession, root: str, docs: DataFrame) -> None:
     merge into the postings/bigrams tables (updates replace a doc's rows
     wholesale — vanished tokens become ``delete`` change rows), then fold
     the resulting feed commits into the statistics tables. Cost is
-    O(changed docs' tokens): the corpus is never rescanned."""
+    O(changed docs' tokens): the corpus is never rescanned. The two
+    (merge -> fold) chains touch disjoint targets and run concurrently
+    (the refresh-runner discipline — per-merge fixed costs overlap)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     p = _paths(root)
     scope = docs.select("doc_id")
-    merge_upsert(
-        spark,
-        _doc_tf(docs),
-        p["postings"],
-        keys=["doc_id", "token"],
-        bucket_keys=["doc_id"],
-        scope=scope,
-        changelog_dir=p["postings_log"],
-    )
-    merge_upsert(
-        spark,
-        _doc_bigrams(docs),
-        p["bigrams"],
-        keys=["doc_id", "w1", "w2"],
-        bucket_keys=["doc_id"],
-        scope=scope,
-        changelog_dir=p["bigrams_log"],
-    )
-    _drain(spark, root)
+
+    def _postings_chain() -> None:
+        merge_upsert(
+            spark,
+            _doc_tf(docs),
+            p["postings"],
+            keys=["doc_id", "token"],
+            bucket_keys=["doc_id"],
+            scope=scope,
+            changelog_dir=p["postings_log"],
+        )
+        _fold_new_commits(
+            spark, root, p["postings_log"], p["tok_stats"], ["token"], ["tf"]
+        )
+        _fold_new_commits(
+            spark, root, p["postings_log"], p["doc_stats"], ["doc_id"], ["tf"]
+        )
+
+    def _bigrams_chain() -> None:
+        merge_upsert(
+            spark,
+            _doc_bigrams(docs),
+            p["bigrams"],
+            keys=["doc_id", "w1", "w2"],
+            bucket_keys=["doc_id"],
+            scope=scope,
+            changelog_dir=p["bigrams_log"],
+        )
+        _fold_new_commits(
+            spark, root, p["bigrams_log"], p["bigram_stats"], ["w1", "w2"], ["n"]
+        )
+
+    with ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(_postings_chain), ex.submit(_bigrams_chain)]
+        for f in futs:
+            f.result()
 
 
 def token_stats(spark: SparkSession, root: str) -> DataFrame:
@@ -468,23 +504,14 @@ def apply_curation_docs(spark: SparkSession, root: str, docs: DataFrame) -> None
         scope=docs.select("doc_id"),
         changelog_dir=p["doc_flags_log"],
     )
-    log_dir, target = p["doc_flags_log"], p["curate_rollup"]
-    changes = read_changelog(spark, log_dir)
-    top = changes.agg(F.max("commit")).collect()[0][0]
-    if top is None:
-        return
-    with _LOCK:
-        applied = _APPLIED.get((root, target), -1)
-    if top <= applied:
-        return
-    apply_cdf_delta(
-        changes.filter(F.col("commit") > applied).drop("commit"),
-        target,
+    _fold_new_commits(
+        spark,
+        root,
+        p["doc_flags_log"],
+        p["curate_rollup"],
         ["source", "lang"],
         ["n_pass_gopher", "n_admitted"],
     )
-    with _LOCK:
-        _APPLIED[(root, target)] = int(top)
 
 
 def curate_rollup(spark: SparkSession, root: str) -> DataFrame:
