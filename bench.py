@@ -80,6 +80,7 @@ EXT_QUERIES = [
     "multimodal_feature_stats",
     "multimodal_frame_sample",
     "multimodal_phash_dedup",
+    "multimodal_phash_search",
     "multimodal_resize",
     "events_markov_transitions",
     "events_tumbling_hourly",

@@ -410,7 +410,131 @@ FROM cand
 WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_HAMMING_MAX}"""
 
 
+N_MEDIA_QUERIES = 10  # doc_id < 10 are the query images (the ANN convention)
+# Search radius: with 4 bands of 8 bits, any pair within Hamming distance
+# PHASH_BANDS - 1 = 3 must leave at least one band untouched (pigeonhole),
+# so the band-bucket candidate set is a PROVABLY EXACT cover at this
+# radius — unlike the dedup pass's radius 4, where a 1-bit-per-band
+# spread can slip the banding (accepted there: dedup is recall-tolerant,
+# search-by-exemplar should not silently miss).
+PHASH_SEARCH_MAX = PHASH_BANDS - 1
+
+
+def multimodal_phash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-media: every corpus item within Hamming distance
+    ``PHASH_SEARCH_MAX`` of a query exemplar's perceptual hash — the
+    reverse-image-search face of the pHash machinery (find re-encodes /
+    crops of a given exemplar), completing dedup (all-pairs) with search
+    (fixed query set). The exemplars are PERTURBED copies of the first
+    ``N_MEDIA_QUERIES`` documents' payloads (first byte replaced — the
+    planted-positive evaluation harness a retrieval stack ships with:
+    measured Hamming 0-2 from their sources on this corpus, so every
+    query has a guaranteed in-radius hit; an unperturbed query set found
+    nothing within the exact radius here, which verifies banding but not
+    retrieval). The tiny query side broadcasts onto the corpus' band
+    buckets; only bucket-sharing candidates are verified with
+    ``bit_count(xor)`` — and at this radius the banding is exact (see
+    :data:`PHASH_SEARCH_MAX`), asserted against a brute-force Hamming
+    scan in tests."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    payloads = with_binary_payload(docs).select("doc_id", "payload")
+    ph = payloads.mapInPandas(
+        _extract_phash, schema="doc_id bigint, phash bigint"
+    )
+    qdocs = docs.filter(F.col("doc_id") < N_MEDIA_QUERIES).select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit("X"), F.expr("substring(text, 2)")), "utf-8"
+        ).alias("payload"),
+    )
+    qph = qdocs.mapInPandas(
+        _extract_phash, schema="doc_id bigint, phash bigint"
+    )
+    bands = spark.range(PHASH_BANDS).select(F.col("id").cast("int").alias("band"))
+
+    def _keyed(frame: DataFrame) -> DataFrame:
+        return frame.crossJoin(F.broadcast(bands)).select(
+            "doc_id",
+            "phash",
+            "band",
+            F.expr(
+                f"shiftright(phash, band * {PHASH_BAND_BITS})"
+                f" & {(1 << PHASH_BAND_BITS) - 1}"
+            ).alias("band_key"),
+        )
+
+    keyed = _keyed(ph)
+    qk = _keyed(qph).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("phash").alias("qhash"),
+        "band",
+        "band_key",
+    )
+    cand = (
+        F.broadcast(qk)
+        .join(keyed, ["band", "band_key"])
+        .select(
+            "query_id", F.col("doc_id").alias("match_id"), "qhash", "phash"
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("qhash").bitwiseXOR(F.col("phash")))
+    return cand.select(
+        "query_id", "match_id", ham.alias("hamming_distance")
+    ).filter(F.col("hamming_distance") <= PHASH_SEARCH_MAX)
+
+
+def _phash_search_oracle() -> str:
+    # reuse the dedup oracle's byte + phash CTEs verbatim for the corpus
+    # side; the query side hashes the perturbed payloads through the same
+    # phash expression over its own bytes CTE
+    prologue = MULTIMODAL_PHASH_ORACLE.split("keyed AS (")[0]
+    qbytes = _BYTES_CTE.replace(
+        "hex(encode(text))", "hex(encode('X' || substr(text, 2)))"
+    ).replace(
+        "octet_length(encode(text))",
+        "octet_length(encode('X' || substr(text, 2)))",
+    )
+    # the dedup prologue ends "...FROM b WHERE n IS NOT NULL\n)," — the
+    # query-side twin re-runs the same ph SELECT against qb
+    ph_body = prologue.split("ph AS (")[1].rsplit("\n),", 1)[0]
+    return f"""{prologue}qb AS ({qbytes} WHERE doc_id < {N_MEDIA_QUERIES}),
+qph AS ({ph_body.replace("FROM b WHERE", "FROM qb WHERE")}
+),
+keyed AS (
+    SELECT doc_id, phash, band,
+        (phash >> (band * {PHASH_BAND_BITS})) & {(1 << PHASH_BAND_BITS) - 1}
+            AS band_key
+    FROM ph CROSS JOIN (
+        SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS band)
+),
+qkeyed AS (
+    SELECT doc_id AS query_id, phash AS qhash, band,
+        (phash >> (band * {PHASH_BAND_BITS})) & {(1 << PHASH_BAND_BITS) - 1}
+            AS band_key
+    FROM qph CROSS JOIN (
+        SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS band)
+),
+cand AS (
+    SELECT DISTINCT q.query_id, x.doc_id AS match_id,
+           q.qhash, x.phash
+    FROM qkeyed q JOIN keyed x
+      ON q.band = x.band AND q.band_key = x.band_key
+)
+SELECT query_id, match_id,
+       CAST(bit_count(xor(qhash, phash)) AS INT) AS hamming_distance
+FROM cand
+WHERE bit_count(xor(qhash, phash)) <= {PHASH_SEARCH_MAX}"""
+
+
 def register_all(register) -> None:
+    register(
+        "multimodal_phash_search",
+        multimodal_phash_search,
+        _phash_search_oracle(),
+    )
     register("multimodal_features", multimodal_features, MULTIMODAL_FEATURES_ORACLE)
     register(
         "multimodal_phash_dedup", multimodal_phash_dedup, MULTIMODAL_PHASH_ORACLE

@@ -303,6 +303,7 @@ _CHECK_PRIORITY: list[str] = [
     "incr_bigram_stats_update_only",  # new r9: maintained bigram counts
     "incr_curate_report_update_only",  # new r9: maintained curation rollup
     "sim_ivf_topk_pq",  # new r9: IVF-PQ (integer-exact ADC + re-rank)
+    "multimodal_phash_search",  # new r9: query-by-exemplar Hamming search
     # -- (2) carriers whose code changed since their last driver check ------
     # the sqrt(N) nlist dial + BLAS centroid assignment (similarity.py r9)
     # restructured the whole IVF family; every consumer re-verifies:
@@ -355,7 +356,6 @@ _CHECK_PRIORITY: list[str] = [
     "events_in_error_windows",
     "events_funnel",
     "events_retention",
-    "bi_strategic_suppliers",
 ]
 
 

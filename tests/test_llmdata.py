@@ -1599,3 +1599,41 @@ def test_ivf_pq_recall(spark, sf_correct):
         for r in sim_ivf_topk_pq(spark, sf_correct).collect()
     }
     assert len(pq & exact) / len(exact) >= 0.8
+
+
+def test_phash_search_banding_exact_at_radius(spark, sf_correct):
+    """At radius PHASH_BANDS - 1 the band-bucket candidate cover is EXACT
+    (pigeonhole: <= 3 differing bits cannot touch all 4 bands), so the
+    search must equal a brute-force Hamming scan of the same hashes —
+    including any extra in-radius corpus items beyond each exemplar's
+    own source."""
+    from databricks_incremental_lakehouse_spark.llmdata.multimodal import (
+        N_MEDIA_QUERIES,
+        PHASH_SEARCH_MAX,
+        fake_phash,
+        multimodal_phash_search,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_correct, "documents").collect()
+        if r.text is not None
+    }
+    corpus = {d: fake_phash(t.encode()) for d, t in docs.items()}
+    queries = {
+        d: fake_phash(("X" + t[1:]).encode())
+        for d, t in docs.items()
+        if d < N_MEDIA_QUERIES
+    }
+    brute = {
+        (q, d, bin(qh ^ ph).count("1"))
+        for q, qh in queries.items()
+        for d, ph in corpus.items()
+        if bin(qh ^ ph).count("1") <= PHASH_SEARCH_MAX
+    }
+    got = {
+        (r.query_id, r.match_id, r.hamming_distance)
+        for r in multimodal_phash_search(spark, sf_correct).collect()
+    }
+    assert got == brute
+    assert brute, "planted exemplars produced no in-radius matches"
