@@ -152,6 +152,7 @@ EXT_QUERIES = [
     "bi_tpch_q20",
     "bi_tpch_q21",
     "qc_revenue_anomaly",
+    "qc_revenue_anomaly_robust",
 ]
 
 # registry queries timed OUTSIDE the ext loop: the four README BI keys

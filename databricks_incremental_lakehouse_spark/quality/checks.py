@@ -588,6 +588,118 @@ def qc_revenue_anomaly_oracle_sql() -> str:
     )
 
 
+ROBUST_Z = 3.5  # Iglewicz-Hoaglin modified-z outlier cut
+
+
+def _median_by_position(df: DataFrame, col: str, tiebreak: str):
+    """One-row frame ``(med)``: the positional median — rows ranked by
+    ``(col, tiebreak)``, the middle one (or the AVG of the middle two)
+    picked by row number. Positional selection instead of an engine
+    ``median()``/``percentile()`` because their even-count interpolation
+    FORMULAS differ ((a+b)/2 vs a + 0.5*(b-a) — last-ulp divergent);
+    AVG over the picked rows is sum/count on identical doubles in both
+    engines. The global sort is over the aggregated (O(distinct dates))
+    rows, never order rows — same bounded SinglePartition the z-score
+    check's whole-partition window uses."""
+    w = Window.orderBy(F.col(col).asc(), F.col(tiebreak).asc())
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    cnt = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(cnt))
+        .filter(
+            # integer division, NOT a float cast: CAST(547.5 AS INT)
+            # truncates in Spark but rounds in DuckDB — the even-count
+            # median pick silently diverged until this was DIV/
+            (F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+            | (F.col("_rn") == F.expr("(_n + 2) DIV 2"))
+        )
+        .agg(F.avg(col).alias("med"))
+    )
+
+
+def qc_revenue_anomaly_robust(
+    spark: SparkSession, sf_dir: str, sources: dict[str, DataFrame] | None = None
+) -> DataFrame:
+    """Robust daily-revenue anomaly detection: the Iglewicz-Hoaglin
+    modified z-score ``0.6745 * (x - median) / MAD`` with the 3.5 cut —
+    the median/MAD twin of :func:`qc_revenue_anomaly`. The moment-based
+    z-score has a masking problem this one does not: a single extreme day
+    inflates the stddev enough to hide itself and every lesser outlier,
+    while median and MAD have a 50% breakdown point. Two positional-median
+    passes over the O(distinct dates) daily rollup; all remaining math is
+    one multiply + one divide on the 4-dp grid."""
+    src = qc_sources(spark, sf_dir, sources)
+    daily = (
+        src["bronze.orders"]
+        .groupBy("o_orderdate")
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .select(
+            F.col("o_orderdate").alias("order_date"),
+            F.col("rev").cast("double").alias("daily_revenue"),
+        )
+    )
+    med = _median_by_position(daily, "daily_revenue", "order_date")
+    with_med = daily.crossJoin(F.broadcast(med))
+    dev = with_med.select(
+        "order_date",
+        "daily_revenue",
+        "med",
+        F.abs(F.col("daily_revenue") - F.col("med")).alias("absdev"),
+    )
+    mad = _median_by_position(dev, "absdev", "order_date").select(
+        F.col("med").alias("mad")
+    )
+    scored = dev.crossJoin(F.broadcast(mad)).select(
+        "order_date",
+        "daily_revenue",
+        round_dbl(
+            F.lit(0.6745)
+            * (F.col("daily_revenue") - F.col("med"))
+            / F.nullif(F.col("mad"), F.lit(0.0)),
+            4,
+        ).alias("modified_z"),
+    )
+    return scored.withColumn(
+        "is_anomaly", F.abs(F.col("modified_z")) > ROBUST_Z
+    )
+
+
+def qc_revenue_anomaly_robust_oracle_sql() -> str:
+    ctes = silver_order_details_oracle_ctes()
+    med_pick = """SELECT AVG({col}) AS med FROM (
+            SELECT {col}, ROW_NUMBER() OVER (
+                ORDER BY {col} ASC, {tb} ASC) AS _rn
+            FROM {src}
+        ), (SELECT COUNT(*) AS _n FROM {src})
+        WHERE _rn = (_n + 1) // 2
+           OR _rn = (_n + 2) // 2"""
+    ctes["qa_daily"] = """
+        SELECT o_orderdate AS order_date,
+               CAST(SUM(o_totalprice) AS DOUBLE) AS daily_revenue
+        FROM b_orders GROUP BY 1"""
+    ctes["qa_m"] = med_pick.format(
+        col="daily_revenue", tb="order_date", src="qa_daily"
+    )
+    ctes["qa_dev"] = """
+        SELECT order_date, daily_revenue, med,
+               abs(daily_revenue - med) AS absdev
+        FROM qa_daily, qa_m"""
+    ctes["qa_mm"] = med_pick.format(col="absdev", tb="order_date", src="qa_dev")
+    return with_clause(
+        ctes,
+        f"""SELECT order_date, daily_revenue, modified_z,
+                   abs(modified_z) > {ROBUST_Z} AS is_anomaly
+            FROM (
+                SELECT order_date, daily_revenue,
+                    CAST(ROUND(CAST(
+                        0.6745 * (daily_revenue - qa_dev.med)
+                        / NULLIF(qa_mm.med, 0.0)
+                     AS DECIMAL(38,8)), 4) AS DOUBLE) AS modified_z
+                FROM qa_dev, qa_mm
+            )""",
+    )
+
+
 def register_all(register) -> None:
     register("qc_row_counts", qc_row_counts, qc_row_counts_oracle_sql())
     register("qc_null_checks", qc_null_checks, qc_null_checks_oracle_sql())
@@ -597,6 +709,11 @@ def register_all(register) -> None:
         qc_referential_integrity_oracle_sql(),
     )
     register("qc_business_rules", qc_business_rules, qc_business_rules_oracle_sql())
+    register(
+        "qc_revenue_anomaly_robust",
+        qc_revenue_anomaly_robust,
+        qc_revenue_anomaly_robust_oracle_sql(),
+    )
     from ..constants import QC_AS_OF_NOW
 
     register(

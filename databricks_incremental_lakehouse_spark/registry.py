@@ -304,6 +304,7 @@ _CHECK_PRIORITY: list[str] = [
     "incr_curate_report_update_only",  # new r9: maintained curation rollup
     "sim_ivf_topk_pq",  # new r9: IVF-PQ (integer-exact ADC + re-rank)
     "multimodal_phash_search",  # new r9: query-by-exemplar Hamming search
+    "qc_revenue_anomaly_robust",  # new r9: median/MAD modified-z anomaly
     # -- (2) carriers whose code changed since their last driver check ------
     # the sqrt(N) nlist dial + BLAS centroid assignment (similarity.py r9)
     # restructured the whole IVF family; every consumer re-verifies:
