@@ -356,7 +356,6 @@ _CHECK_PRIORITY: list[str] = [
     "events_rolling_5min",
     "events_in_error_windows",
     "events_funnel",
-    "events_retention",
 ]
 
 
