@@ -502,6 +502,24 @@ def main() -> None:
             run_corpus_curation(spark, sf_dir, os.path.join(tmp, "curated"))
             record("ext.pipeline_curation", time.time() - t0)
 
+    # Serving mode (LAST block — the memo swap must not disturb earlier
+    # keys): the text consumers answering from the MAINTAINED token-stats
+    # warehouse instead of the session corpus scan — the steady-state a
+    # deployment actually runs once incr_token_stats keeps the tables
+    # current. Value-identity is test-locked (tests/test_incrstats.py);
+    # this key records what the adoption buys/costs at bench SF.
+    from databricks_incremental_lakehouse_spark import memo as _memo
+    from databricks_incremental_lakehouse_spark.llmdata import incrstats as _incr
+
+    root = _incr._warehouse_for(spark, sf_dir)  # warm from the incr keys
+    _memo.clear()  # drop scan-path tiers so the adopted frames serve
+    _incr.adopt_token_stats(spark, sf_dir, root)
+    _noop(QUERIES["search_bm25_topk"](spark, sf_dir))  # untimed warm-up
+    for _rep in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["search_bm25_topk"](spark, sf_dir))
+        record("ext.search_bm25_from_maintained", time.time() - t0)
+
     timings = {k: round(statistics.median(v), 3) for k, v in samples.items()}
     timings.update(once)
     value = round(statistics.median(headline_totals), 3)
