@@ -114,6 +114,7 @@ EXT_QUERIES = [
     "vocab_topk",
     "vocab_bpe_merges",
     "tokenize_bpe_apply",
+    "tokenize_pack_ids",
     "text_tfidf_topterms",
     "search_bm25_topk",
     "text_length_quantiles",

@@ -349,6 +349,112 @@ FROM syms JOIN vocab USING (symbol)"""
 TOKENIZE_BPE_APPLY_ORACLE = _bpe_apply_oracle()
 
 
+def tokenize_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tensor-ready LAST MILE: every document's BPE token-id stream
+    concatenated in ``doc_id`` order and chunked into ``CONTEXT_LEN``
+    training windows — ``(bin_id, bin_pos, doc_id, token_id)``, one row
+    per encoded token occurrence. This is the artifact a pretraining
+    loader memory-maps: :func:`tokenize_bpe_apply` produced the ids,
+    ``pack_sequences`` proved the bin GEOMETRY (doc -> bin ranges); this
+    composes them at token grain, so each token knows its exact
+    (window, offset) slot.
+
+    Scale shape: within-doc positions come from a doc-partitioned window
+    (never global); the corpus-wide token offset is the ``pack_sequences``
+    two-phase prefix sum over per-doc BPE LENGTHS (one small row per
+    ``PACK_BUCKET`` of docs on a single partition, broadcast back) — the
+    output is token-count-sized because the artifact is, but no stage
+    ever serializes the corpus through one task."""
+    from .curation import CONTEXT_LEN, PACK_BUCKET
+
+    bpe = tokenize_bpe_apply(spark, sf_dir).select(
+        "doc_id", "word_pos", "sym_pos", "token_id"
+    )
+    wd = Window.partitionBy("doc_id").orderBy("word_pos", "sym_pos")
+    tok = bpe.withColumn("idx", F.row_number().over(wd) - 1)
+    lens = (
+        tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_toks"))
+        .withColumn("bucket", (F.col("doc_id") / PACK_BUCKET).cast("long"))
+    )
+    intra_w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lens = lens.withColumn("intra_cum", F.sum("n_toks").over(intra_w))
+    bucket_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        lens.groupBy("bucket")
+        .agg(F.sum("n_toks").alias("bucket_tokens"))
+        .withColumn(
+            "offset",
+            F.sum("bucket_tokens").over(bucket_w) - F.col("bucket_tokens"),
+        )
+        .select("bucket", "offset")
+    )
+    doc_off = (
+        lens.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("intra_cum") - F.col("n_toks")).alias(
+                "doc_offset"
+            ),
+        )
+    )
+    gpos = F.col("doc_offset") + F.col("idx")
+    return tok.join(doc_off, "doc_id").select(
+        F.expr(f"(doc_offset + idx) DIV {CONTEXT_LEN}").alias("bin_id"),
+        (gpos % CONTEXT_LEN).cast("long").alias("bin_pos"),
+        "doc_id",
+        "token_id",
+    )
+
+
+def _pack_ids_oracle() -> str:
+    from .curation import CONTEXT_LEN, PACK_BUCKET
+
+    return f"""
+WITH bpe AS (SELECT * FROM ({TOKENIZE_BPE_APPLY_ORACLE})),
+tok AS (
+    SELECT doc_id, token_id,
+        ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY word_pos, sym_pos
+        ) - 1 AS idx
+    FROM bpe
+),
+lens AS (
+    SELECT doc_id, COUNT(*) AS n_toks, doc_id // {PACK_BUCKET} AS bucket
+    FROM tok GROUP BY doc_id
+),
+l2 AS (
+    SELECT doc_id, n_toks, bucket,
+        SUM(n_toks) OVER (
+            PARTITION BY bucket ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS intra_cum
+    FROM lens
+),
+boff AS (
+    SELECT bucket,
+        SUM(bucket_tokens) OVER (
+            ORDER BY bucket ROWS UNBOUNDED PRECEDING
+        ) - bucket_tokens AS offset
+    FROM (SELECT bucket, SUM(n_toks) AS bucket_tokens FROM lens GROUP BY bucket)
+),
+docoff AS (
+    SELECT l2.doc_id, boff.offset + l2.intra_cum - l2.n_toks AS doc_offset
+    FROM l2 JOIN boff USING (bucket)
+)
+SELECT CAST((d.doc_offset + t.idx) // {CONTEXT_LEN} AS BIGINT) AS bin_id,
+       CAST((d.doc_offset + t.idx) % {CONTEXT_LEN} AS BIGINT) AS bin_pos,
+       t.doc_id, t.token_id
+FROM tok t JOIN docoff d USING (doc_id)"""
+
+
 def register_all(register) -> None:
     register("vocab_bpe_merges", vocab_bpe_merges, VOCAB_BPE_ORACLE)
     register("tokenize_bpe_apply", tokenize_bpe_apply, TOKENIZE_BPE_APPLY_ORACLE)
+    register("tokenize_pack_ids", tokenize_pack_ids, _pack_ids_oracle())

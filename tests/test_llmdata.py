@@ -1637,3 +1637,32 @@ def test_phash_search_banding_exact_at_radius(spark, sf_correct):
     }
     assert got == brute
     assert brute, "planted exemplars produced no in-radius matches"
+
+
+def test_pack_ids_bins_dense_and_consistent(spark, sf_correct):
+    """tokenize_pack_ids must tile the corpus token stream exactly: every
+    bin except the last holds CONTEXT_LEN tokens at offsets 0..511 with
+    no gaps or repeats, and each document's slots are contiguous in
+    (doc order) — the memory-mappable contract a loader relies on."""
+    from databricks_incremental_lakehouse_spark.llmdata.bpe import tokenize_pack_ids
+    from databricks_incremental_lakehouse_spark.llmdata.curation import CONTEXT_LEN
+
+    rows = tokenize_pack_ids(spark, sf_correct).collect()
+    total = len(rows)
+    slots = {(r.bin_id, r.bin_pos) for r in rows}
+    assert len(slots) == total, "duplicate (bin, offset) slots"
+    n_bins = max(r.bin_id for r in rows) + 1
+    # global positions are exactly 0..total-1
+    assert slots == {(g // CONTEXT_LEN, g % CONTEXT_LEN) for g in range(total)}
+    # docs occupy contiguous global ranges in doc_id order
+    by_doc = {}
+    for r in rows:
+        g = r.bin_id * CONTEXT_LEN + r.bin_pos
+        lo, hi = by_doc.get(r.doc_id, (g, g))
+        by_doc[r.doc_id] = (min(lo, g), max(hi, g))
+    prev_end = -1
+    for d in sorted(by_doc):
+        lo, hi = by_doc[d]
+        assert lo == prev_end + 1, f"doc {d} not contiguous after {prev_end}"
+        prev_end = hi
+    assert n_bins == (total + CONTEXT_LEN - 1) // CONTEXT_LEN
