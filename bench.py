@@ -178,6 +178,9 @@ OTHER_TIMED_QUERIES = [
     "stream_dedup_redelivery",
     "stream_attribution_last_touch",
     "sim_ivf_topk_pq",
+    "incr_token_stats_update_only",
+    "incr_bigram_stats_update_only",
+    "incr_curate_report_update_only",
 ]
 
 
