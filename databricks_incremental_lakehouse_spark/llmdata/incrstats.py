@@ -114,11 +114,57 @@ def _paths(root: str) -> dict[str, str]:
 
 
 # per-target applied-commit watermark: commits AT OR BELOW it are already
-# folded into the aggregate. In-memory because the warehouse itself is a
-# session tempdir; a durable deployment would keep it in the aggregate's
-# meta sidecar (same recovery contract as the streaming checkpoint).
+# folded into the aggregate. Cached in memory AND persisted as a sidecar
+# in the aggregate's directory — without the sidecar, a process restart
+# against a persistent warehouse root would re-fold every commit and
+# silently DOUBLE-COUNT the aggregates (deltas are commutative, not
+# idempotent). The sidecar is written atomically (temp + rename, the
+# merge-meta discipline) AFTER the fold commits; a crash between fold
+# and sidecar write re-applies the last batch — same at-least-once
+# window every checkpointed consumer has, and why a durable deployment
+# pairs this with the streaming checkpoint instead.
 _APPLIED: dict[tuple[str, str], int] = {}
 _LOCK = threading.Lock()
+
+_APPLIED_SIDECAR = "_applied_commit.json"
+
+
+def _read_applied(root: str, target: str) -> int:
+    with _LOCK:
+        got = _APPLIED.get((root, target))
+    if got is not None:
+        return got
+    path = os.path.join(target, _APPLIED_SIDECAR)
+    applied = -1
+    if os.path.isfile(path):
+        import json
+
+        try:
+            with open(path) as f:
+                applied = int(json.load(f)["applied_commit"])
+        except (ValueError, KeyError, OSError):
+            # torn sidecar: refuse to guess — re-folding would double-count
+            raise RuntimeError(
+                f"corrupt applied-commit sidecar at {path!r}; "
+                "rebuild the aggregate from the feed (empty target + "
+                "re-drain) rather than risking a double-fold"
+            )
+    with _LOCK:
+        _APPLIED[(root, target)] = applied
+    return applied
+
+
+def _write_applied(root: str, target: str, top: int) -> None:
+    import json
+
+    os.makedirs(target, exist_ok=True)
+    path = os.path.join(target, _APPLIED_SIDECAR)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"applied_commit": int(top)}, f)
+    os.replace(tmp, path)
+    with _LOCK:
+        _APPLIED[(root, target)] = int(top)
 
 
 def _fold_new_commits(
@@ -133,9 +179,9 @@ def _fold_new_commits(
     commit dirs above the applied watermark are read directly (the
     changelog grows forever; re-listing every commit per drain would make
     drain cost O(history) instead of O(new changes)), and their signed
-    deltas apply as one batch (deltas commute)."""
-    with _LOCK:
-        applied = _APPLIED.get((root, target), -1)
+    deltas apply as one batch (deltas commute). The watermark persists in
+    the aggregate's sidecar so a restarted process never re-folds."""
+    applied = _read_applied(root, target)
     dirs = [
         d
         for d in _committed_dirs(log_dir)
@@ -150,8 +196,7 @@ def _fold_new_commits(
         .parquet(*dirs)
     )
     apply_cdf_delta(changes.drop("commit"), target, group_cols, sum_cols)
-    with _LOCK:
-        _APPLIED[(root, target)] = int(top)
+    _write_applied(root, target, top)
 
 
 def _drain(spark: SparkSession, root: str) -> None:

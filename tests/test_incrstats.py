@@ -270,3 +270,37 @@ def test_streaming_token_stats_equals_batch(spark, sf_correct, tmp_path):
         for r in token_stats(spark, root).collect()
     }
     assert got == batch
+
+
+def test_restart_does_not_refold(spark):
+    """A restarted process (simulated by clearing the in-memory
+    watermark cache) must NOT re-fold already-applied feed commits —
+    deltas are commutative but not idempotent, so a lost watermark would
+    silently double-count. The applied-commit sidecar in the aggregate
+    dir carries it across restarts; a corrupted sidecar must raise, not
+    guess."""
+    import json
+    import os
+
+    from databricks_incremental_lakehouse_spark.llmdata import incrstats as I
+
+    root = tempfile.mkdtemp(prefix="tokstats_r_")
+    corpus = {1: "a b a", 2: "b c"}
+    apply_doc_updates(spark, root, _docs(spark, list(corpus.items())))
+    _assert_matches(spark, root, corpus)
+
+    # "restart": wipe the in-memory cache; a no-new-docs batch follows
+    I._APPLIED.clear()
+    apply_doc_updates(spark, root, _docs(spark, [(3, "d")]))
+    corpus[3] = "d"
+    _assert_matches(spark, root, corpus)  # would fail doubled without sidecar
+
+    # corrupt sidecar: strict failure, never a guessed re-fold
+    side = os.path.join(I._paths(root)["tok_stats"], I._APPLIED_SIDECAR)
+    with open(side, "w") as f:
+        f.write("{not json")
+    I._APPLIED.clear()
+    import pytest
+
+    with pytest.raises(RuntimeError, match="corrupt applied-commit"):
+        apply_doc_updates(spark, root, _docs(spark, [(4, "e")]))
