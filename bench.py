@@ -128,6 +128,7 @@ EXT_QUERIES = [
     "corpus_token_budget_select",
     "corpus_mixture_weights",
     "corpus_split_assign",
+    "corpus_curriculum_order",
     "corpus_curate_report",
     "vocab_pmi_topk",
     "bi_tpch_q1",

@@ -884,7 +884,100 @@ SELECT doc_id, canonical_id,
 FROM (SELECT doc_id, canonical_id FROM ({DEDUP_CLUSTERS_ORACLE}))"""
 
 
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering of the packed training windows: each
+    ``tokenize_pack_ids`` bin scored by the token-weighted mean of its
+    documents' unigram log-probability (the CCNet-style difficulty
+    proxy: high average log-prob = common-token text = 'easy'), ranked
+    easy-first — the schedule a curriculum-learning loader consumes
+    (Bengio et al. 2009; data-mixing stacks order shards exactly this
+    way).
+
+    Portability: the per-doc score is already on the 4-dp grid, so it
+    scales to an EXACT integer (x 1e4 through the decimal cast) and the
+    bin's weighted sum is integer arithmetic — order-free across engines
+    (the PQ ADC discipline); one final division lands back on the grid.
+    Scale shape: one (bin, doc) count aggregate over the pack stream +
+    a doc-grain broadcast join; the rank is a window over O(bins) rows."""
+    from pyspark.sql import Window
+
+    from .bpe import tokenize_pack_ids
+    from .corpusstats import text_unigram_logprob
+
+    per = (
+        tokenize_pack_ids(spark, sf_dir)
+        .groupBy("bin_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lp = text_unigram_logprob(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("avg_logprob").cast("decimal(38,10)") * F.lit(10_000), 0)
+        .cast("long")
+        .alias("lp_scaled"),
+    )
+    scored = (
+        per.join(F.broadcast(lp), "doc_id")
+        .groupBy("bin_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("lp_scaled") * F.col("n")).alias("wsum"),
+        )
+        .select(
+            "bin_id",
+            "n_tokens",
+            round_dbl(
+                F.col("wsum")
+                / (F.lit(10_000.0) * F.col("n_tokens").cast("double")),
+                4,
+            ).alias("difficulty"),
+        )
+    )
+    w = Window.orderBy(F.col("difficulty").desc(), F.col("bin_id").asc())
+    return scored.select(
+        F.row_number().over(w).cast("int").alias("curriculum_rank"),
+        "bin_id",
+        "n_tokens",
+        "difficulty",
+    )
+
+
+def _curriculum_oracle() -> str:
+    from .bpe import _pack_ids_oracle
+    from .corpusstats import TEXT_UNIGRAM_LOGPROB_ORACLE
+
+    return f"""
+WITH per AS (
+    SELECT bin_id, doc_id, COUNT(*) AS n
+    FROM ({_pack_ids_oracle()})
+    GROUP BY bin_id, doc_id
+),
+lp AS (
+    SELECT doc_id,
+        CAST(ROUND(CAST(avg_logprob AS DECIMAL(38,10)) * 10000, 0) AS BIGINT)
+            AS lp_scaled
+    FROM ({TEXT_UNIGRAM_LOGPROB_ORACLE})
+),
+scored AS (
+    SELECT bin_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        CAST(ROUND(CAST(
+            CAST(SUM(lp_scaled * n) AS DOUBLE)
+            / (10000.0 * CAST(SUM(n) AS DOUBLE))
+         AS DECIMAL(38,10)), 4) AS DOUBLE) AS difficulty
+    FROM per JOIN lp USING (doc_id)
+    GROUP BY bin_id
+)
+SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY difficulty DESC, bin_id ASC) AS INT) AS curriculum_rank,
+       bin_id, n_tokens, difficulty
+FROM scored"""
+
+
 def register_all(register) -> None:
+    register(
+        "corpus_curriculum_order",
+        corpus_curriculum_order,
+        _curriculum_oracle(),
+    )
     register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE)
     register("corpus_split_assign", corpus_split_assign, CORPUS_SPLIT_ORACLE)
     register("text_decontamination", text_decontamination, TEXT_DECONTAMINATION_ORACLE)

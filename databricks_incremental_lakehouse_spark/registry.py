@@ -306,6 +306,7 @@ _CHECK_PRIORITY: list[str] = [
     "multimodal_phash_search",  # new r9: query-by-exemplar Hamming search
     "qc_revenue_anomaly_robust",  # new r9: median/MAD modified-z anomaly
     "tokenize_pack_ids",  # new r9: tensor-ready packed token-id windows
+    "corpus_curriculum_order",  # new r9: difficulty-ranked training windows
     # -- (2) carriers whose code changed since their last driver check ------
     # the sqrt(N) nlist dial + BLAS centroid assignment (similarity.py r9)
     # restructured the whole IVF family; every consumer re-verifies:
@@ -354,7 +355,6 @@ _CHECK_PRIORITY: list[str] = [
     "events_session_windows",
     "events_deduped",
     "events_rolling_5min",
-    "events_in_error_windows",
     "events_funnel",
 ]
 
