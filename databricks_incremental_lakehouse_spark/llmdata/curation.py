@@ -959,10 +959,9 @@ lp AS (
 ),
 scored AS (
     SELECT bin_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
-        CAST(ROUND(CAST(
-            CAST(SUM(lp_scaled * n) AS DOUBLE)
-            / (10000.0 * CAST(SUM(n) AS DOUBLE))
-         AS DECIMAL(38,10)), 4) AS DOUBLE) AS difficulty
+        {round_dbl_sql(
+            "CAST(SUM(lp_scaled * n) AS DOUBLE)"
+            " / (10000.0 * CAST(SUM(n) AS DOUBLE))", 4)} AS difficulty
     FROM per JOIN lp USING (doc_id)
     GROUP BY bin_id
 )

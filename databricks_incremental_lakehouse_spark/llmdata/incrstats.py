@@ -118,11 +118,16 @@ def _paths(root: str) -> dict[str, str]:
 # in the aggregate's directory — without the sidecar, a process restart
 # against a persistent warehouse root would re-fold every commit and
 # silently DOUBLE-COUNT the aggregates (deltas are commutative, not
-# idempotent). The sidecar is written atomically (temp + rename, the
-# merge-meta discipline) AFTER the fold commits; a crash between fold
-# and sidecar write re-applies the last batch — same at-least-once
-# window every checkpointed consumer has, and why a durable deployment
-# pairs this with the streaming checkpoint instead.
+# idempotent). The fold is TWO-PHASE: before applying, the sidecar is
+# stamped with ``pending_commit`` (intent); after the fold's last bucket
+# swap it is finalized to ``applied_commit`` alone. A crash anywhere
+# between intent and finalize leaves the pending stamp behind, and the
+# next fold REBUILDS the aggregate deterministically from the full feed
+# (commit dirs are immutable, the aggregate is derived state) instead of
+# guessing whether the interrupted batch half-applied — exactly-once
+# semantics from at-least-once machinery, bought with an O(history)
+# rebuild only on the crash path. Each sidecar write is atomic
+# (temp + rename, the merge-meta discipline).
 _APPLIED: dict[tuple[str, str], int] = {}
 _LOCK = threading.Lock()
 
@@ -134,35 +139,73 @@ def _read_applied(root: str, target: str) -> int:
         got = _APPLIED.get((root, target))
     if got is not None:
         return got
-    path = os.path.join(target, _APPLIED_SIDECAR)
-    applied = -1
-    if os.path.isfile(path):
-        import json
-
-        try:
-            with open(path) as f:
-                applied = int(json.load(f)["applied_commit"])
-        except (ValueError, KeyError, OSError):
-            # torn sidecar: refuse to guess — re-folding would double-count
-            raise RuntimeError(
-                f"corrupt applied-commit sidecar at {path!r}; "
-                "rebuild the aggregate from the feed (empty target + "
-                "re-drain) rather than risking a double-fold"
-            )
+    state = _read_sidecar(target)
+    applied = state["applied_commit"] if state is not None else -1
+    if state is not None and state.get("pending_commit") is not None:
+        # an intent stamp with no finalize: the fold it announced may have
+        # half-applied — signal the caller to rebuild (never cache this)
+        return _PENDING
     with _LOCK:
         _APPLIED[(root, target)] = applied
     return applied
 
 
-def _write_applied(root: str, target: str, top: int) -> None:
+# sentinel: the sidecar carries an unfinalized intent stamp — the target
+# must be rebuilt from the feed before any watermark can be trusted
+_PENDING = object()
+
+
+def _read_sidecar(target: str) -> dict | None:
+    path = os.path.join(target, _APPLIED_SIDECAR)
+    if not os.path.isfile(path):
+        return None
+    import json
+
+    try:
+        with open(path) as f:
+            state = json.load(f)
+        return {
+            "applied_commit": int(state["applied_commit"]),
+            "pending_commit": (
+                int(state["pending_commit"])
+                if state.get("pending_commit") is not None
+                else None
+            ),
+        }
+    except (ValueError, KeyError, OSError):
+        # torn sidecar: refuse to guess — re-folding would double-count
+        raise RuntimeError(
+            f"corrupt applied-commit sidecar at {path!r}; "
+            "rebuild the aggregate from the feed (empty target + "
+            "re-drain) rather than risking a double-fold"
+        )
+
+
+def _write_sidecar(target: str, payload: dict) -> None:
     import json
 
     os.makedirs(target, exist_ok=True)
     path = os.path.join(target, _APPLIED_SIDECAR)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"applied_commit": int(top)}, f)
+        json.dump(payload, f)
     os.replace(tmp, path)
+
+
+def _write_intent(root: str, target: str, applied: int, top: int) -> None:
+    """Phase 1: announce the fold about to run. The in-memory watermark is
+    dropped so that if this process dies (or throws) before finalizing,
+    every later reader goes back to disk and sees the pending stamp."""
+    with _LOCK:
+        _APPLIED.pop((root, target), None)
+    _write_sidecar(
+        target, {"applied_commit": int(applied), "pending_commit": int(top)}
+    )
+
+
+def _write_applied(root: str, target: str, top: int) -> None:
+    """Phase 2: finalize — the fold's last bucket swap is on disk."""
+    _write_sidecar(target, {"applied_commit": int(top)})
     with _LOCK:
         _APPLIED[(root, target)] = int(top)
 
@@ -179,9 +222,22 @@ def _fold_new_commits(
     commit dirs above the applied watermark are read directly (the
     changelog grows forever; re-listing every commit per drain would make
     drain cost O(history) instead of O(new changes)), and their signed
-    deltas apply as one batch (deltas commute). The watermark persists in
-    the aggregate's sidecar so a restarted process never re-folds."""
+    deltas apply as one batch (deltas commute). The fold is two-phase
+    (intent stamp -> apply -> finalize, see ``_APPLIED``): a fold
+    interrupted between the stamps is detected here and the aggregate is
+    rebuilt from the full feed — derived state, immutable inputs, so the
+    rebuild is deterministic and exact."""
+    import shutil
+
     applied = _read_applied(root, target)
+    if applied is _PENDING:
+        # interrupted fold: the target may hold a partial application —
+        # discard it and re-fold every commit from scratch (a crash during
+        # THIS rebuild leaves the pending stamp behind and re-enters here)
+        shutil.rmtree(target, ignore_errors=True)
+        with _LOCK:
+            _APPLIED.pop((root, target), None)
+        applied = -1
     dirs = [
         d
         for d in _committed_dirs(log_dir)
@@ -190,6 +246,7 @@ def _fold_new_commits(
     if not dirs:
         return
     top = max(int(os.path.basename(d).split("=", 1)[1]) for d in dirs)
+    _write_intent(root, target, applied, top)
     changes = (
         spark.read.option("basePath", log_dir)
         .option("mergeSchema", "true")
@@ -199,8 +256,14 @@ def _fold_new_commits(
     _write_applied(root, target, top)
 
 
-def _drain(spark: SparkSession, root: str) -> None:
-    """Fold every unapplied feed commit into the aggregate tables."""
+def drain_token_stats(spark: SparkSession, root: str) -> None:
+    """Fold every unapplied feed commit into the aggregate tables — the
+    standalone recovery/refresh entry point: a process that crashed after
+    a postings/bigrams merge but before its fold resumes here (the merge
+    committed its change-feed dirs; this folds whatever is unapplied),
+    and an interrupted fold (pending intent stamp) is rebuilt. No-op when
+    everything is applied. :func:`apply_doc_updates` calls the same folds
+    inline, so routine ingest never needs this."""
     p = _paths(root)
     for log_dir, target, group_cols, sum_cols in [
         (p["postings_log"], p["tok_stats"], ["token"], ["tf"]),

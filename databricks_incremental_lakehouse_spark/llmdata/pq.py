@@ -150,18 +150,20 @@ def _centroids(assigned_sub: DataFrame) -> list[tuple[int, int, list[float]]]:
     return [(int(r.m), int(r.cl), list(r.cv)) for r in rows]
 
 
-# session-scoped memo: (codebook rows, encoded codes frame) per sf_dir
+# session-scoped memo: (codebook rows, encoded codes frame) per sf_dir —
+# the _CENT_MEMO discipline: lock (concurrent first calls must not train
+# twice) + stale-session eviction (a dead session's entries never pile up)
 _PQ_MEMO: dict[tuple, tuple[list, DataFrame]] = {}
+_PQ_LOCK = __import__("threading").Lock()
 
 
-def _pq_index_for(spark: SparkSession, sf_dir: str):
-    """Train the PQ codebooks (deterministic per-subspace k-means) and
-    encode the corpus; memoized per (session, sf_dir) like the coarse
-    codebook. Returns (cb_rows, codes) — codes = (vec_id, m, cl)."""
-    from .. import memo
-
-    def build():
-        sub = _subvectors(_unit(_emb(spark, sf_dir))).persist()
+def _train_pq(sub: DataFrame) -> tuple[list, DataFrame]:
+    """Train the subspace codebooks on ``sub`` (persisted for the
+    duration — each Lloyd pass ends in a KSUB*M-row collect) and encode
+    it; the codes frame is localCheckpointed eagerly so ``sub``'s cache
+    can be released before returning (no leaked persisted copies)."""
+    sub = sub.persist()
+    try:
         assigned = sub.withColumn(
             "cl", (F.col("vec_id") % PQ_KSUB).cast("int")
         )
@@ -171,22 +173,43 @@ def _pq_index_for(spark: SparkSession, sf_dir: str):
                 sub, ["vec_id", "m"]
             ).select("vec_id", "m", "cl", "sv")
         cb = _centroids(assigned)
-        codes = _assign_codes(sub, cb)
-        return cb, codes
+        codes = _assign_codes(sub, cb).localCheckpoint(eager=True)
+    finally:
+        try:
+            sub.unpersist()
+        except Exception:  # noqa: BLE001 — context may already be gone
+            pass
+    return cb, codes
+
+
+def _pq_index_for(spark: SparkSession, sf_dir: str):
+    """Train the PQ codebooks (deterministic per-subspace k-means) and
+    encode the corpus; memoized per (session, sf_dir) like the coarse
+    codebook. Returns (cb_rows, codes) — codes = (vec_id, m, cl)."""
+    from .. import memo
+
+    def build():
+        return _train_pq(_subvectors(_unit(_emb(spark, sf_dir))))
 
     if not memo.enabled():
         return build()
     skey = memo._session_key(spark)
     got = _PQ_MEMO.get((skey, sf_dir))
-    if got is None:
-        cb, codes = build()
-        got = (cb, codes.localCheckpoint(eager=True))
-        _PQ_MEMO[(skey, sf_dir)] = got
+    if got is not None:
+        return got
+    with _PQ_LOCK:
+        for stale in [k for k in _PQ_MEMO if k[0] != skey]:
+            _PQ_MEMO.pop(stale)
+        got = _PQ_MEMO.get((skey, sf_dir))
+        if got is None:
+            got = build()
+            _PQ_MEMO[(skey, sf_dir)] = got
     return got
 
 
 def _clear_pq_memo() -> None:
-    _PQ_MEMO.clear()
+    with _PQ_LOCK:
+        _PQ_MEMO.clear()
 
 
 from .. import memo as _memo  # noqa: E402 — registration, not a cycle

@@ -246,6 +246,10 @@ def _assign_candidates(
             else:
                 kth = np.full(S.shape[0], -np.inf)
             keep = S >= (kth - _SCORE_SLACK)[:, None]
+            # a zero-norm row scores -inf everywhere and -inf >= -inf is
+            # True — without this mask it would fan out one candidate per
+            # centroid instead of dropping like the old NULL-cosine path
+            keep &= np.isfinite(S)
             ii, jj = np.nonzero(keep)
             out = pdf.iloc[ii].copy()
             out["cl"] = cls_arr[jj]

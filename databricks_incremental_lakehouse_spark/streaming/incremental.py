@@ -160,6 +160,24 @@ def _read_meta(target_path: str, strict: bool = False) -> dict | None:
         return None
 
 
+def _has_table(target_path: str) -> bool:
+    """Whether a TABLE lives at ``target_path`` — a merge sidecar (staged
+    or promoted) or any parquet data. A directory holding only auxiliary
+    files (e.g. the fold watermark's intent stamp, written before the
+    first fold lands) is NOT a table: treating it as one sent the merge
+    down the existing-table read path against zero files."""
+    if not os.path.isdir(target_path):
+        return False
+    if os.path.isfile(os.path.join(target_path, META_FILE)) or os.path.isfile(
+        os.path.join(target_path, _META_STAGED)
+    ):
+        return True
+    for _dirpath, _dirs, files in os.walk(target_path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def _backup_path(dst: str) -> str:
     # leading '.' => ignored by Spark partition discovery even though the
     # name contains '=' (unlike '<dir>.old', which would be parsed as a
@@ -563,7 +581,7 @@ def merge_upsert(
         raise ValueError("on_match='keep' cannot be combined with scope/deletes")
 
     _recover_swaps(target_path)
-    initial = not os.path.isdir(target_path)
+    initial = not _has_table(target_path)
     if not initial:
         meta = _read_meta(target_path, strict=True)
         if meta is not None:
@@ -957,8 +975,18 @@ def apply_cdf_delta(
         )
     ).localCheckpoint(eager=True)
     sess = batch_df.sparkSession
-    if os.path.isdir(target_path):
-        meta = _read_meta(target_path)
+    # an existing TABLE is one with a merge sidecar or parquet data — a
+    # directory holding only auxiliary files (e.g. the fold watermark's
+    # intent stamp, written before the first fold lands) is still an empty
+    # target. strict: a corrupt sidecar over real data must fail loudly,
+    # never read-as-empty.
+    if _has_table(target_path):
+        meta = _read_meta(target_path, strict=True)
+        if meta is None:
+            raise ValueError(
+                f"cdf totals target {target_path!r} has data but no merge "
+                "sidecar; refusing to treat it as empty"
+            )
         nb = int(meta["num_buckets"])
         buckets = sorted(
             {

@@ -304,3 +304,74 @@ def test_restart_does_not_refold(spark):
 
     with pytest.raises(RuntimeError, match="corrupt applied-commit"):
         apply_doc_updates(spark, root, _docs(spark, [(4, "e")]))
+
+
+def test_interrupted_fold_rebuilds_exactly(spark):
+    """A fold that died between its intent stamp and its finalize may have
+    half-applied its batch; the next fold must detect the pending stamp
+    and REBUILD the aggregate from the (immutable) feed — ending exactly
+    at the batch totals, never doubled, never half-applied."""
+    import json
+    import os
+
+    from databricks_incremental_lakehouse_spark.llmdata import incrstats as I
+
+    root = tempfile.mkdtemp(prefix="tokstats_i_")
+    corpus = {1: "a b a", 2: "b c"}
+    apply_doc_updates(spark, root, _docs(spark, list(corpus.items())))
+    _assert_matches(spark, root, corpus)
+
+    # simulate the crash window: an intent stamp that never finalized,
+    # over an aggregate corrupted by the interrupted fold (drop the dir —
+    # the worst case: nothing of the fold's output survived)
+    tok_tgt = I._paths(root)["tok_stats"]
+    side = os.path.join(tok_tgt, I._APPLIED_SIDECAR)
+    with open(side) as f:
+        applied = json.load(f)["applied_commit"]
+    import shutil
+
+    shutil.rmtree(tok_tgt)
+    os.makedirs(tok_tgt)
+    with open(side, "w") as f:
+        json.dump({"applied_commit": -1, "pending_commit": applied}, f)
+    I._APPLIED.clear()
+
+    corpus[3] = "c d"
+    apply_doc_updates(spark, root, _docs(spark, [(3, "c d")]))
+    _assert_matches(spark, root, corpus)
+
+
+def test_drain_entry_point(spark):
+    """drain_token_stats recovers a crash between merge and fold: the
+    change-feed commits exist but no aggregate saw them. It is also a
+    no-op when everything is applied (watermark holds)."""
+    from databricks_incremental_lakehouse_spark.llmdata import incrstats as I
+    from databricks_incremental_lakehouse_spark.llmdata.incrstats import (
+        drain_token_stats,
+    )
+
+    root = tempfile.mkdtemp(prefix="tokstats_d_")
+    corpus = {1: "a b", 2: "b c b"}
+    p = I._paths(root)
+    docs = _docs(spark, list(corpus.items()))
+    # merge WITHOUT folding — the crash-between-merge-and-fold state
+    from databricks_incremental_lakehouse_spark.streaming.incremental import (
+        merge_upsert,
+    )
+
+    scope = docs.select("doc_id")
+    merge_upsert(
+        spark, I._doc_tf(docs), p["postings"],
+        keys=["doc_id", "token"], bucket_keys=["doc_id"],
+        scope=scope, changelog_dir=p["postings_log"],
+    )
+    merge_upsert(
+        spark, I._doc_bigrams(docs), p["bigrams"],
+        keys=["doc_id", "w1", "w2"], bucket_keys=["doc_id"],
+        scope=scope, changelog_dir=p["bigrams_log"],
+    )
+    drain_token_stats(spark, root)
+    _assert_matches(spark, root, corpus)
+    # idempotent: a second drain applies nothing
+    drain_token_stats(spark, root)
+    _assert_matches(spark, root, corpus)
