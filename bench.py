@@ -396,6 +396,13 @@ def main() -> None:
         t0 = time.time()
         _noop(QUERIES["sim_ivf_topk_pq"](spark, sf_dir))
         record("ext.sim_ivf_pq_search_only", time.time() - t0)
+    t0 = time.time()
+    _noop(QUERIES["sim_ivf_pq_append_search"](spark, sf_dir))
+    once["once.sim_ivf_pq_append_build_ingest_and_search"] = round(time.time() - t0, 3)
+    for _rep in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["sim_ivf_pq_append_search"](spark, sf_dir))
+        record("ext.sim_ivf_pq_append_search_only", time.time() - t0)
 
     _noop(QUERIES["sim_ivf_topk_quantized"](spark, sf_dir))  # warm-up
     for _rep in range(REPS):

@@ -224,7 +224,25 @@ def sim_ivf_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cent_rows, cells, nlist = _kmeans_cells_for(spark, sf_dir)
     cb_rows, codes = _pq_index_for(spark, sf_dir)
-    q2c = _probe_cells(spark, emb, cent_rows, _nprobe_for(nlist))
+    return _pq_search(
+        spark, emb, cent_rows, _nprobe_for(nlist), cb_rows, codes, cells
+    )
+
+
+def _pq_search(
+    spark: SparkSession,
+    emb: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    nprobe: int,
+    cb_rows: list[tuple[int, int, list[float]]],
+    codes: DataFrame,
+    cells: DataFrame,
+) -> DataFrame:
+    """The ADC search shared by the session index and the append index:
+    probe -> integer LUT-sum over the probed cells' codes -> exact
+    re-rank. ``cells`` is the (vec_id, cl) coarse assignment; ``codes``
+    the (vec_id, m, cl) PQ code table; ``cb_rows`` its codebooks."""
+    q2c = _probe_cells(spark, emb, cent_rows, nprobe)
 
     # query-side LUT: one exact-integer inner product per (query,
     # subspace, code) — N_QUERIES x PQ_M x PQ_KSUB rows, broadcastable
@@ -301,8 +319,88 @@ def sim_ivf_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle() -> str:
-    from .similarity import _COS, _CCOS_Q, _KMEANS_CELLS_WITH
+# ---------------------------------------------------------------------------
+# Incremental PQ maintenance: encode arrivals against FROZEN codebooks
+# ---------------------------------------------------------------------------
+
+# session-scoped memo: one (frozen codebooks, appended code store) per sf_dir
+_PQ_APPEND_MEMO: dict[tuple, tuple[list, str]] = {}
+
+
+def _pq_append_index_for(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
+    """Train the PQ codebooks on the 90% base corpus, encode it, then
+    INGEST the late-arriving 10% by encoding them against the FROZEN
+    subspace codebooks and appending their code rows into the existing
+    store — the PQ face of the no-retrain ingest contract
+    (:func:`..similarity._ivf_append_index` is the coarse face). Ingest
+    cost is one assignment pass over the batch's M subvectors —
+    O(batch x KSUB x M), corpus never re-encoded — plus the append write
+    (a code row is 3 ints; the appended files are posting-list sized)."""
+    from .. import memo
+    from .similarity import ARRIVAL_MOD
+
+    def build() -> tuple[list, str]:
+        import os
+        import tempfile
+
+        emb = _emb(spark, sf_dir)
+        base_sub = _subvectors(
+            _unit(emb.filter(F.col("vec_id") % ARRIVAL_MOD != 0))
+        )
+        cb, base_codes = _train_pq(base_sub)
+        path = os.path.join(tempfile.mkdtemp(prefix="pq_app_"), "codes")
+        base_codes.write.parquet(path)
+        arr_sub = _subvectors(
+            _unit(emb.filter(F.col("vec_id") % ARRIVAL_MOD == 0))
+        )
+        _assign_codes(arr_sub, cb).write.mode("append").parquet(path)
+        return cb, path
+
+    if not memo.enabled():
+        cb, path = build()
+        return cb, spark.read.parquet(path)
+    skey = memo._session_key(spark)
+    got = _PQ_APPEND_MEMO.get((skey, sf_dir))
+    if got is None:
+        with _PQ_LOCK:
+            got = _PQ_APPEND_MEMO.get((skey, sf_dir))
+            if got is None:
+                for stale in [k for k in _PQ_APPEND_MEMO if k[0] != skey]:
+                    _PQ_APPEND_MEMO.pop(stale)
+                got = build()
+                _PQ_APPEND_MEMO[(skey, sf_dir)] = got
+    cb, path = got
+    return cb, spark.read.parquet(path)
+
+
+def sim_ivf_pq_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search the post-ingest IVF-PQ index: frozen base-trained coarse
+    codebook + appended cell store (the flat append index), frozen
+    base-trained PQ codebooks + appended code store — identical ADC /
+    re-rank machinery as :func:`sim_ivf_topk_pq`. The oracle replays
+    train-on-base / encode-everything declaratively, so the no-retrain
+    ingest contract is value-hash-checked cross-engine."""
+    from .similarity import _ivf_append_index
+
+    emb = _emb(spark, sf_dir)
+    cent_rows, path, nlist = _ivf_append_index(spark, sf_dir)
+    cells = spark.read.parquet(path).select(
+        "vec_id", F.col("cl").cast("int").alias("cl")
+    )
+    cb_rows, codes = _pq_append_index_for(spark, sf_dir)
+    return _pq_search(
+        spark, emb, cent_rows, _nprobe_for(nlist), cb_rows, codes, cells
+    )
+
+
+def _pq_oracle(append: bool = False) -> str:
+    from .similarity import (
+        ARRIVAL_MOD,
+        _COS,
+        _CCOS_Q,
+        _KMEANS_CELLS_APPEND_WITH,
+        _KMEANS_CELLS_WITH,
+    )
 
     r6 = "CAST(ROUND(CAST({x} AS DECIMAL(38,10)), 6) AS DOUBLE)"
     l2 = r6.format(
@@ -328,22 +426,35 @@ def _pq_oracle() -> str:
     ) GROUP BY m, cl
 )"""
 
-    def assign(cb: str, name: str) -> str:
+    def assign(cb: str, name: str, src: str = "sv") -> str:
         return f"""{name} AS (
     SELECT vec_id, m, cl, sv FROM (
         SELECT s.vec_id, s.m, c.cl, s.sv,
             ROW_NUMBER() OVER (
                 PARTITION BY s.vec_id, s.m ORDER BY {l2} ASC, c.cl ASC
             ) AS rn
-        FROM sv s JOIN {cb} c ON c.m = s.m
+        FROM {src} s JOIN {cb} c ON c.m = s.m
     ) WHERE rn = 1
 )"""
 
-    return f"""{_KMEANS_CELLS_WITH},
+    # append mode: the coarse prologue trains on the base subset `e` and
+    # assigns everything (`eall`); the PQ training chain reads the base
+    # subvectors (`svb`) only, while the final encode covers all of `sv` —
+    # train-on-base / encode-everything, the no-retrain ingest contract.
+    prologue = _KMEANS_CELLS_APPEND_WITH if append else _KMEANS_CELLS_WITH
+    allsrc = "eall" if append else "e"
+    trainsrc = "svb" if append else "sv"
+    svb = (
+        f"svb AS (SELECT * FROM sv WHERE vec_id % {ARRIVAL_MOD} <> 0),\n"
+        if append
+        else ""
+    )
+
+    return f"""{prologue},
 un AS (
     SELECT vec_id, list_transform(
         v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
-    FROM e
+    FROM {allsrc}
 ),
 sv AS (
     SELECT vec_id, m,
@@ -351,11 +462,12 @@ sv AS (
                        i -> u[m * {PQ_DSUB} + i]) AS sv
     FROM un, UNNEST(generate_series(0, {PQ_M - 1})) AS t(m)
 ),
-p0 AS (SELECT vec_id, m, CAST(vec_id % {PQ_KSUB} AS INT) AS cl, sv FROM sv),
+{svb}p0 AS (SELECT vec_id, m, CAST(vec_id % {PQ_KSUB} AS INT) AS cl, sv
+      FROM {trainsrc}),
 {cents("p0", "pc1")},
-{assign("pc1", "p1")},
+{assign("pc1", "p1", trainsrc)},
 {cents("p1", "pc2")},
-{assign("pc2", "p2")},
+{assign("pc2", "p2", trainsrc)},
 {cents("p2", "pcf")},
 {assign("pcf", "codes")},
 lut AS (
@@ -372,7 +484,7 @@ q2c AS (
                 PARTITION BY q.vec_id
                 ORDER BY {_CCOS_Q} DESC, c.cl ASC
             ) AS crank
-        FROM (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}) q
+        FROM (SELECT vec_id, v FROM {allsrc} WHERE vec_id < {N_QUERIES}) q
         CROSS JOIN cent c
     ) WHERE crank <= (SELECT nprobe FROM params)
 ),
@@ -400,9 +512,14 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
         CAST(ROW_NUMBER() OVER (
             PARTITION BY c.query_id ORDER BY {_COS} DESC, c.neighbor_id ASC
         ) AS INT) AS rank
-    FROM cand c JOIN e n ON c.neighbor_id = n.vec_id
+    FROM cand c JOIN {allsrc} n ON c.neighbor_id = n.vec_id
 ) WHERE rank <= {TOP_K}"""
 
 
 def register_all(register) -> None:
     register("sim_ivf_topk_pq", sim_ivf_topk_pq, _pq_oracle())
+    register(
+        "sim_ivf_pq_append_search",
+        sim_ivf_pq_append_search,
+        _pq_oracle(append=True),
+    )

@@ -1556,8 +1556,9 @@ def sim_ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # train on the base subset (e), assign EVERYTHING (eall) to the frozen
-# centroids — the declarative statement of ingest-without-retrain
-SIM_IVF_APPEND_ORACLE = f"""
+# centroids — the declarative statement of ingest-without-retrain. The
+# prologue (through `cells`) is shared with the IVF-PQ append oracle.
+_KMEANS_CELLS_APPEND_WITH = f"""
 WITH eall AS (
     SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
@@ -1585,7 +1586,9 @@ cells AS (
             ) AS crank
         FROM eall e2 CROSS JOIN cent c
     ) WHERE crank = 1
-),
+)"""
+
+SIM_IVF_APPEND_ORACLE = f"""{_KMEANS_CELLS_APPEND_WITH},
 q2c AS (
     SELECT query_id, qv, cl AS probe_cell FROM (
         SELECT q.vec_id AS query_id, q.v AS qv, c.cl,

@@ -296,9 +296,12 @@ _register_extensions()
 CHECK_WINDOW_SIZE = 50
 
 _CHECK_PRIORITY: list[str] = [
-    # -- (1) never verified in any round: the new r9 queries MUST sit
-    # inside the window (rotation gate tests/test_registry.py). All 9 r8
-    # additions went green in CORRECTNESS_r08 and rotate out. -------------
+    # -- (1) never verified in any round: the new r10 queries MUST sit
+    # inside the window (rotation gate tests/test_registry.py). ----------
+    "sim_ivf_pq_append_search",  # new r10: PQ ingest-without-retrain
+    # -- r9-new queries, kept while their machinery changed in r10 (the
+    # watermark two-phase fold; the PQ memo/search refactor; the
+    # curriculum oracle's rounding-scale fix) ----------------------------
     "incr_token_stats_update_only",  # new r9: maintained token statistics
     "incr_bigram_stats_update_only",  # new r9: maintained bigram counts
     "incr_curate_report_update_only",  # new r9: maintained curation rollup

@@ -1601,6 +1601,26 @@ def test_ivf_pq_recall(spark, sf_correct):
     assert len(pq & exact) / len(exact) >= 0.8
 
 
+def test_ivf_pq_append_recall(spark, sf_correct):
+    """The post-ingest PQ index (frozen base-trained codebooks, arrivals
+    encoded without retrain) must hold the same >=0.8 recall lock vs the
+    exact top-k over the FULL corpus — the append path serves the same
+    queries, so ingest-without-retrain may not cost the recall bar."""
+    from databricks_incremental_lakehouse_spark.llmdata.pq import (
+        sim_ivf_pq_append_search,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_topk_bruteforce(spark, sf_correct).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ivf_pq_append_search(spark, sf_correct).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.8
+
+
 def test_phash_search_banding_exact_at_radius(spark, sf_correct):
     """At radius PHASH_BANDS - 1 the band-bucket candidate cover is EXACT
     (pigeonhole: <= 3 differing bits cannot touch all 4 bands), so the
