@@ -210,6 +210,8 @@ def _pq_index_for(spark: SparkSession, sf_dir: str):
 def _clear_pq_memo() -> None:
     with _PQ_LOCK:
         _PQ_MEMO.clear()
+        _PQ_RES_MEMO.clear()
+        _PQ_APPEND_MEMO.clear()
 
 
 from .. import memo as _memo  # noqa: E402 — registration, not a cycle
@@ -237,11 +239,18 @@ def _pq_search(
     cb_rows: list[tuple[int, int, list[float]]],
     codes: DataFrame,
     cells: DataFrame,
+    anchor_rows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """The ADC search shared by the session index and the append index:
     probe -> integer LUT-sum over the probed cells' codes -> exact
     re-rank. ``cells`` is the (vec_id, cl) coarse assignment; ``codes``
-    the (vec_id, m, cl) PQ code table; ``cb_rows`` its codebooks."""
+    the (vec_id, m, cl) PQ code table; ``cb_rows`` its codebooks.
+
+    When ``anchor_rows`` is given (residual mode), the codes encode the
+    residual u - anchor[cell] instead of u, and a candidate's ADC score
+    adds the exact per-(query, cell) anchor inner product:
+    <q, u> = <q, anchor_cl> + <q, r> — both terms on the same integer
+    grid, so the sum stays order-free and engine-exact."""
     q2c = _probe_cells(spark, emb, cent_rows, nprobe)
 
     # query-side LUT: one exact-integer inner product per (query,
@@ -275,7 +284,7 @@ def _pq_search(
         cells.select(F.col("vec_id").alias("neighbor_id"), "cl"),
         (F.col("probe_cell") == F.col("cl"))
         & (F.col("query_id") != F.col("neighbor_id")),
-    ).select("query_id", "qv", "neighbor_id")
+    ).select("query_id", "qv", "neighbor_id", F.col("cl").alias("member_cl"))
     cand_scores = (
         probed_members.join(
             codes.select(
@@ -291,9 +300,40 @@ def _pq_search(
             & (F.col("l_m") == F.col("m"))
             & (F.col("l_code") == F.col("code")),
         )
-        .groupBy("query_id", "qv", "neighbor_id")
+        .groupBy("query_id", "qv", "neighbor_id", "member_cl")
         .agg(F.sum("ip_scaled").alias("score_scaled"))
     )
+    if anchor_rows is not None:
+        # residual mode: add the exact anchor term <q, anchor_cl> — one
+        # integer per (query, cell); N_QUERIES x nlist rows, broadcastable
+        anchor_df = spark.createDataFrame(
+            anchor_rows, "cl int, av array<double>"
+        )
+        qunit = _unit(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+            F.col("vec_id").alias("a_query_id"), "u"
+        )
+        alut = qunit.crossJoin(F.broadcast(anchor_df)).select(
+            "a_query_id",
+            F.col("cl").alias("a_cl"),
+            F.round(
+                round_dbl(_dot("u", "av"), 6).cast("decimal(38,10)")
+                * F.lit(_LUT_SCALE),
+                0,
+            )
+            .cast("long")
+            .alias("base_scaled"),
+        )
+        cand_scores = (
+            cand_scores.join(
+                F.broadcast(alut),
+                (F.col("a_query_id") == F.col("query_id"))
+                & (F.col("a_cl") == F.col("member_cl")),
+            )
+            .withColumn(
+                "score_scaled", F.col("score_scaled") + F.col("base_scaled")
+            )
+            .select("query_id", "qv", "neighbor_id", "score_scaled")
+        )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("score_scaled").desc(), F.col("neighbor_id").asc()
     )
@@ -316,6 +356,93 @@ def _pq_search(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual encoding (by_residual=true): the accuracy face at the same bits
+# ---------------------------------------------------------------------------
+
+# session-scoped memo: (anchor rows, codebooks, codes) per sf_dir
+_PQ_RES_MEMO: dict[tuple, tuple[list, list, DataFrame]] = {}
+
+
+def _residual_index_for(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list, list, DataFrame]:
+    """Train the RESIDUAL PQ index: per coarse cell, anchor = grid-rounded
+    mean of the cell's normalized vectors (nlist rows, never data-sized);
+    each vector encodes r = u - anchor[cell]. Residuals concentrate near
+    zero (the coarse quantizer already explains the between-cell
+    variance), so the same KSUB codes quantize a much smaller ball —
+    FAISS ``by_residual=true``, the accuracy face at the same 5 bits x 8
+    subspaces. Returns (anchor_rows, cb_rows, codes)."""
+    from .. import memo
+
+    def build() -> tuple[list, list, DataFrame]:
+        emb = _emb(spark, sf_dir)
+        _cent, cells, _nlist = _kmeans_cells_for(spark, sf_dir)
+        unit = _unit(emb)
+        cell_map = cells.select("vec_id", F.col("cl").cast("int").alias("cl"))
+        anchors = (
+            unit.join(cell_map, "vec_id")
+            .select("cl", F.posexplode("u").alias("pos", "val"))
+            .groupBy("cl", "pos")
+            .agg(round_dbl(F.avg("val"), 6).alias("c"))
+            .groupBy("cl")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s.c,
+                ).alias("av")
+            )
+            .collect()
+        )
+        anchor_rows = [(int(r.cl), list(r.av)) for r in anchors]
+        adf = spark.createDataFrame(anchor_rows, "cl int, av array<double>")
+        res = (
+            unit.join(cell_map, "vec_id")
+            .join(F.broadcast(adf), "cl")
+            .select(
+                "vec_id", F.zip_with("u", "av", lambda x, y: x - y).alias("u")
+            )
+        )
+        cb, codes = _train_pq(_subvectors(res))
+        return anchor_rows, cb, codes
+
+    if not memo.enabled():
+        return build()
+    skey = memo._session_key(spark)
+    got = _PQ_RES_MEMO.get((skey, sf_dir))
+    if got is not None:
+        return got
+    with _PQ_LOCK:
+        for stale in [k for k in _PQ_RES_MEMO if k[0] != skey]:
+            _PQ_RES_MEMO.pop(stale)
+        got = _PQ_RES_MEMO.get((skey, sf_dir))
+        if got is None:
+            got = build()
+            _PQ_RES_MEMO[(skey, sf_dir)] = got
+    return got
+
+
+def sim_ivf_topk_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 with residual encoding: coarse probe -> integer-exact
+    ADC where score = <q, anchor_cell> + LUT-sum over the residual codes
+    -> full-precision re-rank. Same (KSUB, CAND_K) budget as
+    :func:`sim_ivf_topk_pq`; the residual codebooks buy the extra recall."""
+    emb = _emb(spark, sf_dir)
+    cent_rows, cells, nlist = _kmeans_cells_for(spark, sf_dir)
+    anchor_rows, cb_rows, codes = _residual_index_for(spark, sf_dir)
+    return _pq_search(
+        spark,
+        emb,
+        cent_rows,
+        _nprobe_for(nlist),
+        cb_rows,
+        codes,
+        cells,
+        anchor_rows=anchor_rows,
     )
 
 
@@ -393,7 +520,7 @@ def sim_ivf_pq_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle(append: bool = False) -> str:
+def _pq_oracle(append: bool = False, residual: bool = False) -> str:
     from .similarity import (
         ARRIVAL_MOD,
         _COS,
@@ -450,6 +577,69 @@ def _pq_oracle(append: bool = False) -> str:
         else ""
     )
 
+    # residual mode: data-side subvectors slice r = u - anchor[cell]
+    # (anchor = grid-rounded per-cell mean of the normalized vectors);
+    # the training/encode chain reads `rsv`, the query LUT stays on the
+    # plain unit subvectors `sv`, and the candidate score adds the exact
+    # per-(query, cell) anchor inner product `alut` — mirroring
+    # sim_ivf_topk_pq_residual term for term on the same integer grid.
+    if residual:
+        trainsrc = "rsv"
+        res_ctes = f"""anch AS (
+    SELECT cl, list(c ORDER BY pos) AS av FROM (
+        SELECT k.cl, x.pos,
+            {r6.format(x="AVG(x.val)")} AS c
+        FROM (SELECT vec_id, unnest(u) AS val,
+                     generate_subscripts(u, 1) AS pos FROM un) x
+        JOIN cells k ON k.vec_id = x.vec_id
+        GROUP BY k.cl, x.pos
+    ) GROUP BY cl
+),
+ru AS (
+    SELECT u.vec_id,
+        list_transform(generate_series(1, len(u.u)),
+                       i -> u.u[i] - a.av[i]) AS u
+    FROM un u JOIN cells k ON k.vec_id = u.vec_id JOIN anch a ON a.cl = k.cl
+),
+rsv AS (
+    SELECT vec_id, m,
+        list_transform(generate_series(1, {PQ_DSUB}),
+                       i -> u[m * {PQ_DSUB} + i]) AS sv
+    FROM ru, UNNEST(generate_series(0, {PQ_M - 1})) AS t(m)
+),
+"""
+    else:
+        res_ctes = ""
+
+    ipa6 = r6.format(
+        x=(
+            "list_sum(list_transform(generate_series(1, len(q.u)),"
+            " i -> q.u[i] * a.av[i]))"
+        )
+    )
+    alut = (
+        f"""alut AS (
+    SELECT q.vec_id AS query_id, a.cl,
+        CAST(ROUND(CAST({ipa6} AS DECIMAL(38,10)) * {_LUT_SCALE}, 0)
+             AS BIGINT) AS base_scaled
+    FROM (SELECT vec_id, u FROM un WHERE vec_id < {N_QUERIES}) q
+    CROSS JOIN anch a
+),"""
+        if residual
+        else ""
+    )
+    score_expr = (
+        "SUM(l.ip_scaled) + ANY_VALUE(al.base_scaled)"
+        if residual
+        else "SUM(l.ip_scaled)"
+    )
+    alut_join = (
+        "\n            JOIN alut al ON al.query_id = p.query_id"
+        "\n                        AND al.cl = n.cl"
+        if residual
+        else ""
+    )
+
     return f"""{prologue},
 un AS (
     SELECT vec_id, list_transform(
@@ -462,14 +652,14 @@ sv AS (
                        i -> u[m * {PQ_DSUB} + i]) AS sv
     FROM un, UNNEST(generate_series(0, {PQ_M - 1})) AS t(m)
 ),
-{svb}p0 AS (SELECT vec_id, m, CAST(vec_id % {PQ_KSUB} AS INT) AS cl, sv
+{svb}{res_ctes}p0 AS (SELECT vec_id, m, CAST(vec_id % {PQ_KSUB} AS INT) AS cl, sv
       FROM {trainsrc}),
 {cents("p0", "pc1")},
 {assign("pc1", "p1", trainsrc)},
 {cents("p1", "pc2")},
 {assign("pc2", "p2", trainsrc)},
 {cents("p2", "pcf")},
-{assign("pcf", "codes")},
+{assign("pcf", "codes", "rsv" if residual else "sv")},
 lut AS (
     SELECT q.vec_id AS query_id, c.m, c.cl,
         CAST(ROUND(CAST({ip6} AS DECIMAL(38,10)) * {_LUT_SCALE}, 0)
@@ -477,6 +667,7 @@ lut AS (
     FROM (SELECT vec_id, m, sv FROM sv WHERE vec_id < {N_QUERIES}) q
     JOIN pcf c ON c.m = q.m
 ),
+{alut}
 q2c AS (
     SELECT query_id, qv, cl AS probe_cell FROM (
         SELECT q.vec_id AS query_id, q.v AS qv, c.cl,
@@ -497,12 +688,12 @@ cand AS (
             ) AS crank
         FROM (
             SELECT p.query_id, ANY_VALUE(p.qv) AS qv,
-                   n.vec_id AS neighbor_id, SUM(l.ip_scaled) AS score
+                   n.vec_id AS neighbor_id, {score_expr} AS score
             FROM q2c p
             JOIN cells n ON n.cl = p.probe_cell AND n.vec_id <> p.query_id
             JOIN codes k ON k.vec_id = n.vec_id
             JOIN lut l ON l.query_id = p.query_id
-                      AND l.m = k.m AND l.cl = k.cl
+                      AND l.m = k.m AND l.cl = k.cl{alut_join}
             GROUP BY p.query_id, n.vec_id
         ) a
     ) WHERE crank <= {PQ_CAND_K}
@@ -522,4 +713,9 @@ def register_all(register) -> None:
         "sim_ivf_pq_append_search",
         sim_ivf_pq_append_search,
         _pq_oracle(append=True),
+    )
+    register(
+        "sim_ivf_topk_pq_residual",
+        sim_ivf_topk_pq_residual,
+        _pq_oracle(residual=True),
     )

@@ -5,6 +5,14 @@ sf0.1 tables the same way make_sf1ext.py builds 10x (replica word-suffix
 so replicas share no shingles; embeddings shifted per rep; event ids
 shifted). Two measured decades distinguish a genuinely sub-quadratic
 kernel from one whose fixed costs merely hid a quadratic term at 10x.
+The fixed BM25 query terms are EXEMPT from the replica suffix (r9
+verdict #2): suffixing them made `search_bm25_topk` match zero documents
+here, so its 100x number timed the pipeline, not the posting scan.
+Leaving those 15 terms intact grows their posting lists 100x (honest
+retrieval decade) while replicas still share no shingles in practice —
+a shared shingle needs every word in the window to be a query term, and
+adjacent words carry the suffix.
+
 Usage:  python scripts/make_sf10ext.py [src] [dst]
 """
 
@@ -12,6 +20,13 @@ import os
 import sys
 
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from databricks_incremental_lakehouse_spark.llmdata.corpusstats import BM25_QUERIES  # noqa: E402
+
+_KEEP = sorted({t for q in BM25_QUERIES.values() for t in q.split()})
+_KEEP_SQL = ", ".join(f"'{t}'" for t in _KEEP)
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
@@ -28,7 +43,8 @@ def main() -> None:
     COPY (
       SELECT (rep * 1000000 + doc_id) AS doc_id,
              array_to_string(list_transform(string_split(text, ' '),
-                                            w -> w || 'r' || rep), ' ') AS text,
+                 w -> CASE WHEN w IN ({_KEEP_SQL}) THEN w
+                           ELSE w || 'r' || rep END), ' ') AS text,
              lang, source, n_chars
       FROM read_parquet('{SRC}/documents.parquet'), {rep}
     ) TO '{DST}/documents.parquet' (FORMAT PARQUET)""")

@@ -1601,6 +1601,35 @@ def test_ivf_pq_recall(spark, sf_correct):
     assert len(pq & exact) / len(exact) >= 0.8
 
 
+def test_ivf_pq_residual_recall(spark, sf_correct):
+    """Residual encoding (by_residual=true) must hold the same >=0.8
+    recall lock AND never fall below the flat encode at the identical
+    (PQ_KSUB, PQ_CAND_K) budget — swept flat 0.86/0.84 vs residual
+    0.86/0.90 at sf0.01/sf0.1 (sf0.01 is probe-bounded: both encodings
+    saturate the coarse-probe ceiling there; the residual gain shows
+    where cells are crowded)."""
+    from databricks_incremental_lakehouse_spark.llmdata.pq import (
+        sim_ivf_topk_pq,
+        sim_ivf_topk_pq_residual,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_topk_bruteforce(spark, sf_correct).collect()
+    }
+    flat = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ivf_topk_pq(spark, sf_correct).collect()
+    }
+    res = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ivf_topk_pq_residual(spark, sf_correct).collect()
+    }
+    r_res = len(res & exact) / len(exact)
+    assert r_res >= 0.8
+    assert r_res >= len(flat & exact) / len(exact)
+
+
 def test_ivf_pq_append_recall(spark, sf_correct):
     """The post-ingest PQ index (frozen base-trained codebooks, arrivals
     encoded without retrain) must hold the same >=0.8 recall lock vs the
