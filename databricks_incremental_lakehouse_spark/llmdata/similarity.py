@@ -134,6 +134,16 @@ N_PROBE_MIN = 10  # recall-swept floor at N_LIST_MIN (10 of 16 cells)
 KMEANS_ITERS = 2  # Lloyd iterations after the deterministic init
 
 _NLIST_ENV = __import__("os").environ.get("SPARK_GRAFT_IVF_NLIST")
+# nprobe override for deployments whose embeddings HAVE cluster structure
+# (r9 verdict #5): there a decaying probe width holds recall (replicated
+# decades measure 1.0 at a third of the default width) and the search
+# family joins the ~N^0.5-scan class. On THIS corpus the r10 sweep
+# (scripts/ivf_recall_sweep.py decayed-probe rows) measured recall ==
+# scanned fraction (nprobe 10/14/20/28 of 44 -> 0.56/0.68/0.84/0.94): the
+# constant 5/8 fraction IS the smallest dial clearing the 0.8 lock with
+# margin; read at import and baked into the oracle params CTE, so parity
+# survives the override.
+_NPROBE_ENV = __import__("os").environ.get("SPARK_GRAFT_IVF_NPROBE")
 
 
 def _nlist_for(n: int) -> int:
@@ -147,7 +157,10 @@ def _nlist_for(n: int) -> int:
 
 def _nprobe_for(nlist: int) -> int:
     """Search-family probe width: hold the swept 5/8 scan fraction (exact
-    integer arithmetic, mirrored verbatim by the oracle params CTE)."""
+    integer arithmetic, mirrored verbatim by the oracle params CTE).
+    ``SPARK_GRAFT_IVF_NPROBE`` overrides for clustered deployments."""
+    if _NPROBE_ENV:
+        return min(nlist, int(_NPROBE_ENV))
     return min(nlist, max(N_PROBE_MIN, (nlist * 5 + 7) // 8))
 
 
@@ -166,9 +179,14 @@ def _params_cte(src: str) -> str:
     """``params(nlist, nprobe)`` — one row; every oracle derives its cell
     count and search probe width from the same corpus-size formula the
     Spark side computes in :func:`_nlist_for` / :func:`_nprobe_for`."""
+    nprobe_sql = (
+        f"LEAST(nlist, {int(_NPROBE_ENV)})"
+        if _NPROBE_ENV
+        else f"LEAST(nlist, GREATEST({N_PROBE_MIN}, (nlist * 5 + 7) // 8))"
+    )
     return f"""params AS (
     SELECT nlist,
-        LEAST(nlist, GREATEST({N_PROBE_MIN}, (nlist * 5 + 7) // 8)) AS nprobe
+        {nprobe_sql} AS nprobe
     FROM (SELECT {_nlist_sql(src)} AS nlist)
 )"""
 

@@ -31,6 +31,13 @@ CONFIGS = [
     (16, 2, 10), (16, 2, 11),
     (22, 2, 12), (22, 2, 14), (22, 2, 16),
     (32, 2, 20), (44, 2, 28),
+    # decayed-probe rows (r9 verdict #5): can the search family hold the
+    # 0.8 lock at a sub-linear scan fraction? Measured r10 at sf0.1
+    # (nlist=44): 10 -> 0.56, 14 (=2*sqrt(44)) -> 0.68, 20 -> 0.84,
+    # 22 -> 0.88, 28 (auto 5/8) -> 0.94 — recall == scanned fraction on
+    # this structureless corpus, so NO (constant fraction justified;
+    # SPARK_GRAFT_IVF_NPROBE is the dial for clustered deployments).
+    (44, 2, 10), (44, 2, 14), (44, 2, 20), (44, 2, 22),
 ]
 
 
