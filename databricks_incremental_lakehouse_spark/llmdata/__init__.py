@@ -18,6 +18,7 @@ from . import (
     dedup,
     docquality,
     graph,
+    incrdedup,
     incrstats,
     multimodal,
     pii,
@@ -44,4 +45,5 @@ def register_all(register) -> None:
     graph.register_all(register)
     sharding.register_all(register)
     incrstats.register_all(register)
+    incrdedup.register_all(register)
     pq.register_all(register)

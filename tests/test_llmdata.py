@@ -1715,3 +1715,49 @@ def test_pack_ids_bins_dense_and_consistent(spark, sf_correct):
         assert lo == prev_end + 1, f"doc {d} not contiguous after {prev_end}"
         prev_end = hi
     assert n_bins == (total + CONTEXT_LEN - 1) // CONTEXT_LEN
+
+
+def test_dedup_minhash_append_probe_is_exact_and_pruned(spark, sf_correct):
+    """The maintained band index's probe must (a) hash-equal the full
+    batch LSH restricted to arrival-involving pairs — MinHash has no
+    trained state, so incremental == batch exactly, (b) append arrivals
+    without touching base store files (the ingest contract), and (c)
+    return at least one arrival-involving pair at the correctness SF so
+    the assertion is non-vacuous."""
+    import os
+
+    from databricks_incremental_lakehouse_spark.llmdata.dedup import (
+        dedup_minhash_lsh,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.incrdedup import (
+        _dedup_band_index,
+        dedup_minhash_append,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.incrstats import (
+        DOC_ARRIVAL_MOD,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_minhash_append(spark, sf_correct).collect()
+    }
+    assert got, "no arrival-involving near-dup pairs at sf_correct"
+    assert all(
+        a % DOC_ARRIVAL_MOD == 0 or b % DOC_ARRIVAL_MOD == 0
+        for a, b, _ in got
+    )
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_minhash_lsh(spark, sf_correct).collect()
+        if r.doc_a % DOC_ARRIVAL_MOD == 0 or r.doc_b % DOC_ARRIVAL_MOD == 0
+    }
+    assert got == want
+
+    # ingest appended: base files byte-untouched, arrival rows present
+    path, arr_bands = _dedup_band_index(spark, sf_correct)
+    store = spark.read.option("basePath", path).parquet(path)
+    n_arr = arr_bands.count()
+    assert n_arr > 0
+    assert (
+        store.filter(F.col("doc_id") % DOC_ARRIVAL_MOD == 0).count() == n_arr
+    )
