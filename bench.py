@@ -404,6 +404,18 @@ def main() -> None:
         _noop(QUERIES["sim_ivf_pq_append_search"](spark, sf_dir))
         record("ext.sim_ivf_pq_append_search_only", time.time() - t0)
 
+    # Maintained sketch warehouse (r10): first call initializes the HLL
+    # register table from the base events; later calls re-fold the
+    # arrival batch (idempotent max-merge) — the O(batch) sketch
+    # maintenance a deployment pays per micro-batch.
+    t0 = time.time()
+    _noop(QUERIES["incr_hll_distinct_update_only"](spark, sf_dir))
+    once["once.incr_hll_registers_init"] = round(time.time() - t0, 3)
+    for _rep in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["incr_hll_distinct_update_only"](spark, sf_dir))
+        record("ext.incr_hll_distinct_update_only", time.time() - t0)
+
     # Maintained near-dup index (r10): first call builds the bucketed
     # band store from the base corpus, appends the arrival batch's band
     # rows, and probes; later calls are the steady-state probe-only cost

@@ -19,6 +19,7 @@ from . import (
     docquality,
     graph,
     incrdedup,
+    incrsketch,
     incrstats,
     multimodal,
     pii,
@@ -46,4 +47,5 @@ def register_all(register) -> None:
     sharding.register_all(register)
     incrstats.register_all(register)
     incrdedup.register_all(register)
+    incrsketch.register_all(register)
     pq.register_all(register)

@@ -1,0 +1,202 @@
+"""Incrementally-maintained sketch warehouse (round 10).
+
+:mod:`.sketches`' HLL is a one-pass batch aggregate: every estimate
+re-scans the events table. At 100 TB the lakehouse answer is the same as
+for the token statistics (:mod:`.incrstats`) — MAINTAIN the sketch as a
+table and fold arriving batches into it — but the algebra is strictly
+friendlier: HLL registers merge by MAX, which is associative,
+commutative and IDEMPOTENT. Re-delivering a batch cannot corrupt the
+registers, so this warehouse needs none of the signed-delta machinery —
+no change feed, no applied-commit watermark, no two-phase fold. That
+at-least-once safety is the designed contrast with the CDF folds (whose
+signed sums are commutative but NOT idempotent and therefore carry the
+watermark sidecar), and it is why production HLL/theta-sketch rollups
+(e.g. Druid/DataSketches) run on exactly this shape.
+
+The register table is ``(event_type, idx, m_j)`` — at most
+``n_event_types x HLL_M`` rows REGARDLESS of corpus size (the whole
+point of a sketch): folds read and write a bounded table while scanning
+only the batch. ``incr_hll_distinct_update_only`` initializes registers
+from the base events (``event_id % EVENT_ARRIVAL_MOD != 0``), folds the
+late-arriving batch, and must estimate hash-identically to the
+from-scratch full-corpus sketch — max-merge makes maintained == batch
+EXACTLY, which the DuckDB oracle (full HLL replay) asserts.
+
+Reference: the reference maintains refined aggregate tables
+(src/refined/refined_customer_orders.py); it has no sketch surface —
+this extends the LLM-data/observability brief the way incrstats.py did
+for text.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.rounding import round_dbl_sql
+from ..streaming.incremental import merge_upsert, read_merge_target
+from ..tables import load_table
+from .sketches import (
+    HLL_M,
+    HLL_P,
+    HLL_W,
+    HLL_ALPHA_M2,
+    HLL_SCALE,
+    hll_estimate,
+    hll_rho_rows,
+)
+from .texthash import hash60_sql
+
+# late-arrival split: event_id % EVENT_ARRIVAL_MOD == 0 lands AFTER the
+# initial sketch build (the DOC_ARRIVAL_MOD convention, on events)
+EVENT_ARRIVAL_MOD = 10
+
+_WAREHOUSES: dict[tuple, str] = {}
+_WH_LOCK = threading.Lock()
+
+
+def _batch_registers(events: DataFrame) -> DataFrame:
+    """(event_type, idx, m_j) — the BATCH's register maxes, computed with
+    the exact lineage of the batch sketch (shared rho derivation)."""
+    return (
+        hll_rho_rows(events)
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("m_j"))
+        .select(
+            "event_type", F.col("idx").cast("int").alias("idx"),
+            F.col("m_j").cast("int").alias("m_j"),
+        )
+    )
+
+
+def apply_event_batch(spark: SparkSession, root: str, events: DataFrame) -> None:
+    """Fold one batch of events into the maintained register table:
+    new image of each touched register = max(stored, batch). Scans only
+    the batch; reads/writes the bounded register table (<= n_types x
+    HLL_M rows however large the corpus). Idempotent by the max algebra —
+    re-applying any batch, in any order, converges to the same registers,
+    so at-least-once delivery needs no watermark."""
+    target = os.path.join(root, "hll_registers")
+    batch = _batch_registers(events)
+    if os.path.isdir(target):
+        stored = read_merge_target(spark, target).select(
+            "event_type", "idx", F.col("m_j").alias("m_stored")
+        )
+        batch = (
+            batch.join(stored, ["event_type", "idx"], "left")
+            .withColumn(
+                "m_j", F.greatest(F.col("m_j"), F.coalesce("m_stored", "m_j"))
+            )
+            .drop("m_stored")
+        )
+    merge_upsert(
+        spark,
+        batch,
+        target,
+        keys=["event_type", "idx"],
+        num_buckets=4,
+    )
+
+
+def hll_registers(spark: SparkSession, root: str) -> DataFrame:
+    """The live maintained register table ``(event_type, idx, m_j)``."""
+    return read_merge_target(
+        spark, os.path.join(root, "hll_registers")
+    ).select("event_type", "idx", "m_j")
+
+
+def _warehouse_for(spark: SparkSession, sf_dir: str) -> str:
+    from ..memo import _session_key
+
+    key = (_session_key(spark), sf_dir, "hll")
+    with _WH_LOCK:
+        root = _WAREHOUSES.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="hllsketch_wh_")
+        base = load_table(spark, sf_dir, "events").filter(
+            F.col("event_id") % EVENT_ARRIVAL_MOD != 0
+        )
+        apply_event_batch(spark, root, base)
+        with _WH_LOCK:
+            _WAREHOUSES[key] = root
+    return root
+
+
+def incr_hll_distinct_update_only(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: the maintained HLL distinct-user estimate after
+    folding the late-arriving 10% of events into the register table.
+    Each call re-folds the arrival batch — a no-op by idempotence — so
+    the steady state times exactly the O(batch) maintenance path. The
+    oracle is the from-scratch full-corpus sketch: max-merged registers
+    must be INDISTINGUISHABLE from rebuild (exact register equality, not
+    an error tolerance)."""
+    root = _warehouse_for(spark, sf_dir)
+    arrivals = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % EVENT_ARRIVAL_MOD == 0
+    )
+    apply_event_batch(spark, root, arrivals)
+    return hll_estimate(hll_registers(spark, root))
+
+
+# full-corpus HLL replay (the sketch_hll_distinct prologue without the
+# exact-count comparison): maintained registers must estimate identically
+INCR_HLL_ORACLE = f"""
+WITH h AS (
+    SELECT event_type,
+           {hash60_sql("CAST(user_id AS VARCHAR)")} AS h
+    FROM events
+),
+r AS (
+    SELECT event_type,
+           h & {HLL_M - 1} AS idx,
+           h >> {HLL_P} AS rest
+    FROM h
+),
+rho AS (
+    SELECT event_type, idx,
+           CASE WHEN rest = 0 THEN {HLL_W + 1}
+                ELSE {HLL_W + 1} - length(bin(rest)) END AS rho
+    FROM r
+),
+regs AS (
+    SELECT event_type, idx, max(rho) AS m_j FROM rho GROUP BY 1, 2
+),
+g AS (
+    SELECT event_type,
+           count(*) AS v,
+           CAST(sum(1::BIGINT << ({HLL_W + 1} - m_j)) AS BIGINT) AS s_hit
+    FROM regs GROUP BY 1
+),
+e AS (
+    SELECT event_type,
+           CAST({HLL_ALPHA_M2 * float(HLL_SCALE)!r} AS DOUBLE)
+               / CAST(s_hit + ({HLL_M} - v) * {HLL_SCALE}::BIGINT AS DOUBLE) AS raw,
+           {HLL_M} - v AS zeros,
+           v
+    FROM g
+),
+est AS (
+    SELECT event_type, v,
+           CASE WHEN raw <= {2.5 * HLL_M!r} AND zeros > 0
+                THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(zeros AS DOUBLE))
+                ELSE raw END AS est_d
+    FROM e
+)
+SELECT event_type,
+       CAST(v AS INT) AS registers_hit,
+       CAST({round_dbl_sql("est_d", 0)} AS BIGINT) AS est_distinct
+FROM est"""
+
+
+def register_all(register) -> None:
+    register(
+        "incr_hll_distinct_update_only",
+        incr_hll_distinct_update_only,
+        INCR_HLL_ORACLE,
+    )

@@ -66,16 +66,15 @@ HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
 HLL_SCALE = 1 << (HLL_W + 1)   # 2^52
 
 
-def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type HLL distinct-``user_id`` estimate vs the exact count.
-
-    rho (rank of the first 1-bit in the 51-bit suffix) is computed from the
-    *binary-string length* of the suffix — ``bin()`` is exact and identical
-    in both engines, unlike floating ``log2`` at exact powers of two.
-    """
-    events = load_table(spark, sf_dir, "events")
+def hll_rho_rows(events: DataFrame) -> DataFrame:
+    """(event_type, idx, rho) — one row per event: the register index and
+    the rank of the first 1-bit in the 51-bit hash suffix. rho is computed
+    from the *binary-string length* of the suffix — ``bin()`` is exact and
+    identical in both engines, unlike floating ``log2`` at exact powers of
+    two. Exposed so the maintained register warehouse (incrsketch.py)
+    sketches a BATCH with the exact lineage the batch operator uses."""
     h = hash60(F.col("user_id").cast("string"))
-    reg = events.select(
+    return events.select(
         "event_type",
         h.bitwiseAND(F.lit(HLL_M - 1)).alias("idx"),
         F.shiftright(h, HLL_P).alias("rest"),
@@ -85,8 +84,13 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(HLL_W + 1) - F.length(F.bin("rest"))
         ),
     )
-    # map-side partial max per register, then the fixed-size register table
-    regs = reg.groupBy("event_type", "idx").agg(F.max("rho").alias("m_j"))
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """(event_type, registers_hit, est_distinct) from a register table
+    ``(event_type, idx, m_j)`` — the estimator half of the sketch, shared
+    by the batch query and the maintained warehouse (whose registers are
+    max-merged incrementally but estimate identically)."""
     groups = regs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("v"),
         # sum of 2^(52 - m_j) as exact integers (see HLL_SCALE note)
@@ -101,15 +105,26 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
     ).otherwise(raw)
+    return groups.select(
+        "event_type",
+        F.col("v").cast("int").alias("registers_hit"),
+        round_dbl(est, 0).cast("bigint").alias("est_distinct"),
+    )
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL distinct-``user_id`` estimate vs the exact
+    count (the error-exhibiting comparison column)."""
+    events = load_table(spark, sf_dir, "events")
+    # map-side partial max per register, then the fixed-size register table
+    regs = hll_rho_rows(events).groupBy("event_type", "idx").agg(
+        F.max("rho").alias("m_j")
+    )
     exact = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return (
-        groups.select(
-            "event_type",
-            F.col("v").cast("int").alias("registers_hit"),
-            round_dbl(est, 0).cast("bigint").alias("est_distinct"),
-        )
+        hll_estimate(regs)
         .join(exact, "event_type")
         .select(
             "event_type",

@@ -301,6 +301,7 @@ _CHECK_PRIORITY: list[str] = [
     "sim_ivf_pq_append_search",  # new r10: PQ ingest-without-retrain
     "sim_ivf_topk_pq_residual",  # new r10: residual-encoded PQ (accuracy face)
     "dedup_minhash_append",  # new r10: maintained near-dup band index probe
+    "incr_hll_distinct_update_only",  # new r10: maintained HLL registers
     # -- r9-new queries, kept while their machinery changed in r10 (the
     # watermark two-phase fold; the PQ memo/search refactor; the
     # curriculum oracle's rounding-scale fix) ----------------------------

@@ -417,3 +417,50 @@ def test_drain_entry_point(spark):
     # idempotent: a second drain applies nothing
     drain_token_stats(spark, root)
     _assert_matches(spark, root, corpus)
+
+
+def test_hll_register_maintenance_idempotent_and_order_free(spark, tmp_path):
+    """The maintained HLL registers must (a) equal the from-scratch batch
+    sketch whatever the fold order (max is associative/commutative), and
+    (b) be IDEMPOTENT — re-applying a batch changes nothing, so
+    at-least-once delivery needs no watermark (the designed contrast with
+    the signed-sum CDF folds, which carry one)."""
+    from databricks_incremental_lakehouse_spark.llmdata.incrsketch import (
+        _batch_registers,
+        apply_event_batch,
+        hll_registers,
+    )
+
+    rows = [
+        (i, f"2024-01-0{1 + i % 5}", 100 + i % 37, ["click", "view"][i % 2], 1.0)
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, d string, user_id long, event_type string, value double"
+    ).select("event_id", F.col("d").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value")
+
+    def regs_of(root):
+        return {
+            (r.event_type, r.idx): r.m_j
+            for r in hll_registers(spark, str(root)).collect()
+        }
+
+    want = {
+        (r.event_type, r.idx): r.m_j for r in _batch_registers(ev).collect()
+    }
+
+    # fold in two different orders over two warehouses
+    a, b = tmp_path / "a", tmp_path / "b"
+    first, second = ev.filter("event_id < 120"), ev.filter("event_id >= 120")
+    apply_event_batch(spark, str(a), first)
+    apply_event_batch(spark, str(a), second)
+    apply_event_batch(spark, str(b), second)
+    apply_event_batch(spark, str(b), first)
+    assert regs_of(a) == want
+    assert regs_of(b) == want
+
+    # idempotence: re-deliver both batches, registers unchanged
+    apply_event_batch(spark, str(a), first)
+    apply_event_batch(spark, str(a), second)
+    assert regs_of(a) == want
