@@ -428,6 +428,15 @@ def main() -> None:
         t0 = time.time()
         _noop(QUERIES["dedup_minhash_append"](spark, sf_dir))
         record("ext.dedup_minhash_append_probe", time.time() - t0)
+    t0 = time.time()
+    _noop(QUERIES["dedup_semantic_append"](spark, sf_dir))
+    once["once.dedup_semantic_index_build_ingest_and_probe"] = round(
+        time.time() - t0, 3
+    )
+    for _rep in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["dedup_semantic_append"](spark, sf_dir))
+        record("ext.dedup_semantic_append_probe", time.time() - t0)
 
     _noop(QUERIES["sim_ivf_topk_quantized"](spark, sf_dir))  # warm-up
     for _rep in range(REPS):

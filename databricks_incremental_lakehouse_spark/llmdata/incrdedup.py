@@ -111,6 +111,7 @@ def _dedup_band_index(
 def _clear_idx_memo() -> None:
     with _IDX_LOCK:
         _IDX_MEMO.clear()
+        _SEM_MEMO.clear()
 
 
 from .. import memo as _memo  # noqa: E402 — registration, not a cycle
@@ -181,7 +182,181 @@ SELECT doc_a, doc_b, jaccard FROM ({DEDUP_MINHASH_ORACLE})
 WHERE doc_a % {DOC_ARRIVAL_MOD} = 0 OR doc_b % {DOC_ARRIVAL_MOD} = 0"""
 
 
+# --- incremental semantic dedup (embedding face) ---------------------------
+
+# the probed-assignment store of the semantic append index, memoized like
+# the band index above (same lock/eviction discipline)
+_SEM_MEMO: dict[tuple, tuple[list, str, DataFrame]] = {}
+
+
+def _sem_append_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list, str, DataFrame]:
+    """(cent_rows, store_path, pinned arrival probes): the semantic twin
+    of the IVF append index. The coarse codebook comes from the SHARED
+    base-trained session codebook (:func:`..similarity._ivf_append_index`
+    — one training job serves search, PQ and dedup); the store holds each
+    corpus vector's ``SEMDEDUP_PROBE`` probed-cell assignments partitioned
+    by cell, so an arrival batch's near-dups are found by reading only the
+    cells the batch probes. Arrivals are assigned with the FROZEN codebook
+    and appended — O(batch x nlist) ingest, the corpus is never
+    re-assigned."""
+    from .similarity import SEMDEDUP_PROBE, _assign_topk, _emb, _ivf_append_index
+
+    skey = id(spark)
+    with _IDX_LOCK:
+        got = _SEM_MEMO.get((skey, sf_dir))
+    if got is None:
+        with _IDX_LOCK:
+            for stale in [k for k in _SEM_MEMO if k[0] != skey]:
+                _SEM_MEMO.pop(stale)
+            got = _SEM_MEMO.get((skey, sf_dir))
+        if got is None:
+            from .similarity import ARRIVAL_MOD
+
+            emb = _emb(spark, sf_dir)
+            base = emb.filter(F.col("vec_id") % ARRIVAL_MOD != 0)
+            arrivals = emb.filter(F.col("vec_id") % ARRIVAL_MOD == 0)
+            cent_rows, _path, _nlist = _ivf_append_index(spark, sf_dir)
+            path = os.path.join(tempfile.mkdtemp(prefix="sem_idx_"), "probes")
+            _assign_topk(base, cent_rows, SEMDEDUP_PROBE).write.partitionBy(
+                "cl"
+            ).parquet(path)
+            arr_probes = _assign_topk(
+                arrivals, cent_rows, SEMDEDUP_PROBE
+            ).localCheckpoint(eager=True)
+            arr_probes.write.mode("append").partitionBy("cl").parquet(path)
+            got = (cent_rows, path, arr_probes)
+            with _IDX_LOCK:
+                _SEM_MEMO[(skey, sf_dir)] = got
+    return got
+
+
+def dedup_semantic_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup for an arrival batch against the maintained probe store:
+    which NEW vectors duplicate the existing corpus (or each other), and
+    their keeper. Output = :func:`..similarity.dedup_semantic`'s
+    append-codebook replay restricted to arrival ``vec_id`` rows — an
+    arrival's keeper search ranks over ALL its candidate mates (base and
+    arrival), every one of which shares a probed cell with the arrival,
+    so the cell-pruned probe sees the complete mate set and the
+    restriction is exact (base rows' keepers are settled at index time;
+    re-keying them to late arrivals is the periodic offline recluster's
+    job, as in the ANN family).
+
+    Cost: read ONLY the cells the batch probes (cell dirs collected —
+    bounded by nlist), one (members x arrivals) BLAS block per cell —
+    O(batch x probe x avg_cell), never corpus-pairwise."""
+    import pandas as pd
+
+    from .similarity import ARRIVAL_MOD, SEMDEDUP_COS
+
+    _cent_rows, path, arr_probes = _sem_append_index(spark, sf_dir)
+    cells = sorted(
+        r["cl"] for r in arr_probes.select("cl").distinct().collect()
+    )  # driver-bounded by nlist
+    members = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, f"cl={c}") for c in cells]
+    ).select("vec_id", "v", F.col("cl").cast("int").alias("cl"))
+
+    _MOD = ARRIVAL_MOD  # the vector-table arrival split
+    _empty = pd.DataFrame(
+        {"cl": [], "dup_of": [], "vec_id": [], "raw_cosine": []}
+    )
+
+    def _cell_new_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        new_mask = (pdf["vec_id"].to_numpy() % _MOD) == 0
+        if not new_mask.any() or len(pdf) < 2:
+            return _empty
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        N = Vn[new_mask]
+        nid = ids[new_mask]
+        S = Vn @ N.T  # all-members x new — the batch-bounded block
+        # (i, j): member i is a LOWER-id mate of new vector j
+        keep = (S >= SEMDEDUP_COS - 1e-6) & (ids[:, None] < nid[None, :])
+        ii, jj = np.nonzero(keep)
+        if len(ii) == 0:
+            return _empty
+        return pd.DataFrame(
+            {
+                "cl": pdf["cl"].iloc[0],
+                "dup_of": ids[ii],
+                "vec_id": nid[jj],
+                "raw_cosine": S[ii, jj],
+            }
+        )
+
+    from pyspark.sql import Window
+
+    pairs = (
+        members.groupBy("cl")
+        .applyInPandas(
+            _cell_new_pairs, "cl int, dup_of long, vec_id long, raw_cosine double"
+        )
+        .withColumn("cosine", round_dbl(F.col("raw_cosine"), 6))
+        .filter(F.col("cosine") >= SEMDEDUP_COS)
+        .groupBy("dup_of", "vec_id")
+        .agg(F.min("cl").alias("cl"), F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("dup_of").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cl", "dup_of", "cosine")
+    )
+
+
+def _sem_append_oracle() -> str:
+    from .similarity import (
+        ARRIVAL_MOD,
+        _CCOS_V,
+        _KMEANS_CELLS_APPEND_WITH,
+        _PCOS,
+        SEMDEDUP_COS,
+        SEMDEDUP_PROBE,
+    )
+
+    # the append-codebook semantic replay: train on base (`e`), probe
+    # EVERYTHING (`eall`) with the frozen centroids, pairwise within
+    # shared probed cells, keeper per vec — restricted to arrival rows
+    return f"""{_KMEANS_CELLS_APPEND_WITH},
+probed AS (
+    SELECT vec_id, v, cl FROM (
+        SELECT e2.vec_id, e2.v, c.cl,
+            ROW_NUMBER() OVER (
+                PARTITION BY e2.vec_id
+                ORDER BY {_CCOS_V.replace("(v", "(e2.v").replace(" v[i]", " e2.v[i]")} DESC, c.cl ASC
+            ) AS crank
+        FROM eall e2 CROSS JOIN cent c
+    ) WHERE crank <= {SEMDEDUP_PROBE}
+)
+SELECT vec_id, cl, dup_of, cosine FROM (
+    SELECT vec_id, cl, dup_of, cosine,
+        ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, dup_of ASC
+        ) AS rk
+    FROM (
+        SELECT vec_id, dup_of, min(cl) AS cl, max(cosine) AS cosine FROM (
+            SELECT b.vec_id AS vec_id, b.cl AS cl, a.vec_id AS dup_of,
+                {_PCOS} AS cosine
+            FROM probed a JOIN probed b
+              ON a.cl = b.cl AND a.vec_id < b.vec_id
+        ) WHERE cosine >= {SEMDEDUP_COS} AND vec_id % {ARRIVAL_MOD} = 0
+        GROUP BY vec_id, dup_of
+    )
+) WHERE rk = 1"""
+
+
 def register_all(register) -> None:
     register(
         "dedup_minhash_append", dedup_minhash_append, DEDUP_MINHASH_APPEND_ORACLE
+    )
+    register(
+        "dedup_semantic_append", dedup_semantic_append, _sem_append_oracle()
     )

@@ -302,6 +302,7 @@ _CHECK_PRIORITY: list[str] = [
     "sim_ivf_topk_pq_residual",  # new r10: residual-encoded PQ (accuracy face)
     "dedup_minhash_append",  # new r10: maintained near-dup band index probe
     "incr_hll_distinct_update_only",  # new r10: maintained HLL registers
+    "dedup_semantic_append",  # new r10: SemDeDup arrivals vs frozen cells
     # -- r9-new queries, kept while their machinery changed in r10 (the
     # watermark two-phase fold; the PQ memo/search refactor; the
     # curriculum oracle's rounding-scale fix) ----------------------------

@@ -1761,3 +1761,59 @@ def test_dedup_minhash_append_probe_is_exact_and_pruned(spark, sf_correct):
     assert (
         store.filter(F.col("doc_id") % DOC_ARRIVAL_MOD == 0).count() == n_arr
     )
+
+
+def test_dedup_semantic_append_arrival_contract(spark, sf_correct):
+    """The semantic append probe must emit only arrival-side dup rows,
+    find at least one (non-vacuous), append the arrival probes without
+    touching base store files, and agree with a direct numpy replay of
+    the probed-cell candidate semantics on the appended store."""
+    import os
+
+    import numpy as np
+
+    from databricks_incremental_lakehouse_spark.llmdata.incrdedup import (
+        _sem_append_index,
+        dedup_semantic_append,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.similarity import (
+        ARRIVAL_MOD,
+        SEMDEDUP_COS,
+    )
+
+    rows = dedup_semantic_append(spark, sf_correct).collect()
+    assert rows, "no arrival dup rows at sf_correct"
+    assert all(r.vec_id % ARRIVAL_MOD == 0 for r in rows)
+    assert all(r.dup_of < r.vec_id for r in rows)
+    assert all(r.cosine >= SEMDEDUP_COS for r in rows)
+
+    # numpy replay over the store: candidates share a probed cell; the
+    # keeper is the highest-cosine lower-id mate (lowest id on ties)
+    _c, path, _arr = _sem_append_index(spark, sf_correct)
+    store = spark.read.option("basePath", path).parquet(path).collect()
+    by_cell = {}
+    vecs = {}
+    for r in store:
+        by_cell.setdefault(r.cl, []).append(r.vec_id)
+        vecs[r.vec_id] = np.asarray(r.v, dtype=np.float64)
+    best = {}
+    for cell, members in by_cell.items():
+        for j in members:
+            if j % ARRIVAL_MOD != 0:
+                continue
+            vj = vecs[j] / np.linalg.norm(vecs[j])
+            for i in members:
+                if i >= j:
+                    continue
+                vi = vecs[i] / np.linalg.norm(vecs[i])
+                c = round(float(vi @ vj), 6)
+                if c < SEMDEDUP_COS:
+                    continue
+                cur = best.get(j)
+                if cur is None or (c, -i) > (cur[0], -cur[1]):
+                    best[j] = (c, i)
+    got = {r.vec_id: (r.cosine, r.dup_of) for r in rows}
+    assert set(got) == set(best)
+    for j, (c, i) in best.items():
+        assert got[j][1] == i
+        assert abs(got[j][0] - c) < 2e-6
