@@ -144,6 +144,46 @@ def incr_hll_distinct_update_only(
     return hll_estimate(hll_registers(spark, root))
 
 
+def incremental_hll_stream(
+    spark: SparkSession,
+    source_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming front door for the register warehouse: arriving event
+    files fold through :func:`apply_event_batch` per micro-batch — the
+    :func:`..llmdata.incrstats.incremental_token_stats_stream` shape.
+    Because max-merge is idempotent, this is the one maintained table
+    whose foreachBatch consumer is CRASH-TRIVIAL: a micro-batch replayed
+    after a checkpoint-recovery restart re-folds to the identical
+    registers, so exactly-once falls out of at-least-once with no
+    watermark, no two-phase stamp, no rebuild path — the property that
+    makes sketch rollups the easiest thing to stream at 100 TB."""
+    static = spark.read.parquet(source_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _apply(batch_df: DataFrame, _batch_no: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_event_batch(
+            batch_df.sparkSession, root, batch_df.localCheckpoint(eager=True)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # full-corpus HLL replay (the sketch_hll_distinct prologue without the
 # exact-count comparison): maintained registers must estimate identically
 INCR_HLL_ORACLE = f"""

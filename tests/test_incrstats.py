@@ -464,3 +464,45 @@ def test_hll_register_maintenance_idempotent_and_order_free(spark, tmp_path):
     apply_event_batch(spark, str(a), first)
     apply_event_batch(spark, str(a), second)
     assert regs_of(a) == want
+
+
+def test_streaming_hll_equals_batch(spark, sf_correct, tmp_path):
+    """The HLL streaming front door drained over a static events corpus
+    (arriving as multiple files -> multiple micro-batches) must produce
+    registers identical to the from-scratch batch sketch."""
+    import glob
+    import os
+    import shutil
+
+    from databricks_incremental_lakehouse_spark.llmdata.incrsketch import (
+        _batch_registers,
+        hll_registers,
+        incremental_hll_stream,
+    )
+    from databricks_incremental_lakehouse_spark.streaming.tuning import (
+        state_sized_shuffle,
+    )
+
+    events = load_table(spark, sf_correct, "events")
+    src = tmp_path / "src"
+    os.makedirs(src)
+    for i, half in enumerate((0, 1)):
+        out = tmp_path / f"w{i}"
+        events.filter(F.col("event_id") % 2 == half).coalesce(1).write.parquet(
+            str(out)
+        )
+        part = glob.glob(str(out / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"b{i}.parquet"))
+    root = str(tmp_path / "wh")
+    with state_sized_shuffle(spark):
+        q = incremental_hll_stream(spark, str(src), root, str(tmp_path / "ck"))
+        assert q.awaitTermination(300), "stream did not drain"
+
+    want = {
+        (r.event_type, r.idx): r.m_j for r in _batch_registers(events).collect()
+    }
+    got = {
+        (r.event_type, r.idx): r.m_j
+        for r in hll_registers(spark, root).collect()
+    }
+    assert got == want
