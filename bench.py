@@ -415,6 +415,15 @@ def main() -> None:
         t0 = time.time()
         _noop(QUERIES["incr_hll_distinct_update_only"](spark, sf_dir))
         record("ext.incr_hll_distinct_update_only", time.time() - t0)
+    # CMS counters fold the token warehouse's postings feed (shared with
+    # the incr_token_stats keys above, so this never pays warehouse init)
+    t0 = time.time()
+    _noop(QUERIES["incr_cms_heavy_hitters_update_only"](spark, sf_dir))
+    once["once.incr_cms_counters_init"] = round(time.time() - t0, 3)
+    for _rep in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["incr_cms_heavy_hitters_update_only"](spark, sf_dir))
+        record("ext.incr_cms_heavy_hitters_update_only", time.time() - t0)
 
     # Maintained near-dup index (r10): first call builds the bucketed
     # band store from the base corpus, appends the arrival batch's band

@@ -234,9 +234,116 @@ SELECT event_type,
 FROM est"""
 
 
+# --- maintained count-min counters (the signed-algebra face) ---------------
+
+
+def _cms_cells(changes: DataFrame) -> DataFrame:
+    """Row-local reshape of postings change rows for the CMS fold: each
+    (token, tf) change explodes into its ``CMS_D`` seeded counter cells
+    (seed, bucket, tf, _op). The sign is applied downstream by
+    ``apply_cdf_delta``, so a replaced document's vanished tokens
+    decrement exactly the cells its old image incremented — the counters
+    track the LIVE corpus under updates and deletes, which a
+    streamed-increment-only CMS cannot do."""
+    from .sketches import CMS_D, _cms_bucket
+
+    seeds = F.array(*[F.lit(s) for s in range(CMS_D)])
+    return changes.select(
+        "_op",
+        "tf",
+        F.explode(seeds).alias("seed"),
+        F.col("token"),
+    ).select(
+        "_op", "tf", "seed", _cms_bucket(F.col("token"), F.col("seed"))
+    )
+
+
+def fold_cms_counters(spark: SparkSession, root: str) -> None:
+    """Fold unapplied postings-feed commits into the maintained CMS
+    counter table — a SECOND consumer of the SAME change feed the token
+    statistics fold reads (one log, many maintained aggregates: the
+    Delta-CDF multi-consumer shape). Counter algebra is signed sums, so
+    this consumer rides the full watermark discipline (two-phase stamp,
+    interrupted-fold rebuild) the idempotent HLL face gets to skip."""
+    from .incrstats import _fold_new_commits, _paths
+
+    p = _paths(root)
+    _fold_new_commits(
+        spark,
+        root,
+        p["postings_log"],
+        os.path.join(root, "cms_counters"),
+        ["seed", "bucket"],
+        ["tf"],
+        transform=_cms_cells,
+    )
+
+
+def incr_cms_heavy_hitters_update_only(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: count-min heavy hitters answered ENTIRELY from
+    maintained tables after ingesting the late-arriving documents — the
+    counter table (d x w cells, corpus-size-independent) estimates, the
+    maintained token statistics supply the candidate vocabulary and the
+    exact counts. No corpus scan anywhere in the lineage; the oracle is
+    the from-scratch batch sketch, so maintained counters must equal the
+    full-corpus CMS cell for cell."""
+    from .incrstats import (
+        DOC_ARRIVAL_MOD,
+        _warehouse_for,
+        apply_doc_updates,
+        token_stats,
+    )
+    from .sketches import CMS_D, CMS_TOPK, _cms_bucket
+
+    root = _warehouse_for(spark, sf_dir)
+    arrivals = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % DOC_ARRIVAL_MOD == 0
+    )
+    apply_doc_updates(spark, root, arrivals)
+    fold_cms_counters(spark, root)
+
+    counters = read_merge_target(
+        spark, os.path.join(root, "cms_counters")
+    ).filter(F.col("n_rows") > 0).select(
+        "seed", "bucket", F.col("sum_tf").cast("long").alias("c")
+    )
+    tokens = token_stats(spark, root).select(
+        "token", F.col("occurrences").cast("long").alias("exact_count")
+    )
+    seeds = F.array(*[F.lit(s) for s in range(CMS_D)])
+    probes = tokens.select(
+        "token", "exact_count", F.explode(seeds).alias("seed")
+    ).select(
+        "token", "exact_count", "seed",
+        _cms_bucket(F.col("token"), F.col("seed")),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+        .select(
+            "token",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.col("est_count").desc(), F.col("token").asc())
+        .limit(CMS_TOPK)
+    )
+
+
 def register_all(register) -> None:
+    from .sketches import SKETCH_CMS_ORACLE
+
     register(
         "incr_hll_distinct_update_only",
         incr_hll_distinct_update_only,
         INCR_HLL_ORACLE,
+    )
+    register(
+        "incr_cms_heavy_hitters_update_only",
+        incr_cms_heavy_hitters_update_only,
+        SKETCH_CMS_ORACLE,
     )

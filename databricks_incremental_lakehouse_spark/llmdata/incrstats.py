@@ -264,6 +264,7 @@ def _fold_new_commits(
     target: str,
     group_cols: list[str],
     sum_cols: list[str],
+    transform=None,
 ) -> None:
     """Fold the UNAPPLIED feed commits into one aggregate table — the
     commit dirs above the applied watermark are read directly (the
@@ -299,7 +300,15 @@ def _fold_new_commits(
         .option("mergeSchema", "true")
         .parquet(*dirs)
     )
-    apply_cdf_delta(changes.drop("commit"), target, group_cols, sum_cols)
+    changes = changes.drop("commit")
+    if transform is not None:
+        # per-consumer change-row reshape (e.g. the CMS fold explodes each
+        # (token, tf) change into its d seeded counter cells) — the feed
+        # stays one shared log, each consumer derives its own grain. Must
+        # preserve the `_op` column and be a row-local map (no aggregation:
+        # signs are applied downstream).
+        changes = transform(changes)
+    apply_cdf_delta(changes, target, group_cols, sum_cols)
     _write_applied(root, target, top)
 
 

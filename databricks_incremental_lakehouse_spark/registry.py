@@ -303,6 +303,7 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_minhash_append",  # new r10: maintained near-dup band index probe
     "incr_hll_distinct_update_only",  # new r10: maintained HLL registers
     "dedup_semantic_append",  # new r10: SemDeDup arrivals vs frozen cells
+    "incr_cms_heavy_hitters_update_only",  # new r10: maintained CMS counters
     # -- r9-new queries, kept while their machinery changed in r10 (the
     # watermark two-phase fold; the PQ memo/search refactor; the
     # curriculum oracle's rounding-scale fix) ----------------------------

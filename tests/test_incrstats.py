@@ -506,3 +506,72 @@ def test_streaming_hll_equals_batch(spark, sf_correct, tmp_path):
         for r in hll_registers(spark, root).collect()
     }
     assert got == want
+
+
+def test_cms_counters_track_live_corpus_under_updates(spark, tmp_path):
+    """The maintained CMS counters must equal the from-scratch sketch of
+    the FINAL corpus after document updates and deletes — vanished
+    tokens' cells decrement via the signed feed (the property a
+    streamed-increment-only CMS lacks)."""
+    from databricks_incremental_lakehouse_spark.llmdata.incrsketch import (
+        _cms_cells,
+        fold_cms_counters,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.incrstats import (
+        apply_doc_updates,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.sketches import (
+        CMS_D,
+        _cms_bucket,
+    )
+    from databricks_incremental_lakehouse_spark.streaming.incremental import (
+        read_merge_target,
+    )
+
+    root = str(tmp_path / "wh")
+    apply_doc_updates(
+        spark,
+        root,
+        _docs(spark, [(1, "alpha beta beta"), (2, "gamma alpha"), (3, "delta")]),
+    )
+    fold_cms_counters(spark, root)
+    # update doc 1 (beta vanishes, epsilon appears), delete doc 3 wholesale
+    apply_doc_updates(spark, root, _docs(spark, [(1, "alpha epsilon")]))
+    from pyspark.sql import functions as F2
+    from databricks_incremental_lakehouse_spark.streaming.incremental import (
+        merge_upsert,
+    )
+    import os as _os
+
+    # scoped delete: complete new image of doc 3 is "no rows"
+    merge_upsert(
+        spark,
+        _docs(spark, []).selectExpr(
+            "CAST(NULL AS LONG) doc_id", "CAST(NULL AS STRING) token",
+            "CAST(NULL AS LONG) tf"
+        ).limit(0),
+        _os.path.join(root, "postings"),
+        keys=["doc_id", "token"],
+        bucket_keys=["doc_id"],
+        scope=spark.createDataFrame([(3,)], "doc_id long"),
+        changelog_dir=_os.path.join(root, "postings_log"),
+    )
+    fold_cms_counters(spark, root)
+
+    final = {1: "alpha epsilon", 2: "gamma alpha"}
+    toks = [t for text in final.values() for t in text.split()]
+    exp_df = (
+        spark.createDataFrame([(t,) for t in toks], "token string")
+        .select("token", F2.explode(F2.array(*[F2.lit(s) for s in range(CMS_D)])).alias("seed"))
+        .select("seed", _cms_bucket(F2.col("token"), F2.col("seed")))
+        .groupBy("seed", "bucket")
+        .count()
+    )
+    want = {(r.seed, r.bucket): r["count"] for r in exp_df.collect()}
+    got = {
+        (r.seed, r.bucket): int(r.sum_tf)
+        for r in read_merge_target(
+            spark, _os.path.join(root, "cms_counters")
+        ).filter(F2.col("n_rows") > 0).collect()
+    }
+    assert got == want
