@@ -79,14 +79,13 @@ def _dedup_band_index(
     ``sf_dir`` so the build is a one-time cost and repeated probes time
     the steady state."""
     skey = id(spark)
+    # build INSIDE the lock (the _CENT_MEMO discipline, r9 advice on the
+    # PQ memo): two concurrent first calls must not both shingle+sign
     with _IDX_LOCK:
         got = _IDX_MEMO.get((skey, sf_dir))
-    if got is None:
-        with _IDX_LOCK:
+        if got is None:
             for stale in [k for k in _IDX_MEMO if k[0] != skey]:
                 _IDX_MEMO.pop(stale)
-            got = _IDX_MEMO.get((skey, sf_dir))
-        if got is None:
             docs = load_table(spark, sf_dir, "documents")
             base = docs.filter(F.col("doc_id") % DOC_ARRIVAL_MOD != 0)
             arrivals = docs.filter(F.col("doc_id") % DOC_ARRIVAL_MOD == 0)
@@ -103,8 +102,7 @@ def _dedup_band_index(
             )
             arr_bands.write.mode("append").partitionBy("bucket").parquet(path)
             got = (path, arr_bands)
-            with _IDX_LOCK:
-                _IDX_MEMO[(skey, sf_dir)] = got
+            _IDX_MEMO[(skey, sf_dir)] = got
     return got
 
 
@@ -206,14 +204,11 @@ def _sem_append_index(
     skey = id(spark)
     with _IDX_LOCK:
         got = _SEM_MEMO.get((skey, sf_dir))
-    if got is None:
-        with _IDX_LOCK:
-            for stale in [k for k in _SEM_MEMO if k[0] != skey]:
-                _SEM_MEMO.pop(stale)
-            got = _SEM_MEMO.get((skey, sf_dir))
         if got is None:
             from .similarity import ARRIVAL_MOD
 
+            for stale in [k for k in _SEM_MEMO if k[0] != skey]:
+                _SEM_MEMO.pop(stale)
             emb = _emb(spark, sf_dir)
             base = emb.filter(F.col("vec_id") % ARRIVAL_MOD != 0)
             arrivals = emb.filter(F.col("vec_id") % ARRIVAL_MOD == 0)
@@ -227,8 +222,7 @@ def _sem_append_index(
             ).localCheckpoint(eager=True)
             arr_probes.write.mode("append").partitionBy("cl").parquet(path)
             got = (cent_rows, path, arr_probes)
-            with _IDX_LOCK:
-                _SEM_MEMO[(skey, sf_dir)] = got
+            _SEM_MEMO[(skey, sf_dir)] = got
     return got
 
 
