@@ -491,3 +491,52 @@ def test_boilerplate_broadcasts_the_small_sides(spark, sf_correct):
     plan = _plan(text_boilerplate_report(spark, sf_correct))
     assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("Exchange SinglePartition") == 0
+
+
+def test_dedup_append_probes_have_no_global_stage(spark, sf_correct):
+    """The maintained-index probes must stay fully parallel end to end:
+    the band probe (bucket-pruned join + candidate-only verify) and the
+    semantic probe (cell blocks + per-vec keeper window) partition by
+    band-key buckets / cells / vec_id respectively — a SinglePartition
+    exchange anywhere would mean a global stage that breaks the
+    O(batch) claim at scale."""
+    from databricks_incremental_lakehouse_spark.llmdata.incrdedup import (
+        dedup_minhash_append,
+        dedup_semantic_append,
+    )
+
+    for q in (dedup_minhash_append, dedup_semantic_append):
+        plan = _plan(q(spark, sf_correct))
+        assert plan.count("Exchange SinglePartition") == 0, q.__name__
+
+
+def test_dedup_band_probe_reads_only_probed_buckets(spark, sf_correct):
+    """The band store scan must be restricted to the bucket dirs the
+    arrival batch hashes to — the path-selected read is the probe's
+    partition pruning (PartitionCount at most NUM_INDEX_BUCKETS, and
+    exactly the arrival buckets)."""
+    from databricks_incremental_lakehouse_spark.llmdata.incrdedup import (
+        NUM_INDEX_BUCKETS,
+        _dedup_band_index,
+        dedup_minhash_append,
+    )
+
+    import re
+
+    _path, arr_bands = _dedup_band_index(spark, sf_correct)
+    n_probe_buckets = arr_bands.select("bucket").distinct().count()
+    plan = _plan(dedup_minhash_append(spark, sf_correct))
+    store_lines = [
+        l for l in plan.splitlines() if "FileScan" in l and "dedup_idx" in l
+    ]
+    assert store_lines, "band-store scan not found in probe plan"
+    for line in store_lines:
+        m = re.search(r"InMemoryFileIndex\((\d+) paths\)", line)
+        assert m, line
+        n = int(m.group(1))
+        # the path-selected read IS the probe's partition pruning: exactly
+        # the arrival-probed bucket dirs, never more than the bucket count
+        assert n == n_probe_buckets and n <= NUM_INDEX_BUCKETS, (
+            n,
+            n_probe_buckets,
+        )
