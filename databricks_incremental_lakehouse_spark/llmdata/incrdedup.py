@@ -78,7 +78,12 @@ def _dedup_band_index(
     signed; the base corpus is not re-read). Session-memoized per
     ``sf_dir`` so the build is a one-time cost and repeated probes time
     the steady state."""
-    skey = id(spark)
+    from .. import memo
+
+    # key by (applicationId, startTime), NOT id(spark): a stopped session's
+    # object can be GC'd and its id reused, which would defeat the stale-key
+    # eviction and hand back a store bound to a dead context (ADVICE r10)
+    skey = memo._session_key(spark)
     # build INSIDE the lock (the _CENT_MEMO discipline, r9 advice on the
     # PQ memo): two concurrent first calls must not both shingle+sign
     with _IDX_LOCK:
@@ -199,9 +204,10 @@ def _sem_append_index(
     cells the batch probes. Arrivals are assigned with the FROZEN codebook
     and appended — O(batch x nlist) ingest, the corpus is never
     re-assigned."""
+    from .. import memo
     from .similarity import SEMDEDUP_PROBE, _assign_topk, _emb, _ivf_append_index
 
-    skey = id(spark)
+    skey = memo._session_key(spark)  # not id(spark) — see _dedup_band_index
     with _IDX_LOCK:
         got = _SEM_MEMO.get((skey, sf_dir))
         if got is None:

@@ -57,6 +57,18 @@ EVENT_ARRIVAL_MOD = 10
 
 _WAREHOUSES: dict[tuple, str] = {}
 _WH_LOCK = threading.Lock()
+# serializes register folds per target root: read-max-merge is NOT atomic
+# (two concurrent folds of different batches each max against only their
+# own batch and the last merge_upsert wins, losing register maxes on
+# overlapping keys — ADVICE r10). Serial folds keep the any-order
+# idempotence claim honest; one process-wide map of per-root locks.
+_FOLD_LOCKS: dict[str, threading.Lock] = {}
+_FOLD_LOCKS_GUARD = threading.Lock()
+
+
+def _fold_lock(root: str) -> threading.Lock:
+    with _FOLD_LOCKS_GUARD:
+        return _FOLD_LOCKS.setdefault(root, threading.Lock())
 
 
 def _batch_registers(events: DataFrame) -> DataFrame:
@@ -79,27 +91,31 @@ def apply_event_batch(spark: SparkSession, root: str, events: DataFrame) -> None
     the batch; reads/writes the bounded register table (<= n_types x
     HLL_M rows however large the corpus). Idempotent by the max algebra —
     re-applying any batch, in any order, converges to the same registers,
-    so at-least-once delivery needs no watermark."""
+    so at-least-once delivery needs no watermark. Folds into one register
+    table are serialized (per-root lock): the read-max-merge sequence is
+    not atomic, so two CONCURRENT folds could each max against only their
+    own batch and lose the other's register maxes on overlap."""
     target = os.path.join(root, "hll_registers")
-    batch = _batch_registers(events)
-    if os.path.isdir(target):
-        stored = read_merge_target(spark, target).select(
-            "event_type", "idx", F.col("m_j").alias("m_stored")
-        )
-        batch = (
-            batch.join(stored, ["event_type", "idx"], "left")
-            .withColumn(
-                "m_j", F.greatest(F.col("m_j"), F.coalesce("m_stored", "m_j"))
+    with _fold_lock(root):
+        batch = _batch_registers(events)
+        if os.path.isdir(target):
+            stored = read_merge_target(spark, target).select(
+                "event_type", "idx", F.col("m_j").alias("m_stored")
             )
-            .drop("m_stored")
+            batch = (
+                batch.join(stored, ["event_type", "idx"], "left")
+                .withColumn(
+                    "m_j", F.greatest(F.col("m_j"), F.coalesce("m_stored", "m_j"))
+                )
+                .drop("m_stored")
+            )
+        merge_upsert(
+            spark,
+            batch,
+            target,
+            keys=["event_type", "idx"],
+            num_buckets=4,
         )
-    merge_upsert(
-        spark,
-        batch,
-        target,
-        keys=["event_type", "idx"],
-        num_buckets=4,
-    )
 
 
 def hll_registers(spark: SparkSession, root: str) -> DataFrame:
@@ -113,15 +129,17 @@ def _warehouse_for(spark: SparkSession, sf_dir: str) -> str:
     from ..memo import _session_key
 
     key = (_session_key(spark), sf_dir, "hll")
+    # hold the lock ACROSS the build (the _dedup_band_index discipline,
+    # ADVICE r10): two concurrent first calls must not both fold the base
+    # events (duplicate work + one leaked tempdir)
     with _WH_LOCK:
         root = _WAREHOUSES.get(key)
-    if root is None:
-        root = tempfile.mkdtemp(prefix="hllsketch_wh_")
-        base = load_table(spark, sf_dir, "events").filter(
-            F.col("event_id") % EVENT_ARRIVAL_MOD != 0
-        )
-        apply_event_batch(spark, root, base)
-        with _WH_LOCK:
+        if root is None:
+            root = tempfile.mkdtemp(prefix="hllsketch_wh_")
+            base = load_table(spark, sf_dir, "events").filter(
+                F.col("event_id") % EVENT_ARRIVAL_MOD != 0
+            )
+            apply_event_batch(spark, root, base)
             _WAREHOUSES[key] = root
     return root
 
