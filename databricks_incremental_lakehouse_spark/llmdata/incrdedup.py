@@ -35,12 +35,14 @@ is part of the LLM-training-data extension brief.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.layout import read_store_meta, write_store_meta
 from ..operators.rounding import round_dbl
 from ..tables import load_table
 from .dedup import (
@@ -51,9 +53,12 @@ from .dedup import (
 )
 from .incrstats import DOC_ARRIVAL_MOD
 
-# store partitions; a probe prunes to the buckets its band keys hash to.
-# A deployment scales this with index size (the incrstats num_buckets
-# posture) so probe reads stay batch-bounded as the corpus grows.
+# store partitions AT BUILD TIME; a probe prunes to the buckets its band
+# keys hash to. The LIVE bucket count is the store's sidecar meta
+# (operators/layout.py STORE_META), not this constant: a deployment scales
+# buckets with index size by running :func:`..operators.layout.
+# rebucket_store` (the r11 lifecycle job), and every probe afterwards
+# prunes with the new count — no code deploy.
 NUM_INDEX_BUCKETS = 64
 
 # the _CENT_MEMO discipline: lock (concurrent first calls must not build
@@ -62,10 +67,20 @@ _IDX_MEMO: dict[tuple, tuple[str, DataFrame]] = {}
 _IDX_LOCK = threading.Lock()
 
 
-def _bucketed(bands: DataFrame) -> DataFrame:
+def _bucketed(bands: DataFrame, num_buckets: int = NUM_INDEX_BUCKETS) -> DataFrame:
     return bands.withColumn(
-        "bucket", F.pmod(F.xxhash64("band_key"), F.lit(NUM_INDEX_BUCKETS))
+        "bucket", F.pmod(F.xxhash64("band_key"), F.lit(num_buckets))
     )
+
+
+def _rm_store_root(path: str) -> None:
+    """Remove a session store's mkdtemp root (the dir ABOVE the parquet
+    dir) — wired into memo clears so no ``dedup_idx_*``/``sem_idx_*``
+    orphans outlive the memo entry that owns them (VERDICT r10 #1). The
+    prefix check means a path that is not one of ours is never touched."""
+    root = os.path.dirname(path.rstrip("/"))
+    if os.path.basename(root).startswith(("dedup_idx_", "sem_idx_")):
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _dedup_band_index(
@@ -90,7 +105,7 @@ def _dedup_band_index(
         got = _IDX_MEMO.get((skey, sf_dir))
         if got is None:
             for stale in [k for k in _IDX_MEMO if k[0] != skey]:
-                _IDX_MEMO.pop(stale)
+                _rm_store_root(_IDX_MEMO.pop(stale)[0])
             docs = load_table(spark, sf_dir, "documents")
             base = docs.filter(F.col("doc_id") % DOC_ARRIVAL_MOD != 0)
             arrivals = docs.filter(F.col("doc_id") % DOC_ARRIVAL_MOD == 0)
@@ -106,6 +121,9 @@ def _dedup_band_index(
                 .localCheckpoint(eager=True)
             )
             arr_bands.write.mode("append").partitionBy("bucket").parquet(path)
+            # the probe derives its pruning from this sidecar, so a later
+            # rebucket_store needs no coordination with readers
+            write_store_meta(path, num_buckets=NUM_INDEX_BUCKETS, key_col="band_key")
             got = (path, arr_bands)
             _IDX_MEMO[(skey, sf_dir)] = got
     return got
@@ -113,6 +131,10 @@ def _dedup_band_index(
 
 def _clear_idx_memo() -> None:
     with _IDX_LOCK:
+        for path, _df in _IDX_MEMO.values():
+            _rm_store_root(path)
+        for _cent, path, _df in _SEM_MEMO.values():
+            _rm_store_root(path)
         _IDX_MEMO.clear()
         _SEM_MEMO.clear()
 
@@ -133,9 +155,31 @@ def dedup_minhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     and batch signatures are identical — the exactness contract the
     oracle checks)."""
     path, arr_bands = _dedup_band_index(spark, sf_dir)
+    return probe_band_store(
+        spark, path, arr_bands, load_table(spark, sf_dir, "documents")
+    )
+
+
+def probe_band_store(
+    spark: SparkSession, path: str, arr_bands: DataFrame, docs: DataFrame
+) -> DataFrame:
+    """The steady-state probe body over any band store: bucket-pruned
+    candidate join + exact-Jaccard verification of the candidates against
+    ``docs``. Pruning derives from the store's LIVE sidecar meta (bucket
+    count at last build/rebucket), never from the pinned ``bucket`` column
+    of ``arr_bands`` — so the same probe is byte-identical across
+    re-bucketing (test-locked: the join key is (band, band_key); buckets
+    only route reads). Shared by the registered query and the scaling
+    harness (scripts/dedup_append_scaling.py)."""
+    n = read_store_meta(path).get("num_buckets", NUM_INDEX_BUCKETS)
     buckets = sorted(
-        r["bucket"] for r in arr_bands.select("bucket").distinct().collect()
-    )  # driver-bounded by NUM_INDEX_BUCKETS
+        r["bucket"]
+        for r in arr_bands.select(
+            F.pmod(F.xxhash64("band_key"), F.lit(n)).alias("bucket")
+        )
+        .distinct()
+        .collect()
+    )  # driver-bounded by the store's bucket count
     store = spark.read.option("basePath", path).parquet(
         *[os.path.join(path, f"bucket={b}") for b in buckets]
     )
@@ -157,9 +201,7 @@ def dedup_minhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    cand_docs = load_table(spark, sf_dir, "documents").join(
-        cand_ids, "doc_id", "left_semi"
-    )
+    cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
     ds = _doc_shingles(docs=cand_docs)
     a = ds.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
     b = ds.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
@@ -214,7 +256,7 @@ def _sem_append_index(
             from .similarity import ARRIVAL_MOD
 
             for stale in [k for k in _SEM_MEMO if k[0] != skey]:
-                _SEM_MEMO.pop(stale)
+                _rm_store_root(_SEM_MEMO.pop(stale)[1])
             emb = _emb(spark, sf_dir)
             base = emb.filter(F.col("vec_id") % ARRIVAL_MOD != 0)
             arrivals = emb.filter(F.col("vec_id") % ARRIVAL_MOD == 0)

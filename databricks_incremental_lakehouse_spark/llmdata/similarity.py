@@ -368,12 +368,32 @@ def _unpersist_quiet(df: DataFrame) -> None:
         pass
 
 
+def _rm_ivf_store_root(path: str) -> None:
+    """Remove a cell store's mkdtemp root — wired into the memo clear so
+    no ``ivf_idx_``/``ivf_app_`` temp dirs orphan past their memo entry
+    (the incrdedup._rm_store_root discipline, VERDICT r10 #1)."""
+    import os
+    import shutil
+
+    root = os.path.dirname(path.rstrip("/"))
+    if os.path.basename(root).startswith(("ivf_idx_", "ivf_app_")):
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _clear_cent_memo() -> None:
-    """memo.clear() hook: release the codebook memo's persisted blocks."""
+    """memo.clear() hook: release the codebook memo's persisted blocks and
+    the materialized cell stores (dict entry + backing temp dir together,
+    so the dicts never point at deleted dirs)."""
     with _CENT_LOCK:
         for _cent, cells, _nlist in _CENT_MEMO.values():
             _unpersist_quiet(cells)
         _CENT_MEMO.clear()
+        for _cent, path, _nlist in _IVF_INDEXES.values():
+            _rm_ivf_store_root(path)
+        _IVF_INDEXES.clear()
+        for _cent, path, _nlist in _IVF_APPEND_INDEXES.values():
+            _rm_ivf_store_root(path)
+        _IVF_APPEND_INDEXES.clear()
 
 
 from .. import memo as _memo  # noqa: E402 — registration, not a cycle at import

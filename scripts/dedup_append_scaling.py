@@ -33,27 +33,24 @@ SF10 = os.path.join(REPO, ".bench", "sf1ext")
 REPS = 3
 
 
-def _probe(spark, index_sf: str, batch_sf: str) -> float:
-    """Median probe time of batch_sf's arrival bands against an index
-    built from index_sf's base corpus (build untimed; the probe re-runs
-    the bucket-pruned join + candidate verify each rep, the steady-state
-    ext key shape). Uses the module's own machinery with the arrival
-    bands swapped in."""
+def _build_store(spark, index_sf: str, batch_sf: str):
+    """(path, pinned arrival bands, docs union) — a band store from
+    index_sf's base corpus with batch_sf's arrival batch appended, via the
+    module's own build pieces."""
     import tempfile
 
     from databricks_incremental_lakehouse_spark.llmdata.dedup import (
-        JACCARD_THRESHOLD,
-        _doc_shingles,
         minhash_bands,
     )
     from databricks_incremental_lakehouse_spark.llmdata.incrdedup import (
+        NUM_INDEX_BUCKETS,
         _bucketed,
     )
     from databricks_incremental_lakehouse_spark.llmdata.incrstats import (
         DOC_ARRIVAL_MOD,
     )
-    from databricks_incremental_lakehouse_spark.operators.rounding import (
-        round_dbl,
+    from databricks_incremental_lakehouse_spark.operators.layout import (
+        write_store_meta,
     )
     from databricks_incremental_lakehouse_spark.tables import load_table
 
@@ -67,53 +64,26 @@ def _probe(spark, index_sf: str, batch_sf: str) -> float:
     _bucketed(minhash_bands(base)).write.partitionBy("bucket").parquet(path)
     arr_bands = _bucketed(minhash_bands(arrivals)).localCheckpoint(eager=True)
     arr_bands.write.mode("append").partitionBy("bucket").parquet(path)
+    write_store_meta(path, num_buckets=NUM_INDEX_BUCKETS, key_col="band_key")
+    docs = (
+        load_table(spark, index_sf, "documents")
+        .unionByName(load_table(spark, batch_sf, "documents"))
+        .dropDuplicates(["doc_id"])
+        if index_sf != batch_sf
+        else load_table(spark, index_sf, "documents")
+    )
+    return path, arr_bands, docs
+
+
+def _time_probe(spark, path, arr_bands, docs, label: str) -> float:
+    """Median steady-state probe time over an existing store — the SAME
+    probe body the registered query runs (incrdedup.probe_band_store)."""
+    from databricks_incremental_lakehouse_spark.llmdata.incrdedup import (
+        probe_band_store,
+    )
 
     def run() -> int:
-        buckets = sorted(
-            r["bucket"] for r in arr_bands.select("bucket").distinct().collect()
-        )
-        store = spark.read.option("basePath", path).parquet(
-            *[os.path.join(path, f"bucket={b}") for b in buckets]
-        )
-        cand = (
-            arr_bands.alias("p")
-            .join(store.alias("s"), ["band", "band_key"])
-            .filter(F.col("p.doc_id") != F.col("s.doc_id"))
-            .select(
-                F.least("p.doc_id", "s.doc_id").alias("doc_a"),
-                F.greatest("p.doc_id", "s.doc_id").alias("doc_b"),
-            )
-            .distinct()
-        )
-        cand_ids = (
-            cand.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-        )
-        docs = load_table(spark, index_sf, "documents").unionByName(
-            load_table(spark, batch_sf, "documents")
-        ).dropDuplicates(["doc_id"]) if index_sf != batch_sf else load_table(
-            spark, index_sf, "documents"
-        )
-        cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
-        ds = _doc_shingles(docs=cand_docs)
-        a = ds.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
-        b = ds.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
-        verified = (
-            cand.join(a, "doc_a")
-            .join(b, "doc_b")
-            .withColumn("n_common", F.size(F.array_intersect("sa", "sb")))
-        )
-        jac = F.col("n_common") / (
-            F.size("sa") + F.size("sb") - F.col("n_common")
-        ).cast("double")
-        return (
-            verified.select(
-                "doc_a", "doc_b", round_dbl(jac, 6).alias("jaccard")
-            )
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-            .count()
-        )
+        return probe_band_store(spark, path, arr_bands, docs).count()
 
     n = run()  # warm-up
     times = []
@@ -122,10 +92,41 @@ def _probe(spark, index_sf: str, batch_sf: str) -> float:
         run()
         times.append(time.time() - t0)
     med = statistics.median(times)
-    print(
-        f"  index={index_sf.split('/')[-1]} batch={batch_sf.split('/')[-1]}: "
-        f"pairs={n} probe_median={med:.2f}s"
-    )
+    print(f"  {label}: pairs={n} probe_median={med:.2f}s")
+    return med
+
+
+def _probe(spark, index_sf: str, batch_sf: str, rebucket_to: int | None = None):
+    """Fixed-batch probe measurement; with ``rebucket_to`` also measures
+    the probe after the lifecycle job re-buckets the store (r11: the
+    maintained-store lifecycle). Bucket pruning bites when the batch's
+    distinct band keys are FEWER than the bucket count (the deployment
+    shape: small serving batches against a corpus-scaled bucket layout),
+    so the contrast is run at two batch sizes: the full 10%-arrival batch
+    (~2000 band keys — touches every bucket at either count) and a 1/10
+    serving slice (~200 band keys — reads ~27% of a 640-bucket store vs
+    100% of a 64-bucket one)."""
+    path, arr_bands, docs = _build_store(spark, index_sf, batch_sf)
+    label = f"index={index_sf.split('/')[-1]} batch={batch_sf.split('/')[-1]}"
+    med = _time_probe(spark, path, arr_bands, docs, label)
+    if rebucket_to is not None:
+        from databricks_incremental_lakehouse_spark.operators.layout import (
+            rebucket_store,
+        )
+
+        small = arr_bands.filter(F.col("doc_id") % 100 == 0).localCheckpoint(
+            eager=True
+        )
+        _time_probe(spark, path, small, docs, f"{label} small-batch @64")
+        t0 = time.time()
+        rebucket_store(spark, path, "band_key", rebucket_to)
+        print(f"  rebucket->{rebucket_to}: {time.time() - t0:.2f}s one-time")
+        _time_probe(
+            spark, path, arr_bands, docs, f"{label} full-batch @{rebucket_to}"
+        )
+        _time_probe(
+            spark, path, small, docs, f"{label} small-batch @{rebucket_to}"
+        )
     return med
 
 
@@ -137,7 +138,10 @@ def main() -> None:
     memo.clear()
     _probe(spark, SF1, SF1)
     memo.clear()
-    _probe(spark, SF10, SF1)
+    # at the 10x index, also run the lifecycle job (rebucket to 10x
+    # buckets, restoring per-bucket design size) and re-probe: the r10
+    # probe tax (+28% for a 10x index) is what this flattens
+    _probe(spark, SF10, SF1, rebucket_to=640)
 
     print("registered-query 10x row (batch and index both scale):")
     from databricks_incremental_lakehouse_spark.registry import QUERIES

@@ -1817,3 +1817,91 @@ def test_dedup_semantic_append_arrival_contract(spark, sf_correct):
     for j, (c, i) in best.items():
         assert got[j][1] == i
         assert abs(got[j][0] - c) < 2e-6
+
+
+def test_band_store_lifecycle_rebucket_and_compact(spark, sf_correct):
+    """VERDICT r10 #1 — the maintained stores' lifecycle: re-bucketing the
+    band store to a new bucket count and bin-packing its partition dirs
+    must leave probe results BYTE-IDENTICAL (the join key is the value
+    column; buckets only route reads), update the sidecar meta the probe
+    prunes from, and preserve every stored row."""
+    import os
+
+    from databricks_incremental_lakehouse_spark.llmdata.incrdedup import (
+        _dedup_band_index,
+        probe_band_store,
+    )
+    from databricks_incremental_lakehouse_spark.operators.layout import (
+        compact_store,
+        read_store_meta,
+        rebucket_store,
+        table_file_stats,
+    )
+    from databricks_incremental_lakehouse_spark.tables import load_table
+
+    path, arr_bands = _dedup_band_index(spark, sf_correct)
+    docs = load_table(spark, sf_correct, "documents")
+    before = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in probe_band_store(spark, path, arr_bands, docs).collect()
+    )
+    assert before, "vacuous: no pairs at the correctness SF"
+    rows_before = spark.read.parquet(path).count()
+    assert read_store_meta(path)["num_buckets"] == 64
+
+    rebucket_store(spark, path, "band_key", 256)
+    assert read_store_meta(path)["num_buckets"] == 256
+    dirs = {
+        d for d in os.listdir(path) if d.startswith("bucket=")
+    }
+    assert all(0 <= int(d.split("=")[1]) < 256 for d in dirs)
+    assert len(dirs) > 64, "rebucket did not widen the bucket layout"
+    assert spark.read.parquet(path).count() == rows_before
+    after_rebucket = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in probe_band_store(spark, path, arr_bands, docs).collect()
+    )
+    assert after_rebucket == before
+
+    compacted = compact_store(spark, path)
+    assert all(
+        n_files == 1 for _rel, n_files, _b in table_file_stats(path)
+    ), "compaction left multi-file bucket dirs"
+    assert spark.read.parquet(path).count() == rows_before
+    after_compact = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in probe_band_store(spark, path, arr_bands, docs).collect()
+    )
+    assert after_compact == before
+    # compaction result recorded (some dirs had an append wave to pack)
+    assert isinstance(compacted, dict)
+
+
+def test_store_memo_clear_removes_temp_dirs(spark, sf_correct):
+    """VERDICT r10 #1 — no orphaned ``dedup_idx_*``/``sem_idx_*`` (or IVF/
+    PQ append) temp dirs after the memo clear: the stores' backing dirs
+    die with the memo entries that own them."""
+    import os
+
+    from databricks_incremental_lakehouse_spark import memo
+    from databricks_incremental_lakehouse_spark.llmdata.incrdedup import (
+        _dedup_band_index,
+        _sem_append_index,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.pq import (
+        _pq_append_index_for,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.similarity import (
+        _ivf_append_index,
+    )
+
+    band_path, _ = _dedup_band_index(spark, sf_correct)
+    _c, sem_path, _a = _sem_append_index(spark, sf_correct)
+    _c2, ivf_path, _n = _ivf_append_index(spark, sf_correct)
+    _cb, pq_codes = _pq_append_index_for(spark, sf_correct)
+    roots = [os.path.dirname(p.rstrip("/")) for p in (band_path, sem_path, ivf_path)]
+    for r in roots:
+        assert os.path.isdir(r)
+    memo.clear()
+    for r in roots:
+        assert not os.path.exists(r), f"orphaned store dir after clear: {r}"
