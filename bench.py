@@ -50,6 +50,44 @@ from databricks_incremental_lakehouse_spark.session import build_spark  # noqa: 
 # the very end with no tail line at all
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
+# Reference seconds for the fixed-work calibration probe (VERDICT r10 #4:
+# round 10 spent a worktree A/B to prove a 21% headline move was machine
+# drift, not code — this probe makes the bench self-calibrating). Measured
+# on the round-11 machine alongside a same-day r10-commit A/B that
+# validated the normalization. The probe is deterministic CPU + one
+# shuffle (hash agg over 20M synthetic rows), no I/O, no data dependence —
+# its runtime moves with host speed only, so
+# value * (CALIB_REF_SEC / calibration_sec) is the drift-normalized
+# headline reported next to the raw one.
+CALIB_REF_SEC = 1.0
+
+
+def _calibration_probe(spark) -> float:
+    """Median seconds of the fixed-work microbench (run REPS times)."""
+    import statistics as _st
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    def run() -> None:
+        (
+            spark.range(20_000_000)
+            .select((F.col("id") * 2654435761 % 1000003).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("k"))
+            .limit(5)
+            .collect()
+        )
+
+    run()  # warm-up (codegen/plan compile)
+    times = []
+    for _ in range(REPS):
+        t0 = _t.time()
+        run()
+        times.append(_t.time() - t0)
+    return round(_st.median(times), 3)
+
 # Registry queries timed under ext.* keys — module-level so
 # scripts/latency_audit.py can import the ACTUAL benched set instead of
 # grepping quoted strings out of this file.
@@ -215,6 +253,8 @@ def main() -> None:
             "overwrite"
         ).parquet(os.path.join(warm, "w"))
     once["session_warmup"] = round(time.time() - t0, 3)
+    calibration = _calibration_probe(spark)
+    once["calibration_sec"] = calibration
 
     from pyspark.sql import functions as F
 
@@ -424,6 +464,19 @@ def main() -> None:
         t0 = time.time()
         _noop(QUERIES["incr_cms_heavy_hitters_update_only"](spark, sf_dir))
         record("ext.incr_cms_heavy_hitters_update_only", time.time() - t0)
+    # the SERVING half alone (answer from maintained counter + token-stats
+    # tables; no ingest, no fold) — the update_only key above times the
+    # full maintenance cycle, so the sub-second serving claim is a
+    # recorded number, not prose (VERDICT r10 #3)
+    from databricks_incremental_lakehouse_spark.llmdata import incrsketch as _isk
+    from databricks_incremental_lakehouse_spark.llmdata import incrstats as _ist
+
+    _cms_root = _ist._warehouse_for(spark, sf_dir)  # warm from the keys above
+    _noop(_isk.cms_heavy_hitters_answer(spark, _cms_root))  # untimed warm-up
+    for _rep in range(REPS):
+        t0 = time.time()
+        _noop(_isk.cms_heavy_hitters_answer(spark, _cms_root))
+        record("ext.incr_cms_heavy_hitters_answer_only", time.time() - t0)
 
     # Maintained near-dup index (r10): first call builds the bucketed
     # band store from the base corpus, appends the arrival batch's band
@@ -625,6 +678,11 @@ def main() -> None:
         },
         "reps": REPS,
         "noise_band": noise_band,
+        # fixed-work probe + drift-normalized headline: value scaled by
+        # (reference machine speed / this run's), so round-over-round
+        # diffs can separate code moves from host drift mechanically
+        "calibration_sec": calibration,
+        "value_drift_normalized": round(value * CALIB_REF_SEC / calibration, 3),
         "sf": sf,
     }
     # LAST stdout line, compact (~400 bytes): the driver's parse target.

@@ -311,9 +311,7 @@ def incr_cms_heavy_hitters_update_only(
         DOC_ARRIVAL_MOD,
         _warehouse_for,
         apply_doc_updates,
-        token_stats,
     )
-    from .sketches import CMS_D, CMS_TOPK, _cms_bucket
 
     root = _warehouse_for(spark, sf_dir)
     arrivals = load_table(spark, sf_dir, "documents").filter(
@@ -321,6 +319,19 @@ def incr_cms_heavy_hitters_update_only(
     )
     apply_doc_updates(spark, root, arrivals)
     fold_cms_counters(spark, root)
+    return cms_heavy_hitters_answer(spark, root)
+
+
+def cms_heavy_hitters_answer(spark: SparkSession, root: str) -> DataFrame:
+    """The SERVING half of the maintained-CMS cycle: answer heavy hitters
+    from the maintained counter + token-stats tables only — no ingest, no
+    fold, no corpus scan. Split out so the serving latency is a recorded
+    bench number (``ext.incr_cms_heavy_hitters_answer_only``) rather than
+    prose; the registered ``incr_cms_heavy_hitters_update_only`` key times
+    the FULL maintenance cycle (doc-batch re-merge + counter fold + this
+    answer) — VERDICT r10 #3."""
+    from .incrstats import token_stats
+    from .sketches import CMS_D, CMS_TOPK, _cms_bucket
 
     counters = read_merge_target(
         spark, os.path.join(root, "cms_counters")
