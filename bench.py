@@ -499,6 +499,17 @@ def main() -> None:
         t0 = time.time()
         _noop(QUERIES["dedup_semantic_append"](spark, sf_dir))
         record("ext.dedup_semantic_append_probe", time.time() - t0)
+    # Maintained pagerank (r11): first call builds the shingle inverted
+    # index + base edge list (one-time batch discovery); later calls are
+    # the steady state — bucket-pruned arrival-pair probe + integer
+    # fixed-point ranking over the maintained edge partition.
+    t0 = time.time()
+    _noop(QUERIES["graph_pagerank_update_only"](spark, sf_dir))
+    once["once.pair_index_build_and_pagerank"] = round(time.time() - t0, 3)
+    for _rep in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["graph_pagerank_update_only"](spark, sf_dir))
+        record("ext.graph_pagerank_update_only", time.time() - t0)
 
     _noop(QUERIES["sim_ivf_topk_quantized"](spark, sf_dir))  # warm-up
     for _rep in range(REPS):

@@ -27,6 +27,15 @@ pairs fall out of the same probe because arrivals are appended to the
 store before probing; the least/greatest normalization + distinct
 collapses the double match.
 
+Mechanism boundary vs the streaming registry (VERDICT r10 #7): this
+module's band index is the AUDIT PROBE — order-free, exact-verified
+near-dup PAIRS over the base/arrival split. The keep-first registry
+stream (:func:`..streaming.incremental.incremental_minhash_registry_
+stream`) is the ADMISSION GATE — inline, candidate-level, earliest-match
+attribution. Same signature derivation, intentionally different stores
+(keep-first vs append-all); agreement on the same feed is test-locked
+(the gate flags a superset of the probe's verified pairs).
+
 Reference: the reference maintains refined tables incrementally
 (src/refined/refined_customer_orders.py); it has no dedup surface — this
 is part of the LLM-training-data extension brief.
@@ -49,6 +58,9 @@ from .dedup import (
     DEDUP_MINHASH_ORACLE,
     JACCARD_THRESHOLD,
     _doc_shingles,
+    _exploded_shingles,
+    _shingles,
+    dedup_ngram_jaccard,
     minhash_bands,
 )
 from .incrstats import DOC_ARRIVAL_MOD
@@ -79,7 +91,7 @@ def _rm_store_root(path: str) -> None:
     orphans outlive the memo entry that owns them (VERDICT r10 #1). The
     prefix check means a path that is not one of ours is never touched."""
     root = os.path.dirname(path.rstrip("/"))
-    if os.path.basename(root).startswith(("dedup_idx_", "sem_idx_")):
+    if os.path.basename(root).startswith(("dedup_idx_", "sem_idx_", "pair_idx_")):
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -135,8 +147,11 @@ def _clear_idx_memo() -> None:
             _rm_store_root(path)
         for _cent, path, _df in _SEM_MEMO.values():
             _rm_store_root(path)
+        for path, _edges, _df in _PAIR_MEMO.values():
+            _rm_store_root(path)
         _IDX_MEMO.clear()
         _SEM_MEMO.clear()
+        _PAIR_MEMO.clear()
 
 
 from .. import memo as _memo  # noqa: E402 — registration, not a cycle
@@ -225,6 +240,153 @@ def probe_band_store(
 DEDUP_MINHASH_APPEND_ORACLE = f"""
 SELECT doc_a, doc_b, jaccard FROM ({DEDUP_MINHASH_ORACLE})
 WHERE doc_a % {DOC_ARRIVAL_MOD} = 0 OR doc_b % {DOC_ARRIVAL_MOD} = 0"""
+
+
+# --- maintained EXACT-pair index (the shingle inverted index) --------------
+
+# (shingle_store_path, base_edges_path, pinned arrival shingle rows) per
+# (session, sf_dir) — the _IDX_MEMO discipline (same lock, same eviction)
+_PAIR_MEMO: dict[tuple, tuple[str, str, DataFrame]] = {}
+
+
+def _exact_pair_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, DataFrame]:
+    """The exact-Jaccard twin of the band index, for consumers that need
+    the COMPLETE >= 0.8 pair set (banded MinHash is probabilistic — it can
+    miss true pairs — so the graph family's maintained path cannot ride
+    it). Two maintained tables:
+
+    - the shingle inverted index ``(doc_id, shingle, n_shingles)``
+      partitioned by ``bucket = hash(shingle)`` — the posting lists of
+      :func:`..llmdata.dedup._pair_counts`, materialized;
+    - the base corpus's verified edge list (``dedup_ngram_jaccard`` over
+      the base docs — a one-time init, exactly the batch pair discovery).
+
+    An arrival batch appends its shingle rows (O(batch): only arrivals
+    are tokenized; ``n_shingles`` is per-doc, so stored base rows never
+    change) and is pinned for the steady-state probe."""
+    from .. import memo
+
+    skey = memo._session_key(spark)
+    with _IDX_LOCK:
+        got = _PAIR_MEMO.get((skey, sf_dir))
+        if got is None:
+            for stale in [k for k in _PAIR_MEMO if k[0] != skey]:
+                _rm_store_root(_PAIR_MEMO.pop(stale)[0])
+            docs = load_table(spark, sf_dir, "documents")
+            base = docs.filter(F.col("doc_id") % DOC_ARRIVAL_MOD != 0)
+            arrivals = docs.filter(F.col("doc_id") % DOC_ARRIVAL_MOD == 0)
+            root = tempfile.mkdtemp(prefix="pair_idx_")
+            sh_path = os.path.join(root, "shingles")
+            edges_path = os.path.join(root, "base_edges")
+            base_ex = _exploded_shingles(base)
+            (
+                _shingles(shingles_ex=base_ex)
+                .withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("shingle"), F.lit(NUM_INDEX_BUCKETS)),
+                )
+                .write.partitionBy("bucket")
+                .parquet(sh_path)
+            )
+            write_store_meta(
+                sh_path, num_buckets=NUM_INDEX_BUCKETS, key_col="shingle"
+            )
+            # base-base edges: both docs' full shingle sets live in the
+            # base corpus, so this equals the full-corpus pair set
+            # restricted to base pairs — the partition the probe completes
+            dedup_ngram_jaccard(spark, sf_dir, shingles_ex=base_ex).select(
+                "doc_a", "doc_b"
+            ).write.parquet(edges_path)
+            arr_sh = _shingles(
+                shingles_ex=_exploded_shingles(arrivals)
+            ).localCheckpoint(eager=True)
+            (
+                arr_sh.withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("shingle"), F.lit(NUM_INDEX_BUCKETS)),
+                )
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(sh_path)
+            )
+            got = (sh_path, edges_path, arr_sh)
+            _PAIR_MEMO[(skey, sf_dir)] = got
+    return got
+
+
+def exact_pairs_for_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard >= 0.8 pairs with at least one arrival side, from the
+    maintained shingle index — the steady-state probe. Reads ONLY the
+    buckets the batch's shingles hash to (sidecar-meta pruning, the
+    :func:`probe_band_store` discipline); ``n_common`` falls straight out
+    of the probe join (every shared shingle of an arrival-involving pair
+    is one of the arrival's own shingles, so the probed buckets see the
+    COMPLETE intersection — no re-verification scan), and sizes ride the
+    stored per-doc ``n_shingles``. Output hash-equals the full
+    :func:`..llmdata.dedup.dedup_ngram_jaccard` restricted to
+    arrival-involving pairs; arrival-arrival double matches (p->s and
+    s->p) collapse in the normalized distinct."""
+    sh_path, _edges_path, arr_sh = _exact_pair_index(spark, sf_dir)
+    n = read_store_meta(sh_path).get("num_buckets", NUM_INDEX_BUCKETS)
+    buckets = sorted(
+        r["bucket"]
+        for r in arr_sh.select(
+            F.pmod(F.xxhash64("shingle"), F.lit(n)).alias("bucket")
+        )
+        .distinct()
+        .collect()
+    )  # driver-bounded by the store's bucket count
+    store = spark.read.option("basePath", sh_path).parquet(
+        *[os.path.join(sh_path, f"bucket={b}") for b in buckets]
+    )
+    p = arr_sh.select(
+        F.col("doc_id").alias("p_id"),
+        "shingle",
+        F.col("n_shingles").alias("p_n"),
+    )
+    s = store.select(
+        F.col("doc_id").alias("s_id"),
+        "shingle",
+        F.col("n_shingles").alias("s_n"),
+    )
+    lt = F.col("p_id") < F.col("s_id")
+    norm = (
+        p.join(s, "shingle")
+        .filter(F.col("p_id") != F.col("s_id"))
+        .select(
+            F.least("p_id", "s_id").alias("doc_a"),
+            F.greatest("p_id", "s_id").alias("doc_b"),
+            F.when(lt, F.col("p_n")).otherwise(F.col("s_n")).alias("size_a"),
+            F.when(lt, F.col("s_n")).otherwise(F.col("p_n")).alias("size_b"),
+            "shingle",
+        )
+        .distinct()
+    )
+    pairs = norm.groupBy("doc_a", "doc_b", "size_a", "size_b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    jac = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    ).cast("double")
+    return pairs.select(
+        "doc_a", "doc_b", round_dbl(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def maintained_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL current exact near-dup edge set from maintained tables:
+    base edges (init-time batch discovery) UNION the probe's
+    arrival-involving pairs — a disjoint partition of all pairs (a pair
+    either has both sides in base, or at least one arrival side). The
+    graph family's maintained consumers (``graph_pagerank_update_only``)
+    rank over this without ever re-scanning the corpus."""
+    sh_path, edges_path, _arr = _exact_pair_index(spark, sf_dir)
+    base_pairs = spark.read.parquet(edges_path)
+    return base_pairs.unionByName(
+        exact_pairs_for_arrivals(spark, sf_dir).select("doc_a", "doc_b")
+    )
 
 
 # --- incremental semantic dedup (embedding face) ---------------------------

@@ -296,74 +296,69 @@ _register_extensions()
 CHECK_WINDOW_SIZE = 50
 
 _CHECK_PRIORITY: list[str] = [
-    # -- (1) never verified in any round: the new r10 queries MUST sit
+    # -- (1) never verified in any round: the new r11 queries MUST sit
     # inside the window (rotation gate tests/test_registry.py). ----------
-    "sim_ivf_pq_append_search",  # new r10: PQ ingest-without-retrain
-    "sim_ivf_topk_pq_residual",  # new r10: residual-encoded PQ (accuracy face)
-    "dedup_minhash_append",  # new r10: maintained near-dup band index probe
-    "incr_hll_distinct_update_only",  # new r10: maintained HLL registers
-    "dedup_semantic_append",  # new r10: SemDeDup arrivals vs frozen cells
-    "incr_cms_heavy_hitters_update_only",  # new r10: maintained CMS counters
-    # -- r9-new queries, kept while their machinery changed in r10 (the
-    # watermark two-phase fold; the PQ memo/search refactor; the
-    # curriculum oracle's rounding-scale fix) ----------------------------
-    "incr_token_stats_update_only",  # new r9: maintained token statistics
-    "incr_bigram_stats_update_only",  # new r9: maintained bigram counts
-    "incr_curate_report_update_only",  # new r9: maintained curation rollup
-    "sim_ivf_topk_pq",  # new r9: IVF-PQ (integer-exact ADC + re-rank)
-    "multimodal_phash_search",  # new r9: query-by-exemplar Hamming search
-    "qc_revenue_anomaly_robust",  # new r9: median/MAD modified-z anomaly
-    "tokenize_pack_ids",  # new r9: tensor-ready packed token-id windows
-    "corpus_curriculum_order",  # new r9: difficulty-ranked training windows
-    # -- (2) carriers whose code changed since their last driver check ------
-    # the sqrt(N) nlist dial + BLAS centroid assignment (similarity.py r9)
-    # restructured the whole IVF family; every consumer re-verifies:
-    "sim_ivf_topk",
-    "sim_ivf_topk_indexed",
-    "sim_ivf_append_search",
-    "sim_ivf_topk_quantized",
-    "sim_range_search",
-    "sim_knn_graph",
-    "sim_bitext_mining",
-    "sim_hard_negatives",
-    "dedup_semantic",
-    # -- (3) regression pickets: ever-green, high-coverage carriers rotated
-    # back oldest-verified-first (last green r3/r4/early-r5 — every r8-green
-    # carrier rotates out); everything else stays registered and rotates in
-    # future rounds
-    "bronze_nation",
-    "bronze_region",
-    "bi_regional_revenue_1998",
-    "bi_monthly_trend_series",
-    "qc_freshness",
-    "sample_stratified",
-    "sample_stratified_counts",
-    "sample_temperature",
-    "bronze_orders",
-    "bronze_customers",
-    "bronze_suppliers",
-    "bronze_parts",
-    "bronze_partsupp",
-    "qc_revenue_anomaly",
-    "text_length_quantiles",
-    "dedup_substring_spans",
-    "dedup_substring_clean",
-    "pack_sequences",
-    "text_chunk_overlap",
-    "sample_temperature_rates",
-    "sim_topk_bruteforce",
-    "sim_hyperplane_lsh",
-    "sim_topk_vectorized",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "sketch_hll_distinct",
-    "sketch_histogram_quantiles",
-    "events_tumbling_hourly",
-    "events_sliding_windows",
-    "events_session_windows",
-    "events_deduped",
-    "events_rolling_5min",
-    "events_funnel",
+    "graph_pagerank_update_only",  # new r11: maintained PageRank
+    # -- (2) the stale tail (VERDICT r10 #2): with 167 queries and a
+    # 50-slot window, verification staleness is the weakest link in the
+    # evidence chain. Every r10-new/green query rotates OUT (checked last
+    # round, never contradicted); the window rotates IN every query whose
+    # latest driver check is round <= 5, then all of round 6, then the
+    # oldest round-7 block — after r11 no query's latest check predates
+    # round 7. Computed from the committed CORRECTNESS_r*.json files.
+    # last checked r4:
+    "events_json_props",
+    "events_in_error_windows",
+    "events_retention",
+    # last checked r5:
+    "bi_strategic_suppliers",
+    "bi_tpch_q4",
+    "bi_tpch_q6",
+    "bi_tpch_q10",
+    "bi_tpch_q12",
+    "bi_tpch_q13",
+    "bi_tpch_q14",
+    "bi_tpch_q15",
+    "bi_tpch_q17",
+    "bi_tpch_q18",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_knn",
+    "dedup_exact",
+    "dedup_simhash_pairs",
+    "qc_null_checks",
+    "qc_row_counts",
+    "sketch_bloom_membership",
+    "text_fingerprint",
+    # last checked r6:
+    "bi_top_platinum_clv",
+    "bi_top_suppliers_by_score",
+    "bi_tpch_q5",
+    "bi_tpch_q7",
+    "bi_tpch_q8",
+    "bi_tpch_q19",
+    "bi_tpch_q21",
+    "bi_tpch_q22",
+    "corpus_shard_assign",
+    "corpus_token_budget_select",
+    "embedding_quantize",
+    "events_view_purchase_join",
+    "gold_customer_lifetime_value_fully_scoped",
+    "gold_customer_lifetime_value_tiers_scoped",
+    "graph_pagerank",
+    "silver_customer_orders_rfm_scoped",
+    "sim_topk_quantized",
+    "sketch_kmv_overlap",
+    "stream_view_purchase_join",
+    "stream_view_purchase_left_join",
+    "text_quality_gopher",
+    "text_stats",
+    # oldest round-7 block (TPC-H stragglers):
+    "bi_tpch_q1",
+    "bi_tpch_q2",
+    "bi_tpch_q3",
+    "bi_tpch_q9",
+    "bi_tpch_q11",
+    "bi_tpch_q16",
 ]
 
 

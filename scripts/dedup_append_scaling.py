@@ -162,6 +162,31 @@ def main() -> None:
             f"build_ingest_probe={build:.2f}s "
             f"probe_only={statistics.median(times):.2f}s"
         )
+
+    print("maintained pagerank (r11): steady-state vs from-scratch:")
+    for sf in (SF1, SF10):
+        memo.clear()
+        q = QUERIES["graph_pagerank_update_only"]
+        t0 = time.time()
+        n = q(spark, sf).count()
+        build = time.time() - t0
+        times = []
+        for _ in range(REPS):
+            t0 = time.time()
+            q(spark, sf).count()
+            times.append(time.time() - t0)
+        scratch = QUERIES["graph_pagerank"]
+        scratch(spark, sf).count()  # warm-up (shared shingle memo rebuilt)
+        st = []
+        for _ in range(REPS):
+            t0 = time.time()
+            scratch(spark, sf).count()
+            st.append(time.time() - t0)
+        print(
+            f"  {sf.split('/')[-1]}: nodes={n} init={build:.2f}s "
+            f"update_only={statistics.median(times):.2f}s "
+            f"from_scratch={statistics.median(st):.2f}s"
+        )
     spark.stop()
 
 

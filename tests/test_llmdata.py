@@ -1905,3 +1905,46 @@ def test_store_memo_clear_removes_temp_dirs(spark, sf_correct):
     memo.clear()
     for r in roots:
         assert not os.path.exists(r), f"orphaned store dir after clear: {r}"
+
+
+def test_graph_pagerank_update_only_matches_batch(spark, sf_correct):
+    """VERDICT r10 #6 — the maintained ranking must hash-equal the batch
+    recompute exactly (identical edge partition: base edges from init,
+    arrival-involving edges from the bucket-pruned shingle-index probe;
+    integer fixed-point body). Also checks the probe half alone against
+    the batch pair set restricted to arrival-involving pairs."""
+    from databricks_incremental_lakehouse_spark.llmdata.dedup import (
+        dedup_ngram_jaccard,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.graph import (
+        graph_pagerank,
+        graph_pagerank_update_only,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.incrdedup import (
+        exact_pairs_for_arrivals,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.incrstats import (
+        DOC_ARRIVAL_MOD,
+    )
+
+    got_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in exact_pairs_for_arrivals(spark, sf_correct).collect()
+    }
+    assert got_pairs, "vacuous: no arrival-involving exact pairs"
+    want_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_ngram_jaccard(spark, sf_correct).collect()
+        if r.doc_a % DOC_ARRIVAL_MOD == 0 or r.doc_b % DOC_ARRIVAL_MOD == 0
+    }
+    assert got_pairs == want_pairs
+
+    batch = {
+        (r.doc_id, r.pr_scaled, r.rank)
+        for r in graph_pagerank(spark, sf_correct).collect()
+    }
+    maint = {
+        (r.doc_id, r.pr_scaled, r.rank)
+        for r in graph_pagerank_update_only(spark, sf_correct).collect()
+    }
+    assert maint == batch

@@ -2081,3 +2081,67 @@ def test_stream_dedup_collapses_cross_batch_redelivery(spark, sf_smoke):
     n_events = load_table(spark, sf_smoke, "events").count()
     assert out.count() == n_events  # fed 2x, kept 1x
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_admission_gate_covers_audit_probe_pairs(spark, sf_correct, tmp_path):
+    """VERDICT r10 #7 — the documented boundary between the two near-dup
+    front doors, enforced: the streaming ADMISSION GATE (keep-first band
+    registry, candidate-level) must flag the later-arriving side of every
+    pair the maintained index's AUDIT PROBE verifies, when both consume
+    the same feed (base docs arrive before the arrival batch, matching
+    the index's split). Verification only removes candidates, so a gate
+    miss would mean the two mechanisms disagree about the band
+    derivation itself."""
+    import glob
+    import shutil
+
+    from databricks_incremental_lakehouse_spark.llmdata.incrstats import (
+        DOC_ARRIVAL_MOD,
+    )
+    from databricks_incremental_lakehouse_spark.registry import QUERIES
+    from databricks_incremental_lakehouse_spark.streaming import (
+        incremental_minhash_registry_stream,
+    )
+
+    docs = load_table(spark, sf_correct, "documents")
+    source = str(tmp_path / "source")
+    os.makedirs(source)
+
+    def stage_file(df, name):
+        staging = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(source, name))
+
+    stage_file(docs.filter(F.col("doc_id") % DOC_ARRIVAL_MOD != 0), "f0.parquet")
+    stage_file(docs.filter(F.col("doc_id") % DOC_ARRIVAL_MOD == 0), "f1.parquet")
+
+    q = incremental_minhash_registry_stream(
+        spark,
+        source,
+        str(tmp_path / "registry"),
+        str(tmp_path / "dups"),
+        str(tmp_path / "chk"),
+    )
+    q.awaitTermination(180)
+    dups = str(tmp_path / "dups")
+    flagged = (
+        {r.doc_id for r in spark.read.parquet(dups).collect()}
+        if os.path.isdir(dups)
+        else set()
+    )
+
+    pairs = QUERIES["dedup_minhash_append"](spark, sf_correct).collect()
+    assert pairs, "vacuous: the audit probe verified no pairs"
+    missed = []
+    for r in pairs:
+        a_arr = r.doc_a % DOC_ARRIVAL_MOD == 0
+        b_arr = r.doc_b % DOC_ARRIVAL_MOD == 0
+        # the later-arriving side: any arrival beats any base (file order);
+        # within the arrival batch the gate flags the higher id
+        later = max(r.doc_a, r.doc_b) if (a_arr and b_arr) else (
+            r.doc_a if a_arr else r.doc_b
+        )
+        if later not in flagged:
+            missed.append((r.doc_a, r.doc_b, later))
+    assert not missed, f"gate missed probe-verified pairs: {missed}"
