@@ -135,14 +135,18 @@ KMEANS_ITERS = 2  # Lloyd iterations after the deterministic init
 
 _NLIST_ENV = __import__("os").environ.get("SPARK_GRAFT_IVF_NLIST")
 # nprobe override for deployments whose embeddings HAVE cluster structure
-# (r9 verdict #5): there a decaying probe width holds recall (replicated
-# decades measure 1.0 at a third of the default width) and the search
-# family joins the ~N^0.5-scan class. On THIS corpus the r10 sweep
-# (scripts/ivf_recall_sweep.py decayed-probe rows) measured recall ==
-# scanned fraction (nprobe 10/14/20/28 of 44 -> 0.56/0.68/0.84/0.94): the
-# constant 5/8 fraction IS the smallest dial clearing the 0.8 lock with
-# margin; read at import and baked into the oracle params CTE, so parity
-# survives the override.
+# (r9 verdict #5; measured on real clustered corpora in r11): set to an
+# integer for a fixed width, or to the literal ``sqrt`` for the shipped
+# SUB-LINEAR clustered default nprobe = min(nlist, max(4, 2*ceil(sqrt(
+# nlist)))) — scan fraction ~ 2/sqrt(nlist), decaying as the corpus
+# grows. Data backing (scripts/clustered_recall_sweep.py on the seeded
+# mixture-of-Gaussians corpora, BASELINE.md r11): recall 1.0 at a 4-7%
+# scan fraction at both 1x and 10x, including the frozen-codebook append
+# face — while the driver's structureless corpus re-measures recall ==
+# scanned fraction (0.36/0.46/0.56/0.68/0.94 at 3/7/11/14/28 of 44), so
+# the constant 5/8 fraction stays the default where structure is absent
+# or unknown. Read at import and baked into the oracle params CTE, so
+# parity survives the override.
 _NPROBE_ENV = __import__("os").environ.get("SPARK_GRAFT_IVF_NPROBE")
 
 
@@ -155,10 +159,22 @@ def _nlist_for(n: int) -> int:
     return max(N_LIST_MIN, min(N_LIST_MAX, math.isqrt(max(int(n), 1))))
 
 
+def _sqrt_nprobe(nlist: int) -> int:
+    """The clustered-corpus sub-linear width: 2*ceil(sqrt(nlist)), floor 4."""
+    import math
+
+    rt = math.isqrt(nlist)
+    rt += 1 if rt * rt < nlist else 0
+    return min(nlist, max(4, 2 * rt))
+
+
 def _nprobe_for(nlist: int) -> int:
     """Search-family probe width: hold the swept 5/8 scan fraction (exact
     integer arithmetic, mirrored verbatim by the oracle params CTE).
-    ``SPARK_GRAFT_IVF_NPROBE`` overrides for clustered deployments."""
+    ``SPARK_GRAFT_IVF_NPROBE`` overrides for clustered deployments — an
+    integer, or ``sqrt`` for the measured sub-linear clustered default."""
+    if _NPROBE_ENV == "sqrt":
+        return _sqrt_nprobe(nlist)
     if _NPROBE_ENV:
         return min(nlist, int(_NPROBE_ENV))
     return min(nlist, max(N_PROBE_MIN, (nlist * 5 + 7) // 8))
@@ -179,11 +195,17 @@ def _params_cte(src: str) -> str:
     """``params(nlist, nprobe)`` — one row; every oracle derives its cell
     count and search probe width from the same corpus-size formula the
     Spark side computes in :func:`_nlist_for` / :func:`_nprobe_for`."""
-    nprobe_sql = (
-        f"LEAST(nlist, {int(_NPROBE_ENV)})"
-        if _NPROBE_ENV
-        else f"LEAST(nlist, GREATEST({N_PROBE_MIN}, (nlist * 5 + 7) // 8))"
-    )
+    if _NPROBE_ENV == "sqrt":
+        nprobe_sql = (
+            "LEAST(nlist, GREATEST(4, "
+            "2 * CAST(CEIL(SQRT(nlist)) AS INT)))"
+        )
+    elif _NPROBE_ENV:
+        nprobe_sql = f"LEAST(nlist, {int(_NPROBE_ENV)})"
+    else:
+        nprobe_sql = (
+            f"LEAST(nlist, GREATEST({N_PROBE_MIN}, (nlist * 5 + 7) // 8))"
+        )
     return f"""params AS (
     SELECT nlist,
         {nprobe_sql} AS nprobe

@@ -1948,3 +1948,23 @@ def test_graph_pagerank_update_only_matches_batch(spark, sf_correct):
         for r in graph_pagerank_update_only(spark, sf_correct).collect()
     }
     assert maint == batch
+
+
+def test_sqrt_nprobe_mode_matches_oracle_formula():
+    """The ``sqrt`` nprobe mode (clustered-corpus sub-linear default,
+    r11) must compute identically in python and in the DuckDB expression
+    baked into the oracle params CTE — the same cross-engine mirror
+    contract as the default 5/8 dial."""
+    import duckdb
+
+    from databricks_incremental_lakehouse_spark.llmdata.similarity import (
+        _sqrt_nprobe,
+    )
+
+    con = duckdb.connect()
+    for nlist in list(range(1, 300)) + [1024, 2048, 4096]:
+        sql = con.execute(
+            f"SELECT LEAST({nlist}, GREATEST(4, "
+            f"2 * CAST(CEIL(SQRT({nlist})) AS INT)))"
+        ).fetchone()[0]
+        assert _sqrt_nprobe(nlist) == sql, nlist
