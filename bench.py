@@ -63,7 +63,11 @@ CALIB_REF_SEC = 1.0
 
 
 def _calibration_probe(spark) -> float:
-    """Median seconds of the fixed-work microbench (run REPS times)."""
+    """Median seconds of the fixed-work microbench (run REPS times).
+    bench runs it at session START and again at the END (the r11 same-day
+    A/B caught the machine drifting DURING a ~20-minute run: in-run probe
+    1.56 vs 1.38/1.19 around the adjacent run), and the headline
+    normalizes by the median of both ends."""
     import statistics as _st
     import time as _t
 
@@ -253,8 +257,8 @@ def main() -> None:
             "overwrite"
         ).parquet(os.path.join(warm, "w"))
     once["session_warmup"] = round(time.time() - t0, 3)
-    calibration = _calibration_probe(spark)
-    once["calibration_sec"] = calibration
+    calib_start = _calibration_probe(spark)
+    once["calibration_start_sec"] = calib_start
 
     from pyspark.sql import functions as F
 
@@ -510,6 +514,13 @@ def main() -> None:
         t0 = time.time()
         _noop(QUERIES["graph_pagerank_update_only"](spark, sf_dir))
         record("ext.graph_pagerank_update_only", time.time() - t0)
+    # canonical keeper from the same maintained stores (pair index warm
+    # from the key above, so this times cc-over-maintained-edges + window)
+    _noop(QUERIES["dedup_canonical_selection_update_only"](spark, sf_dir))
+    for _rep in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["dedup_canonical_selection_update_only"](spark, sf_dir))
+        record("ext.dedup_canonical_update_only", time.time() - t0)
 
     _noop(QUERIES["sim_ivf_topk_quantized"](spark, sf_dir))  # warm-up
     for _rep in range(REPS):
@@ -638,6 +649,10 @@ def main() -> None:
         t0 = time.time()
         _noop(QUERIES["search_bm25_topk"](spark, sf_dir))
         record("ext.search_bm25_from_maintained", time.time() - t0)
+
+    calib_end = _calibration_probe(spark)
+    once["calibration_end_sec"] = calib_end
+    calibration = round(statistics.median([calib_start, calib_end]), 3)
 
     timings = {k: round(statistics.median(v), 3) for k, v in samples.items()}
     timings.update(once)

@@ -234,6 +234,13 @@ def dedup_canonical_selection(
         "doc_id", "canonical_id"
     )
     pr = pagerank_from_pairs(exact_pairs).select("doc_id", "pr_scaled")
+    return _canonical_tail(cl, pr)
+
+
+def _canonical_tail(cl: DataFrame, pr: DataFrame) -> DataFrame:
+    """The keeper-selection tail shared by the batch and maintained
+    canonical queries: clusters LEFT JOIN centrality, highest-rank
+    (lowest-id tie) member per cluster becomes canonical."""
     j = cl.join(pr, "doc_id", "left").select(
         "doc_id",
         F.col("canonical_id").alias("cluster_id"),
@@ -249,6 +256,34 @@ def dedup_canonical_selection(
     ).withColumn(
         "is_canonical", F.col("doc_id") == F.col("canonical_doc_id")
     )
+
+
+def dedup_canonical_selection_update_only(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintained canonical selection (VERDICT r10 #6, second half): the
+    curation funnel's canonical-keeper step answered from the maintained
+    edge stores — cluster membership from the maintained LSH edge set
+    (:func:`..llmdata.incrdedup.maintained_lsh_pairs`: init edges + the
+    band-index probe's arrival pairs), centrality from the maintained
+    EXACT edge set — so no shingle self-join, no corpus-wide signature
+    pass. Both edge partitions equal the batch recompute's sets, the
+    component loop runs only over edge-incident nodes, and the keeper
+    window is deterministic, so the output hash-equals the batch
+    :func:`dedup_canonical_selection` / its oracle exactly. The one
+    corpus-sized stage left is the unavoidable output itself (one row
+    per document, joined back once for singleton labels)."""
+    from .curation import connected_components
+    from .incrdedup import maintained_exact_pairs, maintained_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    cl = connected_components(
+        docs.select("doc_id"), maintained_lsh_pairs(spark, sf_dir)
+    ).select("doc_id", "canonical_id")
+    pr = pagerank_from_pairs(maintained_exact_pairs(spark, sf_dir)).select(
+        "doc_id", "pr_scaled"
+    )
+    return _canonical_tail(cl, pr)
 
 
 DEDUP_CANONICAL_ORACLE = f"""
@@ -293,4 +328,9 @@ def register_all(register) -> None:
         "graph_pagerank_update_only",
         graph_pagerank_update_only,
         GRAPH_PAGERANK_ORACLE,
+    )
+    register(
+        "dedup_canonical_selection_update_only",
+        dedup_canonical_selection_update_only,
+        _canonical_oracle(),
     )

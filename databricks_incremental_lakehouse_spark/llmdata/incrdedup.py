@@ -60,6 +60,7 @@ from .dedup import (
     _doc_shingles,
     _exploded_shingles,
     _shingles,
+    dedup_minhash_lsh,
     dedup_ngram_jaccard,
     minhash_bands,
 )
@@ -147,7 +148,7 @@ def _clear_idx_memo() -> None:
             _rm_store_root(path)
         for _cent, path, _df in _SEM_MEMO.values():
             _rm_store_root(path)
-        for path, _edges, _df in _PAIR_MEMO.values():
+        for path, _edges, _lsh, _df in _PAIR_MEMO.values():
             _rm_store_root(path)
         _IDX_MEMO.clear()
         _SEM_MEMO.clear()
@@ -244,24 +245,27 @@ WHERE doc_a % {DOC_ARRIVAL_MOD} = 0 OR doc_b % {DOC_ARRIVAL_MOD} = 0"""
 
 # --- maintained EXACT-pair index (the shingle inverted index) --------------
 
-# (shingle_store_path, base_edges_path, pinned arrival shingle rows) per
-# (session, sf_dir) — the _IDX_MEMO discipline (same lock, same eviction)
-_PAIR_MEMO: dict[tuple, tuple[str, str, DataFrame]] = {}
+# (shingle_store_path, exact_edges_path, lsh_edges_path, pinned arrival
+# shingle rows) per (session, sf_dir) — the _IDX_MEMO discipline
+_PAIR_MEMO: dict[tuple, tuple[str, str, str, DataFrame]] = {}
 
 
 def _exact_pair_index(
     spark: SparkSession, sf_dir: str
-) -> tuple[str, str, DataFrame]:
+) -> tuple[str, str, str, DataFrame]:
     """The exact-Jaccard twin of the band index, for consumers that need
     the COMPLETE >= 0.8 pair set (banded MinHash is probabilistic — it can
     miss true pairs — so the graph family's maintained path cannot ride
-    it). Two maintained tables:
+    it). Three maintained tables:
 
     - the shingle inverted index ``(doc_id, shingle, n_shingles)``
       partitioned by ``bucket = hash(shingle)`` — the posting lists of
       :func:`..llmdata.dedup._pair_counts`, materialized;
-    - the base corpus's verified edge list (``dedup_ngram_jaccard`` over
-      the base docs — a one-time init, exactly the batch pair discovery).
+    - the base corpus's verified EXACT edge list (``dedup_ngram_jaccard``
+      over the base docs — a one-time init, exactly the batch discovery);
+    - the base corpus's verified LSH edge list (``dedup_minhash_lsh``
+      over the same shingle stage — the cluster-membership edge set the
+      canonical-selection consumer partitions by).
 
     An arrival batch appends its shingle rows (O(batch): only arrivals
     are tokenized; ``n_shingles`` is per-doc, so stored base rows never
@@ -280,6 +284,7 @@ def _exact_pair_index(
             root = tempfile.mkdtemp(prefix="pair_idx_")
             sh_path = os.path.join(root, "shingles")
             edges_path = os.path.join(root, "base_edges")
+            lsh_path = os.path.join(root, "base_lsh_edges")
             base_ex = _exploded_shingles(base)
             (
                 _shingles(shingles_ex=base_ex)
@@ -299,6 +304,9 @@ def _exact_pair_index(
             dedup_ngram_jaccard(spark, sf_dir, shingles_ex=base_ex).select(
                 "doc_a", "doc_b"
             ).write.parquet(edges_path)
+            dedup_minhash_lsh(spark, sf_dir, shingles_ex=base_ex).select(
+                "doc_a", "doc_b"
+            ).write.parquet(lsh_path)
             arr_sh = _shingles(
                 shingles_ex=_exploded_shingles(arrivals)
             ).localCheckpoint(eager=True)
@@ -311,7 +319,7 @@ def _exact_pair_index(
                 .partitionBy("bucket")
                 .parquet(sh_path)
             )
-            got = (sh_path, edges_path, arr_sh)
+            got = (sh_path, edges_path, lsh_path, arr_sh)
             _PAIR_MEMO[(skey, sf_dir)] = got
     return got
 
@@ -328,7 +336,7 @@ def exact_pairs_for_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`..llmdata.dedup.dedup_ngram_jaccard` restricted to
     arrival-involving pairs; arrival-arrival double matches (p->s and
     s->p) collapse in the normalized distinct."""
-    sh_path, _edges_path, arr_sh = _exact_pair_index(spark, sf_dir)
+    sh_path, _edges_path, _lsh_path, arr_sh = _exact_pair_index(spark, sf_dir)
     n = read_store_meta(sh_path).get("num_buckets", NUM_INDEX_BUCKETS)
     buckets = sorted(
         r["bucket"]
@@ -382,10 +390,25 @@ def maintained_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     either has both sides in base, or at least one arrival side). The
     graph family's maintained consumers (``graph_pagerank_update_only``)
     rank over this without ever re-scanning the corpus."""
-    sh_path, edges_path, _arr = _exact_pair_index(spark, sf_dir)
+    _sh, edges_path, _lsh, _arr = _exact_pair_index(spark, sf_dir)
     base_pairs = spark.read.parquet(edges_path)
     return base_pairs.unionByName(
         exact_pairs_for_arrivals(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+def maintained_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL current LSH-verified edge set from maintained tables:
+    base LSH edges (init) UNION the band-index probe's arrival-involving
+    verified pairs (:func:`dedup_minhash_append`). Signatures are
+    per-doc, so base-only banding equals full-corpus banding restricted
+    to base pairs, and the probe sees every arrival-involving candidate —
+    the same disjoint-partition argument as the exact set. This is the
+    cluster-membership edge set the canonical-selection consumer
+    partitions by (LSH edges, not exact: the batch operator's contract)."""
+    _sh, _edges, lsh_path, _arr = _exact_pair_index(spark, sf_dir)
+    return spark.read.parquet(lsh_path).unionByName(
+        dedup_minhash_append(spark, sf_dir).select("doc_a", "doc_b")
     )
 
 

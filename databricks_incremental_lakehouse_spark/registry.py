@@ -299,6 +299,7 @@ _CHECK_PRIORITY: list[str] = [
     # -- (1) never verified in any round: the new r11 queries MUST sit
     # inside the window (rotation gate tests/test_registry.py). ----------
     "graph_pagerank_update_only",  # new r11: maintained PageRank
+    "dedup_canonical_selection_update_only",  # new r11: maintained keeper
     # -- (2) the stale tail (VERDICT r10 #2): with 167 queries and a
     # 50-slot window, verification staleness is the weakest link in the
     # evidence chain. Every r10-new/green query rotates OUT (checked last
@@ -358,7 +359,6 @@ _CHECK_PRIORITY: list[str] = [
     "bi_tpch_q3",
     "bi_tpch_q9",
     "bi_tpch_q11",
-    "bi_tpch_q16",
 ]
 
 

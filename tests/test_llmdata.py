@@ -1968,3 +1968,26 @@ def test_sqrt_nprobe_mode_matches_oracle_formula():
             f"2 * CAST(CEIL(SQRT({nlist})) AS INT)))"
         ).fetchone()[0]
         assert _sqrt_nprobe(nlist) == sql, nlist
+
+
+def test_canonical_selection_update_only_matches_batch(spark, sf_correct):
+    """The maintained canonical-keeper must equal the batch recompute row
+    for row: maintained LSH edges partition cluster membership, maintained
+    exact edges carry centrality, same deterministic keeper window."""
+    from databricks_incremental_lakehouse_spark.llmdata.graph import (
+        dedup_canonical_selection,
+        dedup_canonical_selection_update_only,
+    )
+
+    batch = {
+        (r.doc_id, r.cluster_id, r.canonical_doc_id, r.is_canonical)
+        for r in dedup_canonical_selection(spark, sf_correct).collect()
+    }
+    maint = {
+        (r.doc_id, r.cluster_id, r.canonical_doc_id, r.is_canonical)
+        for r in dedup_canonical_selection_update_only(
+            spark, sf_correct
+        ).collect()
+    }
+    assert maint == batch
+    assert any(not r[3] for r in maint), "vacuous: no non-canonical rows"
