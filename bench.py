@@ -224,6 +224,13 @@ OTHER_TIMED_QUERIES = [
     "incr_token_stats_update_only",
     "incr_bigram_stats_update_only",
     "incr_curate_report_update_only",
+    "sim_ivf_pq_append_search",
+    "dedup_minhash_append",
+    "dedup_semantic_append",
+    "incr_hll_distinct_update_only",
+    "incr_cms_heavy_hitters_update_only",
+    "graph_pagerank_update_only",
+    "dedup_canonical_selection_update_only",
 ]
 
 
@@ -650,7 +657,16 @@ def main() -> None:
         _noop(QUERIES["search_bm25_topk"](spark, sf_dir))
         record("ext.search_bm25_from_maintained", time.time() - t0)
 
-    calib_end = _calibration_probe(spark)
+    # end-of-run probe in a FRESH session: running it inside the loaded
+    # bench session measured 5.1s against 1.1s at start of the SAME run —
+    # cached blocks/GC state contaminate the probe, so it must see the
+    # machine, not the session (first two r11 runs; BASELINE.md r11)
+    spark.stop()
+    spark2 = build_spark(app_name="dbx-lakehouse-bench-calib")
+    spark2.sparkContext.setLogLevel("ERROR")
+    spark2.range(1_000_000).select("id").summary("count").collect()
+    calib_end = _calibration_probe(spark2)
+    spark2.stop()
     once["calibration_end_sec"] = calib_end
     calibration = round(statistics.median([calib_start, calib_end]), 3)
 
@@ -686,7 +702,6 @@ def main() -> None:
         )
     print(json.dumps({"bench_detail": timings, "sf": sf}))
     sys.stdout.flush()
-    spark.stop()
 
     headline = {
         "metric": "full_pipeline_plus_bi_sec",
