@@ -52,13 +52,16 @@ REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 # Reference seconds for the fixed-work calibration probe (VERDICT r10 #4:
 # round 10 spent a worktree A/B to prove a 21% headline move was machine
-# drift, not code — this probe makes the bench self-calibrating). Measured
-# on the round-11 machine alongside a same-day r10-commit A/B that
-# validated the normalization. The probe is deterministic CPU + one
-# shuffle (hash agg over 20M synthetic rows), no I/O, no data dependence —
-# its runtime moves with host speed only, so
-# value * (CALIB_REF_SEC / calibration_sec) is the drift-normalized
-# headline reported next to the raw one.
+# drift, not code — this probe makes drift detection mechanical). The
+# probe is deterministic CPU + one shuffle (hash agg over 20M synthetic
+# rows), no I/O, no data dependence. The r11 three-run same-day A/B
+# (BASELINE.md r11 closing band) validated it as a drift FLAG — a
+# calibration_sec far from this reference means the window is
+# contaminated and the headline should be re-run or worktree-A/B'd —
+# but NOT as a linear scale factor: the probe is CPU-bound while the
+# pipelines are parquet-I/O-mixed, so a 1.5x probe ratio corresponded to
+# only ~1.05x of headline. value_drift_normalized is reported for the
+# round-over-round record with that documented caveat.
 CALIB_REF_SEC = 1.0
 
 

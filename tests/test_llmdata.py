@@ -1991,3 +1991,47 @@ def test_canonical_selection_update_only_matches_batch(spark, sf_correct):
     }
     assert maint == batch
     assert any(not r[3] for r in maint), "vacuous: no non-canonical rows"
+
+
+def test_probe_reads_only_touched_buckets(spark, sf_correct):
+    """The maintained indexes' pruning claim, asserted on the ACTUAL file
+    set: every store file a probe plan reads must live under a bucket
+    directory the arrival batch's keys hash to (sidecar-meta count), and
+    the exact-pair probe must read STRICTLY fewer files than the store
+    holds whenever some bucket is untouched."""
+    import os
+
+    from databricks_incremental_lakehouse_spark.llmdata.incrdedup import (
+        _exact_pair_index,
+        exact_pairs_for_arrivals,
+    )
+    from databricks_incremental_lakehouse_spark.operators.layout import (
+        read_store_meta,
+    )
+    from pyspark.sql import functions as F
+
+    sh_path, _e, _l, arr_sh = _exact_pair_index(spark, sf_correct)
+    n = read_store_meta(sh_path)["num_buckets"]
+    touched = {
+        r["b"]
+        for r in arr_sh.select(
+            F.pmod(F.xxhash64("shingle"), F.lit(n)).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    probe_files = [
+        f for f in exact_pairs_for_arrivals(spark, sf_correct).inputFiles()
+        if sh_path in f
+    ]
+    assert probe_files, "probe plan reads no store files?"
+    for f in probe_files:
+        seg = [s for s in f.split(os.sep) if s.startswith("bucket=")]
+        assert seg and int(seg[0].split("=")[1]) in touched, f
+    all_store_files = [
+        f
+        for f in spark.read.parquet(sh_path).inputFiles()
+        if sh_path in f
+    ]
+    if len(touched) < n:
+        assert len(probe_files) < len(all_store_files)
