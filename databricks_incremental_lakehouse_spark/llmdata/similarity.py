@@ -1615,6 +1615,50 @@ def sim_ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(spark, sf_dir, cent_rows, cells, _nprobe_for(nlist))
 
 
+def recluster_ivf_store(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, list[float]]], str, int]:
+    """The periodic OFFLINE RECLUSTER the append path's docstrings defer
+    to — now a code path, not prose (the ANN-family analogue of
+    :func:`..operators.layout.rebucket_store`, r11 lifecycle): retrain
+    the coarse codebook on the FULL current corpus (base + every ingested
+    arrival), reassign everything, and rebuild the cl-partitioned cell
+    store in place — staged, atomically swapped with the merge
+    machinery's rename discipline, rows clustered one-file-per-cell so
+    the new store is born compacted. The append-index memo is updated to
+    the new (codebook, nlist), so every later
+    :func:`sim_ivf_append_search` probes the recluster-fresh index.
+
+    Post-recluster search is BY CONSTRUCTION identical to the
+    full-corpus-trained :func:`sim_ivf_topk` (same deterministic
+    training pipeline over the same rows — test-locked equality), i.e.
+    the recluster erases the frozen-codebook drift the append contract
+    accepts between recluster runs. At 100 TB this runs off the serving
+    path on whatever cadence drift monitoring dictates; training cost is
+    the k-means the index paid at birth (sampled at real scale), and the
+    rewrite is one linear assignment pass."""
+    import os
+    import shutil
+
+    from ..streaming.incremental import _swap_dir
+
+    cent_rows, path, _old_nlist = _ivf_append_index(spark, sf_dir)
+    new_cent, cells, nlist = _kmeans_cells_for(spark, sf_dir)
+    staging = path.rstrip("/") + "._recluster"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        cells.withColumn("scale", _sq8_scale("v"))
+        .withColumn("codes", _sq8_codes("v", "scale"))
+        .repartition(F.col("cl"))
+        .write.partitionBy("cl")
+        .parquet(staging)
+    )
+    _swap_dir(staging, path)
+    got = (new_cent, path, nlist)
+    _IVF_APPEND_INDEXES[sf_dir] = got
+    return got
+
+
 # train on the base subset (e), assign EVERYTHING (eall) to the frozen
 # centroids — the declarative statement of ingest-without-retrain. The
 # prologue (through `cells`) is shared with the IVF-PQ append oracle.

@@ -2035,3 +2035,37 @@ def test_probe_reads_only_touched_buckets(spark, sf_correct):
     ]
     if len(touched) < n:
         assert len(probe_files) < len(all_store_files)
+
+
+def test_recluster_ivf_store_equals_full_trained_search(spark, sf_correct):
+    """r11 lifecycle, ANN face: the offline recluster (retrain on the
+    full current corpus + rebuild the cell store in place) must make the
+    append index's search results EXACTLY equal the full-corpus-trained
+    sim_ivf_topk — the drift the frozen-codebook append contract accepts
+    between recluster runs is erased. Restores the append-semantics
+    index afterwards so later parity tests see the registered contract."""
+    from databricks_incremental_lakehouse_spark.llmdata.similarity import (
+        _IVF_APPEND_INDEXES,
+        _rm_ivf_store_root,
+        recluster_ivf_store,
+        sim_ivf_append_search,
+        sim_ivf_topk,
+    )
+
+    def rows(df):
+        return {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in df.collect()}
+
+    before = rows(sim_ivf_append_search(spark, sf_correct))
+    full = rows(sim_ivf_topk(spark, sf_correct))
+    assert before != full, "vacuous: frozen-codebook drift absent at this SF"
+
+    recluster_ivf_store(spark, sf_correct)
+    after = rows(sim_ivf_append_search(spark, sf_correct))
+    assert after == full
+
+    # restore: drop the reclustered store so the next consumer rebuilds
+    # the registered frozen-codebook append index
+    _cent, path, _n = _IVF_APPEND_INDEXES.pop(sf_correct)
+    _rm_ivf_store_root(path)
+    restored = rows(sim_ivf_append_search(spark, sf_correct))
+    assert restored == before
