@@ -60,8 +60,10 @@ REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 # contaminated and the headline should be re-run or worktree-A/B'd —
 # but NOT as a linear scale factor: the probe is CPU-bound while the
 # pipelines are parquet-I/O-mixed, so a 1.5x probe ratio corresponded to
-# only ~1.05x of headline. value_drift_normalized is reported for the
-# round-over-round record with that documented caveat.
+# only ~1.05x of headline. The emitted JSON therefore carries the ratio,
+# a contamination flag, and the caveat itself (calibration_note) — no
+# normalized headline is emitted (ADVICE r11: a linear rescale would
+# over-correct and misattribute real code moves).
 CALIB_REF_SEC = 1.0
 
 
@@ -722,11 +724,19 @@ def main() -> None:
         },
         "reps": REPS,
         "noise_band": noise_band,
-        # fixed-work probe + drift-normalized headline: value scaled by
-        # (reference machine speed / this run's), so round-over-round
-        # diffs can separate code moves from host drift mechanically
+        # fixed-work probe, reported as a DRIFT FLAG only (ADVICE r11:
+        # the probe is CPU-bound while the pipelines are parquet-I/O-
+        # mixed, so a linear rescale over-corrects — r11 measured a 1.5x
+        # probe ratio against only ~1.05x of headline). The caveat ships
+        # IN the JSON so a round-over-round reader can't misuse the ratio.
         "calibration_sec": calibration,
-        "value_drift_normalized": round(value * CALIB_REF_SEC / calibration, 3),
+        "calibration_ratio": round(calibration / CALIB_REF_SEC, 3),
+        "calibration_contaminated": not (0.8 <= calibration / CALIB_REF_SEC <= 1.3),
+        "calibration_note": (
+            "drift flag only, NOT a scale factor: probe is CPU-bound,"
+            " headline is I/O-mixed (measured headline sensitivity ~0.1x"
+            " of probe ratio, r11); if contaminated, re-run or worktree-A/B"
+        ),
         "sf": sf,
     }
     # LAST stdout line, compact (~400 bytes): the driver's parse target.

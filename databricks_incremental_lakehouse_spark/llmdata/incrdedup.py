@@ -86,6 +86,23 @@ def _bucketed(bands: DataFrame, num_buckets: int = NUM_INDEX_BUCKETS) -> DataFra
     )
 
 
+def _live_num_buckets(path: str) -> int:
+    """The store's LIVE bucket count from its sidecar meta — and LOUDLY
+    refuse a store whose sidecar is missing (ADVICE r11): falling back to
+    the compile-time constant against a store that was rebucketed (say to
+    640) and then lost its ``_store_meta.json`` would prune with 64, read
+    bucket dirs that do still exist, and silently DROP pairs. A missing
+    sidecar on an existing store is corruption; fail, don't guess."""
+    n = read_store_meta(path).get("num_buckets")
+    if n is None:
+        raise RuntimeError(
+            f"store at {path} has no readable _store_meta.json sidecar — "
+            "bucket pruning would silently drop results on a rebucketed "
+            "store; rebuild the store (or restore the sidecar)"
+        )
+    return int(n)
+
+
 def _rm_store_root(path: str) -> None:
     """Remove a session store's mkdtemp root (the dir ABOVE the parquet
     dir) — wired into memo clears so no ``dedup_idx_*``/``sem_idx_*``
@@ -187,7 +204,7 @@ def probe_band_store(
     re-bucketing (test-locked: the join key is (band, band_key); buckets
     only route reads). Shared by the registered query and the scaling
     harness (scripts/dedup_append_scaling.py)."""
-    n = read_store_meta(path).get("num_buckets", NUM_INDEX_BUCKETS)
+    n = _live_num_buckets(path)
     buckets = sorted(
         r["bucket"]
         for r in arr_bands.select(
@@ -337,7 +354,7 @@ def exact_pairs_for_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival-involving pairs; arrival-arrival double matches (p->s and
     s->p) collapse in the normalized distinct."""
     sh_path, _edges_path, _lsh_path, arr_sh = _exact_pair_index(spark, sf_dir)
-    n = read_store_meta(sh_path).get("num_buckets", NUM_INDEX_BUCKETS)
+    n = _live_num_buckets(sh_path)
     buckets = sorted(
         r["bucket"]
         for r in arr_sh.select(

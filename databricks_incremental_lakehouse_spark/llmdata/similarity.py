@@ -355,7 +355,11 @@ def _kmeans_cells(emb: DataFrame, nlist: int | None = None):
 # Values are bit-identical with or without the memo (training is
 # deterministic); SPARK_GRAFT_LINEAGE_CACHE=0 disables.
 _CENT_MEMO: dict[tuple, tuple[list, DataFrame]] = {}
-_CENT_LOCK = __import__("threading").Lock()
+# RLock, not Lock: the store builders (_ivf_index / _ivf_append_index /
+# recluster_ivf_store) hold it across their whole check-build-publish so a
+# concurrent memo.clear() can never rmtree a store a just-returned entry
+# points to, and they re-enter it via _kmeans_cells_for (ADVICE r11)
+_CENT_LOCK = __import__("threading").RLock()
 
 
 def _kmeans_cells_for(spark: SparkSession, sf_dir: str):
@@ -576,21 +580,22 @@ def _ivf_index(
     tinyint codes, 4x less scan bandwidth). Parquet is columnar, so each
     search path pays only for the columns it reads; a production layout
     splitting them into two files changes nothing semantically."""
-    got = _IVF_INDEXES.get(sf_dir)
-    if got is None:
-        import os
-        import tempfile
+    with _CENT_LOCK:  # build inside the lock — the _IDX_MEMO discipline
+        got = _IVF_INDEXES.get(sf_dir)
+        if got is None:
+            import os
+            import tempfile
 
-        cent_rows, cells, nlist = _kmeans_cells_for(spark, sf_dir)
-        path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "cells")
-        (
-            cells.withColumn("scale", _sq8_scale("v"))
-            .withColumn("codes", _sq8_codes("v", "scale"))
-            .write.partitionBy("cl")
-            .parquet(path)
-        )
-        got = (cent_rows, path, nlist)
-        _IVF_INDEXES[sf_dir] = got
+            cent_rows, cells, nlist = _kmeans_cells_for(spark, sf_dir)
+            path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "cells")
+            (
+                cells.withColumn("scale", _sq8_scale("v"))
+                .withColumn("codes", _sq8_codes("v", "scale"))
+                .write.partitionBy("cl")
+                .parquet(path)
+            )
+            got = (cent_rows, path, nlist)
+            _IVF_INDEXES[sf_dir] = got
     return got
 
 
@@ -1569,8 +1574,10 @@ def _ivf_append_index(
     rebuild, no rewrite of existing files; periodic re-training is a
     separate offline job). Ingest cost is one assignment pass over the
     batch — O(batch x nlist) — plus the append write."""
-    got = _IVF_APPEND_INDEXES.get(sf_dir)
-    if got is None:
+    with _CENT_LOCK:  # see _ivf_index — guards clear()'s rmtree too
+        got = _IVF_APPEND_INDEXES.get(sf_dir)
+        if got is not None:
+            return got
         import os
         import tempfile
 
@@ -1636,26 +1643,37 @@ def recluster_ivf_store(
     accepts between recluster runs. At 100 TB this runs off the serving
     path on whatever cadence drift monitoring dictates; training cost is
     the k-means the index paid at birth (sampled at real scale), and the
-    rewrite is one linear assignment pass."""
+    rewrite is one linear assignment pass.
+
+    Crash recovery: this store is SESSION-SCOPED (memoized tempdir — it
+    dies with the process), so a recluster that crashes mid-swap is
+    rebuilt from scratch by the next session's ``_ivf_append_index``;
+    durable stores get ``_recover_swaps`` self-healing on every
+    ``read_store_meta`` probe instead (operators/layout.py)."""
     import os
     import shutil
 
     from ..streaming.incremental import _swap_dir
 
-    cent_rows, path, _old_nlist = _ivf_append_index(spark, sf_dir)
-    new_cent, cells, nlist = _kmeans_cells_for(spark, sf_dir)
-    staging = path.rstrip("/") + "._recluster"
-    shutil.rmtree(staging, ignore_errors=True)
-    (
-        cells.withColumn("scale", _sq8_scale("v"))
-        .withColumn("codes", _sq8_codes("v", "scale"))
-        .repartition(F.col("cl"))
-        .write.partitionBy("cl")
-        .parquet(staging)
-    )
-    _swap_dir(staging, path)
-    got = (new_cent, path, nlist)
-    _IVF_APPEND_INDEXES[sf_dir] = got
+    # hold the memo lock across read-retrain-swap-publish: a concurrent
+    # memo.clear() must not rmtree the store mid-rebuild, and two
+    # concurrent reclusters must not race the swap (ADVICE r11; RLock, so
+    # the nested _kmeans_cells_for acquisition is fine)
+    with _CENT_LOCK:
+        cent_rows, path, _old_nlist = _ivf_append_index(spark, sf_dir)
+        new_cent, cells, nlist = _kmeans_cells_for(spark, sf_dir)
+        staging = path.rstrip("/") + "._recluster"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            cells.withColumn("scale", _sq8_scale("v"))
+            .withColumn("codes", _sq8_codes("v", "scale"))
+            .repartition(F.col("cl"))
+            .write.partitionBy("cl")
+            .parquet(staging)
+        )
+        _swap_dir(staging, path)
+        got = (new_cent, path, nlist)
+        _IVF_APPEND_INDEXES[sf_dir] = got
     return got
 
 

@@ -176,9 +176,19 @@ def write_store_meta(path: str, **meta) -> None:
 
 
 def read_store_meta(path: str) -> dict:
+    """Read a store's sidecar meta — after first finishing any lifecycle
+    swap that crashed between its two renames (ADVICE r11: rebucket/
+    recluster swap via ``_swap_dir``, which has a window where the store
+    path is missing and only the ``.<name>.old`` backup survives; the
+    streaming merge targets run ``_recover_swaps`` on read, and every
+    store probe funnels through here, so the maintained stores now get
+    the same self-healing)."""
     import json
     import os
 
+    from ..streaming.incremental import _recover_swaps
+
+    _recover_swaps(path)
     p = os.path.join(path, STORE_META)
     if not os.path.isfile(p):
         return {}
