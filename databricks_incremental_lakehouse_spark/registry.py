@@ -285,88 +285,81 @@ _register_extensions()
 
 # The driver's correctness gate checks only the FIRST 50 registered queries
 # (CORRECTNESS_r03 stops at entry 50 of 75; VERDICT.md round 3 "What's wrong"
-# §3). Registration order is therefore a verification budget. The window
-# lists, in order: (1) families that have never had a green CORRECTNESS row
-# (similarity, multimodal, sketches, events, incremental refresh — r1/r2
-# ``no_oracle``, r3 past the cap), (2) the 16 queries red in r3 only on the
-# DECIMAL/HUGEINT hash artifact, now cast hash-stable at the boundary,
-# (3) a regression picket of high-coverage green carriers. Everything past 50
-# stays registered (full surface for users/judge) but is rechecked only when
-# rotated forward. ``tests/test_registry.py`` asserts the window property.
+# §3). Registration order is therefore a verification budget. Through round
+# 11 the rotation was a hand-maintained list re-derived each round from the
+# committed CORRECTNESS_r*.json files; VERDICT r11 #2: hand-listing a
+# computable policy invites a staleness mistake the window gate can't catch.
+# The ordering is now COMPUTED at import time from those same committed
+# files — the policy the hand list always encoded:
+#
+#   (0) queries with no CORRECTNESS row in any round, or whose LATEST row
+#       is not fully green (rows+schema+hash) — these must be (re)checked
+#       before anything else; registration order among them;
+#   (1) everything else by latest-checked round ASCENDING (stalest first),
+#       registration order within a round.
+#
+# New queries therefore always land inside the window, last round's checks
+# rotate out, and the stale tail drains ~50 per round with no list to rot.
+# ``tests/test_registry.py`` asserts the final order matches the policy
+# against an independent parse of the CORRECTNESS files.
 CHECK_WINDOW_SIZE = 50
 
-_CHECK_PRIORITY: list[str] = [
-    # -- (1) never verified in any round: the new r11 queries MUST sit
-    # inside the window (rotation gate tests/test_registry.py). ----------
-    "graph_pagerank_update_only",  # new r11: maintained PageRank
-    "dedup_canonical_selection_update_only",  # new r11: maintained keeper
-    # -- (2) the stale tail (VERDICT r10 #2): with 167 queries and a
-    # 50-slot window, verification staleness is the weakest link in the
-    # evidence chain. Every r10-new/green query rotates OUT (checked last
-    # round, never contradicted); the window rotates IN every query whose
-    # latest driver check is round <= 5, then all of round 6, then the
-    # oldest round-7 block — after r11 no query's latest check predates
-    # round 7. Computed from the committed CORRECTNESS_r*.json files.
-    # last checked r4:
-    "events_json_props",
-    "events_in_error_windows",
-    "events_retention",
-    # last checked r5:
-    "bi_strategic_suppliers",
-    "bi_tpch_q4",
-    "bi_tpch_q6",
-    "bi_tpch_q10",
-    "bi_tpch_q12",
-    "bi_tpch_q13",
-    "bi_tpch_q14",
-    "bi_tpch_q15",
-    "bi_tpch_q17",
-    "bi_tpch_q18",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_knn",
-    "dedup_exact",
-    "dedup_simhash_pairs",
-    "qc_null_checks",
-    "qc_row_counts",
-    "sketch_bloom_membership",
-    "text_fingerprint",
-    # last checked r6:
-    "bi_top_platinum_clv",
-    "bi_top_suppliers_by_score",
-    "bi_tpch_q5",
-    "bi_tpch_q7",
-    "bi_tpch_q8",
-    "bi_tpch_q19",
-    "bi_tpch_q21",
-    "bi_tpch_q22",
-    "corpus_shard_assign",
-    "corpus_token_budget_select",
-    "embedding_quantize",
-    "events_view_purchase_join",
-    "gold_customer_lifetime_value_fully_scoped",
-    "gold_customer_lifetime_value_tiers_scoped",
-    "graph_pagerank",
-    "silver_customer_orders_rfm_scoped",
-    "sim_topk_quantized",
-    "sketch_kmv_overlap",
-    "stream_view_purchase_join",
-    "stream_view_purchase_left_join",
-    "text_quality_gopher",
-    "text_stats",
-    # oldest round-7 block (TPC-H stragglers):
-    "bi_tpch_q1",
-    "bi_tpch_q2",
-    "bi_tpch_q3",
-    "bi_tpch_q9",
-    "bi_tpch_q11",
-]
+
+def _latest_checks() -> dict[str, tuple[int, bool]]:
+    """name -> (latest round with any CORRECTNESS row, that row was green).
+
+    Reads the committed ``CORRECTNESS_r*.json`` at the repo root (the
+    driver's own records — the same files the judge audits). Missing or
+    unparsable files are skipped: the policy degrades toward "treat as
+    never checked", which only moves queries INTO the window."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, tuple[int, bool]] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            green = bool(
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+            )
+            prev = out.get(name)
+            if prev is None or rnd > prev[0]:
+                out[name] = (rnd, green)
+    return out
+
+
+def _check_priority_key(checks: dict[str, tuple[int, bool]], reg_pos: dict[str, int]):
+    """The rotation policy as a sort key (smaller = checked sooner)."""
+
+    def key(name: str) -> tuple[int, int, int]:
+        got = checks.get(name)
+        if got is None or not got[1]:
+            return (0, 0, reg_pos[name])  # never checked / latest row red
+        return (1, got[0], reg_pos[name])  # stalest green first
+
+    return key
 
 
 def _reorder_for_check_window() -> None:
-    unknown = [n for n in _CHECK_PRIORITY if n not in QUERIES]
-    if unknown:
-        raise RuntimeError(f"_CHECK_PRIORITY names unknown queries: {unknown}")
-    ordered = list(_CHECK_PRIORITY) + [n for n in QUERIES if n not in _CHECK_PRIORITY]
+    reg_pos = {n: i for i, n in enumerate(QUERIES)}
+    ordered = sorted(QUERIES, key=_check_priority_key(_latest_checks(), reg_pos))
     for d in (QUERIES, ORACLE):
         snapshot = {n: d[n] for n in ordered if n in d}
         d.clear()

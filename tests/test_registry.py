@@ -45,6 +45,43 @@ def test_window_covers_never_verified_queries():
     )
 
 
+def test_check_window_order_matches_staleness_policy():
+    """VERDICT r11 #2: the check window is now COMPUTED from the committed
+    CORRECTNESS files, not hand-listed. This test re-derives the policy
+    with its own (independent, minimal) parse and asserts the registry's
+    final ordering obeys it: every never-checked / latest-red query
+    precedes every green-checked one, and green-checked queries are
+    non-decreasing in their latest-checked round. A registry bug that
+    drops the sort (or a future hand-edit) fails here."""
+    import re
+
+    latest = {}  # name -> (round, green)
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            rows = json.load(f)
+        for name, rec in rows.items():
+            green = bool(
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+            )
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, green)
+
+    registered = list(entry_mod.queries())
+    # rank 0 = must-check (never checked, or latest row red); else the round
+    ranks = [
+        0 if (n not in latest or not latest[n][1]) else latest[n][0]
+        for n in registered
+    ]
+    for i in range(1, len(ranks)):
+        assert ranks[i - 1] <= ranks[i], (
+            f"window order violates staleness policy at {registered[i - 1]} "
+            f"(rank {ranks[i - 1]}) -> {registered[i]} (rank {ranks[i]})"
+        )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
