@@ -79,6 +79,19 @@ def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     end instead of riding through every round's shuffle + checkpoint.
     At 100 TB that makes per-round cost proportional to the near-dup
     subgraph, not the corpus."""
+    labels = edge_incident_labels(pairs)
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
+    )
+
+
+def edge_incident_labels(pairs: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id) min-label fixpoint over ONLY the nodes that
+    appear in ``pairs`` — the loop body of :func:`connected_components`,
+    factored so the maintained-store init can persist base-graph labels
+    (incrdedup._exact_pair_index) and merge them incrementally instead of
+    re-running this loop per batch (VERDICT r11 #1)."""
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")
@@ -117,10 +130,7 @@ def connected_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return docs.join(labels, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
-    )
+    return labels
 
 
 DEDUP_CLUSTERS_ORACLE = f"""

@@ -263,23 +263,21 @@ def dedup_canonical_selection_update_only(
 ) -> DataFrame:
     """Maintained canonical selection (VERDICT r10 #6, second half): the
     curation funnel's canonical-keeper step answered from the maintained
-    edge stores — cluster membership from the maintained LSH edge set
-    (:func:`..llmdata.incrdedup.maintained_lsh_pairs`: init edges + the
-    band-index probe's arrival pairs), centrality from the maintained
-    EXACT edge set — so no shingle self-join, no corpus-wide signature
-    pass. Both edge partitions equal the batch recompute's sets, the
-    component loop runs only over edge-incident nodes, and the keeper
-    window is deterministic, so the output hash-equals the batch
-    :func:`dedup_canonical_selection` / its oracle exactly. The one
+    edge stores — cluster membership from the maintained COMPONENT LABELS
+    (:func:`..llmdata.incrdedup.maintained_cc_labels`: base labels
+    settled once at init, arrival pairs union-found into them on the
+    quotient graph — VERDICT r11 #1: the prior version re-ran the whole
+    label-propagation loop per batch and lost to the batch twin at 1x),
+    centrality from the maintained EXACT edge set — so no shingle
+    self-join, no corpus-wide signature pass, no per-batch fixpoint
+    iteration. The label merge is exact (see maintained_cc_labels) and
+    the keeper window is deterministic, so the output hash-equals the
+    batch :func:`dedup_canonical_selection` / its oracle exactly. The one
     corpus-sized stage left is the unavoidable output itself (one row
     per document, joined back once for singleton labels)."""
-    from .curation import connected_components
-    from .incrdedup import maintained_exact_pairs, maintained_lsh_pairs
+    from .incrdedup import maintained_cc_labels, maintained_exact_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
-    cl = connected_components(
-        docs.select("doc_id"), maintained_lsh_pairs(spark, sf_dir)
-    ).select("doc_id", "canonical_id")
+    cl = maintained_cc_labels(spark, sf_dir)
     pr = pagerank_from_pairs(maintained_exact_pairs(spark, sf_dir)).select(
         "doc_id", "pr_scaled"
     )

@@ -165,7 +165,7 @@ def _clear_idx_memo() -> None:
             _rm_store_root(path)
         for _cent, path, _df in _SEM_MEMO.values():
             _rm_store_root(path)
-        for path, _edges, _lsh, _df in _PAIR_MEMO.values():
+        for path, _edges, _lsh, _cc, _df in _PAIR_MEMO.values():
             _rm_store_root(path)
         _IDX_MEMO.clear()
         _SEM_MEMO.clear()
@@ -262,14 +262,15 @@ WHERE doc_a % {DOC_ARRIVAL_MOD} = 0 OR doc_b % {DOC_ARRIVAL_MOD} = 0"""
 
 # --- maintained EXACT-pair index (the shingle inverted index) --------------
 
-# (shingle_store_path, exact_edges_path, lsh_edges_path, pinned arrival
-# shingle rows) per (session, sf_dir) — the _IDX_MEMO discipline
-_PAIR_MEMO: dict[tuple, tuple[str, str, str, DataFrame]] = {}
+# (shingle_store_path, exact_edges_path, lsh_edges_path, cc_labels_path,
+# pinned arrival shingle rows) per (session, sf_dir) — the _IDX_MEMO
+# discipline
+_PAIR_MEMO: dict[tuple, tuple[str, str, str, str, DataFrame]] = {}
 
 
 def _exact_pair_index(
     spark: SparkSession, sf_dir: str
-) -> tuple[str, str, str, DataFrame]:
+) -> tuple[str, str, str, str, DataFrame]:
     """The exact-Jaccard twin of the band index, for consumers that need
     the COMPLETE >= 0.8 pair set (banded MinHash is probabilistic — it can
     miss true pairs — so the graph family's maintained path cannot ride
@@ -282,7 +283,12 @@ def _exact_pair_index(
       over the base docs — a one-time init, exactly the batch discovery);
     - the base corpus's verified LSH edge list (``dedup_minhash_lsh``
       over the same shingle stage — the cluster-membership edge set the
-      canonical-selection consumer partitions by).
+      canonical-selection consumer partitions by);
+    - the base LSH graph's COMPONENT LABELS (min-label fixpoint over
+      edge-incident base nodes — ``curation.edge_incident_labels``),
+      so the per-batch consumer merges arrival edges into settled labels
+      (:func:`maintained_cc_labels`) instead of re-running the whole
+      label-propagation loop every batch (VERDICT r11 #1).
 
     An arrival batch appends its shingle rows (O(batch): only arrivals
     are tokenized; ``n_shingles`` is per-doc, so stored base rows never
@@ -302,6 +308,7 @@ def _exact_pair_index(
             sh_path = os.path.join(root, "shingles")
             edges_path = os.path.join(root, "base_edges")
             lsh_path = os.path.join(root, "base_lsh_edges")
+            cc_path = os.path.join(root, "base_cc_labels")
             base_ex = _exploded_shingles(base)
             (
                 _shingles(shingles_ex=base_ex)
@@ -324,6 +331,14 @@ def _exact_pair_index(
             dedup_minhash_lsh(spark, sf_dir, shingles_ex=base_ex).select(
                 "doc_a", "doc_b"
             ).write.parquet(lsh_path)
+            # settle the base graph's component labels ONCE at init (read
+            # back from the just-written edges — no pipeline re-run); the
+            # per-batch path merges into these instead of re-looping
+            from .curation import edge_incident_labels
+
+            edge_incident_labels(spark.read.parquet(lsh_path)).write.parquet(
+                cc_path
+            )
             arr_sh = _shingles(
                 shingles_ex=_exploded_shingles(arrivals)
             ).localCheckpoint(eager=True)
@@ -336,7 +351,7 @@ def _exact_pair_index(
                 .partitionBy("bucket")
                 .parquet(sh_path)
             )
-            got = (sh_path, edges_path, lsh_path, arr_sh)
+            got = (sh_path, edges_path, lsh_path, cc_path, arr_sh)
             _PAIR_MEMO[(skey, sf_dir)] = got
     return got
 
@@ -353,7 +368,9 @@ def exact_pairs_for_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`..llmdata.dedup.dedup_ngram_jaccard` restricted to
     arrival-involving pairs; arrival-arrival double matches (p->s and
     s->p) collapse in the normalized distinct."""
-    sh_path, _edges_path, _lsh_path, arr_sh = _exact_pair_index(spark, sf_dir)
+    sh_path, _edges_path, _lsh_path, _cc_path, arr_sh = _exact_pair_index(
+        spark, sf_dir
+    )
     n = _live_num_buckets(sh_path)
     buckets = sorted(
         r["bucket"]
@@ -407,10 +424,118 @@ def maintained_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     either has both sides in base, or at least one arrival side). The
     graph family's maintained consumers (``graph_pagerank_update_only``)
     rank over this without ever re-scanning the corpus."""
-    _sh, edges_path, _lsh, _arr = _exact_pair_index(spark, sf_dir)
+    _sh, edges_path, _lsh, _cc, _arr = _exact_pair_index(spark, sf_dir)
     base_pairs = spark.read.parquet(edges_path)
     return base_pairs.unionByName(
         exact_pairs_for_arrivals(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+def maintained_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component labels (doc_id, canonical_id) of the FULL current LSH
+    near-dup graph, maintained incrementally (VERDICT r11 #1) — the
+    replacement for re-running ``curation.edge_incident_labels`` over the
+    whole maintained edge set every batch, which made the maintained
+    canonical-selection face SLOWER than its batch twin at 1x.
+
+    Exactness argument: the full graph is G_base ∪ P_new where P_new is
+    the probe's arrival-involving verified pairs (a disjoint partition —
+    see :func:`maintained_lsh_pairs`). A base component with no P_new
+    edge incident to it is a component of the full graph with the SAME
+    min-label (its base labels are already the fixpoint). Components
+    touched by P_new merge ONLY along P_new edges, so contracting each
+    settled base component to its stored label and running a union-find
+    over the QUOTIENT graph (P_new endpoints mapped through the stored
+    labels; unmapped endpoints are their own quotient node) yields, per
+    merged group, the min over its quotient ids = the min doc_id of the
+    merged full-graph component — exactly the batch loop's fixpoint.
+
+    Scale: the quotient edge set is DISTINCT over O(|P_new|) pairs — the
+    arrival batch's near-dup pairs, the same driver-bounded class as the
+    probe's bucket-id collect — so the union-find runs on the driver in
+    O(batch α(batch)); the cluster never ships more than the batch's own
+    pair list. The corpus-sized work left is the one stored-label remap
+    join (broadcast: only touched components appear in the remap)."""
+    _sh, _edges, _lsh, cc_path, _arr = _exact_pair_index(spark, sf_dir)
+    base_labels = spark.read.parquet(cc_path)
+    p_new = (
+        dedup_minhash_append(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # one probe run feeds both collects
+    )
+    lab_a = base_labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("canonical_id").alias("la")
+    )
+    lab_b = base_labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("canonical_id").alias("lb")
+    )
+    qedges = [
+        (r["qa"], r["qb"])
+        for r in p_new.join(lab_a, "doc_a", "left")
+        .join(lab_b, "doc_b", "left")
+        .select(
+            F.coalesce("la", F.col("doc_a")).alias("qa"),
+            F.coalesce("lb", F.col("doc_b")).alias("qb"),
+        )
+        .filter(F.col("qa") != F.col("qb"))
+        .distinct()
+        .collect()
+    ]  # O(batch)-bounded: distinct touched-component pairs
+    # endpoints with no stored label (arrivals + base singletons drawn
+    # into a pair) — they need direct label rows, not a remap
+    new_nodes = sorted(
+        r["doc_id"]
+        for r in p_new.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(p_new.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .join(base_labels, "doc_id", "left_anti")
+        .collect()
+    )
+
+    # driver union-find, min-id representative (path-compressed)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in qedges:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra  # larger root under smaller => rep = group min
+
+    remap = [(old, find(old)) for old in parent]  # only changed roots
+    direct = [(d, find(d)) for d in new_nodes]
+    relabeled = base_labels
+    if remap:
+        remap_df = spark.createDataFrame(
+            remap, "canonical_id long, new_canonical long"
+        )
+        relabeled = (
+            base_labels.join(F.broadcast(remap_df), "canonical_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("new_canonical", "canonical_id").alias(
+                    "canonical_id"
+                ),
+            )
+        )
+    if direct:
+        relabeled = relabeled.unionByName(
+            spark.createDataFrame(direct, "doc_id long, canonical_id long")
+        )
+    return load_table(spark, sf_dir, "documents").select("doc_id").join(
+        relabeled, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
     )
 
 
@@ -423,7 +548,7 @@ def maintained_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same disjoint-partition argument as the exact set. This is the
     cluster-membership edge set the canonical-selection consumer
     partitions by (LSH edges, not exact: the batch operator's contract)."""
-    _sh, _edges, lsh_path, _arr = _exact_pair_index(spark, sf_dir)
+    _sh, _edges, lsh_path, _cc, _arr = _exact_pair_index(spark, sf_dir)
     return spark.read.parquet(lsh_path).unionByName(
         dedup_minhash_append(spark, sf_dir).select("doc_a", "doc_b")
     )

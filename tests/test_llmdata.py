@@ -1993,6 +1993,40 @@ def test_canonical_selection_update_only_matches_batch(spark, sf_correct):
     assert any(not r[3] for r in maint), "vacuous: no non-canonical rows"
 
 
+def test_maintained_cc_labels_equal_batch_fixpoint(spark, sf_correct):
+    """VERDICT r11 #1 — the incremental component merge (stored base
+    labels + quotient union-find over arrival pairs) must reproduce the
+    batch label-propagation fixpoint over the full maintained LSH edge
+    set EXACTLY, and non-vacuously: the arrival batch must actually merge
+    something (a remap or a direct label), else the quotient path was
+    never exercised."""
+    from databricks_incremental_lakehouse_spark.llmdata.curation import (
+        connected_components,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.incrdedup import (
+        dedup_minhash_append,
+        maintained_cc_labels,
+        maintained_lsh_pairs,
+    )
+    from databricks_incremental_lakehouse_spark.tables import load_table
+
+    inc = {
+        (r.doc_id, r.canonical_id)
+        for r in maintained_cc_labels(spark, sf_correct).collect()
+    }
+    docs = load_table(spark, sf_correct, "documents").select("doc_id")
+    bat = {
+        (r.doc_id, r.canonical_id)
+        for r in connected_components(
+            docs, maintained_lsh_pairs(spark, sf_correct)
+        ).collect()
+    }
+    assert inc == bat
+    assert dedup_minhash_append(spark, sf_correct).count() > 0, (
+        "vacuous: no arrival pairs — the incremental merge did no work"
+    )
+
+
 def test_probe_reads_only_touched_buckets(spark, sf_correct):
     """The maintained indexes' pruning claim, asserted on the ACTUAL file
     set: every store file a probe plan reads must live under a bucket
@@ -2010,7 +2044,7 @@ def test_probe_reads_only_touched_buckets(spark, sf_correct):
     )
     from pyspark.sql import functions as F
 
-    sh_path, _e, _l, arr_sh = _exact_pair_index(spark, sf_correct)
+    sh_path, _e, _l, _cc, arr_sh = _exact_pair_index(spark, sf_correct)
     n = read_store_meta(sh_path)["num_buckets"]
     touched = {
         r["b"]
