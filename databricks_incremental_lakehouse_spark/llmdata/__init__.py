@@ -21,6 +21,7 @@ from . import (
     incrdedup,
     incrsketch,
     incrstats,
+    maintenance,
     multimodal,
     pii,
     pq,
@@ -49,3 +50,4 @@ def register_all(register) -> None:
     incrdedup.register_all(register)
     incrsketch.register_all(register)
     pq.register_all(register)
+    maintenance.register_all(register)

@@ -317,8 +317,17 @@ def incr_cms_heavy_hitters_update_only(
     arrivals = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % DOC_ARRIVAL_MOD == 0
     )
-    apply_doc_updates(spark, root, arrivals)
-    fold_cms_counters(spark, root)
+    # the CMS counter fold rides the postings chain's concurrent fold
+    # wave (VERDICT r11 #4) instead of running as a sequential tail —
+    # it reads the same just-committed feed as the stats folds and owns
+    # its own target/watermark, so the wave is race-free by the same
+    # disjoint-target argument
+    apply_doc_updates(
+        spark,
+        root,
+        arrivals,
+        extra_postings_folds=(lambda: fold_cms_counters(spark, root),),
+    )
     return cms_heavy_hitters_answer(spark, root)
 
 

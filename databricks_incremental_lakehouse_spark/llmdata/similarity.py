@@ -1595,6 +1595,10 @@ def _ivf_append_index(
             .write.partitionBy("cl")
             .parquet(path)
         )
+        # footer-only count of the just-written TRAINED corpus — the
+        # maintenance policy's recluster signal is (rows - trained_rows)
+        # / trained_rows (llmdata/maintenance.py)
+        trained = spark.read.parquet(path).count()
         (
             _assign_to(arrivals, cent_rows)
             .withColumn("scale", _sq8_scale("v"))
@@ -1603,6 +1607,9 @@ def _ivf_append_index(
             .partitionBy("cl")
             .parquet(path)
         )
+        from ..operators.layout import write_store_meta
+
+        write_store_meta(path, trained_rows=int(trained), nlist=int(nlist))
         got = (cent_rows, path, nlist)
         _IVF_APPEND_INDEXES[sf_dir] = got
     return got
@@ -1672,6 +1679,15 @@ def recluster_ivf_store(
             .parquet(staging)
         )
         _swap_dir(staging, path)
+        from ..operators.layout import write_store_meta
+
+        # the recluster trained on the FULL current corpus, so the
+        # maintenance policy's arrival fraction resets to zero here
+        write_store_meta(
+            path,
+            trained_rows=int(spark.read.parquet(path).count()),
+            nlist=int(nlist),
+        )
         got = (new_cent, path, nlist)
         _IVF_APPEND_INDEXES[sf_dir] = got
     return got

@@ -575,3 +575,109 @@ def test_cms_counters_track_live_corpus_under_updates(spark, tmp_path):
         ).filter(F2.col("n_rows") > 0).collect()
     }
     assert got == want
+
+
+def test_concurrent_fold_wave_with_cms_extra(spark, tmp_path):
+    """VERDICT r11 #4 — the fold wave: tok_stats, doc_stats and the CMS
+    counter fold now run CONCURRENTLY after the postings merge (plus the
+    bigram chain alongside). Disjoint targets mean disjoint two-phase
+    watermark sidecars; this drives several batches through the fused
+    path and asserts every aggregate equals the from-scratch recompute
+    of the final corpus and every sidecar is FINALIZED (no pending
+    stamp left by a racing fold)."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from databricks_incremental_lakehouse_spark.llmdata.incrsketch import (
+        fold_cms_counters,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.incrstats import (
+        _read_sidecar,
+        apply_doc_updates,
+        bigram_stats,
+        doc_stats,
+        token_stats,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.sketches import (
+        CMS_D,
+        _cms_bucket,
+    )
+    from databricks_incremental_lakehouse_spark.streaming.incremental import (
+        read_merge_target,
+    )
+
+    root = str(tmp_path / "wh")
+    extra = (lambda: fold_cms_counters(spark, root),)
+    batches = [
+        [(1, "alpha beta beta gamma"), (2, "gamma alpha")],
+        [(3, "delta epsilon alpha"), (4, "beta beta")],
+        [(1, "alpha epsilon"), (5, "zeta gamma gamma")],  # update doc 1
+    ]
+    for b in batches:
+        apply_doc_updates(spark, root, _docs(spark, b), extra_postings_folds=extra)
+
+    final = {1: "alpha epsilon", 2: "gamma alpha", 3: "delta epsilon alpha",
+             4: "beta beta", 5: "zeta gamma gamma"}
+
+    toks = [(d, t) for d, text in final.items() for t in text.split()]
+    tf = {}
+    for d, t in toks:
+        tf[(d, t)] = tf.get((d, t), 0) + 1
+    want_tok = {}
+    for (d, t), n in tf.items():
+        df_, occ = want_tok.get(t, (0, 0))
+        want_tok[t] = (df_ + 1, occ + n)
+    got_tok = {
+        r.token: (int(r.df), int(r.occurrences))
+        for r in token_stats(spark, root).collect()
+    }
+    assert got_tok == want_tok
+
+    want_doc = {}
+    for (d, t), n in tf.items():
+        u, dl = want_doc.get(d, (0, 0))
+        want_doc[d] = (u + 1, dl + n)
+    got_doc = {
+        r.doc_id: (int(r.n_unique_tokens), int(r.dl))
+        for r in doc_stats(spark, root).collect()
+    }
+    assert got_doc == want_doc
+
+    want_bg = {}
+    for d, text in final.items():
+        ws = text.split()
+        for a, b2 in zip(ws, ws[1:]):
+            want_bg[(a, b2)] = want_bg.get((a, b2), 0) + 1
+    got_bg = {
+        (r.w1, r.w2): int(r.n_occurrences)
+        for r in bigram_stats(spark, root).collect()
+    }
+    assert got_bg == want_bg
+
+    exp_df = (
+        spark.createDataFrame(
+            [(t,) for _d, t in toks], "token string"
+        )
+        .select(
+            "token",
+            F2.explode(
+                F2.array(*[F2.lit(s) for s in range(CMS_D)])
+            ).alias("seed"),
+        )
+        .select("seed", _cms_bucket(F2.col("token"), F2.col("seed")))
+        .groupBy("seed", "bucket")
+        .count()
+    )
+    want_cms = {(r.seed, r.bucket): r["count"] for r in exp_df.collect()}
+    got_cms = {
+        (r.seed, r.bucket): int(r.sum_tf)
+        for r in read_merge_target(spark, os.path.join(root, "cms_counters"))
+        .filter(F2.col("n_rows") > 0)
+        .collect()
+    }
+    assert got_cms == want_cms
+
+    for target in ("tok_stats", "doc_stats", "bigram_stats", "cms_counters"):
+        state = _read_sidecar(os.path.join(root, target))
+        assert state is not None and state["pending_commit"] is None, target

@@ -2103,3 +2103,105 @@ def test_recluster_ivf_store_equals_full_trained_search(spark, sf_correct):
     _rm_ivf_store_root(path)
     restored = rows(sim_ivf_append_search(spark, sf_correct))
     assert restored == before
+
+
+def test_maintenance_thresholds_resolution(monkeypatch):
+    """Env override > configs/{env}.json block > inline default — the
+    text_stats_mode resolution order, per knob."""
+    from databricks_incremental_lakehouse_spark.llmdata.maintenance import (
+        MAINT_DEFAULTS,
+        maintenance_thresholds,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_ENV", raising=False)
+    thr = maintenance_thresholds()
+    # dev config carries the block; defaults and config agree on dev
+    assert thr["rebucket_rows_per_bucket"] == 2000
+    assert thr["recluster_arrival_fraction"] == 0.25
+
+    # config layer: prod tightens the file budget
+    monkeypatch.setenv("SPARK_GRAFT_ENV", "prod")
+    assert maintenance_thresholds()["compact_files_per_dir"] == 3
+
+    # env layer beats config, with type coercion
+    monkeypatch.setenv("SPARK_GRAFT_MAINT_COMPACT_FILES_PER_DIR", "9")
+    assert maintenance_thresholds()["compact_files_per_dir"] == 9
+
+    # unknown env value falls back cleanly
+    monkeypatch.setenv("SPARK_GRAFT_MAINT_COMPACT_FILES_PER_DIR", "junk")
+    assert maintenance_thresholds()["compact_files_per_dir"] == 3
+    assert set(thr) == set(MAINT_DEFAULTS)
+
+
+def test_maintenance_report_policy(spark, sf_correct):
+    """The report battery: one row per (store, job), every signal
+    measured, and the due flag exactly (value vs threshold). Fresh
+    session stores at sf0.01 sit at their design size, so the default
+    thresholds flag NOTHING; tightening every threshold below the
+    measured values must flag EVERYTHING — the due arithmetic, not the
+    store state, is what's under test."""
+    from databricks_incremental_lakehouse_spark.llmdata.maintenance import (
+        maintenance_report,
+    )
+
+    rep = maintenance_report(spark, sf_correct).collect()
+    jobs = {(r.store, r.job) for r in rep}
+    assert jobs == {
+        ("dedup_band_index", "rebucket"),
+        ("dedup_band_index", "compact"),
+        ("dedup_band_index", "vacuum"),
+        ("shingle_pair_index", "rebucket"),
+        ("shingle_pair_index", "compact"),
+        ("shingle_pair_index", "vacuum"),
+        ("ivf_append_index", "recluster"),
+        ("ivf_append_index", "compact"),
+        ("ivf_append_index", "vacuum"),
+    }
+    assert all(not r.due for r in rep), [
+        (r.store, r.job, r.value, r.threshold) for r in rep if r.due
+    ]
+    # the recluster signal is the actual arrival split, not zero
+    frac = {r.job: r.value for r in rep if r.store == "ivf_append_index"}[
+        "recluster"
+    ]
+    assert 0.05 < frac < 0.25  # ~1/9 arrivals over the 90% trained base
+
+    tight = maintenance_report(
+        spark,
+        sf_correct,
+        thresholds={
+            "rebucket_rows_per_bucket": 0,
+            "recluster_arrival_fraction": 0.0,
+            "compact_files_per_dir": 0,
+            "vacuum_debris_dirs": 0,
+        },
+    ).collect()
+    assert all(r.due for r in tight), [
+        (r.store, r.job, r.value) for r in tight if not r.due
+    ]
+
+
+def test_maintenance_recluster_resets_arrival_fraction(spark, sf_correct):
+    """recluster_ivf_store retrains on the full corpus and restamps
+    trained_rows, so the policy's recluster signal returns to zero —
+    the cadence loop a deployment actually runs. Restores the
+    frozen-codebook append store afterwards (the registered contract)."""
+    from databricks_incremental_lakehouse_spark.llmdata.maintenance import (
+        maintenance_report,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.similarity import (
+        _IVF_APPEND_INDEXES,
+        _rm_ivf_store_root,
+        recluster_ivf_store,
+    )
+
+    recluster_ivf_store(spark, sf_correct)
+    try:
+        rep = maintenance_report(spark, sf_correct).collect()
+        frac = {
+            r.job: r.value for r in rep if r.store == "ivf_append_index"
+        }["recluster"]
+        assert frac == 0.0
+    finally:
+        _cent, path, _n = _IVF_APPEND_INDEXES.pop(sf_correct)
+        _rm_ivf_store_root(path)

