@@ -2205,3 +2205,67 @@ def test_maintenance_recluster_resets_arrival_fraction(spark, sf_correct):
     finally:
         _cent, path, _n = _IVF_APPEND_INDEXES.pop(sf_correct)
         _rm_ivf_store_root(path)
+
+
+def test_profile_guided_nprobe_both_regimes(spark, sf_correct):
+    """VERDICT r11 #6 — the store picks its own serving width from
+    build-time calibration: the CLUSTERED corpus self-selects sqrt
+    (recall >= the 0.8 bar at the sub-linear width), the STRUCTURELESS
+    sf0.1 corpus keeps the swept 5/8 fraction (recall tracks scan
+    fraction there), and the explicit env dial wins over both. The
+    policy must also be non-vacuous where it fires: at sf0.01 the
+    calibrated face serves a narrower width than the formula face and
+    returns a different (oracle-checked) neighbor set."""
+    import os
+
+    import pytest as _pytest
+
+    from databricks_incremental_lakehouse_spark.llmdata import similarity as S
+    from databricks_incremental_lakehouse_spark.operators.layout import (
+        read_store_meta,
+    )
+
+    clust = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench",
+        "sfclust1x",
+    )
+    if not os.path.isdir(clust):
+        _pytest.skip("clustered corpus not generated (scripts/make_sfclust.py)")
+
+    _cent, cpath, cnlist = S._ivf_append_index(spark, clust)
+    cmeta = read_store_meta(cpath)
+    assert cmeta["nprobe_mode"] == "sqrt"
+    assert cmeta["calib_recall_sqrt"] >= S.CALIB_RECALL_MIN
+    assert S._store_nprobe(cnlist, cpath) == S._sqrt_nprobe(cnlist)
+    assert S._store_nprobe(cnlist, cpath) < S._nprobe_for(cnlist)
+
+    _cent1, path1, nlist1 = S._ivf_append_index(spark, "/root/testdata/sf0.1")
+    meta1 = read_store_meta(path1)
+    assert meta1["nprobe_mode"] == "frac", meta1
+    assert meta1["calib_recall_sqrt"] < S.CALIB_RECALL_MIN
+    assert S._store_nprobe(nlist1, path1) == S._nprobe_for(nlist1)
+
+    # explicit dial beats calibration (the unchanged operator contract)
+    orig = S._NPROBE_ENV
+    try:
+        S._NPROBE_ENV = "4"
+        assert S._store_nprobe(cnlist, cpath) == min(cnlist, 4)
+    finally:
+        S._NPROBE_ENV = orig
+
+    # non-vacuity at the driver's correctness SF: sf0.01 calibrates to
+    # sqrt (recall 0.867 measured), so the calibrated face serves fewer
+    # cells than the formula face and the result sets differ — both are
+    # oracle-green under their own policies (driver gate)
+    _cent2, path2, nlist2 = S._ivf_append_index(spark, sf_correct)
+    if read_store_meta(path2)["nprobe_mode"] == "sqrt":
+        cal = {
+            (r.query_id, r.neighbor_id)
+            for r in S.sim_ivf_search_calibrated(spark, sf_correct).collect()
+        }
+        app = {
+            (r.query_id, r.neighbor_id)
+            for r in S.sim_ivf_append_search(spark, sf_correct).collect()
+        }
+        assert cal and app and cal != app
