@@ -216,6 +216,8 @@ OTHER_TIMED_QUERIES = [
     "incr_customer_orders_refresh",
     "sim_ivf_topk_indexed",
     "sim_ivf_append_search",
+    "sim_ivf_search_calibrated",
+    "maintenance_report",
     "sim_ivf_topk_quantized",
     "stream_user_totals",
     "stream_view_purchase_join",
@@ -445,6 +447,21 @@ def main() -> None:
         t0 = time.time()
         _noop(QUERIES["sim_ivf_append_search"](spark, sf_dir))
         record("ext.sim_ivf_append_search_only", time.time() - t0)
+    # profile-guided serving face (r12): same store, width from the
+    # store's own calibration — on this structureless corpus it keeps
+    # 5/8 (the key records the policy's zero-overhead steady state; the
+    # sqrt regime's 3x win is measured on the clustered corpora,
+    # BASELINE.md)
+    _noop(QUERIES["sim_ivf_search_calibrated"](spark, sf_dir))
+    for _ in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["sim_ivf_search_calibrated"](spark, sf_dir))
+        record("ext.sim_ivf_search_calibrated", time.time() - t0)
+    # maintenance policy read (r12): sidecars + listings + footers only
+    for _ in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["maintenance_report"](spark, sf_dir))
+        record("ext.maintenance_report", time.time() - t0)
     t0 = time.time()
     _noop(QUERIES["sim_ivf_topk_pq"](spark, sf_dir))
     once["once.sim_ivf_pq_train_encode_and_search"] = round(time.time() - t0, 3)
