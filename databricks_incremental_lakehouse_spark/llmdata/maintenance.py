@@ -46,6 +46,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.layout import (
+    STAGING_SUFFIXES as _STAGING_SUFFIXES,
+)
 from ..operators.layout import read_store_meta, table_file_stats
 
 MAINT_DEFAULTS = {
@@ -76,11 +79,14 @@ def maintenance_thresholds() -> dict:
     try:
         with open(path) as fh:
             block = json.load(fh).get("maintenance", {})
-        for k in out:
-            if k in block:
-                out[k] = type(MAINT_DEFAULTS[k])(block[k])
     except (OSError, ValueError):
-        pass
+        block = {}
+    for k in out:
+        if k in block:
+            try:
+                out[k] = type(MAINT_DEFAULTS[k])(block[k])
+            except (TypeError, ValueError):
+                pass  # non-scalar/unparsable value: keep the default
     for k in out:
         env = os.environ.get(MAINT_ENV_PREFIX + k.upper())
         if env is not None:
@@ -94,9 +100,12 @@ def maintenance_thresholds() -> dict:
 def _debris_dirs(path: str) -> int:
     """Count crash debris under ``path``: ``.<name>.old`` swap backups
     whose destination EXISTS (stale — recovery would drop them) and
-    ``*._staging`` leftovers. A backup whose destination is missing is
-    NOT debris — it is the only surviving copy and recovery restores it,
-    so vacuum-due must not count it."""
+    staging leftovers from any lifecycle job (merge ``._staging``,
+    ``rebucket_store``'s ``._rebucket``, ``recluster_ivf_store``'s
+    ``._recluster``, ``optimize_compact``'s ``._compact``). A backup
+    whose destination is missing is NOT debris — it is the only
+    surviving copy and recovery restores it, so vacuum-due must not
+    count it."""
     n = 0
     if not os.path.isdir(path):
         return 0
@@ -104,11 +113,11 @@ def _debris_dirs(path: str) -> int:
     for name in os.listdir(parent) if os.path.isdir(parent) else []:
         if name == f".{base}.old" and os.path.isdir(path):
             n += 1
-        if name.startswith(base) and name.endswith("._staging"):
+        if name.startswith(base) and name.endswith(_STAGING_SUFFIXES):
             n += 1
     for dirpath, dirs, _files in os.walk(path):
         for name in dirs:
-            if name.endswith("._staging"):
+            if name.endswith(_STAGING_SUFFIXES):
                 n += 1
             elif name.startswith(".") and name.endswith(".old"):
                 if os.path.isdir(os.path.join(dirpath, name[1:-4])):
@@ -126,12 +135,17 @@ def _store_rows(spark: SparkSession, path: str) -> int:
 def _bucketed_store_rows(
     spark: SparkSession, store: str, path: str, thr: dict
 ) -> list[tuple]:
-    meta = read_store_meta(path)
-    nb = int(meta.get("num_buckets", 1))
+    # missing sidecar on an existing store is corruption — the probe path
+    # refuses it loudly (incrdedup._live_num_buckets), and the report must
+    # not paper over the same failure with a made-up bucket count
+    from .incrdedup import _live_num_buckets
+
+    nb = _live_num_buckets(path)
     rows = _store_rows(spark, path)
     per_bucket = rows / nb if nb else float(rows)
     stats = table_file_stats(path)
     max_files = max((n for _rel, n, _b in stats), default=0)
+    debris = _debris_dirs(path)
     return [
         (
             store,
@@ -153,9 +167,9 @@ def _bucketed_store_rows(
             store,
             "vacuum",
             "debris_dirs",
-            float(_debris_dirs(path)),
+            float(debris),
             float(thr["vacuum_debris_dirs"]),
-            _debris_dirs(path) >= thr["vacuum_debris_dirs"],
+            debris >= thr["vacuum_debris_dirs"],
         ),
     ]
 
@@ -194,6 +208,7 @@ def maintenance_report(
     arrival_frac = max(0.0, (ivf_rows - trained) / trained) if trained else 0.0
     stats = table_file_stats(ivf_path)
     max_files = max((n for _rel, n, _b in stats), default=0)
+    ivf_debris = _debris_dirs(ivf_path)
     rows += [
         (
             "ivf_append_index",
@@ -215,9 +230,9 @@ def maintenance_report(
             "ivf_append_index",
             "vacuum",
             "debris_dirs",
-            float(_debris_dirs(ivf_path)),
+            float(ivf_debris),
             float(thr["vacuum_debris_dirs"]),
-            _debris_dirs(ivf_path) >= thr["vacuum_debris_dirs"],
+            ivf_debris >= thr["vacuum_debris_dirs"],
         ),
     ]
     return spark.createDataFrame(rows, REPORT_SCHEMA)

@@ -190,12 +190,20 @@ def _nprobe_for(nlist: int) -> int:
 # HELD-OUT probe sample (disjoint from the serving query set), stamped in
 # the store sidecar, and the store self-selects sqrt only when the
 # measurement clears the same 0.8 recall bar the batch queries are locked
-# to. The driver's structureless corpora measure far below the bar
-# (~0.26-0.45), so registry oracles keep the default-formula parity; the
-# explicit env dial still wins over the calibration when set.
+# to. The calibrated face's ORACLE replays the policy itself (cparams CTE
+# in _calibrated_append_oracle), so parity holds whatever the corpus
+# measures — the test corpora stay frac (held-out recall 0.733 at
+# sf0.01, 0.683 at sf0.1; a leaky sample that included serving query 3
+# measured 0.867 and flipped sf0.01 to sqrt — the r12 review caught it,
+# and the disjoint sample corrected it), the clustered corpora
+# self-select sqrt (recall 1.0). The explicit env dial still wins over
+# the calibration when set, on both engines.
 CALIB_RECALL_MIN = 0.8
-CALIB_QUERY_MOD = 97  # held-out sample: vec_id % 97 == 3, disjoint from
-CALIB_QUERY_REM = 3  # the serving query set (vec_id < N_QUERIES = 10)
+CALIB_QUERY_MOD = 97  # held-out sample: vec_id % 97 == 13 — smallest
+CALIB_QUERY_REM = 13  # member is 13 > the serving query set (vec_id <
+#                       N_QUERIES = 10), so the sample is GENUINELY
+#                       disjoint (r12 review: rem 3 put serving query 3
+#                       into its own calibration sample)
 CALIB_MAX_QUERIES = 12
 
 
@@ -706,7 +714,10 @@ def _ivf_index(
                 .write.partitionBy("cl")
                 .parquet(path)
             )
-            _calibrate_store_nprobe(spark, path, cent_rows, nlist)
+            # NOT calibrated: sim_ivf_topk_indexed is a deliberately
+            # unswitched anchor (== from-scratch), so nothing reads this
+            # store's nprobe_mode — calibrating it would be two full-store
+            # passes for a write-only field (r12 review)
             got = (cent_rows, path, nlist)
             _IVF_INDEXES[sf_dir] = got
     return got

@@ -157,6 +157,11 @@ def optimize_compact(
 
 STORE_META = "_store_meta.json"
 
+# staging suffixes every lifecycle/merge job uses; vacuum_table removes
+# leftovers with these names and the maintenance policy's vacuum-due
+# signal counts exactly the same set (llmdata/maintenance.py)
+STAGING_SUFFIXES = ("._staging", "._rebucket", "._recluster", "._compact")
+
 
 def write_store_meta(path: str, **meta) -> None:
     """Persist a maintained store's layout parameters as a sidecar inside
@@ -176,19 +181,24 @@ def write_store_meta(path: str, **meta) -> None:
 
 
 def read_store_meta(path: str) -> dict:
-    """Read a store's sidecar meta — after first finishing any lifecycle
-    swap that crashed between its two renames (ADVICE r11: rebucket/
-    recluster swap via ``_swap_dir``, which has a window where the store
-    path is missing and only the ``.<name>.old`` backup survives; the
-    streaming merge targets run ``_recover_swaps`` on read, and every
-    store probe funnels through here, so the maintained stores now get
-    the same self-healing)."""
+    """Read a store's sidecar meta — first finishing a lifecycle swap
+    that crashed between its two renames (ADVICE r11: rebucket/recluster
+    swap via ``_swap_dir`` has a window where the store path is missing
+    and only the ``.<name>.old`` backup survives; every store probe
+    funnels through here, so the maintained stores self-heal like the
+    streaming merge targets). Recovery runs ONLY when the store path is
+    MISSING — that is the crash signature — so the hot probe path never
+    pays a store-tree walk, never deletes the stale-backup debris the
+    maintenance report counts, and cannot race a live swapper that has
+    already published the new image (r12 review; lifecycle jobs
+    coordinate among themselves via their own locks)."""
     import json
     import os
 
-    from ..streaming.incremental import _recover_swaps
+    if not os.path.isdir(path):
+        from ..streaming.incremental import _recover_swaps
 
-    _recover_swaps(path)
+        _recover_swaps(path)
     p = os.path.join(path, STORE_META)
     if not os.path.isfile(p):
         return {}
@@ -318,23 +328,44 @@ def vacuum_table(path: str, changelog_dir: str | None = None) -> dict[str, list[
 
     Contract (Delta VACUUM's): no writer may be active on the table or
     feed while vacuuming. Returns {"removed": [...], "recovered_root": p}
-    paths for the audit log. Idempotent; never touches live data files."""
+    paths for the audit log. Idempotent; never touches live data files.
+
+    Removal set == exactly what the maintenance policy's vacuum-due
+    signal counts (llmdata/maintenance.py ``_debris_dirs`` — r12 review:
+    the due flag must be clearable by running THIS job): all lifecycle
+    staging suffixes (merge ``._staging``, ``rebucket_store``'s
+    ``._rebucket``, ``recluster_ivf_store``'s ``._recluster``,
+    ``optimize_compact``'s ``._compact``), sibling or nested, plus the
+    parent-level stale ``.<name>.old`` a crash between ``_swap_dir``'s
+    final rename and its backup cleanup leaves behind (recovery only
+    drops the nested ones)."""
     import os
     import shutil
 
     from ..streaming.incremental import _recover_changelog, _recover_swaps
 
+    staging_suffixes = STAGING_SUFFIXES
     removed: list[str] = []
     if os.path.isdir(path):
         _recover_swaps(path)
-    sib = path.rstrip("/") + "._staging"
-    if os.path.isdir(sib):
-        shutil.rmtree(sib)
-        removed.append(sib)
+    parent, base = os.path.split(path.rstrip("/"))
+    for suffix in staging_suffixes:
+        sib = path.rstrip("/") + suffix
+        if os.path.isdir(sib):
+            shutil.rmtree(sib)
+            removed.append(sib)
+    whole_old = os.path.join(parent, f".{base}.old")
+    if os.path.isdir(whole_old) and os.path.isdir(path):
+        # swap completed (destination exists) => the backup is stale;
+        # recovery would have RESTORED it had the destination been missing
+        shutil.rmtree(whole_old)
+        removed.append(whole_old)
     if os.path.isdir(path):
         for dirpath, dirs, _files in os.walk(path):
             for name in list(dirs):
-                if name.startswith(".") and name.endswith("._staging"):
+                # no dot-prefix requirement: optimize_compact's nested
+                # staging is `<leaf>._compact`, undotted
+                if name.endswith(staging_suffixes):
                     full = os.path.join(dirpath, name)
                     shutil.rmtree(full)
                     removed.append(full)

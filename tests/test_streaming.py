@@ -2132,14 +2132,26 @@ def test_admission_gate_covers_audit_probe_pairs(spark, sf_correct, tmp_path):
         spark.read.parquet(dups).collect() if os.path.isdir(dups) else []
     )
     flagged = {r.doc_id for r in dup_rows}
-    # the gate's own attribution invariant: every flag points at an
-    # EARLIER match (registry doc or lower-id batchmate) — checked from
-    # the log itself rather than re-encoding the tie-break in the test
+    # the gate's own attribution invariant, checked from the log itself
+    # rather than re-encoding the tie-break in the test: a flag points at
+    # an EARLIER match — an earlier FILE (base before arrival, by this
+    # feed's construction), or a lower-id mate within the same file
+    def _is_arrival(d):
+        return d % DOC_ARRIVAL_MOD == 0
+
     for r in dup_rows:
-        assert r.matched_doc_id < r.doc_id, (
-            f"flag {r.doc_id} attributes to a non-earlier match "
-            f"{r.matched_doc_id}"
-        )
+        if _is_arrival(r.matched_doc_id) == _is_arrival(r.doc_id):
+            assert r.matched_doc_id < r.doc_id, (
+                f"within-batch flag {r.doc_id} attributes to a "
+                f"non-earlier match {r.matched_doc_id}"
+            )
+        else:
+            assert not _is_arrival(r.matched_doc_id) and _is_arrival(
+                r.doc_id
+            ), (
+                f"cross-batch flag {r.doc_id} attributes to a LATER-file "
+                f"match {r.matched_doc_id}"
+            )
 
     pairs = QUERIES["dedup_minhash_append"](spark, sf_correct).collect()
     assert pairs, "vacuous: the audit probe verified no pairs"
