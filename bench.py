@@ -452,16 +452,6 @@ def main() -> None:
     # 5/8 (the key records the policy's zero-overhead steady state; the
     # sqrt regime's 3x win is measured on the clustered corpora,
     # BASELINE.md)
-    _noop(QUERIES["sim_ivf_search_calibrated"](spark, sf_dir))
-    for _ in range(REPS):
-        t0 = time.time()
-        _noop(QUERIES["sim_ivf_search_calibrated"](spark, sf_dir))
-        record("ext.sim_ivf_search_calibrated", time.time() - t0)
-    # maintenance policy read (r12): sidecars + listings + footers only
-    for _ in range(REPS):
-        t0 = time.time()
-        _noop(QUERIES["maintenance_report"](spark, sf_dir))
-        record("ext.maintenance_report", time.time() - t0)
     t0 = time.time()
     _noop(QUERIES["sim_ivf_topk_pq"](spark, sf_dir))
     once["once.sim_ivf_pq_train_encode_and_search"] = round(time.time() - t0, 3)
@@ -550,6 +540,25 @@ def main() -> None:
         t0 = time.time()
         _noop(QUERIES["dedup_canonical_selection_update_only"](spark, sf_dir))
         record("ext.dedup_canonical_update_only", time.time() - t0)
+
+    # r12 serving/policy keys, placed AFTER the maintained-store section on
+    # purpose: maintenance_report's first call triggers every session store
+    # build it reports on (band index, pair index incl. the base CC settle,
+    # IVF append), and running those builds EARLIER in the loaded session
+    # measurably degraded every later key at REPS=3 (CMS 9s -> 60s+ — the
+    # r12 closing-band investigation); here the stores are already warm and
+    # the keys time what they claim: the calibrated serving width and the
+    # telemetry read.
+    _noop(QUERIES["sim_ivf_search_calibrated"](spark, sf_dir))
+    for _ in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["sim_ivf_search_calibrated"](spark, sf_dir))
+        record("ext.sim_ivf_search_calibrated", time.time() - t0)
+    _noop(QUERIES["maintenance_report"](spark, sf_dir))  # untimed warm-up
+    for _ in range(REPS):
+        t0 = time.time()
+        _noop(QUERIES["maintenance_report"](spark, sf_dir))
+        record("ext.maintenance_report", time.time() - t0)
 
     _noop(QUERIES["sim_ivf_topk_quantized"](spark, sf_dir))  # warm-up
     for _rep in range(REPS):
