@@ -309,6 +309,7 @@ def incr_cms_heavy_hitters_update_only(
     full-corpus CMS cell for cell."""
     from .incrstats import (
         DOC_ARRIVAL_MOD,
+        _adopt_if_enabled,
         _warehouse_for,
         apply_doc_updates,
     )
@@ -328,6 +329,11 @@ def incr_cms_heavy_hitters_update_only(
         arrivals,
         extra_postings_folds=(lambda: fold_cms_counters(spark, root),),
     )
+    # the warehouse is corpus-complete after the arrival merge: hand the
+    # session's text consumers over, same as the token/bigram siblings
+    # (apply_doc_updates already re-seeded any PRIOR adoption — this line
+    # covers the CMS-runs-first session where no adoption existed yet)
+    _adopt_if_enabled(spark, sf_dir, root)
     return cms_heavy_hitters_answer(spark, root)
 
 

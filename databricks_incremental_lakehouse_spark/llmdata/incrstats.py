@@ -113,6 +113,44 @@ def _adopt_if_enabled(spark: SparkSession, sf_dir: str, root: str) -> None:
         adopt_token_stats(spark, sf_dir, root)
 
 
+# --- adopted-root invalidation (VERDICT r12 #1) ------------------------------
+# Once a warehouse root has been adopted, the tokmemo slots hold LAZY
+# parquet frames over its bucket files. Any later merge into that root
+# swaps those files out from under the frames (merge_upsert rewrites
+# touched buckets and unlinks the old parts), so a subsequent tokmemo
+# consumer would die with FAILED_READ_FILE.FILE_NOT_EXIST. Invalidation
+# is therefore the CALLEE's job: apply_doc_updates re-seeds the slots for
+# any root it rewrites that this session previously adopted — no call
+# site can forget. Keyed by (session, root); memo.clear() wipes it via
+# the aux-clearer hook so tests that reset the memo reset this too.
+_ADOPTED: dict[tuple, str] = {}  # (session_key, root) -> sf_dir
+_ADOPTED_LOCK = threading.Lock()
+
+
+def _clear_adopted() -> None:
+    with _ADOPTED_LOCK:
+        _ADOPTED.clear()
+
+
+def _record_adoption(spark: SparkSession, root: str, sf_dir: str) -> None:
+    from .. import memo
+
+    memo.register_aux_clear(_clear_adopted)
+    with _ADOPTED_LOCK:
+        _ADOPTED[(memo._session_key(spark), root)] = sf_dir
+
+
+def _reseed_if_adopted(spark: SparkSession, root: str) -> None:
+    """Re-seed the tokmemo slots if ``root`` was adopted by this session —
+    called by every merge path that rewrites the root's files."""
+    from .. import memo
+
+    with _ADOPTED_LOCK:
+        sf_dir = _ADOPTED.get((memo._session_key(spark), root))
+    if sf_dir is not None:
+        adopt_token_stats(spark, sf_dir, root)
+
+
 def _doc_tf(docs: DataFrame) -> DataFrame:
     """(doc_id, token, tf) — the tokmemo ``doc_token_tf`` lineage over an
     arbitrary document frame (NULL text contributes zero rows)."""
@@ -327,6 +365,7 @@ def drain_token_stats(spark: SparkSession, root: str) -> None:
         (p["bigrams_log"], p["bigram_stats"], ["w1", "w2"], ["n"]),
     ]:
         _fold_new_commits(spark, root, log_dir, target, group_cols, sum_cols)
+    _reseed_if_adopted(spark, root)
 
 
 def init_token_stats(spark: SparkSession, sf_dir: str, root: str) -> None:
@@ -408,6 +447,10 @@ def apply_doc_updates(
         futs = [ex.submit(_postings_chain), ex.submit(_bigrams_chain)]
         for f in futs:
             f.result()
+    # the merges above swapped bucket files out from under any tokmemo
+    # frames this session adopted over this root — re-seed them here, in
+    # the callee, so no caller can leave stale frames behind (r12 #1)
+    _reseed_if_adopted(spark, root)
 
 
 def token_stats(spark: SparkSession, root: str) -> DataFrame:
@@ -444,9 +487,15 @@ def adopt_token_stats(spark: SparkSession, sf_dir: str, root: str) -> None:
     integer-valued double sums cast back to their exact longs (sums of
     longs below 2^53 are exact in IEEE doubles). Token-ORDER tiers
     (``doc_tok_arrays``) are not derivable from postings and stay on the
-    scan path."""
+    scan path.
+
+    Adoption is RECORDED per (session, root): any later merge into the
+    root (``apply_doc_updates``, including the CMS cycle's counter-fold
+    variant) re-seeds these slots itself, so the frames never dangle over
+    unlinked bucket files (VERDICT r12 #1)."""
     from .. import memo
 
+    _record_adoption(spark, root, sf_dir)
     p = _paths(root)
     postings = read_merge_target(spark, p["postings"]).select(
         "doc_id", "token", "tf"

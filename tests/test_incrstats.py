@@ -681,3 +681,61 @@ def test_concurrent_fold_wave_with_cms_extra(spark, tmp_path):
     for target in ("tok_stats", "doc_stats", "bigram_stats", "cms_counters"):
         state = _read_sidecar(os.path.join(root, target))
         assert state is not None and state["pending_commit"] is None, target
+
+
+def test_adopted_frames_survive_later_merges(spark, sf_correct):
+    """VERDICT r12 #1: the (token-stats -> CMS cycle -> tokmemo consumer)
+    sequence crashed with FILE_NOT_EXIST because the CMS cycle's
+    apply_doc_updates rewrote the adopted postings buckets without
+    re-seeding the tokmemo slots. Invalidation is now the CALLEE's job:
+    after any merge into an adopted root, every adopted slot must be a
+    FRESH frame that reads without error and value-matches the warehouse."""
+    from databricks_incremental_lakehouse_spark.llmdata.incrsketch import (
+        incr_cms_heavy_hitters_update_only,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.incrstats import (
+        incr_token_stats_update_only,
+    )
+    from databricks_incremental_lakehouse_spark.llmdata.sketches import (
+        sketch_cms_heavy_hitters,
+    )
+
+    memo.clear()
+    try:
+        # step 1: the token-stats query adopts (default adopt-mode)
+        incr_token_stats_update_only(spark, sf_correct).count()
+        skey = memo._session_key(spark)
+        slot_keys = [
+            ("llm_tok_tf", sf_correct),
+            ("llm_token_df", sf_correct),
+            ("llm_doc_len", sf_correct),
+            ("llm_tokens", sf_correct),
+            ("llm_bigrams", sf_correct),
+        ]
+        before = {}
+        for k in slot_keys:
+            assert (skey, k) in memo._MEMO, f"slot {k[0]} not adopted"
+            before[k] = memo._MEMO[(skey, k)]
+        checks = {k: before[k].count() for k in slot_keys}
+
+        # step 2: the CMS cycle re-merges the same arrival batch into the
+        # SAME warehouse root (idempotent images -> values unchanged), but
+        # the merge swaps bucket files — pre-fix, the adopted frames now
+        # dangle over unlinked parquet parts
+        incr_cms_heavy_hitters_update_only(spark, sf_correct).count()
+
+        # step 3: every adopted slot was re-seeded by the callee (fresh
+        # object) and reads cleanly with unchanged totals
+        for k in slot_keys:
+            frame = memo._MEMO.get((skey, k))
+            assert frame is not None, f"slot {k[0]} dropped, not re-seeded"
+            assert frame is not before[k], (
+                f"slot {k[0]} still holds the pre-merge frame"
+            )
+            assert frame.count() == checks[k], f"slot {k[0]} totals changed"
+
+        # step 4: the original crash site — the batch CMS sketch reads
+        # doc_token_tf through the adopted tok_tf slot
+        assert sketch_cms_heavy_hitters(spark, sf_correct).count() > 0
+    finally:
+        memo.clear()
