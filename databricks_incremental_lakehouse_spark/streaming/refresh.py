@@ -717,12 +717,22 @@ _WAREHOUSES: dict[str, str] = {}
 # micro-batch ARRIVES (files/CDC feed); re-deriving it per call inflated the
 # steady-state ext.incr_*_update_only numbers by those two scans (VERDICT r5
 # item 4 / r6 task 5), so it is selected once and pinned via localCheckpoint.
-_REPLAY_BATCHES: dict[str, DataFrame] = {}
+# Keyed by (session, sf_dir) — a localCheckpoint'd frame dies with its
+# session, and serving it to a LATER session in the same process crashes
+# with a null-session NPE (caught by scripts/session_sequence_smoke.py,
+# r13: the only DataFrame cache in the package that lacked the session
+# key). Stale sessions' entries are swept on miss, the memo.py pattern.
+_REPLAY_BATCHES: dict[tuple, DataFrame] = {}
 
 
 def _replay_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    upd = _REPLAY_BATCHES.get(sf_dir)
+    from ..memo import _session_key
+
+    skey = _session_key(spark)
+    upd = _REPLAY_BATCHES.get((skey, sf_dir))
     if upd is None:
+        for stale in [k for k in _REPLAY_BATCHES if k[0] != skey]:
+            del _REPLAY_BATCHES[stale]
         raw = load_table(spark, sf_dir, "orders")
         keys50 = (
             raw.groupBy("o_orderkey")
@@ -734,7 +744,7 @@ def _replay_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         upd = raw.join(F.broadcast(keys50), "o_orderkey", "left_semi").localCheckpoint(
             eager=True
         )
-        _REPLAY_BATCHES[sf_dir] = upd
+        _REPLAY_BATCHES[(skey, sf_dir)] = upd
     return upd
 
 

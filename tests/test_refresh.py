@@ -266,3 +266,26 @@ def test_streaming_front_door_refreshes_gold(spark, sf_smoke, warehouse, tmp_pat
     q = incremental_sales_stream(spark, src, warehouse, chk)
     q.awaitTermination(120)
     assert _rows(spark.read.parquet(wh.gold_monthly_trends)) == before
+
+
+def test_replay_batch_memo_is_session_scoped(spark, sf_smoke):
+    """r13 (found by scripts/session_sequence_smoke.py): the pinned replay
+    micro-batch is localCheckpoint'd, so it dies with its session — the
+    memo must key on session identity like every other DataFrame cache,
+    and sweep entries of stopped sessions, or a later session in the same
+    process collects a dead plan (null-session NPE)."""
+    from databricks_incremental_lakehouse_spark.memo import _session_key
+    from databricks_incremental_lakehouse_spark.streaming import refresh as R
+
+    upd = R._replay_batch(spark, sf_smoke)
+    assert upd.count() > 0
+    skey = _session_key(spark)
+    assert (skey, sf_smoke) in R._REPLAY_BATCHES
+    # every cached entry belongs to the LIVE session (stale swept on miss)
+    assert all(k[0] == skey for k in R._REPLAY_BATCHES)
+
+    # a foreign session's entry is swept by the next miss, never served
+    R._REPLAY_BATCHES[(("dead-app", 0), sf_smoke)] = upd
+    R._REPLAY_BATCHES.pop((skey, sf_smoke))
+    R._replay_batch(spark, sf_smoke)
+    assert (("dead-app", 0), sf_smoke) not in R._REPLAY_BATCHES
