@@ -49,7 +49,13 @@ def test_window_covers_never_verified_queries():
             ):
                 ever_green.add(name)
     registered = list(entry_mod.queries())
-    outside = [n for n in registered[DRIVER_WINDOW:] if n not in ever_green]
+    # oracle-free-by-design queries can never be hash-green; their weaker
+    # rows-only check rotates them like green rows (r12 review)
+    outside = [
+        n
+        for n in registered[DRIVER_WINDOW:]
+        if n not in ever_green and n not in NO_ORACLE_BY_DESIGN
+    ]
     assert not outside, (
         "never-driver-verified queries registered outside the checked "
         f"window (reorder registry registration): {outside}"
@@ -62,9 +68,17 @@ def test_check_window_order_matches_staleness_policy():
     with its own (independent, minimal) parse and asserts the registry's
     final ordering obeys it: every never-checked / latest-red query
     precedes every green-checked one, and green-checked queries are
-    non-decreasing in their latest-checked round. A registry bug that
-    drops the sort (or a future hand-edit) fails here."""
+    non-decreasing in their latest-checked round. Two refinements mirror
+    the registry (r12 review + VERDICT r12 #4): a by-design oracle-free
+    row (err == 'no_oracle' with a recorded row count) counts as checked
+    at its round, and each declared CHECK_SEQUENCES tuple is collapsed to
+    one pseudo-element ranked by its BEST member (the sequence is pulled
+    to its earliest-ranked member's position, so that is the rank the
+    surrounding order must respect). A registry bug that drops the sort
+    (or a future hand-edit) fails here."""
     import re
+
+    from databricks_incremental_lakehouse_spark.registry import CHECK_SEQUENCES
 
     latest = {}  # name -> (round, green)
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
@@ -76,21 +90,71 @@ def test_check_window_order_matches_staleness_policy():
                 rec.get("rows_match")
                 and rec.get("schema_match")
                 and rec.get("hash_match")
+            ) or (
+                rec.get("err") == "no_oracle"
+                and rec.get("spark_rows") is not None
             )
             if name not in latest or rnd > latest[name][0]:
                 latest[name] = (rnd, green)
 
     registered = list(entry_mod.queries())
-    # rank 0 = must-check (never checked, or latest row red); else the round
-    ranks = [
-        0 if (n not in latest or not latest[n][1]) else latest[n][0]
-        for n in registered
-    ]
+
+    def rank(n):
+        # 0 = must-check (never checked, or latest row red); else the round
+        return 0 if (n not in latest or not latest[n][1]) else latest[n][0]
+
+    # each declared sequence must appear contiguous, in declared order
+    seq_members = {n for seq in CHECK_SEQUENCES for n in seq}
+    for seq in CHECK_SEQUENCES:
+        present = [n for n in seq if n in registered]
+        if len(present) < 2:
+            continue
+        start = registered.index(present[0])
+        assert registered[start : start + len(present)] == present, (
+            f"declared check sequence not contiguous in window: {seq}"
+        )
+
+    # collapse each sequence to a pseudo-element at its best member's rank
+    ranks = []
+    labels = []
+    i = 0
+    while i < len(registered):
+        n = registered[i]
+        if n in seq_members:
+            seq = next(s for s in CHECK_SEQUENCES if n in s)
+            present = [m for m in seq if m in registered]
+            ranks.append(min(rank(m) for m in present))
+            labels.append(f"seq{seq}")
+            i += len(present)
+        else:
+            ranks.append(rank(n))
+            labels.append(n)
+            i += 1
     for i in range(1, len(ranks)):
         assert ranks[i - 1] <= ranks[i], (
-            f"window order violates staleness policy at {registered[i - 1]} "
-            f"(rank {ranks[i - 1]}) -> {registered[i]} (rank {ranks[i]})"
+            f"window order violates staleness policy at {labels[i - 1]} "
+            f"(rank {ranks[i - 1]}) -> {labels[i]} (rank {ranks[i]})"
         )
+
+
+def test_apply_check_sequences_pulls_to_earliest_member():
+    """Unit lock on the sequence-pinning transform: members scatter in the
+    ranked order; the transform pulls them contiguous, in DECLARED order,
+    at the earliest-ranked member's position, leaving all other relative
+    order untouched. Sequences with <2 present members are no-ops."""
+    from databricks_incremental_lakehouse_spark import registry
+
+    orig = registry.CHECK_SEQUENCES
+    registry.CHECK_SEQUENCES = (("b", "d", "a"),)
+    try:
+        out = registry._apply_check_sequences(["x", "a", "y", "b", "z", "d"])
+        # earliest-ranked member is "a" at index 1 -> sequence lands there
+        assert out == ["x", "b", "d", "a", "y", "z"]
+        # <2 members present -> untouched
+        registry.CHECK_SEQUENCES = (("b", "missing1", "missing2"),)
+        assert registry._apply_check_sequences(["x", "b", "y"]) == ["x", "b", "y"]
+    finally:
+        registry.CHECK_SEQUENCES = orig
 
 
 def test_entry_smoke(spark):
