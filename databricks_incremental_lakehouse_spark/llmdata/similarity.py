@@ -1909,9 +1909,12 @@ def sim_ivf_search_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _calibrated_append_oracle() -> str:
     """SIM_IVF_APPEND_ORACLE with the probe width routed through a SQL
-    replay of the build-time calibration (held-out sample ``vec_id % 97
-    == 3`` limit 12, exact vs sqrt-width top-k over the store contents,
-    same round-6 grid and tie-breaks). Under the explicit env dial the
+    replay of the build-time calibration (held-out sample ``vec_id %
+    CALIB_QUERY_MOD == CALIB_QUERY_REM`` limit ``CALIB_MAX_QUERIES`` —
+    the rem-13 residue class PROVABLY DISJOINT from the serving query
+    set, see the constants at the top of this module; exact vs
+    sqrt-width top-k over the store contents, same round-6 grid and
+    tie-breaks). Under the explicit env dial the
     calibration is bypassed on BOTH engines (cparams passes params
     through), mirroring :func:`_store_nprobe`."""
     sqrt_sql = "LEAST(nlist, GREATEST(4, 2 * CAST(CEIL(SQRT(nlist)) AS INT)))"

@@ -188,10 +188,11 @@ def read_store_meta(path: str) -> dict:
     funnels through here, so the maintained stores self-heal like the
     streaming merge targets). Recovery runs ONLY when the store path is
     MISSING — that is the crash signature — so the hot probe path never
-    pays a store-tree walk, never deletes the stale-backup debris the
-    maintenance report counts, and cannot race a live swapper that has
-    already published the new image (r12 review; lifecycle jobs
-    coordinate among themselves via their own locks)."""
+    pays a store-tree walk and never deletes the stale-backup debris the
+    maintenance report counts. A LIVE swap's mid-window looks identical
+    to a crash on disk, so recovery serializes with publishes via the
+    swap machinery's ``_SWAP_LOCK`` (r12 review): the reader blocks until
+    the in-flight swap lands, then recovery is a no-op."""
     import json
     import os
 

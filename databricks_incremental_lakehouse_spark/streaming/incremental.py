@@ -33,6 +33,7 @@ import glob
 import json
 import os
 import shutil
+import threading
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -186,16 +187,30 @@ def _backup_path(dst: str) -> str:
     return os.path.join(parent, f".{base}.old")
 
 
+# Serializes every swap publish against every swap recovery in this
+# process (r12 review): without it a reader that probes a store during a
+# live swap's mid-window (after rename(dst, old), before rename(src,
+# dst)) sees the store missing, "recovers" the backup, and the swapper's
+# final rename then fails with ENOTEMPTY. Both sides are driver-side
+# metadata ops (renames; the expensive parquet writes happen before the
+# swap), so the lock costs nothing on the serving path. RLock because a
+# lifecycle job may recover-then-swap in one thread.
+_SWAP_LOCK = threading.RLock()
+
+
 def _swap_dir(src: str, dst: str) -> None:
     """Replace ``dst`` with ``src`` via renames: the new image is complete
-    on disk before the old one is unlinked."""
-    old = _backup_path(dst)
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    if os.path.isdir(dst):
-        os.rename(dst, old)
-    os.rename(src, dst)
-    shutil.rmtree(old, ignore_errors=True)
+    on disk before the old one is unlinked. Holds :data:`_SWAP_LOCK`
+    across both renames so in-process readers (``_recover_swaps``) can
+    never observe — and "fix" — the mid-swap window."""
+    with _SWAP_LOCK:
+        old = _backup_path(dst)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(dst):
+            os.rename(dst, old)
+        os.rename(src, dst)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def _recover_swaps(target_path: str) -> None:
@@ -206,25 +221,30 @@ def _recover_swaps(target_path: str) -> None:
     moved aside but before the new one landed) — restore it. If ``<name>``
     exists the swap completed; the backup is stale and safe to drop.
     Walks the whole tree so nested layouts (``year=Y/_kb=N``) recover too.
+    Serialized against live swaps via :data:`_SWAP_LOCK` — a mid-swap
+    window is indistinguishable from a crash by filesystem state alone,
+    so recovery must wait for any in-flight publish to finish (at which
+    point the store exists again and recovery is a no-op).
     """
     parent, base = os.path.split(target_path.rstrip("/"))
-    whole = os.path.join(parent, f".{base}.old")
-    if os.path.isdir(whole) and not os.path.isdir(target_path):
-        os.rename(whole, target_path)
-    if not os.path.isdir(target_path):
-        return
-    pending = []
-    for dirpath, dirs, _files in os.walk(target_path):
-        for name in dirs:
-            if name.startswith(".") and name.endswith(".old"):
-                pending.append((dirpath, name))
-    for dirpath, name in pending:
-        dst = os.path.join(dirpath, name[1:-4])
-        old = os.path.join(dirpath, name)
-        if os.path.isdir(dst):
-            shutil.rmtree(old)
-        else:
-            os.rename(old, dst)
+    with _SWAP_LOCK:
+        whole = os.path.join(parent, f".{base}.old")
+        if os.path.isdir(whole) and not os.path.isdir(target_path):
+            os.rename(whole, target_path)
+        if not os.path.isdir(target_path):
+            return
+        pending = []
+        for dirpath, dirs, _files in os.walk(target_path):
+            for name in dirs:
+                if name.startswith(".") and name.endswith(".old"):
+                    pending.append((dirpath, name))
+        for dirpath, name in pending:
+            dst = os.path.join(dirpath, name[1:-4])
+            old = os.path.join(dirpath, name)
+            if os.path.isdir(dst):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, dst)
 
 
 def _leaf_dirs(root: str, levels: int) -> set[str]:

@@ -311,6 +311,58 @@ def test_swap_crash_recovery_restores_backup(spark, tmp_path):
     shutil.rmtree(target)
 
 
+def test_reader_recovery_blocks_during_live_swap(tmp_path):
+    """r12 review: a reader probing a store inside a LIVE swap's
+    mid-window (dst renamed aside, new image not yet landed) must NOT
+    'recover' the backup — that restore makes the swapper's final rename
+    fail with ENOTEMPTY. Recovery serializes on _SWAP_LOCK: the reader
+    blocks until the publish lands, then reads the NEW image. Pure
+    filesystem test; simulates the swapper by holding the lock across a
+    hand-performed mid-window."""
+    import json
+    import threading
+    import time
+
+    from databricks_incremental_lakehouse_spark.operators.layout import (
+        STORE_META,
+        read_store_meta,
+    )
+    from databricks_incremental_lakehouse_spark.streaming import incremental as inc
+
+    dst = str(tmp_path / "store")
+    src = str(tmp_path / "store._staging")
+    for path, ver in ((dst, "old"), (src, "new")):
+        os.makedirs(path)
+        with open(os.path.join(path, STORE_META), "w") as fh:
+            json.dump({"image": ver}, fh)
+
+    got = {}
+
+    def reader():
+        got["meta"] = read_store_meta(dst)
+
+    old = os.path.join(str(tmp_path), ".store.old")
+    with inc._SWAP_LOCK:
+        os.rename(dst, old)  # the swapper's first rename — mid-window now
+        t = threading.Thread(target=reader)
+        t.start()
+        deadline = time.monotonic() + 0.8
+        while not os.path.isdir(dst) and time.monotonic() < deadline:
+            time.sleep(0.02)
+        # the reader must not have restored the backup while we hold the lock
+        assert not os.path.isdir(dst), "reader recovered during a live swap"
+        assert not got, "reader finished inside the swap window"
+        os.rename(src, dst)  # the swapper's second rename — published
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+    t.join(timeout=10)
+    assert not t.is_alive()
+    # the reader woke after the publish and saw the NEW image, untouched
+    assert got["meta"] == {"image": "new"}
+    assert read_store_meta(dst) == {"image": "new"}
+
+
 @settings(
     max_examples=8,
     deadline=None,
