@@ -205,6 +205,20 @@ CALIB_QUERY_REM = 13  # member is 13 > the serving query set (vec_id <
 #                       disjoint (r12 review: rem 3 put serving query 3
 #                       into its own calibration sample)
 CALIB_MAX_QUERIES = 12
+# Candidate-slice bound for the calibration passes (VERDICT r12 #6: the
+# exact pass joined 12 queries against the FULL store at every build/
+# recluster — 12 full-corpus scans per recluster at 100 TB). Above
+# 2*CALIB_SAMPLE_MAX rows, BOTH passes (exact ground truth AND the
+# sqrt-width probe it is compared to) restrict candidates to the same
+# deterministic slice ``vec_id % s == 0`` with ``s = n // CALIB_SAMPLE_MAX``
+# — recall over a uniform sample of the corpus estimates the same
+# cell-locality the full measurement does, and using ONE slice on both
+# sides keeps the ratio apples-to-apples. Integer-modulus, no wall clock;
+# the oracle's cparams CTE derives the identical s in SQL (FLOOR-division
+# of COUNT(*), exact below 2^52 like the isqrt dial). Every test corpus
+# (<= 2k vectors) sits below the threshold, so their measured recalls and
+# the selection are bit-identical with or without this bound.
+CALIB_SAMPLE_MAX = 5000
 
 
 def _calibrate_store_nprobe(
@@ -219,14 +233,24 @@ def _calibrate_store_nprobe(
     grid, same tie-breaks), so the measurement is a deterministic
     function of the corpus — no wall-clock anywhere. Cost: one
     broadcast-12-queries exact pass + one sqrt-width probe pass, paid
-    once per build/recluster; at 100 TB the exact pass runs over a
-    sampled slice the same way training does."""
+    once per build/recluster, each bounded to a CALIB_SAMPLE_MAX-row
+    candidate slice above the sampling threshold (constant per-recluster
+    cost at any corpus size)."""
     from ..operators.layout import write_store_meta
 
     store = spark.read.parquet(path).select(
         F.col("vec_id").alias("neighbor_id"),
         "v",
         F.col("cl").cast("int").alias("cl"),
+    )
+    # parquet footer count — no data scan; the slice modulus must come
+    # from the store row count so both engines derive the same s
+    n_store = store.count()
+    sample_mod = max(1, n_store // CALIB_SAMPLE_MAX)
+    cand = (
+        store
+        if sample_mod == 1
+        else store.filter(F.col("neighbor_id") % sample_mod == 0)
     )
     calib_q = (
         store.filter(
@@ -259,14 +283,14 @@ def _calibrate_store_nprobe(
 
     exact = _topk(
         F.broadcast(calib_q).join(
-            store, F.col("query_id") != F.col("neighbor_id")
+            cand, F.col("query_id") != F.col("neighbor_id")
         )
     )
     sq = _sqrt_nprobe(nlist)
     q2c = _probe_cells(spark, store, cent_rows, sq, queries=calib_q)
     approx = _topk(
         q2c.join(
-            store,
+            cand,
             (F.col("probe_cell") == F.col("cl"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
@@ -279,6 +303,7 @@ def _calibrate_store_nprobe(
         calib_recall_sqrt=round(recall, 3),
         calib_nprobe_sqrt=int(sq),
         calib_recall_min=CALIB_RECALL_MIN,
+        calib_sample_mod=int(sample_mod),
     )
     return mode
 
@@ -1926,6 +1951,14 @@ def _calibrated_append_oracle() -> str:
     WHERE vec_id % {CALIB_QUERY_MOD} = {CALIB_QUERY_REM}
     ORDER BY vec_id LIMIT {CALIB_MAX_QUERIES}
 ),
+csample AS (
+    -- the build-time calibration's deterministic candidate slice:
+    -- s = n // CALIB_SAMPLE_MAX (FLOOR division, exact below 2^52);
+    -- s = 1 below the threshold, i.e. the full store
+    SELECT vec_id, v, cl FROM cells
+    WHERE vec_id % GREATEST(1, CAST(FLOOR(
+        (SELECT COUNT(*) FROM cells) / {CALIB_SAMPLE_MAX}.0) AS BIGINT)) = 0
+),
 calib_exact AS (
     SELECT query_id, neighbor_id FROM (
         SELECT q.query_id, n.vec_id AS neighbor_id,
@@ -1934,7 +1967,7 @@ calib_exact AS (
                 ORDER BY {_COS} DESC, n.vec_id ASC
             ) AS rk
         FROM (SELECT query_id, qv FROM calibq) q
-        JOIN cells n ON n.vec_id <> q.query_id
+        JOIN csample n ON n.vec_id <> q.query_id
     ) WHERE rk <= {TOP_K}
 ),
 calib_probe AS (
@@ -1955,7 +1988,7 @@ calib_approx AS (
                 ORDER BY {_COS} DESC, n.vec_id ASC
             ) AS rk
         FROM (SELECT query_id, qv, probe_cell FROM calib_probe) q
-        JOIN cells n ON n.cl = q.probe_cell AND n.vec_id <> q.query_id
+        JOIN csample n ON n.cl = q.probe_cell AND n.vec_id <> q.query_id
     ) WHERE rk <= {TOP_K}
 ),
 calib AS (

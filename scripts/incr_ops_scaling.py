@@ -32,7 +32,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from databricks_incremental_lakehouse_spark.registry import QUERIES
 
-    for name in ("incr_hll_distinct_update_only", "dedup_semantic_append"):
+    # the two fold-wave-fused queries (VERDICT r12 #7): re-confirm the
+    # O(batch) growth class with the concurrent wave shipped in r12
+    for name in (
+        "incr_hll_distinct_update_only",
+        "dedup_semantic_append",
+        "incr_token_stats_update_only",
+        "incr_cms_heavy_hitters_update_only",
+    ):
         for label, sf in SFS.items():
             memo.clear()
             q = QUERIES[name]

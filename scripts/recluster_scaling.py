@@ -74,6 +74,19 @@ def main() -> None:
         post_lat, post_rec = _search_stats(spark, sf, exact)
         meta = read_store_meta(path2)
         sq = S._sqrt_nprobe(nlist1)
+
+        # calibration-alone cost (VERDICT r12 #6): the pass recluster pays
+        # on top of the rebuild — now bounded to the CALIB_SAMPLE_MAX
+        # candidate slice above the threshold (sidecar calib_sample_mod
+        # records the derived modulus; 1 = full store). Idempotent re-run
+        # (same sidecar values), median of REPS.
+        cal_xs = []
+        for _ in range(REPS):
+            t0 = time.time()
+            S._calibrate_store_nprobe(spark, path2, _cent2, nlist1)
+            cal_xs.append(time.time() - t0)
+        calibrate_s = round(statistics.median(cal_xs), 2)
+        meta = read_store_meta(path2)
         print(
             json.dumps(
                 {
@@ -91,6 +104,8 @@ def main() -> None:
                     "calib_recall_sqrt_after": meta.get("calib_recall_sqrt"),
                     "sqrt_nprobe_after": sq,
                     "sqrt_scan_frac_after": round(sq / nlist1, 3),
+                    "calibrate_once_s": calibrate_s,
+                    "calib_sample_mod": meta.get("calib_sample_mod"),
                 }
             )
         )

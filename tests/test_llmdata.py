@@ -2348,3 +2348,48 @@ def test_profile_guided_nprobe_both_regimes(spark, sf_correct):
         for r in S.sim_ivf_append_search(spark, sf_correct).collect()
     }
     assert cal and cal == app
+
+
+def test_calibration_sampled_regime_oracle_lockstep(spark, sf_correct):
+    """VERDICT r12 #6 — above the sampling threshold the calibration's
+    exact AND probe passes restrict candidates to the deterministic
+    ``vec_id % s == 0`` slice (s = n // CALIB_SAMPLE_MAX), so recluster
+    cost stays constant in corpus size. Locks: (a) the sidecar records
+    the derived modulus; (b) the ORACLE derives the identical s in SQL —
+    the calibrated face stays hash-green with the sampling ACTIVE
+    (shrunk threshold so the 500-vector sf0.01 store trips it); (c) at
+    the shipped threshold the test corpora measure s == 1 (selection
+    bit-identical to the unsampled pass)."""
+    from databricks_incremental_lakehouse_spark.llmdata import similarity as S
+    from databricks_incremental_lakehouse_spark.operators.layout import (
+        read_store_meta,
+    )
+    from tests.parity import compare
+
+    # (c) shipped threshold: every test corpus is below it
+    _cent0, path0, _n0 = S._ivf_append_index(spark, sf_correct)
+    assert read_store_meta(path0).get("calib_sample_mod", 1) == 1
+
+    orig_max = S.CALIB_SAMPLE_MAX
+    try:
+        S.CALIB_SAMPLE_MAX = 60
+        got = S._IVF_APPEND_INDEXES.pop(sf_correct, None)
+        if got is not None:
+            S._rm_ivf_store_root(got[1])
+        _cent, path, nlist = S._ivf_append_index(spark, sf_correct)
+        meta = read_store_meta(path)
+        n_store = spark.read.parquet(path).count()
+        assert n_store // 60 > 1  # the regime under test is actually on
+        assert meta["calib_sample_mod"] == n_store // 60  # (a)
+        # (b) both engines replay the same sampled measurement
+        compare(
+            S.sim_ivf_search_calibrated(spark, sf_correct),
+            S._calibrated_append_oracle(),
+            sf_correct,
+            name="sim_ivf_search_calibrated_sampled",
+        )
+    finally:
+        S.CALIB_SAMPLE_MAX = orig_max
+        got = S._IVF_APPEND_INDEXES.pop(sf_correct, None)
+        if got is not None:
+            S._rm_ivf_store_root(got[1])
