@@ -245,6 +245,165 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# The build/init once-keys in the MAIN pass's execution order — each key's
+# precondition (which stores/warehouses are already warm when it runs) is
+# created by the keys before it, so a replay must preserve this order.
+# VERDICT r12 #2: a key that executes exactly once in a loaded session is
+# unfalsifiable under drift (the r12 driver run read 36.1s for an IVF
+# build the same tree measures at 5-8s), so bench re-pays this chain in
+# SPARK_GRAFT_ONCE_REPEATS extra FRESH sessions and reports the median;
+# all samples ship in BENCH_DETAIL. Stream-drain once keys are excluded:
+# their drain memo is process-global per sf_dir, so an in-process fresh
+# session would time a memoized parquet read, not the drain.
+ONCE_CHAIN: list[tuple[str, str]] = [
+    ("once.incr_monthly_trends_refresh_init", "incr_monthly_trends_refresh"),
+    ("once.incr_customer_orders_refresh_init", "incr_customer_orders_refresh"),
+    ("once.incr_token_stats_init", "incr_token_stats_update_only"),
+    ("once.incr_curate_rollup_init", "incr_curate_report_update_only"),
+    ("once.sim_ivf_index_build_and_search", "sim_ivf_topk_indexed"),
+    ("once.sim_ivf_append_build_ingest_and_search", "sim_ivf_append_search"),
+    ("once.sim_ivf_pq_train_encode_and_search", "sim_ivf_topk_pq"),
+    ("once.sim_ivf_pq_append_build_ingest_and_search", "sim_ivf_pq_append_search"),
+    ("once.incr_hll_registers_init", "incr_hll_distinct_update_only"),
+    ("once.incr_cms_counters_init", "incr_cms_heavy_hitters_update_only"),
+    ("once.dedup_index_build_ingest_and_probe", "dedup_minhash_append"),
+    ("once.dedup_semantic_index_build_ingest_and_probe", "dedup_semantic_append"),
+    ("once.pair_index_build_and_pagerank", "graph_pagerank_update_only"),
+]
+
+# extra fresh-session replays of ONCE_CHAIN (0 disables; each costs about
+# one chain's worth of build time at the bench SF)
+ONCE_REPEATS = max(0, int(os.environ.get("SPARK_GRAFT_ONCE_REPEATS", "2")))
+
+# cheap warmers replayed before the chain in each fresh session, mirroring
+# the memo warmth the MAIN session's ext loop gives the chain (codegen,
+# the k-means codebook via sim_ivf_topk, tokenization/shingle frames via
+# text_stats/dedup_minhash_lsh/graph_pagerank) without re-running the
+# whole ext loop (~9s total at sf0.1 vs minutes)
+_ONCE_WARMERS = ("text_stats", "sim_ivf_topk", "dedup_minhash_lsh", "graph_pagerank")
+
+
+def _repeat_once_chain(sf_dir: str) -> dict[str, float]:
+    """Re-pay every ONCE_CHAIN key in one fresh session (same JVM —
+    executor startup stays outside the timings via the same warm-up the
+    main session gets). ``memo.clear()`` first: session-keyed memos are
+    cold already, but the process-global ones (the materialized IVF/band
+    stores) must be dropped or the 'build' keys would time a store READ."""
+    from databricks_incremental_lakehouse_spark import memo as _memo
+    from databricks_incremental_lakehouse_spark.registry import QUERIES
+
+    spark = build_spark(app_name="dbx-lakehouse-bench-once")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, float] = {}
+    try:
+        spark.range(1_000_000).select("id").summary("count").collect()
+        with tempfile.TemporaryDirectory() as warm:
+            spark.read.parquet(os.path.join(sf_dir, "region.parquet")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(warm, "w"))
+        _memo.clear()
+        for name in _ONCE_WARMERS:
+            _noop(QUERIES[name](spark, sf_dir))
+        for key, name in ONCE_CHAIN:
+            t0 = time.time()
+            _noop(QUERIES[name](spark, sf_dir))
+            out[key] = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+    return out
+
+
+def run_headline_band(sess, sf_dir, record, headline_totals, reps=None) -> None:
+    """``reps`` timed headline reps (+1 untimed warm rep) in ``sess``,
+    recording per-key samples via ``record`` and appending per-rep
+    totals to ``headline_totals``. Module-level so a contamination-
+    flagged run can self-repeat the band in the fresh end-probe session
+    before committing the number (VERDICT r12 #2), and so the second-
+    session path is unit-testable."""
+    from pyspark.sql import functions as F
+
+    for _rep in range((REPS if reps is None else reps) + 1):
+        warm = _rep == 0
+        rep_total = 0.0
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg = LakehouseConfig.from_env_file(
+                sf_dir=sf_dir, warehouse_dir=os.path.join(tmp, "warehouse")
+            )
+
+            t0 = time.time()
+            sales = run_sales_analytics(sess, cfg)
+            sec = time.time() - t0
+            if not warm:
+                record("pipeline_sales", sec)
+                rep_total += sec
+                for stage, res in sales.items():
+                    record(f"sales.{stage}", res["elapsed"])
+
+            t0 = time.time()
+            supplier = run_supplier_analytics(sess, cfg)
+            sec = time.time() - t0
+            if not warm:
+                record("pipeline_supplier", sec)
+                rep_total += sec
+                for stage, res in supplier.items():
+                    record(f"supplier.{stage}", res["elapsed"])
+
+            # README BI queries over the materialized gold views
+            clv = sess.read.parquet(
+                cfg.table_path("views", "vw_customer_lifetime_value")
+            )
+            rbr = sess.read.parquet(
+                cfg.table_path("views", "vw_revenue_by_region")
+            )
+            spf = sess.read.parquet(
+                cfg.table_path("views", "vw_supplier_performance")
+            )
+            mst = sess.read.parquet(
+                cfg.table_path("views", "vw_monthly_sales_trends")
+            )
+            bi = {
+                "bi_regional_revenue_1998": lambda: _noop(
+                    rbr.filter(F.col("order_year") == 1998)
+                ),
+                "bi_top_platinum_clv": lambda: _noop(
+                    clv.filter(F.col("value_tier") == "Platinum")
+                    .select(
+                        "customer_name", "estimated_3yr_clv", "customer_segment"
+                    )
+                    .orderBy(F.col("estimated_3yr_clv").desc())
+                    .limit(20)
+                ),
+                "bi_strategic_suppliers": lambda: _noop(
+                    spf.filter(
+                        F.col("supplier_tier") == "Tier 1 - Strategic"
+                    ).select(
+                        "supplier_name",
+                        "supplier_region",
+                        "performance_score",
+                        "on_time_delivery_rate",
+                    )
+                ),
+                "bi_monthly_trend_series": lambda: _noop(
+                    mst.select(
+                        "order_year",
+                        "order_month",
+                        "total_revenue",
+                        "revenue_3mo_moving_avg",
+                        "mom_revenue_growth_pct",
+                    )
+                ),
+            }
+            for name, fn in bi.items():
+                t0 = time.time()
+                fn()
+                sec = time.time() - t0
+                if not warm:
+                    record(name, sec)
+                    rep_total += sec
+        if not warm:
+            headline_totals.append(round(rep_total, 3))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -282,80 +441,8 @@ def main() -> None:
     # steady-state cost — including it would structurally inflate
     # noise_band past the <=15% regression bar it exists to enforce.
     headline_totals: list[float] = []
-    for _rep in range(REPS + 1):
-        warm = _rep == 0
-        rep_total = 0.0
-        with tempfile.TemporaryDirectory() as tmp:
-            cfg = LakehouseConfig.from_env_file(
-                sf_dir=sf_dir, warehouse_dir=os.path.join(tmp, "warehouse")
-            )
 
-            t0 = time.time()
-            sales = run_sales_analytics(spark, cfg)
-            sec = time.time() - t0
-            if not warm:
-                record("pipeline_sales", sec)
-                rep_total += sec
-                for stage, res in sales.items():
-                    record(f"sales.{stage}", res["elapsed"])
-
-            t0 = time.time()
-            supplier = run_supplier_analytics(spark, cfg)
-            sec = time.time() - t0
-            if not warm:
-                record("pipeline_supplier", sec)
-                rep_total += sec
-                for stage, res in supplier.items():
-                    record(f"supplier.{stage}", res["elapsed"])
-
-            # README BI queries over the materialized gold views
-            clv = spark.read.parquet(
-                cfg.table_path("views", "vw_customer_lifetime_value")
-            )
-            rbr = spark.read.parquet(cfg.table_path("views", "vw_revenue_by_region"))
-            spf = spark.read.parquet(
-                cfg.table_path("views", "vw_supplier_performance")
-            )
-            mst = spark.read.parquet(
-                cfg.table_path("views", "vw_monthly_sales_trends")
-            )
-            bi = {
-                "bi_regional_revenue_1998": lambda: _noop(
-                    rbr.filter(F.col("order_year") == 1998)
-                ),
-                "bi_top_platinum_clv": lambda: _noop(
-                    clv.filter(F.col("value_tier") == "Platinum")
-                    .select("customer_name", "estimated_3yr_clv", "customer_segment")
-                    .orderBy(F.col("estimated_3yr_clv").desc())
-                    .limit(20)
-                ),
-                "bi_strategic_suppliers": lambda: _noop(
-                    spf.filter(F.col("supplier_tier") == "Tier 1 - Strategic").select(
-                        "supplier_name",
-                        "supplier_region",
-                        "performance_score",
-                        "on_time_delivery_rate",
-                    )
-                ),
-                "bi_monthly_trend_series": lambda: _noop(
-                    mst.select(
-                        "order_year",
-                        "order_month",
-                        "total_revenue",
-                        "revenue_3mo_moving_avg",
-                        "mom_revenue_growth_pct",
-                    )
-                ),
-            }
-            for name, fn in bi.items():
-                t0 = time.time()
-                fn()
-                sec = time.time() - t0
-                if not warm:
-                    record(name, sec)
-                    rep_total += sec
-        if not warm:
-            headline_totals.append(round(rep_total, 3))
+    run_headline_band(spark, sf_dir, record, headline_totals)
 
     # Extension operators (LLM-data + streaming-batch) — timed for the
     # record but kept out of the headline total so `value` stays comparable
@@ -693,13 +780,35 @@ def main() -> None:
     # cached blocks/GC state contaminate the probe, so it must see the
     # machine, not the session (first two r11 runs; BASELINE.md r11)
     spark.stop()
+
+    # once-key spread (VERDICT r12 #2): re-pay the build chain in fresh
+    # sessions; each once key becomes the median of [main, fresh...] so a
+    # single drifted window can't stand as THE build number. All samples
+    # ship in BENCH_DETAIL.once_samples.
+    once_samples = {k: [v] for k, v in once.items() if k in dict(ONCE_CHAIN)}
+    for _ in range(ONCE_REPEATS):
+        for k, v in _repeat_once_chain(sf_dir).items():
+            once_samples.setdefault(k, []).append(v)
+    for k, vals in once_samples.items():
+        once[k] = round(statistics.median(vals), 3)
+
     spark2 = build_spark(app_name="dbx-lakehouse-bench-calib")
     spark2.sparkContext.setLogLevel("ERROR")
     spark2.range(1_000_000).select("id").summary("count").collect()
     calib_end = _calibration_probe(spark2)
-    spark2.stop()
     once["calibration_end_sec"] = calib_end
     calibration = round(statistics.median([calib_start, calib_end]), 3)
+    contaminated = not (0.8 <= calibration / CALIB_REF_SEC <= 1.3)
+    band_reruns = 0
+    if contaminated and REPS > 1:
+        # self-repeat the headline band ONCE before committing the number
+        # (VERDICT r12 #2: r12's driver run shipped a 0.319 noise band
+        # with the contamination flag set and nothing acted on it). The
+        # rerun lands in this fresh session; medians then cover both
+        # windows and the widened noise_band records the disagreement.
+        run_headline_band(spark2, sf_dir, record, headline_totals)
+        band_reruns = 1
+    spark2.stop()
 
     timings = {k: round(statistics.median(v), 3) for k, v in samples.items()}
     timings.update(once)
@@ -726,6 +835,11 @@ def main() -> None:
                 "noise_band": noise_band,
                 # setup-dominated keys a round-over-round diff must skip
                 "one_time": sorted(once),
+                # per-key [main-session, fresh-session...] build readings
+                # behind the once.* medians (VERDICT r12 #2)
+                "once_samples": once_samples,
+                "once_repeats": ONCE_REPEATS,
+                "band_reruns": band_reruns,
             },
             fh,
             indent=1,
@@ -757,7 +871,10 @@ def main() -> None:
         # IN the JSON so a round-over-round reader can't misuse the ratio.
         "calibration_sec": calibration,
         "calibration_ratio": round(calibration / CALIB_REF_SEC, 3),
-        "calibration_contaminated": not (0.8 <= calibration / CALIB_REF_SEC <= 1.3),
+        "calibration_contaminated": contaminated,
+        # a contaminated run re-runs the headline band once in the fresh
+        # end-probe session; medians/noise_band then span both windows
+        "band_reruns": band_reruns,
         "calibration_note": (
             "drift flag only, NOT a scale factor: probe is CPU-bound,"
             " headline is I/O-mixed (measured headline sensitivity ~0.1x"
