@@ -751,6 +751,11 @@ def apply_curation_docs(spark: SparkSession, root: str, docs: DataFrame) -> None
         ["source", "lang"],
         ["n_pass_gopher", "n_admitted"],
     )
+    # curation roots are never adopt_token_stats targets today, so this is
+    # a dict-lookup no-op — but the r12 #1 invariant is that EVERY merge
+    # path that rewrites a root re-seeds, in the callee, so expanding the
+    # adopted slot set can never reintroduce a dangling-frame crash
+    _reseed_if_adopted(spark, root)
 
 
 def curate_rollup(spark: SparkSession, root: str) -> DataFrame:
