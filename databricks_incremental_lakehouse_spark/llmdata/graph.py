@@ -71,10 +71,24 @@ def pagerank_from_pairs(pairs: DataFrame) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_d = edges.join(deg, "src")
+    # pin the two loop-invariant frames once, PRE-PARTITIONED on their
+    # iteration join keys (r13 optimization, guide §2.4): the statically
+    # unrolled plan otherwise re-plans the edges⋈deg and nodes×n subtrees
+    # inside every iteration — 80 Exchanges / 30 SortMergeJoins at 5
+    # iterations (plans/r13/graph_pagerank_before.txt). localCheckpoint
+    # preserves the hash partitioning, so each iteration now pays only the
+    # rank-vector exchange + the contribution aggregate, not a rebuild of
+    # the invariants. Values are untouched (exact integer fixed-point).
+    edges_d = (
+        edges.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+    )
     nodes = deg.select(F.col("src").alias("doc_id"))
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    base = nodes.crossJoin(F.broadcast(nn))
+    base = (
+        nodes.crossJoin(F.broadcast(nn))
+        .repartition("doc_id")
+        .localCheckpoint(eager=True)
+    )
     pr = base.select(
         "doc_id", "n", F.expr(f"{PR_SCALE} div n").cast("long").alias("pr")
     )
