@@ -889,11 +889,21 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lead("token", i).over(wdoc) for i in range(1, SPAN_WINDOW)],
     )
     tail = F.lead("token", SPAN_WINDOW - 1).over(wdoc)
+    # pin the windowed token stream once (r13 optimization, guide §2.4):
+    # it feeds BOTH the document-frequency aggregate and the flagged-
+    # window semi-join below, and without the checkpoint the plan
+    # recomputes the whole tokenize + posexplode + hash(doc_id) shuffle +
+    # per-doc sort subtree per consumer (two corpus passes —
+    # plans/r13/dedup_substring_spans_before.txt Scan(1)..Window(5) vs
+    # Scan(8)..Window(12), zero ReusedExchange because one side ends in
+    # a BroadcastExchange). One pass + local-block reads is strictly
+    # cheaper at any scale.
     wins = (
         tok.withColumn("wh", hash60(win_text))
         .withColumn("_full", tail.isNotNull())
         .filter(F.col("_full"))
         .select("doc_id", (F.col("p") + 1).alias("pos"), "wh")
+        .localCheckpoint(eager=True)
     )
     flagged = (
         wins.groupBy("wh")
@@ -992,6 +1002,11 @@ def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_full", tail.isNotNull())
         .filter(F.col("_full"))
         .select("doc_id", F.col("p").alias("pos"), "wh")
+        # pinned once: feeds both the canonical-occurrence aggregate and
+        # the non-canonical join below — without this the tokenize +
+        # explode + shuffle + per-doc window subtree runs once per
+        # consumer (same r13 finding as dedup_substring_spans)
+        .localCheckpoint(eager=True)
     )
     # repeated windows + their canonical (first) occurrence
     canon = (

@@ -85,6 +85,22 @@ def build_spark(
         # Keep stdout clean: bench.py's machine-readable tail line must not
         # compete with progress-bar redraws in the consumer's buffer.
         .config("spark.ui.showConsoleProgress", "false")
+        # FileOutputCommitter v2: task outputs move to the destination at
+        # TASK commit (parallel) instead of a sequential driver-side rename
+        # pass at JOB commit. Safe for this engine because every write
+        # target is private-then-published: merge targets write to a
+        # ._staging dir that is atomically swapped only after the job
+        # succeeds, pipeline warehouses are fresh per-run dirs, and
+        # changelog commits publish by rename after _SUCCESS — so v2's
+        # weaker job-abort cleanup can never expose partial output to a
+        # reader. Interleaved A/B at sf0.1 (r13, 5 pairs): sales pipeline
+        # 7.62 -> 7.33s, incremental update cycle 6.03 -> 5.70s (v2 faster
+        # in 4/5 pairs on both). On cloud object stores a deployment would
+        # use a manifest committer instead — hence the env dial.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            os.environ.get("SPARK_GRAFT_COMMITTER_V", "2"),
+        )
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
