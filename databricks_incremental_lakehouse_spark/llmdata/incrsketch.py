@@ -108,6 +108,12 @@ def apply_event_batch(spark: SparkSession, root: str, events: DataFrame) -> None
                     "m_j", F.greatest(F.col("m_j"), F.coalesce("m_stored", "m_j"))
                 )
                 .drop("m_stored")
+                # update path: pin the folded registers once — merge_upsert
+                # references its updates frame several times (r13
+                # attribution) and this lineage re-aggregates the event
+                # batch per reference; the register table is bounded
+                # (n_types x 512 rows), so the pin is O(1) storage
+                .localCheckpoint(eager=True)
             )
         merge_upsert(
             spark,

@@ -403,10 +403,22 @@ def apply_doc_updates(
     p = _paths(root)
     scope = docs.select("doc_id")
 
+    # On the UPDATE path (target exists), pin the computed change frames:
+    # merge_upsert executes its updates frame several times (touched-bucket
+    # collect, changelog insert/pre/post pieces, staging write — r13
+    # attribution), and _doc_tf/_doc_bigrams are tokenize+aggregate passes
+    # over the batch, so unpinned they re-ran per reference. The INITIAL
+    # load skips the pin: there updates is the full base corpus and the
+    # initial merge references it once — a checkpoint would just write the
+    # whole postings image to local storage twice.
+    _upd_pin = (lambda df: df.localCheckpoint(eager=True)) if os.path.isdir(
+        p["postings"]
+    ) else (lambda df: df)
+
     def _postings_chain() -> None:
         merge_upsert(
             spark,
-            _doc_tf(docs),
+            _upd_pin(_doc_tf(docs)),
             p["postings"],
             keys=["doc_id", "token"],
             bucket_keys=["doc_id"],
@@ -432,7 +444,7 @@ def apply_doc_updates(
     def _bigrams_chain() -> None:
         merge_upsert(
             spark,
-            _doc_bigrams(docs),
+            _upd_pin(_doc_bigrams(docs)),
             p["bigrams"],
             keys=["doc_id", "w1", "w2"],
             bucket_keys=["doc_id"],
@@ -735,6 +747,11 @@ def apply_curation_docs(spark: SparkSession, root: str, docs: DataFrame) -> None
         F.col("pass_gopher").cast("long").alias("n_pass_gopher"),
         F.col("admitted").cast("long").alias("n_admitted"),
     )
+    if os.path.isdir(p["doc_flags"]):
+        # update path: pin the computed gate frame once — merge_upsert
+        # references its updates several times (same r13 attribution as
+        # apply_doc_updates); the initial full load stays unpinned
+        flags = flags.localCheckpoint(eager=True)
     merge_upsert(
         spark,
         flags,

@@ -603,9 +603,13 @@ def apply_order_updates(
         def _monthly_merge() -> None:
             if month_prep is None:
                 return
+            # pinned: merge_upsert executes its updates frame several
+            # times (touched-bucket collect, changelog pieces, staging
+            # write — r13 attribution), so a COMPUTED update frame pays
+            # its aggregation once here instead of per reference
             merge_upsert(
                 spark,
-                monthly_sales_base(month_prep),
+                monthly_sales_base(month_prep).localCheckpoint(eager=True),
                 wh.gold_monthly_base,
                 keys=["order_year", "order_month"],
                 scope=months_df,
@@ -634,12 +638,19 @@ def apply_order_updates(
             cust_df.select(F.col("customer_key").alias("o_custkey")),
             "o_custkey",
         )
+        # pinned (r13): merge_upsert references its updates frame ~4-5
+        # times (touched-bucket collect, the changelog's insert/pre/post
+        # pieces, the staging write), and base_new is a REAL multi-join
+        # aggregation over the pruned buckets — unpinned it re-executed
+        # per reference (the 3.3s customer-base merge was the update
+        # cycle's single largest tracked step). One execution + pinned
+        # blocks now; O(changed customers) storage.
         base_new = customer_orders_base(
             custs,
             ords,
             read_merge_target(spark, wh.bronze("nation")),
             read_merge_target(spark, wh.bronze("region")),
-        )
+        ).localCheckpoint(eager=True)
         merge_upsert(
             spark,
             base_new,
