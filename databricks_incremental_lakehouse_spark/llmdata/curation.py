@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..pinning import pin
 
 from ..operators import round_dbl, round_dbl_sql
 from ..tables import load_table
@@ -103,13 +104,13 @@ def edge_incident_labels(pairs: DataFrame) -> DataFrame:
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")
         .repartition("dst")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("canonical_id"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     for _ in range(MAX_CC_ITERS):
         nbr_min = (
@@ -133,7 +134,7 @@ def edge_incident_labels(pairs: DataFrame) -> DataFrame:
                 ).alias("canonical_id"),
                 (F.col("nbr_min") < F.col("canonical_id")).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         changed = new_labels.filter("_chg").limit(1).count()
         labels = new_labels.drop("_chg")

@@ -34,6 +34,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..pinning import pin
 
 from ..memo import shared_frame
 from ..operators import round_dbl
@@ -266,7 +267,17 @@ def dedup_ngram_jaccard(
     identical to deriving it here."""
     if shingles_ex is None:
         shingles_ex = doc_shingles_ex(spark, sf_dir)
-    pairs = _pair_counts(_shingles(shingles_ex=shingles_ex))
+    return _jaccard_from_counts(_shingles(shingles_ex=shingles_ex), threshold)
+
+
+def _jaccard_from_counts(
+    sh: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact-Jaccard pairs from an inverted-index frame that ALREADY
+    carries the per-doc size column (doc_id, shingle, n_shingles) — e.g.
+    the maintained shingle store read back from parquet, which skips the
+    per-doc window count a fresh derivation would pay (incrdedup)."""
+    pairs = _pair_counts(sh)
     jac = F.col("n_common") / (
         F.col("size_a") + F.col("size_b") - F.col("n_common")
     ).cast("double")
@@ -896,14 +907,18 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc sort subtree per consumer (two corpus passes —
     # plans/r13/dedup_substring_spans_before.txt Scan(1)..Window(5) vs
     # Scan(8)..Window(12), zero ReusedExchange because one side ends in
-    # a BroadcastExchange). One pass + local-block reads is strictly
-    # cheaper at any scale.
+    # a BroadcastExchange). The pin stores one row per corpus token
+    # position for the query's duration, so it trades the second scan
+    # pass for corpus-scale pinned storage — cheaper here and at 10x
+    # (measured), with disk spill (MEMORY_AND_DISK-class block storage /
+    # the SPARK_GRAFT_PIN=checkpoint dial) as the escape hatch at
+    # corpora where that frame outgrows executor storage.
     wins = (
         tok.withColumn("wh", hash60(win_text))
         .withColumn("_full", tail.isNotNull())
         .filter(F.col("_full"))
         .select("doc_id", (F.col("p") + 1).alias("pos"), "wh")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     flagged = (
         wins.groupBy("wh")
@@ -1006,7 +1021,7 @@ def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the non-canonical join below — without this the tokenize +
         # explode + shuffle + per-doc window subtree runs once per
         # consumer (same r13 finding as dedup_substring_spans)
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # repeated windows + their canonical (first) occurrence
     canon = (

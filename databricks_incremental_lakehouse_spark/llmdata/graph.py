@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..pinning import pin
 
 from ..tables import load_table
 from .dedup import DEDUP_NGRAM_ORACLE, dedup_ngram_jaccard
@@ -68,7 +69,7 @@ def pagerank_from_pairs(pairs: DataFrame) -> DataFrame:
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # pin the two loop-invariant frames once, PRE-PARTITIONED on their
@@ -80,14 +81,14 @@ def pagerank_from_pairs(pairs: DataFrame) -> DataFrame:
     # rank-vector exchange + the contribution aggregate, not a rebuild of
     # the invariants. Values are untouched (exact integer fixed-point).
     edges_d = (
-        edges.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+        edges.join(deg, "src").repartition("src").transform(pin)
     )
     nodes = deg.select(F.col("src").alias("doc_id"))
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     base = (
         nodes.crossJoin(F.broadcast(nn))
         .repartition("doc_id")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     pr = base.select(
         "doc_id", "n", F.expr(f"{PR_SCALE} div n").cast("long").alias("pr")
@@ -226,12 +227,12 @@ def dedup_canonical_selection(
     ex = (
         shingles_ex
         if shingles_ex is not None
-        else _exploded_shingles(docs).localCheckpoint(eager=True)
+        else _exploded_shingles(docs).transform(pin)
     )
     exact_pairs = (
         dedup_ngram_jaccard(spark, sf_dir, shingles_ex=ex)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     paired_docs = (
         exact_pairs.select(F.col("doc_a").alias("doc_id"))

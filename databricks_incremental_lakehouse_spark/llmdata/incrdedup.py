@@ -50,6 +50,7 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..pinning import pin
 
 from ..operators.layout import read_store_meta, write_store_meta
 from ..operators.rounding import round_dbl
@@ -59,9 +60,9 @@ from .dedup import (
     JACCARD_THRESHOLD,
     _doc_shingles,
     _exploded_shingles,
+    _jaccard_from_counts,
     _shingles,
-    dedup_minhash_lsh,
-    dedup_ngram_jaccard,
+    lsh_band_candidates,
     minhash_bands,
 )
 from .incrstats import DOC_ARRIVAL_MOD
@@ -148,7 +149,7 @@ def _dedup_band_index(
             # later batches would see these docs as index members too)
             arr_bands = (
                 _bucketed(minhash_bands(arrivals))
-                .localCheckpoint(eager=True)
+                .transform(pin)
             )
             arr_bands.write.mode("append").partitionBy("bucket").parquet(path)
             # the probe derives its pruning from this sidecar, so a later
@@ -309,9 +310,13 @@ def _exact_pair_index(
             edges_path = os.path.join(root, "base_edges")
             lsh_path = os.path.join(root, "base_lsh_edges")
             cc_path = os.path.join(root, "base_cc_labels")
-            base_ex = _exploded_shingles(base)
+            # ONE tokenize pass over the base corpus (r14, guide §2.4 /
+            # §3.3): the shingle store is written first, and every other
+            # init product derives from the READ-BACK of that store —
+            # the r13 shape re-derived the tokenize+posexplode+window
+            # subtree three times (store write, exact edges, LSH edges).
             (
-                _shingles(shingles_ex=base_ex)
+                _shingles(shingles_ex=_exploded_shingles(base))
                 .withColumn(
                     "bucket",
                     F.pmod(F.xxhash64("shingle"), F.lit(NUM_INDEX_BUCKETS)),
@@ -322,14 +327,38 @@ def _exact_pair_index(
             write_store_meta(
                 sh_path, num_buckets=NUM_INDEX_BUCKETS, key_col="shingle"
             )
+            stored = spark.read.parquet(sh_path).select(
+                "doc_id", "shingle", "n_shingles"
+            )
             # base-base edges: both docs' full shingle sets live in the
             # base corpus, so this equals the full-corpus pair set
-            # restricted to base pairs — the partition the probe completes
-            dedup_ngram_jaccard(spark, sf_dir, shingles_ex=base_ex).select(
-                "doc_a", "doc_b"
-            ).write.parquet(edges_path)
-            dedup_minhash_lsh(spark, sf_dir, shingles_ex=base_ex).select(
-                "doc_a", "doc_b"
+            # restricted to base pairs — the partition the probe
+            # completes. The stored inverted index already carries
+            # n_shingles, so the jaccard derives directly from it.
+            _jaccard_from_counts(stored).select("doc_a", "doc_b").write.parquet(
+                edges_path
+            )
+            base_edges = spark.read.parquet(edges_path)
+            # base LSH edges via the exact∩band identity (the
+            # dedup_canonical_selection argument, oracle-checked there):
+            # every LSH-verified pair passes the same >=0.8 exact-Jaccard
+            # bar, so LSH = exact_pairs ∩ band_candidates, and signatures
+            # are only needed for docs that appear in an exact pair — a
+            # broadcast semi-join slice of the stored shingles instead of
+            # the full-corpus 16-seed signature aggregate + per-candidate
+            # array_intersect verify the r13 init paid.
+            paired_docs = (
+                base_edges.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(base_edges.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+            )
+            ex_paired = stored.select("doc_id", "shingle").join(
+                F.broadcast(paired_docs), "doc_id", "left_semi"
+            )
+            base_edges.join(
+                lsh_band_candidates(shingles_ex=ex_paired),
+                ["doc_a", "doc_b"],
+                "left_semi",
             ).write.parquet(lsh_path)
             # settle the base graph's component labels ONCE at init (read
             # back from the just-written edges — no pipeline re-run); the
@@ -341,7 +370,7 @@ def _exact_pair_index(
             )
             arr_sh = _shingles(
                 shingles_ex=_exploded_shingles(arrivals)
-            ).localCheckpoint(eager=True)
+            ).transform(pin)
             (
                 arr_sh.withColumn(
                     "bucket",
@@ -461,7 +490,7 @@ def maintained_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_new = (
         dedup_minhash_append(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)  # one probe run feeds both collects
+        .transform(pin)  # one probe run feeds both collects
     )
     lab_a = base_labels.select(
         F.col("doc_id").alias("doc_a"), F.col("canonical_id").alias("la")
@@ -594,7 +623,7 @@ def _sem_append_index(
             ).parquet(path)
             arr_probes = _assign_topk(
                 arrivals, cent_rows, SEMDEDUP_PROBE
-            ).localCheckpoint(eager=True)
+            ).transform(pin)
             arr_probes.write.mode("append").partitionBy("cl").parquet(path)
             got = (cent_rows, path, arr_probes)
             _SEM_MEMO[(skey, sf_dir)] = got

@@ -36,6 +36,7 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..pinning import pin
 
 from ..operators.rounding import round_dbl_sql
 from ..streaming.incremental import merge_upsert, read_merge_target
@@ -113,7 +114,7 @@ def apply_event_batch(spark: SparkSession, root: str, events: DataFrame) -> None
                 # attribution) and this lineage re-aggregates the event
                 # batch per reference; the register table is bounded
                 # (n_types x 512 rows), so the pin is O(1) storage
-                .localCheckpoint(eager=True)
+                .transform(pin)
             )
         merge_upsert(
             spark,
@@ -195,7 +196,7 @@ def incremental_hll_stream(
         if batch_df.isEmpty():
             return
         apply_event_batch(
-            batch_df.sparkSession, root, batch_df.localCheckpoint(eager=True)
+            batch_df.sparkSession, root, batch_df.transform(pin)
         )
 
     writer = (

@@ -50,6 +50,7 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..pinning import pin
 
 from ..streaming.incremental import (
     _committed_dirs,
@@ -151,23 +152,39 @@ def _reseed_if_adopted(spark: SparkSession, root: str) -> None:
         adopt_token_stats(spark, sf_dir, root)
 
 
-def _doc_tf(docs: DataFrame) -> DataFrame:
+def _doc_toks(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks) — ONE tokenize pass over a document frame, shared
+    by the tf and bigram lineages (r14, guide §2.4: the two merge chains
+    each re-tokenized the same batch)."""
+    return docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+
+
+def _doc_tf(
+    docs: DataFrame | None = None, toks: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, token, tf) — the tokmemo ``doc_token_tf`` lineage over an
-    arbitrary document frame (NULL text contributes zero rows)."""
+    arbitrary document frame (NULL text contributes zero rows). ``toks``
+    optionally supplies a precomputed/pinned :func:`_doc_toks` frame."""
+    if toks is None:
+        toks = _doc_toks(docs)
     return (
-        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+        toks.select("doc_id", F.explode("toks").alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
 
 
-def _doc_bigrams(docs: DataFrame) -> DataFrame:
+def _doc_bigrams(
+    docs: DataFrame | None = None, toks: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, w1, w2, n) — adjacent-pair counts per document, formed
     shuffle-free from the token array (the tokmemo ``doc_bigrams``
-    lineage, pre-aggregated to the keyed grain the merge table needs)."""
+    lineage, pre-aggregated to the keyed grain the merge table needs).
+    Source selection as in :func:`_doc_tf`."""
+    if toks is None:
+        toks = _doc_toks(docs)
     return (
-        docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
-        .filter(F.size("toks") >= 2)
+        toks.filter(F.size("toks") >= 2)
         .select(
             "doc_id",
             F.explode(
@@ -410,15 +427,24 @@ def apply_doc_updates(
     # over the batch, so unpinned they re-ran per reference. The INITIAL
     # load skips the pin: there updates is the full base corpus and the
     # initial merge references it once — a checkpoint would just write the
-    # whole postings image to local storage twice.
-    _upd_pin = (lambda df: df.localCheckpoint(eager=True)) if os.path.isdir(
-        p["postings"]
-    ) else (lambda df: df)
+    # whole postings image to local storage twice. Each chain gates on its
+    # OWN target dir (ADVICE r13): a prior interrupted run can leave
+    # postings existing while bigrams does not, and a shared gate would
+    # then pin the full initial bigrams load.
+    def _chain_pin(target_dir: str):
+        return pin if os.path.isdir(target_dir) else (lambda df: df)
+
+    # ONE tokenize pass for both chains (r14): the postings and bigrams
+    # lineages share the pinned (doc_id, toks) frame instead of each
+    # re-tokenizing ``docs``. Pinned on BOTH paths — unlike the aggregate
+    # pins above, the token frame has two consumers even on the initial
+    # load, so the pin replaces a second full corpus scan+tokenize.
+    toks = pin(_doc_toks(docs))
 
     def _postings_chain() -> None:
         merge_upsert(
             spark,
-            _upd_pin(_doc_tf(docs)),
+            _chain_pin(p["postings"])(_doc_tf(toks=toks)),
             p["postings"],
             keys=["doc_id", "token"],
             bucket_keys=["doc_id"],
@@ -444,7 +470,7 @@ def apply_doc_updates(
     def _bigrams_chain() -> None:
         merge_upsert(
             spark,
-            _upd_pin(_doc_bigrams(docs)),
+            _chain_pin(p["bigrams"])(_doc_bigrams(toks=toks)),
             p["bigrams"],
             keys=["doc_id", "w1", "w2"],
             bucket_keys=["doc_id"],
@@ -655,7 +681,7 @@ def incremental_token_stats_stream(
         if batch_df.isEmpty():
             return
         apply_doc_updates(
-            batch_df.sparkSession, root, batch_df.localCheckpoint(eager=True)
+            batch_df.sparkSession, root, batch_df.transform(pin)
         )
 
     writer = (
@@ -703,7 +729,7 @@ def _curation_flags(spark: SparkSession, root: str, docs: DataFrame) -> DataFram
             ),
             "doc_id",
         )
-    ).localCheckpoint(eager=True)  # gate once; consumed by merge + flags
+    ).transform(pin)  # gate once; consumed by merge + flags
     merge_upsert(
         spark,
         flagged.filter(F.col("pass_gopher")).select(
@@ -751,7 +777,7 @@ def apply_curation_docs(spark: SparkSession, root: str, docs: DataFrame) -> None
         # update path: pin the computed gate frame once — merge_upsert
         # references its updates several times (same r13 attribution as
         # apply_doc_updates); the initial full load stays unpinned
-        flags = flags.localCheckpoint(eager=True)
+        flags = flags.transform(pin)
     merge_upsert(
         spark,
         flags,

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..pinning import pin
 
 from ..operators import round_dbl
 from .similarity import (
@@ -173,7 +174,7 @@ def _train_pq(sub: DataFrame) -> tuple[list, DataFrame]:
                 sub, ["vec_id", "m"]
             ).select("vec_id", "m", "cl", "sv")
         cb = _centroids(assigned)
-        codes = _assign_codes(sub, cb).localCheckpoint(eager=True)
+        codes = _assign_codes(sub, cb).transform(pin)
     finally:
         try:
             sub.unpersist()

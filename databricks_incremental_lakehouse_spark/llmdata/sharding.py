@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..pinning import pin
 
 from ..tables import load_table
 from .texthash import hash60, hash60_sql
@@ -93,7 +94,7 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("quality_score").isNotNull() & F.col("n_tokens").isNotNull()
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     qrows = sorted(
         ts.groupBy("quality_score")

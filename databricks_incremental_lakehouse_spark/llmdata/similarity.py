@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..pinning import pin
 
 from ..operators import round_dbl
 from ..tables import load_table
@@ -259,7 +260,7 @@ def _calibrate_store_nprobe(
         .orderBy("neighbor_id")
         .limit(CALIB_MAX_QUERIES)
         .select(F.col("neighbor_id").alias("query_id"), F.col("v").alias("qv"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
 
     def _topk(pairs: DataFrame) -> set:

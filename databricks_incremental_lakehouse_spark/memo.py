@@ -43,6 +43,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
+from .pinning import pin
 
 _MEMO: dict[tuple, DataFrame] = {}
 # RLock, NOT Lock: builders nest (silver_order_details' build lambda calls
@@ -92,7 +93,7 @@ def shared_frame(
         if df is None:
             df = build()
             if checkpoint:
-                df = df.localCheckpoint(eager=True)
+                df = df.transform(pin)
             else:
                 df = df.persist(StorageLevel.MEMORY_AND_DISK)
             _MEMO[full_key] = df

@@ -87,13 +87,23 @@ def build_spark(
         .config("spark.ui.showConsoleProgress", "false")
         # FileOutputCommitter v2: task outputs move to the destination at
         # TASK commit (parallel) instead of a sequential driver-side rename
-        # pass at JOB commit. Safe for this engine because every write
-        # target is private-then-published: merge targets write to a
-        # ._staging dir that is atomically swapped only after the job
-        # succeeds, pipeline warehouses are fresh per-run dirs, and
-        # changelog commits publish by rename after _SUCCESS — so v2's
-        # weaker job-abort cleanup can never expose partial output to a
-        # reader. Interleaved A/B at sf0.1 (r13, 5 pairs): sales pipeline
+        # pass at JOB commit. Safe for this engine because the write
+        # targets are almost all private-then-published: merge targets
+        # write to a ._staging dir that is atomically swapped only after
+        # the job succeeds, pipeline warehouses are fresh per-run dirs,
+        # and changelog commits publish by rename after _SUCCESS — so
+        # v2's weaker job-abort cleanup cannot expose partial output to a
+        # reader there. Known exceptions (ADVICE r13): the near-dup
+        # registry's dups_path audit append
+        # (streaming/incremental.py _admit) and the small gold overwrite
+        # rewrites (streaming/refresh.py _rewrite_trends /
+        # _rewrite_customer_orders) write into live read paths — under v2
+        # a mid-JOB crash can leave partially-committed task files
+        # visible there until the stream replays / refresh re-runs (v1
+        # left nothing visible). Both are derived/audit outputs rebuilt
+        # by the next cycle, so the crash window is accepted locally; a
+        # deployment that cannot accept it sets SPARK_GRAFT_COMMITTER_V=1.
+        # Interleaved A/B at sf0.1 (r13, 5 pairs): sales pipeline
         # 7.62 -> 7.33s, incremental update cycle 6.03 -> 5.70s (v2 faster
         # in 4/5 pairs on both). On cloud object stores a deployment would
         # use a manifest committer instead — hence the env dial.
@@ -101,8 +111,31 @@ def build_spark(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
             os.environ.get("SPARK_GRAFT_COMMITTER_V", "2"),
         )
+        # Streaming state-store provider dial (VERDICT r13 #4). Default
+        # stays Spark's HDFS-backed in-memory provider: the drain A/B at
+        # sf0.1 (scripts/drain_ab_r14.py, alternating fresh processes)
+        # measured RocksDB slower on every drain key locally — the JNI +
+        # per-batch snapshot overhead dwarfs these small states. On a
+        # real deployment with large/long-lived state (multi-GB dedup
+        # horizons), RocksDB bounds executor memory instead of OOMing:
+        # flip SPARK_GRAFT_STATESTORE=rocksdb there.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            {
+                "hdfs": "org.apache.spark.sql.execution.streaming.state."
+                "HDFSBackedStateStoreProvider",
+                "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            }[os.environ.get("SPARK_GRAFT_STATESTORE", "hdfs")],
+        )
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
+    # reliable-checkpoint storage for the pin dial (pinning.py):
+    # SPARK_GRAFT_PIN=checkpoint routes every lineage pin through
+    # sc.checkpoint, which needs a (cluster-visible) directory.
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
     return apply_runtime_confs(spark)

@@ -39,6 +39,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from ..pinning import pin
 
 from ..operators import dedup_latest
 
@@ -700,6 +701,17 @@ def merge_upsert(
         if partition_scope:
             for col, vals in partition_scope.items():
                 current = current.filter(F.col(col).isin(list(vals)))
+        if changelog_dir is not None or (evolved_cols and on_match == "update"):
+            # Pin the touched-bucket read (VERDICT r13 #1, guide §5): on a
+            # changelog-bearing merge `current` is executed TWICE — once by
+            # the change-commit write (the insert/preimage/postimage/delete
+            # pieces all derive from it) and again by the staging write of
+            # `merged` — and a third time when evolved columns inherit
+            # stored values. One materialization of O(touched buckets)
+            # rows ends the re-scan; without a changelog (and no
+            # inheritance) `current` feeds exactly one write and the pin
+            # would be pure overhead, so it stays lazy there.
+            current = pin(current)
         if evolved_cols and on_match == "update":
             # Delta's UPDATE SET * preserves target-only columns on matched
             # rows: a source that never learned about an evolved column
@@ -993,7 +1005,7 @@ def apply_cdf_delta(
                 for c in sum_cols
             ],
         )
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     sess = batch_df.sparkSession
     # an existing TABLE is one with a merge sidecar or parquet data — a
     # directory holding only auxiliary files (e.g. the fold watermark's
@@ -1050,6 +1062,11 @@ def apply_cdf_delta(
     for c in group_cols[1:]:
         cond = cond & F.col(c).eqNullSafe(F.col(f"_g_{c}"))
     joined = current.join(delta_r, cond, "full_outer")
+    # pinned (r14, the c5e81e1 discipline): `new` is a COMPUTED frame —
+    # bucket-pruned stored-totals read + full-outer join — and the merge
+    # below executes its updates twice (touched-bucket collect, staging
+    # write). O(touched groups) rows; one execution instead of two per
+    # fold, across every stats/sketch/rollup fold in the warehouse.
     new = joined.select(
         *[
             F.coalesce(F.col(c), F.col(f"_g_{c}")).alias(c)
@@ -1066,7 +1083,7 @@ def apply_cdf_delta(
             ).alias(f"sum_{c}")
             for c in sum_cols
         ],
-    )
+    ).transform(pin)
     merge_upsert(
         sess,
         new,
@@ -1187,7 +1204,7 @@ def incremental_minhash_registry_stream(
 
     def _admit(batch_df: DataFrame, _batch_no: int) -> None:
         sess = batch_df.sparkSession
-        bands = minhash_bands(batch_df).localCheckpoint(eager=True)
+        bands = minhash_bands(batch_df).transform(pin)
         matches = []
         if os.path.isdir(registry_path):
             meta = _read_meta(registry_path)
@@ -1233,7 +1250,7 @@ def incremental_minhash_registry_stream(
                 F.min("matched_doc_id").alias("matched_doc_id"),
                 F.count(F.lit(1)).alias("n_band_matches"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         if flagged.count() > 0:
             flagged.write.mode("append").parquet(dups_path)

@@ -35,6 +35,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..pinning import pin
 
 from ..bronze import (
     bronze_customers,
@@ -353,7 +354,7 @@ def apply_order_updates(
     changed = (
         reduce(DataFrame.unionByName, changed_parts)
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
         if changed_parts
         else None
     )
@@ -393,7 +394,7 @@ def apply_order_updates(
                 "o_orderkey",
             )
             .select("o_custkey", "o_orderkey")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
 
     old_months: list = []
@@ -411,7 +412,7 @@ def apply_order_updates(
             prep_ex.submit(
                 lambda: bronze_orders(
                     spark, "", batch_id, raw=orders_updates
-                ).localCheckpoint(eager=True)
+                ).transform(pin)
             )
             if orders_updates is not None
             else None
@@ -420,7 +421,7 @@ def apply_order_updates(
             prep_ex.submit(
                 lambda: bronze_lineitem(
                     spark, "", batch_id, raw=lineitem_updates
-                ).localCheckpoint(eager=True)
+                ).transform(pin)
             )
             if lineitem_updates is not None
             else None
@@ -429,7 +430,7 @@ def apply_order_updates(
             prep_ex.submit(
                 lambda: bronze_customers(
                     spark, "", batch_id, raw=customers_updates
-                ).localCheckpoint(eager=True)
+                ).transform(pin)
             )
             if customers_updates is not None
             else None
@@ -546,7 +547,7 @@ def apply_order_updates(
             orders=orders_new,
             lineitem=lines_new,
             parts=read_merge_target(spark, wh.bronze("parts")),
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
         new_months = [
             (r["order_year"], r["order_month"])
             for r in new_silver.select("order_year", "order_month")
@@ -586,7 +587,7 @@ def apply_order_updates(
                 )
             )
             month_prep = pre_rows.unionByName(new_silver.drop(BUCKET_COL))
-            month_prep = month_prep.localCheckpoint(eager=True)
+            month_prep = month_prep.transform(pin)
 
         def _silver_merge() -> None:
             merge_upsert(
@@ -609,7 +610,7 @@ def apply_order_updates(
             # its aggregation once here instead of per reference
             merge_upsert(
                 spark,
-                monthly_sales_base(month_prep).localCheckpoint(eager=True),
+                monthly_sales_base(month_prep).transform(pin),
                 wh.gold_monthly_base,
                 keys=["order_year", "order_month"],
                 scope=months_df,
@@ -650,7 +651,7 @@ def apply_order_updates(
             ords,
             read_merge_target(spark, wh.bronze("nation")),
             read_merge_target(spark, wh.bronze("region")),
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
         merge_upsert(
             spark,
             base_new,
@@ -752,9 +753,9 @@ def _replay_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(50)
             .select("o_orderkey")
         )
-        upd = raw.join(F.broadcast(keys50), "o_orderkey", "left_semi").localCheckpoint(
-            eager=True
-        )
+        upd = raw.join(
+            F.broadcast(keys50), "o_orderkey", "left_semi"
+        ).transform(pin)
         _REPLAY_BATCHES[(skey, sf_dir)] = upd
     return upd
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..pinning import pin
 
 from ..operators import round_dbl
 from ..operators.skew import SKEW_SHARE_THRESHOLD, salted_join, top_key_share
@@ -612,7 +613,7 @@ def incremental_attribution_stream(
             "ts",
             "value",
             F.col("c_campaign").alias("campaign"),
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
         # latest click per user: explicit keep-LATEST-by-ts in-batch dedup
         # (recency_col, NOT tiebreak_cols — those sort ASC = keep-earliest);
         # monotone feed => batch rows supersede stored ones. The two merges
