@@ -701,18 +701,11 @@ def merge_upsert(
         if partition_scope:
             for col, vals in partition_scope.items():
                 current = current.filter(F.col(col).isin(list(vals)))
-        if changelog_dir is not None or (evolved_cols and on_match == "update"):
-            # Pin the touched-bucket read (VERDICT r13 #1, guide §5): on a
-            # changelog-bearing merge `current` is executed TWICE — once by
-            # the change-commit write (the insert/preimage/postimage/delete
-            # pieces all derive from it) and again by the staging write of
-            # `merged` — and a third time when evolved columns inherit
-            # stored values. One materialization of O(touched buckets)
-            # rows ends the re-scan; without a changelog (and no
-            # inheritance) `current` feeds exactly one write and the pin
-            # would be pure overhead, so it stays lazy there.
-            current = pin(current)
         if evolved_cols and on_match == "update":
+            # current is referenced twice on this (rare) path — by the
+            # inherit slice below and by the merge image — so pin the
+            # touched-bucket read once
+            current = pin(current)
             # Delta's UPDATE SET * preserves target-only columns on matched
             # rows: a source that never learned about an evolved column
             # must not NULL it out on re-delivery/update. Pull the stored
@@ -732,90 +725,158 @@ def merge_upsert(
                     f"__cur_{c}"
                 )
             updates = updates.drop(*[f"__ik_{k}" for k in keys])
-        # every key-matching join below is null-safe (_ns_cond): a NULL in a
-        # merge key (legal for e.g. CDC totals grouped on a nullable column)
-        # must match its stored NULL row, or the merge both keeps the stale
-        # row and inserts the new one
-        if on_match == "keep":
-            # insert-only: stored rows win; only genuinely new keys land
-            ck = current.select(*keys)
-            new_rows = updates.join(ck, _ns_cond(updates, ck, keys), "left_anti")
-            merged = current.unionByName(new_rows)
-        else:
-            if scope is None:
-                uk = updates.select(*keys)
-                kept = current.join(uk, _ns_cond(current, uk, keys), "left_anti")
+        # every key-matching join below is null-safe: a NULL in a merge key
+        # (legal for e.g. CDC totals grouped on a nullable column) must
+        # match its stored NULL row, or the merge both keeps the stale row
+        # and inserts the new one
+        if changelog_dir is None:
+            if on_match == "keep":
+                # insert-only: stored rows win; only genuinely new keys land
+                ck = current.select(*keys)
+                new_rows = updates.join(
+                    ck, _ns_cond(updates, ck, keys), "left_anti"
+                )
+                merged = current.unionByName(new_rows)
             else:
-                sk = scope.select(*bucket_keys)
-                kept = current.join(
-                    sk, _ns_cond(current, sk, bucket_keys), "left_anti"
-                )
-            if deletes is not None:
-                dk = deletes.select(*keys)
-                kept = kept.join(dk, _ns_cond(kept, dk, keys), "left_anti")
-            merged = kept.unionByName(updates)
-
-        if changelog_dir is not None:
-            # computed (and physically written) BEFORE the swap: `current`
-            # reads the pre-merge bucket files. Costs one extra pass over
-            # the same touched buckets the merge already reads. The write
-            # lands in a hidden staging dir, published into the feed only
-            # AFTER the target swap succeeds — so the feed can never hold a
-            # commit the table did not apply, and a torn write is invisible
-            # (no rename, and reads require _SUCCESS). The residual window
-            # is the inverse: a crash between the final bucket swap and the
-            # publish loses the feed's copy of an applied commit.
-            payload = [c for c in updates.columns if c != BUCKET_COL]
-            cur_keys = current.select(*keys)
-            ins = updates.join(
-                cur_keys, _ns_cond(updates, cur_keys, keys), "left_anti"
-            )
-            pieces = [ins.select(*payload).withColumn("_op", F.lit("insert"))]
-            if on_match != "keep":
-                uk = updates.select(*keys)
-                pre = current.join(uk, _ns_cond(current, uk, keys), "left_semi")
-                pieces.append(
-                    pre.select(*payload).withColumn(
-                        "_op", F.lit("update_preimage")
+                if scope is None:
+                    uk = updates.select(*keys)
+                    kept = current.join(
+                        uk, _ns_cond(current, uk, keys), "left_anti"
                     )
-                )
-                upd = updates.join(
-                    cur_keys, _ns_cond(updates, cur_keys, keys), "left_semi"
-                )
-                pieces.append(
-                    upd.select(*payload).withColumn(
-                        "_op", F.lit("update_postimage")
-                    )
-                )
-                if scope is not None:
+                else:
                     sk = scope.select(*bucket_keys)
-                    in_scope = current.join(
-                        sk, _ns_cond(current, sk, bucket_keys), "left_semi"
-                    )
-                    uk2 = updates.select(*keys)
-                    gone = in_scope.join(
-                        uk2, _ns_cond(in_scope, uk2, keys), "left_anti"
-                    )
-                    pieces.append(
-                        gone.select(*payload).withColumn("_op", F.lit("delete"))
+                    kept = current.join(
+                        sk, _ns_cond(current, sk, bucket_keys), "left_anti"
                     )
                 if deletes is not None:
                     dk = deletes.select(*keys)
-                    hit = current.join(
-                        dk, _ns_cond(current, dk, keys), "left_semi"
+                    kept = kept.join(dk, _ns_cond(kept, dk, keys), "left_anti")
+                merged = kept.unionByName(updates)
+        else:
+            # Changelog-bearing merge: ONE null-safe full-outer join of
+            # updates vs the touched stored rows classifies every key
+            # (insert / matched / stored-only) and yields BOTH the change
+            # rows and the merged image (r14, guide §2.4 — the r13 shape
+            # derived the changelog's insert/preimage/postimage/delete
+            # pieces as four separate semi/anti joins plus the merge's own
+            # anti join, re-scanning the touched buckets per piece; VERDICT
+            # r13 #1). Both sides are key-unique (updates via dedup_latest,
+            # the target by merge invariant), so the join is 1:1 and each
+            # r13 piece maps to a row-local predicate over it:
+            #   insert           = update present, stored absent
+            #   pre/postimage    = both present (on_match='update')
+            #   delete           = stored-only and (in scope | in deletes)
+            #   merged kept-row  = stored row that the r13 anti-join chain
+            #                      kept (scope is bucket-key based, so a
+            #                      key-matched row outside the scope is
+            #                      kept ALONGSIDE its update — the explode
+            #                      emits both, exactly the old union)
+            # The joined frame is pinned: the changelog write and the
+            # staging write both consume it, and unpinned each would
+            # re-execute the join (the computed-frame pin discipline).
+            ucols = list(updates.columns)  # payload + BUCKET_COL
+            payload = [c for c in ucols if c != BUCKET_COL]
+            u = updates.select(
+                *[F.col(c).alias(f"_u_{c}") for c in ucols],
+                F.lit(True).alias("_u_p"),
+            )
+            cfrm = current.select(
+                *[F.col(c).alias(f"_c_{c}") for c in ucols],
+                F.lit(True).alias("_c_p"),
+            )
+            jcond = None
+            for k in keys:
+                e = F.col(f"_u_{k}").eqNullSafe(F.col(f"_c_{k}"))
+                jcond = e if jcond is None else (jcond & e)
+            j = u.join(cfrm, jcond, "full_outer")
+            if scope is not None:
+                sfl = scope.select(
+                    *[F.col(k).alias(f"_s_{k}") for k in bucket_keys]
+                ).withColumn("_s_p", F.lit(True))
+                scond = None
+                for k in bucket_keys:
+                    e = F.col(f"_c_{k}").eqNullSafe(F.col(f"_s_{k}"))
+                    scond = e if scond is None else (scond & e)
+                j = j.join(F.broadcast(sfl), scond, "left")
+            if deletes is not None:
+                dfl = deletes.select(
+                    *[F.col(k).alias(f"_d_{k}") for k in keys]
+                ).withColumn("_d_p", F.lit(True))
+                dcond = None
+                for k in keys:
+                    e = F.col(f"_c_{k}").eqNullSafe(F.col(f"_d_{k}"))
+                    dcond = e if dcond is None else (dcond & e)
+                j = j.join(F.broadcast(dfl), dcond, "left")
+            j = pin(j)
+            up = F.coalesce(F.col("_u_p"), F.lit(False))
+            cp = F.coalesce(F.col("_c_p"), F.lit(False))
+            sp = (
+                F.coalesce(F.col("_s_p"), F.lit(False))
+                if scope is not None
+                else F.lit(False)
+            )
+            dp = (
+                F.coalesce(F.col("_d_p"), F.lit(False))
+                if deletes is not None
+                else F.lit(False)
+            )
+
+            def _as_struct(side: str, cols: list[str], op: str | None):
+                fields = [F.col(f"_{side}_{c}").alias(c) for c in cols]
+                if op is not None:
+                    fields.append(F.lit(op).alias("_op"))
+                return F.struct(*fields)
+
+            # change rows: payload columns + _op, one array element per
+            # r13 piece (a scope-AND-deletes hit emits two delete rows,
+            # exactly as the old separate pieces did)
+            elems = [F.when(up & ~cp, _as_struct("u", payload, "insert"))]
+            if on_match != "keep":
+                elems += [
+                    F.when(up & cp, _as_struct("c", payload, "update_preimage")),
+                    F.when(up & cp, _as_struct("u", payload, "update_postimage")),
+                ]
+                if scope is not None:
+                    elems.append(
+                        F.when(cp & ~up & sp, _as_struct("c", payload, "delete"))
                     )
-                    uk3 = updates.select(*keys)
-                    dropped = hit.join(
-                        uk3, _ns_cond(hit, uk3, keys), "left_anti"
+                if deletes is not None:
+                    elems.append(
+                        F.when(cp & ~up & dp, _as_struct("c", payload, "delete"))
                     )
-                    pieces.append(
-                        dropped.select(*payload).withColumn(
-                            "_op", F.lit("delete")
+            changes = j.select(
+                F.explode(F.array_compact(F.array(*elems))).alias("_e")
+            ).select("_e.*")
+
+            # merged image from the same pinned join — the r13 anti-join
+            # chain as row predicates
+            if on_match == "keep":
+                u_emit = up & ~cp
+                c_emit = cp
+            else:
+                c_emit = (cp & ~up) if scope is None else (cp & ~sp)
+                if deletes is not None:
+                    c_emit = c_emit & ~dp
+                u_emit = up
+            merged = j.select(
+                F.explode(
+                    F.array_compact(
+                        F.array(
+                            F.when(u_emit, _as_struct("u", ucols, None)),
+                            F.when(c_emit, _as_struct("c", ucols, None)),
                         )
                     )
-            changes = pieces[0]
-            for p in pieces[1:]:
-                changes = changes.unionByName(p)
+                ).alias("_m")
+            ).select("_m.*")
+
+            # the change commit is computed (and physically written) BEFORE
+            # the swap. The write lands in a hidden staging dir, published
+            # into the feed only AFTER the target swap succeeds — so the
+            # feed can never hold a commit the table did not apply, and a
+            # torn write is invisible (no rename, and reads require
+            # _SUCCESS). The residual window is the inverse: a crash
+            # between the final bucket swap and the publish loses the
+            # feed's copy of an applied commit.
             commit_no = _next_commit(changelog_dir)
             cl_staging = os.path.join(
                 changelog_dir, f".commit={commit_no}._staging"

@@ -73,16 +73,25 @@ def main() -> None:
         apply_fn(spark, root, base)
         out["init_sec"] = round(time.time() - t0, 3)
         cycles = []
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+
+        def _all_jobs() -> int:
+            # thread-pool jobs carry no group (local properties are not
+            # inherited by plain Python threads), so count group-None plus
+            # any grouped jobs from the calling thread
+            return len(tracker.getJobIdsForGroup(None)) + len(
+                tracker.getJobIdsForGroup("cycle")
+            )
+
         for i in range(3):
-            sc = spark.sparkContext
-            sc.setJobGroup(f"cycle{i}", f"{kind} update cycle {i}")
+            sc.setJobGroup("cycle", f"{kind} update cycle {i}")
+            n0 = _all_jobs()
             t0 = time.time()
             apply_fn(spark, root, arrivals)
             cycles.append(round(time.time() - t0, 3))
             sc.setJobGroup(None, None)
-            out[f"jobs_cycle{i}"] = len(
-                sc.statusTracker().getJobIdsForGroup(f"cycle{i}")
-            )
+            out[f"jobs_cycle{i}"] = _all_jobs() - n0
         out["cycles_sec"] = cycles
 
     elif workload == "pairinit":
