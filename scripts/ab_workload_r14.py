@@ -84,7 +84,7 @@ def main() -> None:
                 tracker.getJobIdsForGroup("cycle")
             )
 
-        for i in range(3):
+        for i in range(int(os.environ.get("AB_CYCLES", "3"))):
             sc.setJobGroup("cycle", f"{kind} update cycle {i}")
             n0 = _all_jobs()
             t0 = time.time()
