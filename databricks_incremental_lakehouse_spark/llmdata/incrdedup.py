@@ -59,9 +59,9 @@ from .dedup import (
     DEDUP_MINHASH_ORACLE,
     JACCARD_THRESHOLD,
     _doc_shingles,
+    _exploded_shingles,
     _jaccard_from_counts,
     _shingles,
-    doc_shingles_ex,
     lsh_band_candidates,
     minhash_bands,
 )
@@ -137,25 +137,18 @@ def _dedup_band_index(
         if got is None:
             for stale in [k for k in _IDX_MEMO if k[0] != skey]:
                 _rm_store_root(_IDX_MEMO.pop(stale)[0])
-            # both splits' shingles come from the SESSION-MEMOIZED
-            # full-corpus exploded-shingle tier filtered by the arrival
-            # split (r14, guide §2.4): per-doc derivation makes the filter
-            # value-identical to exploding each split separately, a warm
-            # memo (any earlier shingle consumer this session) makes both
-            # signature passes aggregation-only, and a cold memo pays ONE
-            # full tokenize instead of two partial ones.
-            ex_all = doc_shingles_ex(spark, sf_dir)
-            base_ex = ex_all.filter(F.col("doc_id") % DOC_ARRIVAL_MOD != 0)
-            arr_ex = ex_all.filter(F.col("doc_id") % DOC_ARRIVAL_MOD == 0)
+            docs = load_table(spark, sf_dir, "documents")
+            base = docs.filter(F.col("doc_id") % DOC_ARRIVAL_MOD != 0)
+            arrivals = docs.filter(F.col("doc_id") % DOC_ARRIVAL_MOD == 0)
             path = os.path.join(tempfile.mkdtemp(prefix="dedup_idx_"), "bands")
-            _bucketed(minhash_bands(shingles_ex=base_ex)).write.partitionBy(
-                "bucket"
-            ).parquet(path)
+            _bucketed(minhash_bands(base)).write.partitionBy("bucket").parquet(
+                path
+            )
             # ingest: the arrival batch's band rows, pinned (the probe
             # re-uses them every search) and appended to the store (so
             # later batches would see these docs as index members too)
             arr_bands = (
-                _bucketed(minhash_bands(shingles_ex=arr_ex))
+                _bucketed(minhash_bands(arrivals))
                 .transform(pin)
             )
             arr_bands.write.mode("append").partitionBy("bucket").parquet(path)
@@ -309,26 +302,21 @@ def _exact_pair_index(
         if got is None:
             for stale in [k for k in _PAIR_MEMO if k[0] != skey]:
                 _rm_store_root(_PAIR_MEMO.pop(stale)[0])
+            docs = load_table(spark, sf_dir, "documents")
+            base = docs.filter(F.col("doc_id") % DOC_ARRIVAL_MOD != 0)
+            arrivals = docs.filter(F.col("doc_id") % DOC_ARRIVAL_MOD == 0)
             root = tempfile.mkdtemp(prefix="pair_idx_")
             sh_path = os.path.join(root, "shingles")
             edges_path = os.path.join(root, "base_edges")
             lsh_path = os.path.join(root, "base_lsh_edges")
             cc_path = os.path.join(root, "base_cc_labels")
-            # Shingles come from the SESSION-MEMOIZED full-corpus
-            # exploded-shingle tier filtered by the arrival split (r14,
-            # guide §2.4): per-doc derivation makes the filter
-            # value-identical to exploding each split separately; a warm
-            # memo makes the store write aggregation-only, a cold one pays
-            # ONE full tokenize for both splits. Every other init product
-            # then derives from the READ-BACK of the just-written store
-            # (guide §3.3) — the r13 shape re-derived the
-            # tokenize+posexplode+window subtree three times (store write,
-            # exact edges, LSH edges).
-            ex_all = doc_shingles_ex(spark, sf_dir)
-            base_ex = ex_all.filter(F.col("doc_id") % DOC_ARRIVAL_MOD != 0)
-            arr_ex = ex_all.filter(F.col("doc_id") % DOC_ARRIVAL_MOD == 0)
+            # ONE tokenize pass over the base corpus (r14, guide §2.4 /
+            # §3.3): the shingle store is written first, and every other
+            # init product derives from the READ-BACK of that store —
+            # the r13 shape re-derived the tokenize+posexplode+window
+            # subtree three times (store write, exact edges, LSH edges).
             (
-                _shingles(shingles_ex=base_ex)
+                _shingles(shingles_ex=_exploded_shingles(base))
                 .withColumn(
                     "bucket",
                     F.pmod(F.xxhash64("shingle"), F.lit(NUM_INDEX_BUCKETS)),
@@ -380,7 +368,9 @@ def _exact_pair_index(
             edge_incident_labels(spark.read.parquet(lsh_path)).write.parquet(
                 cc_path
             )
-            arr_sh = _shingles(shingles_ex=arr_ex).transform(pin)
+            arr_sh = _shingles(
+                shingles_ex=_exploded_shingles(arrivals)
+            ).transform(pin)
             (
                 arr_sh.withColumn(
                     "bucket",
