@@ -166,11 +166,12 @@ def _clear_idx_memo() -> None:
             _rm_store_root(path)
         for _cent, path, _df in _SEM_MEMO.values():
             _rm_store_root(path)
-        for path, _edges, _lsh, _cc, _df in _PAIR_MEMO.values():
+        for path, _edges, _df in _PAIR_MEMO.values():
             _rm_store_root(path)
         _IDX_MEMO.clear()
         _SEM_MEMO.clear()
         _PAIR_MEMO.clear()
+        _PAIR_AUX.clear()
 
 
 from .. import memo as _memo  # noqa: E402 — registration, not a cycle
@@ -263,37 +264,40 @@ WHERE doc_a % {DOC_ARRIVAL_MOD} = 0 OR doc_b % {DOC_ARRIVAL_MOD} = 0"""
 
 # --- maintained EXACT-pair index (the shingle inverted index) --------------
 
-# (shingle_store_path, exact_edges_path, lsh_edges_path, cc_labels_path,
-# pinned arrival shingle rows) per (session, sf_dir) — the _IDX_MEMO
-# discipline
-_PAIR_MEMO: dict[tuple, tuple[str, str, str, str, DataFrame]] = {}
+# core: (shingle_store_path, exact_edges_path, pinned arrival shingle
+# rows) per (session, sf_dir); aux: (lsh_edges_path, cc_labels_path),
+# built LAZILY on first canonical-selection-family use — the _IDX_MEMO
+# discipline for both
+_PAIR_MEMO: dict[tuple, tuple[str, str, DataFrame]] = {}
+_PAIR_AUX: dict[tuple, tuple[str, str]] = {}
 
 
-def _exact_pair_index(
+def _pair_core(
     spark: SparkSession, sf_dir: str
-) -> tuple[str, str, str, str, DataFrame]:
+) -> tuple[str, str, DataFrame]:
     """The exact-Jaccard twin of the band index, for consumers that need
     the COMPLETE >= 0.8 pair set (banded MinHash is probabilistic — it can
     miss true pairs — so the graph family's maintained path cannot ride
-    it). Three maintained tables:
+    it). The CORE tables, enough for the pagerank-family consumers:
 
     - the shingle inverted index ``(doc_id, shingle, n_shingles)``
       partitioned by ``bucket = hash(shingle)`` — the posting lists of
       :func:`..llmdata.dedup._pair_counts`, materialized;
-    - the base corpus's verified EXACT edge list (``dedup_ngram_jaccard``
-      over the base docs — a one-time init, exactly the batch discovery);
-    - the base corpus's verified LSH edge list (``dedup_minhash_lsh``
-      over the same shingle stage — the cluster-membership edge set the
-      canonical-selection consumer partitions by);
-    - the base LSH graph's COMPONENT LABELS (min-label fixpoint over
-      edge-incident base nodes — ``curation.edge_incident_labels``),
-      so the per-batch consumer merges arrival edges into settled labels
-      (:func:`maintained_cc_labels`) instead of re-running the whole
-      label-propagation loop every batch (VERDICT r11 #1).
+    - the base corpus's verified EXACT edge list (the batch discovery
+      join, run over the READ-BACK of the just-written store — one
+      tokenize pass; the r13 init re-derived the shingle subtree per
+      product, guide §2.4/§3.3).
 
-    An arrival batch appends its shingle rows (O(batch): only arrivals
-    are tokenized; ``n_shingles`` is per-doc, so stored base rows never
-    change) and is pinned for the steady-state probe."""
+    The arrival batch's pinned shingle rows are derived CONCURRENTLY
+    with the store+edges chain (independent inputs; guide §2.6) and
+    appended to the store last — after every base read-back — so the
+    base-edge derivation can never observe arrival rows.
+
+    The LSH edge list + settled component labels the canonical-selection
+    consumers need are the separate lazy stage (:func:`_pair_lsh_cc`) —
+    the pagerank face never pays for them."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .. import memo
 
     skey = memo._session_key(spark)
@@ -302,75 +306,49 @@ def _exact_pair_index(
         if got is None:
             for stale in [k for k in _PAIR_MEMO if k[0] != skey]:
                 _rm_store_root(_PAIR_MEMO.pop(stale)[0])
+                _PAIR_AUX.pop(stale, None)
             docs = load_table(spark, sf_dir, "documents")
             base = docs.filter(F.col("doc_id") % DOC_ARRIVAL_MOD != 0)
             arrivals = docs.filter(F.col("doc_id") % DOC_ARRIVAL_MOD == 0)
             root = tempfile.mkdtemp(prefix="pair_idx_")
             sh_path = os.path.join(root, "shingles")
             edges_path = os.path.join(root, "base_edges")
-            lsh_path = os.path.join(root, "base_lsh_edges")
-            cc_path = os.path.join(root, "base_cc_labels")
-            # ONE tokenize pass over the base corpus (r14, guide §2.4 /
-            # §3.3): the shingle store is written first, and every other
-            # init product derives from the READ-BACK of that store —
-            # the r13 shape re-derived the tokenize+posexplode+window
-            # subtree three times (store write, exact edges, LSH edges).
-            (
-                _shingles(shingles_ex=_exploded_shingles(base))
-                .withColumn(
-                    "bucket",
-                    F.pmod(F.xxhash64("shingle"), F.lit(NUM_INDEX_BUCKETS)),
-                )
-                .write.partitionBy("bucket")
-                .parquet(sh_path)
-            )
-            write_store_meta(
-                sh_path, num_buckets=NUM_INDEX_BUCKETS, key_col="shingle"
-            )
-            stored = spark.read.parquet(sh_path).select(
-                "doc_id", "shingle", "n_shingles"
-            )
-            # base-base edges: both docs' full shingle sets live in the
-            # base corpus, so this equals the full-corpus pair set
-            # restricted to base pairs — the partition the probe
-            # completes. The stored inverted index already carries
-            # n_shingles, so the jaccard derives directly from it.
-            _jaccard_from_counts(stored).select("doc_a", "doc_b").write.parquet(
-                edges_path
-            )
-            base_edges = spark.read.parquet(edges_path)
-            # base LSH edges via the exact∩band identity (the
-            # dedup_canonical_selection argument, oracle-checked there):
-            # every LSH-verified pair passes the same >=0.8 exact-Jaccard
-            # bar, so LSH = exact_pairs ∩ band_candidates, and signatures
-            # are only needed for docs that appear in an exact pair — a
-            # broadcast semi-join slice of the stored shingles instead of
-            # the full-corpus 16-seed signature aggregate + per-candidate
-            # array_intersect verify the r13 init paid.
-            paired_docs = (
-                base_edges.select(F.col("doc_a").alias("doc_id"))
-                .unionByName(base_edges.select(F.col("doc_b").alias("doc_id")))
-                .distinct()
-            )
-            ex_paired = stored.select("doc_id", "shingle").join(
-                F.broadcast(paired_docs), "doc_id", "left_semi"
-            )
-            base_edges.join(
-                lsh_band_candidates(shingles_ex=ex_paired),
-                ["doc_a", "doc_b"],
-                "left_semi",
-            ).write.parquet(lsh_path)
-            # settle the base graph's component labels ONCE at init (read
-            # back from the just-written edges — no pipeline re-run); the
-            # per-batch path merges into these instead of re-looping
-            from .curation import edge_incident_labels
 
-            edge_incident_labels(spark.read.parquet(lsh_path)).write.parquet(
-                cc_path
-            )
-            arr_sh = _shingles(
-                shingles_ex=_exploded_shingles(arrivals)
-            ).transform(pin)
+            def _store_and_edges() -> None:
+                (
+                    _shingles(shingles_ex=_exploded_shingles(base))
+                    .withColumn(
+                        "bucket",
+                        F.pmod(F.xxhash64("shingle"), F.lit(NUM_INDEX_BUCKETS)),
+                    )
+                    .write.partitionBy("bucket")
+                    .parquet(sh_path)
+                )
+                write_store_meta(
+                    sh_path, num_buckets=NUM_INDEX_BUCKETS, key_col="shingle"
+                )
+                stored = spark.read.parquet(sh_path).select(
+                    "doc_id", "shingle", "n_shingles"
+                )
+                # base-base edges: both docs' full shingle sets live in
+                # the base corpus, so this equals the full-corpus pair set
+                # restricted to base pairs — the partition the probe
+                # completes. The stored inverted index already carries
+                # n_shingles, so the jaccard derives directly from it.
+                _jaccard_from_counts(stored).select(
+                    "doc_a", "doc_b"
+                ).write.parquet(edges_path)
+
+            def _arrival_pin() -> DataFrame:
+                return _shingles(
+                    shingles_ex=_exploded_shingles(arrivals)
+                ).transform(pin)
+
+            with ThreadPoolExecutor(2) as ex:
+                f_chain = ex.submit(_store_and_edges)
+                f_arr = ex.submit(_arrival_pin)
+                f_chain.result()
+                arr_sh = f_arr.result()
             (
                 arr_sh.withColumn(
                     "bucket",
@@ -380,9 +358,79 @@ def _exact_pair_index(
                 .partitionBy("bucket")
                 .parquet(sh_path)
             )
-            got = (sh_path, edges_path, lsh_path, cc_path, arr_sh)
+            got = (sh_path, edges_path, arr_sh)
             _PAIR_MEMO[(skey, sf_dir)] = got
     return got
+
+
+def _pair_lsh_cc(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """The canonical-selection half of the pair index, built lazily on
+    first use (r14 — the pagerank once-key stopped paying for products it
+    never reads; OPTIMIZATION_r14.md discloses the cost move):
+
+    - the base corpus's verified LSH edge list — via the exact∩band
+      identity (the dedup_canonical_selection argument, oracle-checked
+      there): every LSH-verified pair passes the same >=0.8 exact-Jaccard
+      bar, so LSH = exact_pairs ∩ band_candidates, and signatures are
+      needed only for docs appearing in an exact pair — a broadcast
+      semi-join slice of the stored shingles instead of the full-corpus
+      16-seed signature aggregate + per-candidate array_intersect verify
+      the r13 init paid;
+    - the base LSH graph's settled COMPONENT LABELS
+      (``curation.edge_incident_labels``), so the per-batch consumer
+      merges arrival edges into settled labels (:func:`maintained_cc_
+      labels`) instead of re-running the label loop per batch (r11 #1).
+
+    The stored-shingle read happens after arrivals were appended, but the
+    paired-doc semi-join slices to base docs (base pairs have base
+    endpoints), so arrival rows cannot enter the base edge derivation."""
+    from .. import memo
+
+    sh_path, edges_path, _arr = _pair_core(spark, sf_dir)
+    skey = memo._session_key(spark)
+    with _IDX_LOCK:
+        got = _PAIR_AUX.get((skey, sf_dir))
+        if got is None:
+            root = os.path.dirname(sh_path.rstrip("/"))
+            lsh_path = os.path.join(root, "base_lsh_edges")
+            cc_path = os.path.join(root, "base_cc_labels")
+            stored = spark.read.parquet(sh_path).select("doc_id", "shingle")
+            base_edges = spark.read.parquet(edges_path)
+            paired_docs = (
+                base_edges.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(base_edges.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+            )
+            ex_paired = stored.join(
+                F.broadcast(paired_docs), "doc_id", "left_semi"
+            )
+            base_edges.join(
+                lsh_band_candidates(shingles_ex=ex_paired),
+                ["doc_a", "doc_b"],
+                "left_semi",
+            ).write.parquet(lsh_path)
+            # settle the base graph's component labels ONCE (read back
+            # from the just-written edges — no pipeline re-run); the
+            # per-batch path merges into these instead of re-looping
+            from .curation import edge_incident_labels
+
+            edge_incident_labels(spark.read.parquet(lsh_path)).write.parquet(
+                cc_path
+            )
+            got = (lsh_path, cc_path)
+            _PAIR_AUX[(skey, sf_dir)] = got
+    return got
+
+
+def _exact_pair_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str, str, DataFrame]:
+    """Compatibility accessor building BOTH pair-index stages: returns
+    (shingle_store, exact_edges, lsh_edges, cc_labels, pinned arrival
+    shingles) as the pre-r14 single-stage builder did."""
+    sh_path, edges_path, arr_sh = _pair_core(spark, sf_dir)
+    lsh_path, cc_path = _pair_lsh_cc(spark, sf_dir)
+    return (sh_path, edges_path, lsh_path, cc_path, arr_sh)
 
 
 def exact_pairs_for_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,9 +445,7 @@ def exact_pairs_for_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`..llmdata.dedup.dedup_ngram_jaccard` restricted to
     arrival-involving pairs; arrival-arrival double matches (p->s and
     s->p) collapse in the normalized distinct."""
-    sh_path, _edges_path, _lsh_path, _cc_path, arr_sh = _exact_pair_index(
-        spark, sf_dir
-    )
+    sh_path, _edges_path, arr_sh = _pair_core(spark, sf_dir)
     n = _live_num_buckets(sh_path)
     buckets = sorted(
         r["bucket"]
@@ -453,7 +499,7 @@ def maintained_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     either has both sides in base, or at least one arrival side). The
     graph family's maintained consumers (``graph_pagerank_update_only``)
     rank over this without ever re-scanning the corpus."""
-    _sh, edges_path, _lsh, _cc, _arr = _exact_pair_index(spark, sf_dir)
+    _sh, edges_path, _arr = _pair_core(spark, sf_dir)
     base_pairs = spark.read.parquet(edges_path)
     return base_pairs.unionByName(
         exact_pairs_for_arrivals(spark, sf_dir).select("doc_a", "doc_b")
@@ -485,7 +531,7 @@ def maintained_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(batch α(batch)); the cluster never ships more than the batch's own
     pair list. The corpus-sized work left is the one stored-label remap
     join (broadcast: only touched components appear in the remap)."""
-    _sh, _edges, _lsh, cc_path, _arr = _exact_pair_index(spark, sf_dir)
+    _lsh_path, cc_path = _pair_lsh_cc(spark, sf_dir)
     base_labels = spark.read.parquet(cc_path)
     p_new = (
         dedup_minhash_append(spark, sf_dir)
@@ -577,7 +623,7 @@ def maintained_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same disjoint-partition argument as the exact set. This is the
     cluster-membership edge set the canonical-selection consumer
     partitions by (LSH edges, not exact: the batch operator's contract)."""
-    _sh, _edges, lsh_path, _cc, _arr = _exact_pair_index(spark, sf_dir)
+    lsh_path, _cc_path = _pair_lsh_cc(spark, sf_dir)
     return spark.read.parquet(lsh_path).unionByName(
         dedup_minhash_append(spark, sf_dir).select("doc_a", "doc_b")
     )

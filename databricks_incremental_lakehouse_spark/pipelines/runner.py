@@ -175,6 +175,7 @@ def _run_dag(
     stages: dict,
     max_retries: int = 0,
     retry_delay: float = 0.0,
+    weights: dict | None = None,
 ) -> None:
     """Dependency-driven stage scheduler: each stage is ``(fn, deps)`` and
     starts the moment every named dependency has SUCCEEDED — not when its
@@ -185,6 +186,16 @@ def _run_dag(
     views instead of running after them. A stage whose dependency FAILED
     is recorded as FAILED with an ``upstream`` error and never runs — the
     same fail-fast outcome the group gates produced, at stage granularity.
+
+    ``weights`` (optional, cost hints from measured stage seconds) orders
+    SIMULTANEOUSLY-ready stages heaviest-first (r14, guide §2.6): Spark's
+    FIFO scheduler gives earlier-submitted jobs first claim on executors
+    and later jobs back-fill their stragglers, so when the two silver
+    tables land and four tail stages become runnable at once, submitting
+    the heaviest (CLV, QC) first lets the lighter views back-fill the
+    heavies' tails instead of the reverse. Scheduling only — every stage
+    still starts exactly when its deps are satisfied, and fail-fast
+    semantics are unchanged.
 
     One worker thread per stage (threads blocked on dependency events are
     cheap; Spark jobs submitted from many driver threads multiplex across
@@ -214,13 +225,38 @@ def _run_dag(
         for n in ready:
             del pending[n]
 
+    weights = weights or {}
     done = {name: threading.Event() for name in stages}
+    # serializes the ready-check + start so co-ready stages start in
+    # weight order; held only around bookkeeping, never around stage work
+    lock = threading.Lock()
+    started: set[str] = set()
+    finished: set[str] = set()
+    cv = threading.Condition(lock)
 
     def _runner(name: str, fn, deps) -> None:
         t0 = time.time()
         try:
-            for d in deps:
-                done[d].wait()
+            with cv:
+                while not all(d in finished for d in deps):
+                    cv.wait()
+                # among co-ready unstarted stages, only the heaviest may
+                # start now — lighter co-ready peers loop until it has
+                # (started set + notify_all make this a total order)
+                while True:
+                    co_ready = [
+                        n
+                        for n, (_f, ds) in stages.items()
+                        if n not in started
+                        and all(d in finished for d in ds)
+                    ]
+                    if name == max(
+                        co_ready, key=lambda n: (weights.get(n, 0.0), n)
+                    ):
+                        break
+                    cv.wait()
+                started.add(name)
+                cv.notify_all()
             bad = [
                 d for d in deps if results.get(d, {}).get("status") != "SUCCESS"
             ]
@@ -237,6 +273,10 @@ def _run_dag(
             # ALWAYS release dependents, even if this runner itself raised
             # (they then observe a non-SUCCESS result and fail fast instead
             # of blocking forever)
+            with cv:
+                finished.add(name)
+                started.add(name)  # defensive: never strand co-ready peers
+                cv.notify_all()
             done[name].set()
 
     with ThreadPoolExecutor(max_workers=max(1, len(stages))) as ex:
@@ -472,7 +512,24 @@ def run_sales_analytics(
             silver_deps + ["ext_partsupp", "ref_order_details", "ref_customer_orders"],
         ),
     }
-    _run_dag(results, dag, retries, delay)
+    # Cost hints for co-ready submission order (r14, guide §2.6), from the
+    # measured per-stage seconds at sf0.1 (BENCH_DETAIL sales.* keys): when
+    # the silver tables land, CLV / monthly / revenue / QC become runnable
+    # together — heaviest submits first so the lighter jobs back-fill its
+    # straggler tail under Spark's FIFO scheduling. Relative order is what
+    # matters, not the absolute numbers.
+    weights = {
+        "vw_customer_lifetime_value": 5.1,
+        "vw_monthly_sales_trends": 4.7,
+        "vw_revenue_by_region": 4.5,
+        "quality_checks": 4.1,
+        "ref_order_details": 3.4,
+        "ref_customer_orders": 3.0,
+        "ext_lineitem": 2.0,
+        "ext_orders": 1.5,
+        "ext_partsupp": 1.0,
+    }
+    _run_dag(results, dag, retries, delay, weights=weights)
 
     # reference gate labels, evaluated in reference order (the scheduler
     # already blocked downstream stages of anything that failed)
