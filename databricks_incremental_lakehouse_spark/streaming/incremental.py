@@ -527,6 +527,7 @@ def merge_upsert(
     deletes: DataFrame | None = None,
     on_match: str = "update",
     changelog_dir: str | None = None,
+    touched_buckets: Sequence[int] | None = None,
 ) -> None:
     """Upsert ``updates`` into the bucketed parquet table at ``target_path``.
 
@@ -681,12 +682,24 @@ def merge_upsert(
         merged = updates
         touched: set[int] = set()
     else:
-        tsrc = updates.select(BUCKET_COL)
-        if scope is not None:
-            tsrc = tsrc.unionByName(scope.select(BUCKET_COL))
-        if deletes is not None:
-            tsrc = tsrc.unionByName(deletes.select(BUCKET_COL))
-        touched = {r[0] for r in tsrc.distinct().collect()}
+        if touched_buckets is not None:
+            # caller-supplied bucket set (internal fast path —
+            # apply_cdf_delta already collected exactly this set to prune
+            # its stored-totals read, and its updates/scope frames are
+            # grouped on the same keys, so re-collecting here would be one
+            # redundant Spark job per fold). The caller ASSERTS every
+            # updates/scope/deletes row hashes into these buckets under
+            # the target's stored bucket count; a wrong set would merge
+            # against a partial current image, so only callers that derive
+            # the set with _key_bucket over the same columns may use it.
+            touched = set(touched_buckets)
+        else:
+            tsrc = updates.select(BUCKET_COL)
+            if scope is not None:
+                tsrc = tsrc.unionByName(scope.select(BUCKET_COL))
+            if deletes is not None:
+                tsrc = tsrc.unionByName(deletes.select(BUCKET_COL))
+            touched = {r[0] for r in tsrc.distinct().collect()}
         if not touched:  # empty micro-batch: nothing to merge
             return
         # partition filter -> only the touched bucket dirs are scanned;
@@ -1101,6 +1114,7 @@ def apply_cdf_delta(
             F.broadcast(dk), _ns_cond(cur0, dk, group_cols), "left_semi"
         )
     else:
+        buckets = None  # initial load: the merge skips the collect anyway
         current = sess.createDataFrame(
             [],
             ", ".join(
@@ -1145,12 +1159,17 @@ def apply_cdf_delta(
             for c in sum_cols
         ],
     ).transform(pin)
+    # the touched-bucket set was already collected above (the pruned
+    # stored-totals read); `new`'s groups are exactly the delta's groups
+    # (current was semi-joined onto them), so hand the set to the merge
+    # and skip its redundant bucket-collect job (one job per fold)
     merge_upsert(
         sess,
         new,
         target_path,
         keys=group_cols,
         scope=delta.select(*group_cols),
+        touched_buckets=buckets,
     )
 
 
